@@ -1,0 +1,182 @@
+"""Telemetry operators: the reference pipeline re-expressed as lazy,
+composable DataFrame transforms.
+
+Reference semantics (all /root/reference/main.py):
+  * enrich: sanitize names (:87-96), relative->absolute ns time
+    (:100-102), attach alias literal (:103)
+  * RMS: 1-second tumbling buckets on absolute ns time (:146), keep only
+    buckets whose observed span >= 0.999 s (:148-158), per-axis
+    sqrt(mean(x^2)) (:161-171), rms_mod magnitude (:175), bucket start
+    as int64 ns ``Time`` (:179), alias (:180)
+  * sink: SNAPPY parquet in ``alias=/year=/month=/day=`` layout
+    (:107-131, :186-204)
+
+Spark-first design notes (not a port):
+  * The reference makes three passes (groupby span -> isin filter ->
+    groupby RMS).  Here it is ONE aggregation: min/max/avg(pow) in a
+    single groupBy with the span predicate as a HAVING filter — one
+    shuffle instead of two, and the RMS decomposes into built-in
+    partial-aggregable expressions (sqrt(avg(pow))) so map-side combine
+    reduces 26667:1 before the exchange.  At 100 TB that shuffle ships
+    ~1/26667th of the scan.
+  * Everything is lazy; nothing collects.  Group keys are
+    (group_cols..., bucket) so multi-device batches parallelize by
+    device instead of serializing one acquisition per process like the
+    reference's 6-instance ceiling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..schema.sanitize import sanitize_columns
+
+NS_PER_S = 1_000_000_000
+
+__all__ = [
+    "sanitize_columns",
+    "to_absolute_time",
+    "attach_literals",
+    "tumbling_rms",
+    "label_samples",
+    "write_hive_partitioned",
+]
+
+
+def to_absolute_time(
+    df: DataFrame, start_ns: int, time_col: str = "Time"
+) -> DataFrame:
+    """Relative float64 seconds -> absolute int64 epoch ns (P2/F4/F7).
+
+    Parity caveat (SURVEY §2.8 F7): pandas ``.round()`` is
+    round-half-even; Spark ``F.round`` is half-up.  ``F.rint`` matches
+    numpy/pandas exactly, so use it.
+    """
+    return df.withColumn(
+        time_col,
+        (F.rint(F.col(time_col).cast("double") * NS_PER_S)).cast("long")
+        + F.lit(int(start_ns)),
+    )
+
+
+def attach_literals(df: DataFrame, **values) -> DataFrame:
+    """Attach constant metadata columns, e.g. alias (P3/J2)."""
+    return df.withColumns({k: F.lit(v) for k, v in values.items()})
+
+
+def _rms(col: str | Column) -> Column:
+    """sqrt(mean(x^2)) as decomposable built-ins (A2): partial-agg friendly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(F.avg(c * c))
+
+
+def tumbling_rms(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    time_col: str = "Time",
+    group_cols: Sequence[str] = (),
+    bucket_ns: int = NS_PER_S,
+    min_span_frac: float = 0.999,
+    rename: dict[str, str] | None = None,
+    with_magnitude: bool = True,
+) -> DataFrame:
+    """Tumbling-window RMS over complete windows only (W1+A1+J1+A2-A5).
+
+    One groupBy produces span (completeness), per-column RMS and the
+    bucket-start timestamp; the reference's isin() semi-join collapses
+    into a HAVING predicate on the same aggregate.  Output columns:
+    ``rms_<name>`` per value col (or ``rename`` mapping), ``rms_mod``,
+    ``Time`` (bucket start, int64 ns), plus ``group_cols``.
+    """
+    rename = rename or {}
+    bucket = (F.col(time_col) - (F.col(time_col) % F.lit(int(bucket_ns)))) / F.lit(
+        int(bucket_ns)
+    )
+    out_names = [rename.get(c, f"rms_{c}") for c in value_cols]
+    aggs = [_rms(c).alias(n) for c, n in zip(value_cols, out_names)]
+    aggs.append((F.max(time_col) - F.min(time_col)).alias("_span_ns"))
+    res = (
+        df.withColumn("_bucket", bucket.cast("long"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(*aggs)
+        .where(F.col("_span_ns") >= F.lit(float(min_span_frac) * bucket_ns))
+        .drop("_span_ns")
+    )
+    if with_magnitude:
+        res = res.withColumn(
+            "rms_mod",
+            F.sqrt(sum((F.col(n) * F.col(n) for n in out_names), F.lit(0.0))),
+        )
+    return (
+        res.withColumn("Time", (F.col("_bucket") * F.lit(int(bucket_ns))).cast("long"))
+        .drop("_bucket")
+        .orderBy(*group_cols, "Time")
+    )
+
+
+def label_samples(
+    samples: DataFrame,
+    tags: DataFrame,
+    time_col: str = "Time",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    extra_keys: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """Interval (tag) join: label each sample with the tag interval(s)
+    containing it (J3; reference latent path main.py:78 ``labeled`` +
+    HSD_DataToolkit_Pipeline.py:125-127 ``do_tag``).
+
+    Tag tables are tiny (sw_tag0..15) — broadcast so the range predicate
+    never shuffles the fact side.  With ``extra_keys`` (e.g. alias) the
+    join is equi+range, which AQE turns into a broadcast hash join with
+    a residual range filter.
+    """
+    cond = (samples[time_col] >= tags[start_col]) & (samples[time_col] < tags[end_col])
+    for k in extra_keys:
+        cond = cond & (samples[k] == tags[k])
+    return samples.join(
+        F.broadcast(tags.drop(*extra_keys) if how == "left" else tags), cond, how
+    )
+
+
+def with_date_parts(df: DataFrame, time_col: str = "Time") -> DataFrame:
+    """Derive alias-layout partition keys year/month/day from int64 ns
+    time (F6; reference derives them from start_time, main.py:127-129).
+    """
+    ts = F.timestamp_seconds(F.col(time_col) / F.lit(NS_PER_S))
+    return df.withColumns(
+        {"year": F.year(ts), "month": F.month(ts), "day": F.dayofmonth(ts)}
+    )
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    root: str,
+    partition_cols: Sequence[str] = ("alias", "year", "month", "day"),
+    time_col: str = "Time",
+    mode: str = "overwrite",
+    max_records_per_file: int = 50_000_000,
+) -> None:
+    """Hive-layout parquet sink (S7/S8): ``root/alias=…/year=…/month=…/day=…``.
+
+    SNAPPY + dictionary encoding are Spark parquet defaults; rows are
+    sorted by time *within* each partition so the int64 Time column
+    delta-encodes well (the reference forces DELTA_BINARY_PACKED via
+    pyarrow, main.py:112-119 — Spark picks encodings per column chunk;
+    value-level output is identical).  ``sortWithinPartitions`` avoids a
+    global sort: no extra shuffle beyond the partitionBy write.
+    """
+    out = df
+    if not set(partition_cols) <= set(df.columns):
+        out = with_date_parts(df, time_col)
+    (
+        out.sortWithinPartitions(*partition_cols, time_col)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )

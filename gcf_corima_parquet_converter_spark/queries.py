@@ -1,0 +1,729 @@
+"""The t2 query corpus: named DataFrame queries + DuckDB oracle SQL.
+
+Every operator category from SURVEY.md §2 (and the north-star
+LLM-pipeline extensions) gets at least one named query here.  Each
+entry is a callable ``(spark, sf_dir) -> DataFrame`` registered in
+``QUERIES``; SQL-expressible ones also register the equivalent DuckDB
+SQL in ``ORACLE``.  The driver hash-compares both at sf=0.01.
+
+Float-parity strategy (load-bearing): Spark and DuckDB sum doubles in
+different orders, so a plain ``sum(double)`` differs in the last bits
+and fails hash equality.  Every aggregated double goes through an
+EXACT fixed-point path instead: per-row ``floor(x*scale + 0.5)`` cast
+to int64 (identical IEEE ops in both engines), exact integer sum, one
+final division by the power-of-ten scale (exact for |sum| < 2^53).
+Per-row (non-aggregated) float math is plain IEEE and deterministic,
+so it needs no special handling.  ``sqrt`` is IEEE-correctly-rounded
+(safe); ``ln``/``exp`` are libm-dependent (avoided in outputs).
+
+Timestamp parity: ``events.ts`` is parquet TIMESTAMP(NANOS).  Spark
+reads it as epoch-ns int64 (session.apply_runtime_conf); DuckDB
+truncates to µs.  All event-time logic therefore works on
+``ts div 1000`` (µs) vs ``epoch_us(ts)`` — exact int64 on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from . import catalog
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- helpers
+def fx(col: F.Column | str, scale: int) -> F.Column:
+    """Exact fixed-point of a double: floor(x*scale + 0.5) as int64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(scale)) + F.lit(0.5))
+
+
+def fsum(col: F.Column | str, scale: int = 1_000_000) -> F.Column:
+    """Hash-stable sum of a double column (see module docstring)."""
+    return F.sum(fx(col, scale)) / F.lit(float(scale))
+
+
+def favg(col: F.Column | str, scale: int = 1_000_000) -> F.Column:
+    return fsum(col, scale) / F.count(F.lit(1))
+
+
+def frms(col: F.Column | str, scale: int = 1_000_000) -> F.Column:
+    """Hash-stable sqrt(mean(x^2)) — the reference's RMS kernel (A2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(favg(c * c, scale))
+
+
+def sql_fsum(expr: str, scale: int = 1_000_000) -> str:
+    return f"SUM(CAST(floor(({expr})*{scale} + 0.5) AS BIGINT))/{scale}.0"
+
+
+def sql_favg(expr: str, scale: int = 1_000_000) -> str:
+    return f"{sql_fsum(expr, scale)}/count(*)"
+
+
+def sql_frms(expr: str, scale: int = 1_000_000) -> str:
+    return f"sqrt({sql_favg(f'({expr})*({expr})', scale)})"
+
+
+def ts_us(col: str = "ts") -> F.Column:
+    """events.ts (epoch ns int64) -> epoch µs, matching DuckDB epoch_us."""
+    return F.expr(f"{col} div 1000")
+
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+# ============================================================== flagship
+# The reference pipeline's shape on the driver's events table: tumbling
+# time buckets -> completeness gate (observed span >= frac of bucket) ->
+# RMS -> bucket-start timestamp -> ordered write (main.py:146-181).
+# Daily buckets here because events are sparse; the true 1-second twin
+# runs on decoded .dat fixtures (operators/telemetry.tumbling_rms).
+@query(
+    "q00_flagship_daily_rms",
+    f"""
+    SELECT (epoch_us(ts) // {86_400_000_000}) * {86_400_000_000} AS bucket_us,
+           {sql_frms('value', 1_000_000)} AS rms_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY epoch_us(ts) // {86_400_000_000}
+    HAVING max(epoch_us(ts)) - min(epoch_us(ts)) >= {int(0.9 * 86_400_000_000)}
+    ORDER BY bucket_us
+    """,
+)
+def q00(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    return (
+        e.withColumn("bucket", F.expr(f"ts_us div {US_PER_DAY}"))
+        .groupBy("bucket")
+        .agg(
+            frms("value", 1_000_000).alias("rms_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("_span"),
+        )
+        .where(F.col("_span") >= F.lit(int(0.9 * US_PER_DAY)))
+        .select(
+            (F.col("bucket") * F.lit(US_PER_DAY)).alias("bucket_us"),
+            "rms_value",
+            "n_events",
+        )
+        .orderBy("bucket_us")
+    )
+
+
+# ======================================================= relational corpus
+# -- q01: TPC-H Q1 shape — scan+filter+groupBy w/ decomposable aggs (A-class)
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_fsum('l_quantity', 100)} AS sum_qty,
+           {sql_fsum('l_extendedprice', 100)} AS sum_base_price,
+           {sql_fsum('l_extendedprice*(1-l_discount)', 100)} AS sum_disc_price,
+           {sql_fsum('l_extendedprice*(1-l_discount)*(1+l_tax)', 100)} AS sum_charge,
+           {sql_favg('l_quantity', 100)} AS avg_qty,
+           {sql_favg('l_extendedprice', 100)} AS avg_price,
+           {sql_favg('l_discount', 1_000_000)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fsum("l_quantity", 100).alias("sum_qty"),
+            fsum("l_extendedprice", 100).alias("sum_base_price"),
+            fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100).alias(
+                "sum_disc_price"
+            ),
+            fsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                100,
+            ).alias("sum_charge"),
+            favg("l_quantity", 100).alias("avg_qty"),
+            favg("l_extendedprice", 100).alias("avg_price"),
+            favg("l_discount", 1_000_000).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -- q02: 3-way join + group + top-k (J4, sorts/limits §2.6)
+@query(
+    "q02_top_revenue_orders",
+    f"""
+    SELECT o.o_orderkey, c.c_name,
+           {sql_fsum('l.l_extendedprice*(1-l.l_discount)', 100)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_name
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# -- q03: star join across all dims (broadcast dims — the 100 TB plan)
+@query(
+    "q03_region_revenue",
+    f"""
+    SELECT r.r_name, n.n_name,
+           {sql_fsum('l.l_extendedprice*(1-l.l_discount)', 100)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# -- q04/q05: semi/anti joins (J1 generalization)
+@query(
+    "q04_customers_with_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q04(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q05_customers_without_orders",
+    """
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q05(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+# -- q06: distinct aggregation (A6)
+@query(
+    "q06_priority_distinct_customers",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q06(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- q07: rollup / grouping sets (A7)
+@query(
+    "q07_rollup_quantity",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {sql_fsum('l_quantity', 100)} AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q07(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(fsum("l_quantity", 100).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# -- q08: ranking window (W2)
+@query(
+    "q08_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3 AND o_custkey <= 100
+    ORDER BY o_custkey, rk
+    """,
+)
+def q08(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("o_custkey") <= 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# -- q09: analytic offset window (W3) on event time
+@query(
+    "q09_event_gaps",
+    """
+    SELECT event_id, user_id, gap_us FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    WHERE gap_us IS NOT NULL AND user_id <= 20
+    ORDER BY user_id, event_id
+    """,
+)
+def q09(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap_us").isNotNull() & (F.col("user_id") <= 20))
+        .select("event_id", "user_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# -- q10: set operations (§2.7)
+@query(
+    "q10_purchaser_segments",
+    """
+    (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+     INTERSECT
+     SELECT user_id FROM events WHERE event_type = 'click')
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 450
+    ORDER BY user_id
+    """,
+)
+def q10(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+
+    def pick(t, min_value=None):
+        d = e.where(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.where(F.col("value") > min_value)
+        return d.select("user_id")
+
+    return (
+        pick("purchase", 100)
+        .intersect(pick("click"))
+        .exceptAll(pick("error", 450))
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+# -- q11: top-k with deterministic tiebreak (§2.6)
+@query(
+    "q11_top_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+)
+def q11(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(20)
+    )
+
+
+# -- q12: as-of join (J3 family). Spark-first: union-tag-and-carry-forward
+#    (one sort-shuffle, no per-row subquery); oracle uses a correlated MAX.
+@query(
+    "q12_asof_last_signup",
+    """
+    SELECT e.event_id, e.user_id,
+           (SELECT max(epoch_us(s.ts)) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND epoch_us(s.ts) <= epoch_us(e.ts)) AS signup_us
+    FROM events e
+    WHERE e.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events s WHERE s.user_id = e.user_id
+                  AND s.event_type = 'signup'
+                  AND epoch_us(s.ts) <= epoch_us(e.ts))
+    ORDER BY e.event_id
+    """,
+)
+def q12(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(F.col("event_type") == "signup", F.col("ts_us")).alias("signup_ts"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        (F.col("event_type") == "signup").alias("is_signup"),
+    ).where(F.col("is_purchase") | F.col("is_signup"))
+    # carry the latest signup time forward in event order per user: an
+    # as-of join as ONE window pass over the unioned stream (scales as a
+    # single sort within user partitions; no O(n^2) subquery).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_purchase")  # signup sorts before purchase at same ts
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("signup_us", F.last("signup_ts", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") & F.col("signup_us").isNotNull())
+        .select("event_id", "user_id", "signup_us")
+        .orderBy("event_id")
+    )
+
+
+# -- q13: interval join — label events inside each user's first week (J3)
+@query(
+    "q13_first_week_events",
+    """
+    WITH iv AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(epoch_us(ts)) + 604800000000 AS t1
+      FROM events GROUP BY user_id)
+    SELECT e.event_type, count(*) AS n_events
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+      AND epoch_us(e.ts) >= iv.t0 AND epoch_us(e.ts) < iv.t1
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q13(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    iv = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"), (F.min("ts_us") + F.lit(604_800_000_000)).alias("t1")
+    )
+    return (
+        e.join(
+            F.broadcast(iv),
+            (e.user_id == iv.user_id) & (e.ts_us >= iv.t0) & (e.ts_us < iv.t1),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# -- q14: the reference's tumbling-RMS shape on events (W1+A1+A2-A5),
+#    hourly buckets per event_type, completeness = span >= 0.5 h.
+@query(
+    "q14_hourly_rms",
+    f"""
+    SELECT event_type,
+           (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS bucket_us,
+           {sql_frms('value', 1_000_000)} AS rms_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, epoch_us(ts) // {US_PER_HOUR}
+    HAVING max(epoch_us(ts)) - min(epoch_us(ts)) >= {US_PER_HOUR // 2}
+    ORDER BY event_type, bucket_us
+    """,
+)
+def q14(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    return (
+        e.withColumn("bucket", F.expr(f"ts_us div {US_PER_HOUR}"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            frms("value", 1_000_000).alias("rms_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("_span"),
+        )
+        .where(F.col("_span") >= F.lit(US_PER_HOUR // 2))
+        .select(
+            "event_type",
+            (F.col("bucket") * F.lit(US_PER_HOUR)).alias("bucket_us"),
+            "rms_value",
+            "n_events",
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+# -- q15: gap-based sessionization (lag + running sum window composition)
+@query(
+    "q15_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > 86400000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q15(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("t", ts_us())
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e.withColumn(
+        "brk",
+        F.when(F.col("t") - F.lag("t").over(w) > F.lit(US_PER_DAY), 1).otherwise(0),
+    )
+    return (
+        g.withColumn("session_id", F.sum("brk").over(ws))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# ================================================== scalar-function corpus
+# -- q16: string functions on values (F1/F2/F11)
+@query(
+    "q16_part_string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_brand) AS brand_lower,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           substr(p_type, 1, 6) AS type_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def q16(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.lower("p_brand").alias("brand_lower"),
+            F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# -- q17: date/time functions (F3-F7)
+@query(
+    "q17_orders_date_funcs",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           count(*) AS n_orders,
+           {sql_fsum('o_totalprice', 100)} AS total,
+           min(strftime(o_orderdate, '%Y%m%d_%H%M%S')) AS first_stamp
+    FROM orders
+    GROUP BY yr, qtr ORDER BY yr, qtr
+    """,
+)
+def q17(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fsum("o_totalprice", 100).alias("total"),
+            F.min(F.date_format("o_orderdate", "yyyyMMdd_HHmmss")).alias("first_stamp"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+# -- q18: math functions (F7/F8); fixed-point guard on every float output
+@query(
+    "q18_lineitem_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(sqrt(l_extendedprice)*1000000 + 0.5) AS BIGINT) AS sqrt_price_fx,
+           CAST(floor(pow(l_discount, 2)*1000000000 + 0.5) AS BIGINT) AS disc_sq_fx,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(floor(l_extendedprice/100) AS BIGINT) AS price_bucket,
+           CAST(ceil(l_quantity/7) AS BIGINT) AS qty_ceil7
+    FROM lineitem WHERE l_orderkey <= 400 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q18(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_orderkey") <= 400)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            fx(F.sqrt("l_extendedprice"), 1_000_000).alias("sqrt_price_fx"),
+            fx(F.pow("l_discount", 2), 1_000_000_000).alias("disc_sq_fx"),
+            F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+            F.floor(F.col("l_extendedprice") / 100).alias("price_bucket"),
+            F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# -- q19: JSON-ish extraction from the props string column (F9)
+@query(
+    "q19_events_json_extract",
+    r"""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q19(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+            ).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- q20: array functions over embeddings (F10): per-row norm, exact dot
+@query(
+    "q20_embedding_norms",
+    """
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           CAST(floor(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))*1000000 + 0.5) AS BIGINT)
+             AS norm_fx
+    FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id
+    """,
+)
+def q20(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.where(F.col("vec_id") <= 200)
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            fx(F.sqrt(sq_sum), 1_000_000).alias("norm_fx"),
+        )
+        .orderBy("vec_id")
+    )
