@@ -1,0 +1,166 @@
+"""Embedding similarity search (north star): brute-force cosine top-k
+as the exact baseline, hyperplane-LSH and IVF as the scale paths.
+
+Dot products are built-in ``aggregate(zip_with(...))`` expressions —
+JVM-side, no Python round-trip, accumulation in double, sequential
+order (bit-reproducible and DuckDB-oracle-matchable).  For 100 TB:
+brute force is one broadcast of the query batch + a map-only scan
+(no shuffle at all); IVF turns it into partition-pruned scans keyed
+by centroid; LSH buckets make all-pairs linear-ish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two float array columns, accumulated in
+    double, sequential order (matches DuckDB list_dot_product on
+    double-cast lists bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: map-only scan + global top-k.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps k rows, the driver merges; no full sort, no
+    shuffle of the scan.  Ties broken by id for determinism.
+    """
+    sim = dot(F.col(vec_col), lit_vec(query_vec))
+    if not normalized:
+        norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+        qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+        sim = sim / (norm * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------- hyperplane LSH
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(
+    vec_col: Column, planes: np.ndarray
+) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (sign of projection)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bit = F.when(dot(vec_col, lit_vec(plane)) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_bucket(
+    emb: DataFrame,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach sign-LSH bucket ids as an array column ``lsh_bucket`` —
+    one bucket per hash table (OR-amplification: a candidate pair need
+    only collide in ONE table).  Recall for cosine>=s pairs is
+    1-(1-p^P)^T with p = 1-acos(s)/pi; 10 planes x 4 tables gives ~0.87
+    at s=0.9.  Used as the blocking key for embedding_near_dup_pairs."""
+    buckets = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(n_planes, dim, seed + 1000 * t)
+        buckets.append(hyperplane_bucket(F.col(vec_col), planes))
+    return emb.withColumn("lsh_bucket", F.array(*buckets))
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-dot) centroid.
+
+    ``centroids`` is a small driver-side matrix (an IVF codebook is KBs
+    — broadcast as literals, evaluated fully JVM-side).  At scale the
+    output is written bucketed by ``centroid_id`` so probes prune files.
+    """
+    best_id, best_score = F.lit(0), dot(F.col(vec_col), lit_vec(centroids[0]))
+    for cid in range(1, len(centroids)):
+        s = dot(F.col(vec_col), lit_vec(centroids[cid]))
+        gt = s > best_score
+        best_id = F.when(gt, F.lit(cid)).otherwise(best_id)
+        best_score = F.when(gt, s).otherwise(best_score)
+    return emb.withColumn("centroid_id", best_id)
+
+
+def train_centroids_sample(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int | None = None,
+) -> np.ndarray:
+    """Deterministic codebook: every stride-th vector by id (a k-means
+    seeding without iteration — adequate for bucketing; swap in k-means||
+    when recall targets demand it)."""
+    if stride is None:
+        total = emb.count()
+        stride = max(total // n_centroids, 1)
+    rows = (
+        emb.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score query against the codebook driver-side, scan
+    only the top ``n_probe`` centroid partitions (partition pruning at
+    scale), exact re-rank inside."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    sim = dot(F.col(vec_col), lit_vec(q))
+    return (
+        emb_assigned.where(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for LLM-data pipelines (north star; no
+reference twin — BASELINE.json:6).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs: language-ID and quality scoring
+over 100 TB of documents must not round-trip rows through Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny per-language stopword markers for the heuristic language-ID.
+# Checked in order; first language with a marker hit wins (deterministic
+# CASE chain — the oracle SQL mirrors it exactly).
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("de", (" der ", " und ", " nicht ")),
+    ("fr", (" le ", " et ", " les ")),
+    ("es", (" el ", " y ", " los ")),
+    ("en", (" the ", " a ", " and ")),
+]
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: str | Column, stopwords=STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def punct_count(col: str | Column) -> Column:
+    """Characters outside [a-zA-Z0-9 ] — punctuation-ish density."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language-ID: first stopword-marker family that appears.
+
+    A real pipeline would use fastText/CLD3; the n-gram/stopword
+    heuristic keeps it dependency-free and fully JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    expr = F.lit("und")
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = None
+        for m in markers:
+            h = padded.contains(m)
+            hit = h if hit is None else (hit | h)
+        expr = F.when(hit, lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 over the normalized token stream.
+
+    Portable across engines (the rolling-hash variant lives in
+    dedup.simhash, which has no SQL oracle).
+    """
+    return F.md5(F.array_join(tokens(col), " "))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Attach quality-scoring features: token/char/stopword/punct counts
+    and an aggregate quality flag (the length+stopword filter every
+    pretraining pipeline runs first)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_stop = stopword_count(t)
+    return df.withColumns(
+        {
+            f"{prefix}n_chars_obs": F.length(t),
+            f"{prefix}n_tokens": n_tok,
+            f"{prefix}n_stopwords": n_stop,
+            f"{prefix}n_punct": punct_count(t),
+            f"{prefix}fingerprint": fingerprint(t),
+            f"{prefix}lang_pred": lang_id(t),
+            # keep-filter: plausible document length and some stopword mass
+            f"{prefix}quality_keep": (n_tok >= 5)
+            & (F.length(t) >= 20)
+            & (n_stop * 20 >= n_tok),
+        }
+    )

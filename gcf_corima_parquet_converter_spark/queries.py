@@ -30,6 +30,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import catalog
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -727,3 +731,294 @@ def q20(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ================================================ north-star: dedup corpus
+# -- q21: exact-dedup statistics (hash-groupBy dedup, the 100 TB staple)
+@query(
+    "q21_dedup_exact_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dupes
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q21(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- q22: exact dedup keep-first (operators/dedup.exact_dedup)
+@query(
+    "q22_dedup_keep_first",
+    """
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q22(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(d, ["text"], "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ================================================= north-star: text corpus
+# -- q23: quality features (operators/text.quality_features)
+@query(
+    "q23_text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id <= 200)
+    SELECT doc_id,
+           length(text) AS n_chars_obs,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+             AS n_stopwords,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+           md5(array_to_string(toks, ' ')) AS fingerprint,
+           (len(toks) >= 5 AND length(text) >= 20
+            AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))*20
+                >= len(toks)) AS quality_keep
+    FROM t ORDER BY doc_id
+    """,
+)
+def q23(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return (
+        X.quality_features(d)
+        .select(
+            "doc_id",
+            "n_chars_obs",
+            "n_tokens",
+            "n_stopwords",
+            "n_punct",
+            "fingerprint",
+            "quality_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- q24: heuristic language-ID vs the labeled lang column
+@query(
+    "q24_langid_confusion",
+    """
+    SELECT lang,
+           CASE WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
+                     OR contains(' '||text||' ', ' nicht ') THEN 'de'
+                WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' et ')
+                     OR contains(' '||text||' ', ' les ') THEN 'fr'
+                WHEN contains(' '||text||' ', ' el ') OR contains(' '||text||' ', ' y ')
+                     OR contains(' '||text||' ', ' los ') THEN 'es'
+                WHEN contains(' '||text||' ', ' the ') OR contains(' '||text||' ', ' a ')
+                     OR contains(' '||text||' ', ' and ') THEN 'en'
+                ELSE 'und' END AS lang_pred,
+           count(*) AS n
+    FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def q24(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", X.lang_id("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ========================================== north-star: similarity corpus
+# -- q25: brute-force cosine top-k (operators/similarity.cosine_topk)
+@query(
+    "q25_cosine_topk",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(floor(list_dot_product(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+              )*1000000 + 0.5) AS BIGINT) AS sim_fx
+    FROM embeddings e, q
+    ORDER BY sim_fx DESC, e.vec_id LIMIT 10
+    """,
+)
+def q25(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    topk = S.cosine_topk(e, qvec, k=10)
+    return topk.select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy(F.desc("sim_fx"), "vec_id")
+
+
+# -- q26: MinHash-LSH near-dup (rows-only: hash perms aren't portable SQL).
+#    Input is documents plus deterministic mutated copies (10% of docs,
+#    last 2 tokens dropped, id+1000000) so true near-dups exist and the
+#    LSH recall is observable in the result.
+@query("q26_minhash_near_dup")
+def q26(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(X.tokens("text"), 1, F.greatest(X.token_count("text") - 2, F.lit(1))),
+                " ",
+            ).alias("text"),
+        )
+    )
+    pairs = D.minhash_dedup_pairs(
+        d.unionByName(mut), "doc_id", "text", k=32, bands=8, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", "n_common", "n_a", "n_b").orderBy(
+        "id_a", "id_b"
+    )
+
+
+# -- q27: SimHash near-dup candidates on the same mutated corpus
+#    (rows-only: xxhash64 bit patterns aren't portable SQL)
+@query("q27_simhash_candidates")
+def q27(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(X.tokens("text"), 1, F.greatest(X.token_count("text") - 2, F.lit(1))),
+                " ",
+            ).alias("text"),
+        )
+    )
+    sig = D.simhash(d.unionByName(mut), "doc_id", "text")
+    return (
+        D.simhash_candidate_pairs(sig, "doc_id")
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -- q28: exact n-gram Jaccard via inverted-index join (the no-cross-join
+#    formulation; oracle mirrors it in SQL on a bounded doc subset)
+@query(
+    "q28_ngram_jaccard_pairs",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id <= 150),
+    sh_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ')))
+               AS shingle
+      FROM docs),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE length(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b, c.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE c.n_common >= 0.02 * (sa.n_sh + sb.n_sh - c.n_common)
+    ORDER BY id_a, id_b
+    """,
+)
+def q28(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    return (
+        D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.02)
+        .select(
+            F.col("id_a"),
+            F.col("id_b"),
+            "n_common",
+            "n_a",
+            "n_b",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -- q29: embedding cosine near-dup pairs, bounded brute force (oracle);
+#    the scale path (LSH-bucketed blocking) is exercised in tests
+@query(
+    "q29_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(list_dot_product(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                )*1000000 + 0.5) AS BIGINT) AS sim_fx
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id <= 300 AND b.vec_id <= 300
+      AND list_dot_product(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q29(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
+    pairs = D.embedding_near_dup_pairs(e, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy("id_a", "id_b")
+
+
+# ======================================== north-star: multimodal plumbing
+# -- q30: binary payload metadata — the never-decode manifest path
+@query(
+    "q30_multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def q30(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return (
+        M.payload_meta(M.attach_payload(d))
+        .select("doc_id", "n_bytes", "digest")
+        .orderBy("doc_id")
+    )
+
+
+# -- q31: mapInPandas media decode (fake kernel; rows-only — the Arrow
+#    batch plumbing and schema contract are what's under test)
+@query("q31_media_decode")
+def q31(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    meta = M.decode_media(M.attach_payload(d), n_features=8)
+    return meta.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1) * 1000).cast("long").alias("feat0_fx"),
+    ).orderBy("media_id")

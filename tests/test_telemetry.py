@@ -1,0 +1,140 @@
+"""tumbling_rms parity with the reference's pandas semantics
+(main.py:146-181) on synthetic sensor-like data."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark.operators import telemetry as TM
+
+# Hz — smaller than 26667 for test speed, same semantics.  Must be
+# >= 1 kHz: the completeness gate needs observed span >= 0.999 s, and a
+# bucket's span is (n-1)/odr.
+ODR = 2000.0
+START_NS = 1_752_250_937_000_000_000  # 2025-07-11T16:22:17Z
+
+
+@pytest.fixture(scope="module")
+def sensor_pdf():
+    rng = np.random.default_rng(7)
+    n = int(5.5 * ODR)  # 5.5 s -> first/last buckets partial
+    t_rel = np.arange(n) / ODR
+    pdf = pd.DataFrame(
+        {
+            "Time": (np.rint(t_rel * 1e9)).astype("int64") + START_NS,
+            "A_x_g": np.sin(2 * np.pi * 5 * t_rel) + rng.normal(0, 0.1, n),
+            "A_y_g": np.cos(2 * np.pi * 5 * t_rel) + rng.normal(0, 0.1, n),
+            "A_z_g": rng.normal(1, 0.05, n),
+        }
+    )
+    return pdf
+
+
+def reference_rms(df: pd.DataFrame) -> pd.DataFrame:
+    """The reference pipeline verbatim in pandas (main.py:146-181)."""
+    df = df.copy()
+    df["bucket_s"] = df["Time"] // 1_000_000_000
+    groups = df.groupby("bucket_s")
+    full = [
+        b
+        for b, g in groups
+        if (g["Time"].max() - g["Time"].min()) >= 0.999 * 1_000_000_000
+    ]
+    df_full = df[df["bucket_s"].isin(full)]
+    rms = (
+        df_full.groupby("bucket_s")[["A_x_g", "A_y_g", "A_z_g"]]
+        .agg(lambda a: np.sqrt((a**2).mean()))
+        .reset_index()
+        .rename(columns={"A_x_g": "rms_x", "A_y_g": "rms_y", "A_z_g": "rms_z"})
+    )
+    rms["rms_mod"] = np.sqrt((rms[["rms_x", "rms_y", "rms_z"]] ** 2).sum(axis=1))
+    rms["Time"] = (rms["bucket_s"] * 1_000_000_000).astype("int64")
+    return rms.drop(columns=["bucket_s"])
+
+
+def test_rms_matches_reference_semantics(spark, sensor_pdf):
+    sdf = spark.createDataFrame(sensor_pdf)
+    got = (
+        TM.tumbling_rms(
+            sdf,
+            value_cols=["A_x_g", "A_y_g", "A_z_g"],
+            rename={"A_x_g": "rms_x", "A_y_g": "rms_y", "A_z_g": "rms_z"},
+        )
+        .toPandas()
+        .sort_values("Time")
+        .reset_index(drop=True)
+    )
+    exp = reference_rms(sensor_pdf).sort_values("Time").reset_index(drop=True)
+    assert list(got["Time"]) == list(exp["Time"])
+    for c in ["rms_x", "rms_y", "rms_z", "rms_mod"]:
+        np.testing.assert_allclose(got[c], exp[c], rtol=1e-12)
+    # start is second-aligned: 5.5 s -> 5 full buckets, trailing 0.5 s dropped
+    assert len(got) == 5
+
+
+def test_rms_empty_when_no_full_bucket(spark, sensor_pdf):
+    short = sensor_pdf.head(50)  # 0.5 s of data
+    sdf = spark.createDataFrame(short)
+    got = TM.tumbling_rms(sdf, value_cols=["A_x_g"]).count()
+    assert got == 0
+
+
+def test_rms_exact_boundary_bucket(spark):
+    # span exactly 0.999 s must be kept (>= in reference, main.py:152)
+    pdf = pd.DataFrame(
+        {
+            "Time": [1_000_000_000, 1_999_000_000],
+            "v": [3.0, 4.0],
+        }
+    )
+    got = TM.tumbling_rms(spark.createDataFrame(pdf), value_cols=["v"]).toPandas()
+    assert len(got) == 1
+    np.testing.assert_allclose(got["rms_v"][0], np.sqrt((9 + 16) / 2))
+
+
+def test_to_absolute_time_rint_parity(spark):
+    # pandas .round() is banker's; F.rint matches it (SURVEY §2.8 F7)
+    rel = pd.DataFrame({"Time": [0.0000000005, 1.5e-9, 2.5e-9]})
+    got = (
+        TM.to_absolute_time(spark.createDataFrame(rel), start_ns=100)
+        .toPandas()["Time"]
+        .tolist()
+    )
+    exp = ((rel["Time"] * 1e9).round().astype("int64") + 100).tolist()
+    assert got == exp
+
+
+def test_label_samples_interval_join(spark):
+    samples = spark.createDataFrame(
+        pd.DataFrame({"Time": [10, 20, 30, 40], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    tags = spark.createDataFrame(
+        pd.DataFrame({"label": ["a", "b"], "t_start": [15, 35], "t_end": [25, 45]})
+    )
+    got = (
+        TM.label_samples(samples, tags)
+        .orderBy("Time")
+        .select("Time", "label")
+        .collect()
+    )
+    assert [(r["Time"], r["label"]) for r in got] == [
+        (10, None),
+        (20, "a"),
+        (30, None),
+        (40, "b"),
+    ]
+
+
+def test_hive_partitioned_write(spark, tmp_path, sensor_pdf):
+    sdf = TM.attach_literals(spark.createDataFrame(sensor_pdf), alias="LAF1")
+    root = str(tmp_path / "data_parquet")
+    TM.write_hive_partitioned(sdf, root)
+    # reference layout assertion (test-conversion.yml:97-118)
+    import glob
+
+    files = glob.glob(f"{root}/alias=LAF1/year=2025/month=7/day=11/*.parquet")
+    assert files, "expected alias/year/month/day layout"
+    back = spark.read.parquet(root)
+    assert back.count() == len(sensor_pdf)
+    assert dict(back.dtypes)["Time"] == "bigint"

@@ -1,0 +1,74 @@
+"""Text-analysis operators + multimodal mapInPandas plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark import catalog
+from gcf_corima_parquet_converter_spark.operators import multimodal as M
+from gcf_corima_parquet_converter_spark.operators import text as X
+
+
+def test_quality_features_shape(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents")
+    q = X.quality_features(d)
+    row = q.where(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens"] > 0
+    assert row["n_chars_obs"] == len(row["text"])
+    assert len(row["fingerprint"]) == 32
+    assert row["lang_pred"] in {"en", "de", "fr", "es", "und"}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("nur der hund und die katze nicht",),
+            ("le chat et les chiens",),
+            ("el perro y los gatos",),
+            ("the cat and a dog",),
+            ("xyzzy plugh",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(X.lang_id("text")).collect()]
+    assert got == ["de", "fr", "es", "en", "und"]
+
+
+def test_no_python_udf_in_text_plan(spark, sf_dir):
+    """Text ops must stay JVM-side: no BatchEvalPython/ArrowEvalPython."""
+    d = catalog.load(spark, sf_dir, "documents")
+    plan = (
+        X.quality_features(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_media_decode_deterministic_and_batched(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    meta = M.decode_media(M.attach_payload(d), n_features=8, batch_rows=16)
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert len(rows) == 50
+    r0 = rows[0]
+    assert len(r0["features"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in r0["features"])
+    assert 64 <= r0["width"] < 256 and 64 <= r0["height"] < 256
+    # determinism across runs
+    again = {r["media_id"]: r for r in meta.collect()}
+    assert again[0]["digest"] == r0["digest"]
+    assert list(again[0]["features"]) == list(r0["features"])
+
+
+def test_media_decode_real_raises(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents")
+    with pytest.raises(NotImplementedError):
+        M.decode_media(M.attach_payload(d), decode="real")
+
+
+def test_payload_meta_is_builtin_only(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents")
+    plan = (
+        M.payload_meta(M.attach_payload(d))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
