@@ -1022,3 +1022,36 @@ def q31(spark, sf_dir):
         "height",
         F.round(F.element_at("features", 1) * 1000).cast("long").alias("feat0_fx"),
     ).orderBy("media_id")
+
+
+# ===================================== reference pipeline, end to end
+# -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
+#    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
+#    synthetic acquisition.  Rows-only: input is generated, not an sf
+#    table, so there is no DuckDB oracle; tests/test_dat_ingest.py holds
+#    the value-level assertions against a pandas re-implementation.
+@query("q32_hsd_pipeline")
+def q32(spark, sf_dir):
+    import tempfile
+
+    from .sources.acquisition import load_acquisition
+    from .operators.telemetry import tumbling_rms
+    from .sources.synthetic import write_acquisition
+
+    folder = tempfile.mkdtemp(prefix="hsd_fixture_")
+    write_acquisition(folder)
+    enriched, meta = load_acquisition(spark, folder)
+    rms = tumbling_rms(
+        enriched,
+        value_cols=["A_x_g", "A_y_g", "A_z_g"],
+        rename={"A_x_g": "rms_x", "A_y_g": "rms_y", "A_z_g": "rms_z"},
+        group_cols=["alias"],
+    )
+    return rms.select(
+        "alias",
+        "Time",
+        fx("rms_x", 1_000_000_000).alias("rms_x_fx"),
+        fx("rms_y", 1_000_000_000).alias("rms_y_fx"),
+        fx("rms_z", 1_000_000_000).alias("rms_z_fx"),
+        fx("rms_mod", 1_000_000_000).alias("rms_mod_fx"),
+    ).orderBy("Time")

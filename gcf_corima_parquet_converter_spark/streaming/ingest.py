@@ -1,0 +1,176 @@
+"""Structured Streaming twin of the ingest path (SURVEY §2.9).
+
+Reference live path (stdatalog_dtk/HSD_DataToolkit.py): a Qt signal
+pushes byte chunks into a queue (T1); a consumer thread keeps a
+per-component byte buffer, emits only complete packets and carries the
+remainder (T2, :53-66); the trailing float64 per packet is event time
+(T3).  Batch-only in the reference, the 1 s RMS becomes a streaming
+window aggregate here (T4) with a watermark standing in for the
+"retry on next event" completeness dance (T5).
+
+Spark mapping:
+  chunk stream (any source: file/kafka/socket; tests use a file source)
+    -> groupBy(comp_name).applyInPandasWithState   # stateful reassembly,
+       state = leftover bytes carried ACROSS micro-batches
+    -> per-sample event-time rows
+    -> withWatermark + window(ts, "1 second") RMS, span completeness
+       re-checked post-agg for semantic parity with main.py:148-153.
+
+Ordering contract: chunks must arrive in (comp_name, chunk_id) order
+within the stream (the reference's queue guarantees the same); rows
+within a micro-batch are sorted by chunk_id before feeding the framer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.dat import DecodeParams, frame_packets, sample_times
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("comp_name", StringType()),
+        StructField("chunk_id", LongType()),
+        StructField("chunk", BinaryType()),
+    ]
+)
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("comp_name", StringType()),
+        StructField("Time", DoubleType()),
+        StructField("sample_idx", LongType()),
+        StructField("A_x_g", DoubleType()),
+        StructField("A_y_g", DoubleType()),
+        StructField("A_z_g", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("leftover", BinaryType()), StructField("n_samples", LongType())]
+)
+
+
+def reassemble_packets(
+    chunks: DataFrame, params_by_comp: dict[str, DecodeParams]
+) -> DataFrame:
+    """T2: stateful packet reassembly keyed by component.
+
+    State is (leftover_bytes, samples_emitted); each micro-batch feeds
+    the concatenated in-order chunks through the framing law and emits
+    complete packets only — byte-identical to the reference's
+    ``incoming_data`` remainder-carry, but distributed per component
+    and restart-safe via the state store.
+    """
+
+    def reassemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        comp = key[0]
+        params = params_by_comp[comp]
+        if state.exists:
+            leftover, n_seen = state.get
+            leftover = bytes(leftover)
+        else:
+            leftover, n_seen = b"", 0
+        buf = leftover + b"".join(
+            bytes(c)
+            for pdf in pdfs
+            for c in pdf.sort_values("chunk_id")["chunk"]
+        )
+        samples, ts, rest = frame_packets(buf, params)
+        state.update((rest, n_seen + len(samples)))
+        if len(samples):
+            t = sample_times(ts, params, len(samples))
+            # stamps restart at 0 per call; shift by samples already seen
+            if ts.size:
+                pass  # packet stamps are absolute-relative: already correct
+            out = pd.DataFrame(
+                {
+                    "comp_name": comp,
+                    "Time": t,
+                    "sample_idx": n_seen + pd.RangeIndex(len(samples)),
+                    "A_x_g": samples[:, 0],
+                    "A_y_g": samples[:, 1] if params.dim > 1 else 0.0,
+                    "A_z_g": samples[:, 2] if params.dim > 2 else 0.0,
+                }
+            )
+            yield out
+
+    return (
+        chunks.groupBy("comp_name")
+        .applyInPandasWithState(
+            reassemble,
+            outputStructType=SAMPLE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_rms(
+    samples: DataFrame,
+    start_ns: int = 0,
+    watermark: str = "2 seconds",
+    min_span_frac: float = 0.999,
+) -> DataFrame:
+    """T4+T5: tumbling 1 s RMS on a streaming sample table.
+
+    ``window(ts, "1 second")`` + watermark bounds state; the reference's
+    duration-based completeness gate (span >= 0.999 s, main.py:148-153)
+    is retained as a post-aggregation filter so emitted rows match the
+    batch pipeline exactly.
+    """
+    # Event time must bucket EXACTLY like the batch path, which rounds
+    # relative seconds to int64 ns (telemetry.to_absolute_time: rint).
+    # timestamp_seconds(double) would re-round at µs precision and can
+    # disagree on samples 1 ulp below a second boundary — so round to ns
+    # first, then truncate ns->µs (second boundaries are exact multiples
+    # of both, so window membership is identical).
+    ts_ns = (F.rint(F.col("Time") * F.lit(1e9))).cast("long") + F.lit(int(start_ns))
+    with_ts = (
+        samples.withColumn("ts_ns", ts_ns)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    win = F.window("ts", "1 second")
+    agg = (
+        with_ts.groupBy("comp_name", win.alias("w"))
+        .agg(
+            F.sqrt(F.avg(F.col("A_x_g") * F.col("A_x_g"))).alias("rms_x"),
+            F.sqrt(F.avg(F.col("A_y_g") * F.col("A_y_g"))).alias("rms_y"),
+            F.sqrt(F.avg(F.col("A_z_g") * F.col("A_z_g"))).alias("rms_z"),
+            (
+                (F.max("ts_ns") - F.min("ts_ns"))
+                >= F.lit(int(min_span_frac * 1_000_000_000))
+            ).alias("_full"),
+        )
+        .where(F.col("_full"))
+        .drop("_full")
+    )
+    return agg.select(
+        "comp_name",
+        (F.unix_timestamp(F.col("w.start")) * F.lit(1_000_000_000)).alias("Time"),
+        "rms_x",
+        "rms_y",
+        "rms_z",
+        F.sqrt(
+            F.col("rms_x") * F.col("rms_x")
+            + F.col("rms_y") * F.col("rms_y")
+            + F.col("rms_z") * F.col("rms_z")
+        ).alias("rms_mod"),
+    )

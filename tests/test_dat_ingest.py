@@ -1,0 +1,200 @@
+"""Binary .dat decode + acquisition pipeline: framing law, remainder
+carry, spts=0, readiness gate, end-to-end Hive-layout outputs."""
+
+import glob
+import struct
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark.schema.dtdl import (
+    decode_params_from_status,
+    dtdl_schema_to_spark,
+    interface_to_structtype,
+)
+from gcf_corima_parquet_converter_spark.sources import acquisition as acq
+from gcf_corima_parquet_converter_spark.sources.dat import (
+    DecodeParams,
+    PacketFramer,
+    frame_packets,
+    sample_times,
+)
+from tests.fixtures import SENSOR, make_dat_bytes, write_acquisition
+
+P = DecodeParams(
+    dim=3, data_type="int16", samples_per_ts=64, sensitivity=0.000061, odr=2000.0
+)
+
+
+def test_frame_packets_roundtrip():
+    data, in_g, t = make_dat_bytes()
+    samples, ts, leftover = frame_packets(data, P)
+    assert leftover == b""
+    np.testing.assert_allclose(samples, in_g, rtol=0, atol=0)
+    # stamps are last-sample times per packet
+    assert ts[0] == pytest.approx(63 / 2000.0)
+    times = sample_times(ts, P, len(samples))
+    np.testing.assert_allclose(times, t, atol=1e-12)
+
+
+def test_frame_packets_partial_tail():
+    data, _, _ = make_dat_bytes(trailing_garbage=37)
+    samples, ts, leftover = frame_packets(data, P)
+    assert len(leftover) == 37
+    assert len(samples) == len(ts) * 64
+
+
+def test_framer_split_mid_packet():
+    """Chunks split across packet AND timestamp boundaries reassemble
+    exactly (HSD_DataToolkit.py:53-66 remainder-carry semantics)."""
+    data, in_g, _ = make_dat_bytes(n_seconds=1.0)
+    whole, ts_whole, _ = frame_packets(data, P)
+    for cut in [1, 7, 100, P.packet_len - 3, P.packet_len + 5]:
+        fr = PacketFramer(P)
+        got, got_ts = [], []
+        for i in range(0, len(data), cut):
+            s, ts = fr.feed(data[i : i + cut])
+            if len(s):
+                got.append(s)
+                got_ts.append(ts)
+        s_all = np.concatenate(got)
+        np.testing.assert_array_equal(s_all, whole)
+        np.testing.assert_array_equal(np.concatenate(got_ts), ts_whole)
+        assert fr.pending_bytes == 0
+
+
+def test_spts_zero_no_timestamps():
+    # spts=0: each "packet" is one sample row, no timestamp bytes
+    # (reference TODO at HSD_DataToolkit.py:68-69 — we define k/odr grid)
+    p0 = DecodeParams(dim=2, data_type="float32", samples_per_ts=0, odr=100.0)
+    arr = np.arange(10, dtype=np.float32).reshape(5, 2)
+    samples, ts, leftover = frame_packets(arr.tobytes(), p0)
+    assert ts.size == 0 and leftover == b""
+    np.testing.assert_allclose(samples, arr)
+    times = sample_times(ts, p0, 5)
+    np.testing.assert_allclose(times, np.arange(5) / 100.0)
+
+
+def test_decode_dat_distributed(spark, tmp_path):
+    in_g, t = write_acquisition(str(tmp_path / "A"))
+    from gcf_corima_parquet_converter_spark.sources.dat import decode_dat
+
+    df = decode_dat(spark, str(tmp_path / "A" / f"{SENSOR}.dat"), P)
+    pdf = df.toPandas().sort_values("Time").reset_index(drop=True)
+    assert len(pdf) == len(in_g)
+    np.testing.assert_allclose(pdf["A_x [g]"], in_g[:, 0])
+    np.testing.assert_allclose(pdf["Time"], t, atol=1e-12)
+
+
+def test_readiness_gate(tmp_path):
+    write_acquisition(str(tmp_path / "B"), incomplete=True)
+    ready, missing = acq.readiness(str(tmp_path / "B"))
+    assert not ready and missing == {f"{SENSOR}.dat"}
+    write_acquisition(str(tmp_path / "C"))
+    ready, missing = acq.readiness(str(tmp_path / "C"))
+    assert ready and not missing
+
+
+def test_load_acquisition_enriched(spark, tmp_path):
+    in_g, t = write_acquisition(str(tmp_path / "D"))
+    enriched, meta = acq.load_acquisition(spark, str(tmp_path / "D"))
+    assert meta.alias == "LAF1"
+    pdf = enriched.orderBy("Time").toPandas()
+    # sanitized names (main.py:87-96) and absolute int64 ns time
+    assert list(pdf.columns) == ["Time", "A_x_g", "A_y_g", "A_z_g", "alias"]
+    assert pdf["Time"].dtype == "int64"
+    start_ns = meta.start_ns
+    np.testing.assert_array_equal(
+        pdf["Time"].to_numpy()[:3], (np.rint(t[:3] * 1e9)).astype("int64") + start_ns
+    )
+    assert (pdf["alias"] == "LAF1").all()
+
+
+def test_process_acquisition_e2e(spark, tmp_path):
+    """Full pipeline parity with the reference's E2E CI assertions
+    (test-conversion.yml:97-127): layout, alias column, int64 Time,
+    >0 rows; plus RMS values equal the pandas reference computation."""
+    write_acquisition(str(tmp_path / "E"))
+    out = str(tmp_path / "out")
+    res = acq.process_acquisition(spark, str(tmp_path / "E"), out)
+    assert res["rms_written"] and res["rms_rows"] == 5
+    files = glob.glob(f"{out}/{SENSOR}/alias=LAF1/year=2025/month=7/day=11/*.parquet")
+    assert files
+    rms_files = glob.glob(
+        f"{out}/{SENSOR}_rms/alias=LAF1/year=2025/month=7/day=11/*.parquet"
+    )
+    assert rms_files
+    back = spark.read.parquet(f"{out}/{SENSOR}_rms")
+    pdf = back.toPandas()
+    assert set(["rms_x", "rms_y", "rms_z", "rms_mod", "Time", "alias"]) <= set(
+        pdf.columns
+    )
+    assert pdf["Time"].dtype == "int64"
+    assert (pdf["rms_mod"] > 0).all()
+
+
+def test_incomplete_acquisition_soft_skips(spark, tmp_path):
+    write_acquisition(str(tmp_path / "F"), incomplete=True)
+    assert acq.load_acquisition(spark, str(tmp_path / "F")) is None
+    assert acq.process_acquisition(spark, str(tmp_path / "F"), str(tmp_path / "o")) is None
+
+
+def test_dtdl_mapping():
+    iface = {
+        "@id": "dtmi:test:sensor;1",
+        "contents": [
+            {"@type": "Property", "name": "enable", "schema": "boolean"},
+            {"@type": ["Property", "NumberValue"], "name": "dim", "schema": "integer"},
+            {"@type": "Property", "name": "sensitivity", "schema": "double"},
+            {"@type": "Property", "name": "data_type", "schema": "string"},
+            {
+                "@type": "Property",
+                "name": "odr",
+                "schema": {
+                    "@type": "Enum",
+                    "valueSchema": "integer",
+                    "enumValues": [{"name": "hz26667", "enumValue": 26667}],
+                },
+            },
+            {
+                "@type": "Property",
+                "name": "st_ble_stream",
+                "schema": {
+                    "@type": "Object",
+                    "fields": [
+                        {"name": "id", "schema": "integer"},
+                        {"name": "acc", "schema": "double"},
+                    ],
+                },
+            },
+            {"@type": "Telemetry", "name": "ignored", "schema": "double"},
+        ],
+    }
+    st = interface_to_structtype(iface)
+    assert [f.name for f in st.fields] == [
+        "enable",
+        "dim",
+        "sensitivity",
+        "data_type",
+        "odr",
+        "st_ble_stream",
+    ]
+    assert st["enable"].dataType.typeName() == "boolean"
+    assert st["odr"].dataType.typeName() == "integer"
+    assert st["st_ble_stream"].dataType.typeName() == "struct"
+
+
+def test_decode_params_from_status():
+    p = decode_params_from_status(
+        {
+            "odr": 26667.0,
+            "samples_per_ts": 1000,
+            "dim": 3,
+            "sensitivity": 0.000061,
+            "data_type": "int16",
+        }
+    )
+    assert p.packet_data_len == 1000 * 3 * 2
+    assert p.packet_len == p.packet_data_len + 8
+    assert p.axis_names == ("A_x [g]", "A_y [g]", "A_z [g]")

@@ -1,0 +1,139 @@
+"""Streaming twin: stateful packet reassembly across micro-batches and
+windowed RMS with watermark — verified against the batch pipeline."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark.sources.dat import (
+    DecodeParams,
+    frame_packets,
+    sample_times,
+)
+from gcf_corima_parquet_converter_spark.streaming.ingest import (
+    CHUNK_SCHEMA,
+    reassemble_packets,
+    streaming_rms,
+)
+from tests.fixtures import make_dat_bytes
+
+P = DecodeParams(
+    dim=3, data_type="int16", samples_per_ts=64, sensitivity=0.000061, odr=2000.0
+)
+
+
+def _write_chunk_files(tmp_path, data: bytes, n_files: int, cut: int):
+    """Split the byte stream into chunk rows spread over n_files parquet
+    files (each file = one micro-batch with availableNow + 1-file
+    trigger not guaranteed; we use one batch and verify state via a
+    second directory pass instead)."""
+    chunks = [data[i : i + cut] for i in range(0, len(data), cut)]
+    per = (len(chunks) + n_files - 1) // n_files
+    os.makedirs(tmp_path, exist_ok=True)
+    for f in range(n_files):
+        part = chunks[f * per : (f + 1) * per]
+        pdf = pd.DataFrame(
+            {
+                "comp_name": "iis3dwb_acc",
+                "chunk_id": range(f * per, f * per + len(part)),
+                "chunk": part,
+            }
+        )
+        pdf.to_parquet(f"{tmp_path}/chunks_{f:03d}.parquet")
+    return len(chunks)
+
+
+def test_streaming_reassembly_matches_batch(spark, tmp_path):
+    data, in_g, t = make_dat_bytes(n_seconds=3.0)
+    cut = 1000  # not a packet multiple: every chunk splits a packet
+    src = str(tmp_path / "chunks")
+    _write_chunk_files(src, data, n_files=4, cut=cut)
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches -> state carry
+        .parquet(src)
+    )
+    decoded = reassemble_packets(stream, {"iis3dwb_acc": P})
+    out = str(tmp_path / "out")
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("sample_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp_samples, exp_ts, _ = frame_packets(data, P)
+    assert len(got) == len(exp_samples)
+    np.testing.assert_allclose(got["A_x_g"], exp_samples[:, 0])
+    np.testing.assert_allclose(
+        got["Time"], sample_times(exp_ts, P, len(exp_samples)), atol=1e-12
+    )
+
+
+def test_streaming_rms_matches_batch_pipeline(spark, tmp_path):
+    from gcf_corima_parquet_converter_spark.operators.telemetry import tumbling_rms
+
+    data, in_g, t = make_dat_bytes(n_seconds=4.5)
+    src = str(tmp_path / "chunks2")
+    _write_chunk_files(src, data, n_files=3, cut=4096)
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rms_stream = streaming_rms(reassemble_packets(stream, {"iis3dwb_acc": P}))
+    q = (
+        rms_stream.writeStream.format("memory")
+        .queryName("rms_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("rms_stream_t")
+        .orderBy("Time")
+        .select("Time", "rms_x", "rms_y", "rms_z", "rms_mod")
+        .toPandas()
+    )
+    # batch reference on the same decoded samples
+    samples, ts, _ = frame_packets(data, P)
+    pdf = pd.DataFrame(
+        {
+            "Time": (np.rint(sample_times(ts, P, len(samples)) * 1e9)).astype("int64"),
+            "A_x_g": samples[:, 0],
+            "A_y_g": samples[:, 1],
+            "A_z_g": samples[:, 2],
+        }
+    )
+    exp = (
+        tumbling_rms(
+            spark.createDataFrame(pdf),
+            value_cols=["A_x_g", "A_y_g", "A_z_g"],
+            rename={"A_x_g": "rms_x", "A_y_g": "rms_y", "A_z_g": "rms_z"},
+        )
+        .orderBy("Time")
+        .toPandas()
+    )
+    # Append-mode watermarking only finalizes a window once the
+    # watermark (set from PREVIOUS batches) passes its end, and
+    # availableNow stops without a flushing batch — so trailing windows
+    # legitimately stay in state.  Every EMITTED window must be a
+    # bit-equal prefix of the batch pipeline's result.
+    assert 1 <= len(got) <= len(exp)
+    merged = got.merge(exp, on="Time", suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "streaming emitted a window batch lacks"
+    for c in ["rms_x", "rms_y", "rms_z", "rms_mod"]:
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"], rtol=1e-9)
