@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: times representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver-side collect of the result set, no sink I/O in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative slice of the corpus: scan+agg, multi-join, window,
+# event-time, dedup (exact + minhash), similarity top-k, text scoring,
+# and the flagship telemetry pipeline.
+HEADLINE = [
+    "q00_flagship_daily_rms",
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "q05_customers_without_orders",
+    "q08_top_orders_per_customer",
+    "q14_hourly_rms",
+    "q15_user_sessions",
+    "q21_dedup_exact_stats",
+    "q22_dedup_keep_first",
+    "q23_text_quality",
+    "q25_cosine_topk",
+    "q26_minhash_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from gcf_corima_parquet_converter_spark.session import get_spark
+    from gcf_corima_parquet_converter_spark import queries as Q
+
+    spark = get_spark(app_name="spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure the engine,
+    # not first-touch classloading.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
