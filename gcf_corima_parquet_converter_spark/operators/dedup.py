@@ -170,11 +170,37 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the standard
-    two-phase near-dup: cheap recall phase, exact precision phase)."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    two-phase near-dup: cheap recall phase, exact precision phase).
+
+    The verify phase is restricted to the candidate pairs: candidates
+    equi-join per-doc shingle sets and Jaccard is ``array_intersect`` per
+    pair — O(candidates), never the all-pairs inverted-index join.  At
+    100 TB the exact join over the corpus would dominate everything LSH
+    saved; this keeps verification linear in LSH output size.
+    """
+    sh = shingle_df(df, id_col, text_col, n)
+    sigs = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+    )
     cand = minhash_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=k // bands)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, ["id_a", "id_b"], "inner")
+    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    n_a, n_b = F.size("_sh_a"), F.size("_sh_b")
+    uni = n_a + n_b - n_common
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .where(F.col("n_common") >= F.lit(float(threshold)) * (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    )
 
 
 # ---------------------------------------------------------------- simhash
