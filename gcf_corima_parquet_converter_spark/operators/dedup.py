@@ -54,19 +54,46 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 # --------------------------------------------------------------- shingles
 
 
+def _shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams of a BOUND token-array column.
+
+    ``toks`` MUST be an attribute of the input row (a prior projection's
+    alias), never an inline ``split(...)`` expression: higher-order-
+    function lambdas are interpreted, not codegen'd, so every reference
+    to ``toks`` inside the lambda is re-evaluated PER ELEMENT — an
+    inline split turns O(m) shingling into O(m^2) re-tokenization
+    (measured 3x the whole operator).  element_at + concat_ws instead of
+    slice + array_join avoids a fresh sub-array allocation per position;
+    concat_ws skips the trailing NULLs a short document produces, which
+    exactly reproduces slice's clamp-at-end semantics.
+    """
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks) projection — the binding step _shingles requires.
+    Stays a separate Project: ``_toks`` is referenced several times
+    downstream and split() is non-cheap, so CollapseProject keeps the
+    boundary and the tokenizer runs once per row."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+
+
 def shingle_df(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows: distinct word n-grams per document."""
-    toks = tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
+    """(id, shingle) rows: distinct word n-grams per document.
+
+    Requires ``id_col`` unique per input row (a document table) — then
+    rows are already distinct after the per-doc ``array_distinct``, so
+    no dedup shuffle is needed; the only cost is the explode itself.
+    """
+    toked = _tokenized(df, id_col, text_col)
+    return toked.select(
+        F.col(id_col), F.explode(_shingles(F.col("_toks"), n)).alias("shingle")
     )
 
 
@@ -118,21 +145,57 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 
+def _perm_hash(i: int):
+    """Unary lambda hashing an element with seed column i.  MUST be
+    unary: F.transform passes (element, index) to a binary callable, so
+    a ``lambda s, i=i`` default-arg closure would silently receive the
+    array INDEX as i instead of the permutation seed."""
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, _sh shingle-array) with an exchange barrier.
+
+    The ``repartition`` is load-bearing twice over: (1) it stops
+    CollapseProject from inlining the tokenize+shingle expression into
+    every one of the k signature columns (a 32x recompute measured 2.3x
+    slower end-to-end), and (2) the exchange is identical under every
+    downstream branch (signatures, verify-join left, verify-join right)
+    so AQE reuses ONE materialization instead of re-scanning the corpus
+    three times.  One shuffle of the shingle arrays, total.
+
+    Docs with no shingles are dropped via the equivalent cheap text
+    predicate BEFORE tokenizing — a ``where(size(_sh) > 0)`` after the
+    projection gets predicate-pushed below it and re-evaluates the whole
+    inline shingle expression once more per row (visible as 4 extra
+    split() calls in the optimized plan).
+    """
+    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    toked = _tokenized(nonempty, id_col, text_col)
+    sets = toked.select(F.col(id_col), _shingles(F.col("_toks"), n).alias("_sh"))
+    return sets.repartition(id_col)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 32, n: int = 3
 ) -> DataFrame:
     """k-permutation MinHash signature per doc as ONE aggregation.
 
     Each "permutation" is xxhash64(shingle, seed_i); the signature row
-    is k min() aggregates — partial aggregation collapses each partition
-    to one row per doc before the shuffle (no k-fold row multiplication,
-    unlike the naive explode-by-seed layout).
+    is k array_min(transform(...)) expressions over the per-doc shingle
+    array — a pure narrow map, ZERO shuffle (no explode, no groupBy;
+    the naive explode-by-seed layout multiplies rows k-fold and then
+    pays a full aggregation shuffle to undo it).  Docs with no shingles
+    (empty/whitespace text) are dropped, matching the grouped layout.
     """
-    sh = shingle_df(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    sets = _shingle_sets(df, id_col, text_col, n)
+    return sets.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("_sh", _perm_hash(i))).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def minhash_candidate_pairs(
@@ -177,13 +240,21 @@ def minhash_dedup_pairs(
     pair — O(candidates), never the all-pairs inverted-index join.  At
     100 TB the exact join over the corpus would dominate everything LSH
     saved; this keeps verification linear in LSH output size.
+
+    Shingle sets stay in ARRAY form end-to-end: signatures are narrow
+    array_min(transform(...)) projections of the same per-row arrays the
+    verify join uses, sharing one exchange (see _shingle_sets) — the
+    arrays cross the wire once, the candidate pairs (tiny) broadcast.
     """
-    sh = shingle_df(df, id_col, text_col, n)
-    sigs = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sigs = sets.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("_sh", _perm_hash(i))).alias(f"mh_{i}")
+            for i in range(k)
+        ],
     )
     cand = minhash_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=k // bands)
-    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
