@@ -1024,6 +1024,151 @@ def q31(spark, sf_dir):
     ).orderBy("media_id")
 
 
+# ======================================= plugin surface + window breadth
+# -- q33: the U1 plugin chain as a graded query — two plugins compose
+#    lazily and Catalyst optimizes across the plugin boundary.
+@query(
+    "q33_plugin_chain",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_fsum('abs(value)', 1_000_000)} AS sum_abs
+    FROM events
+    WHERE abs(value) > 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q33(spark, sf_dir):
+    from .operators.plugins import FunctionPlugin, PluginChain
+
+    chain = PluginChain(
+        [
+            FunctionPlugin(
+                lambda d: d.withColumn("abs_value", F.abs("value")), "abs"
+            ),
+            FunctionPlugin(lambda d: d.where(F.col("abs_value") > 10), "gate"),
+        ]
+    )
+    e = chain.apply(T(spark, sf_dir, "events"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fsum("abs_value", 1_000_000).alias("sum_abs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- q34: CUBE — all grouping-set combinations (A7 beyond q07's rollup)
+@query(
+    "q34_cube_priority_year",
+    f"""
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           {sql_fsum('o_totalprice', 100)} AS total
+    FROM orders
+    GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+    ORDER BY yr, priority
+    """,
+)
+def q34(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").withColumn("_yr", F.year("o_orderdate"))
+    return (
+        o.cube("_yr", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), fsum("o_totalprice", 100).alias("total"))
+        .select(
+            F.coalesce(F.col("_yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("yr", "priority")
+    )
+
+
+# -- q35: sliding event-time window (W4 — the moving RMS the reference
+#    never had): per event_type, RMS over the trailing hour via a RANGE
+#    frame; fixed-point inner sum keeps hash parity with DuckDB.
+@query(
+    "q35_moving_rms",
+    f"""
+    SELECT event_id, event_type,
+           CAST(floor(sqrt(
+             CAST(sum(CAST(floor(value*value*1000000 + 0.5) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0
+             / count(*) OVER w
+           )*1000000 + 0.5) AS BIGINT) AS moving_rms_fx
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {US_PER_HOUR} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id LIMIT 500
+    """,
+)
+def q35(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-US_PER_HOUR, 0)
+    )
+    rms = F.sqrt(
+        (F.sum(fx(F.col("value") * F.col("value"), 1_000_000)).over(w) / 1e6)
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        e.select(
+            "event_id", "event_type", fx(rms, 1_000_000).alias("moving_rms_fx")
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# -- q36: ranking breadth — dense_rank + ntile (W2 beyond q08's row_number)
+@query(
+    "q36_rank_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, drk, o_orderkey
+    """,
+)
+def q36(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "drk", "o_orderkey")
+    )
+
+
+# -- q37: approximate count-distinct (A6 approx; HLL sketches aren't
+#    portable across engines so this is a rows-only check — the exact
+#    twin rides along so the relative error is visible in the output)
+@query("q37_approx_distinct")
+def q37(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

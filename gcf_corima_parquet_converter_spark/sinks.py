@@ -1,0 +1,67 @@
+"""Export sinks (S7/S9/S10).
+
+The reference's ``convert_dat_to_xsv(..., file_format=...)`` selects
+CSV/TSV/Parquet output (``main.py:75-81``; the "xsv" API name), and its
+parquet writer pins SNAPPY + data-page v2 + per-column encodings
+(``main.py:107-119,186-194``).  Spark writes straight to the object
+store (no local staging + upload step, S9 disappears), and per-column
+encoding choice is delegated to parquet-mr — value-level output is
+identical, encodings are chosen per column chunk.
+
+The Hive-partitioned layout sink (S8) lives with the telemetry
+operators: :func:`..operators.telemetry.write_hive_partitioned`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: file_format values accepted by the reference's converter [inferred
+#: from the API name "xsv" + the file_format="PARQUET" call site]
+_SEPARATORS = {"CSV": ",", "TSV": "\t"}
+
+
+def write_xsv(
+    df: DataFrame,
+    path: str,
+    file_format: str = "CSV",
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """CSV/TSV export (S10).
+
+    ``single_file`` coalesces to one output part — ONLY for small
+    exports (it serializes the write through one task); the default
+    keeps one file per partition, which is what a 100 TB export needs.
+    """
+    sep = _SEPARATORS.get(file_format.upper())
+    if sep is None:
+        raise ValueError(f"file_format must be CSV or TSV, got {file_format!r}")
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", str(header).lower()).option(
+        "sep", sep
+    ).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    page_version: str = "v2",
+    sort_by: list[str] | None = None,
+) -> None:
+    """Plain parquet sink with the reference's writer posture (S7):
+    SNAPPY, data-page v2, dictionary encoding on (parquet-mr default).
+    ``sort_by`` sorts within partitions (no extra shuffle) so sorted
+    int64 columns (Time) get delta encoding from the v2 writer, matching
+    the reference's explicit DELTA_BINARY_PACKED choice for Time.
+    """
+    out = df.sortWithinPartitions(*sort_by) if sort_by else df
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("parquet.writer.version", page_version)
+        .parquet(path)
+    )

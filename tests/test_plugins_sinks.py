@@ -1,0 +1,174 @@
+"""Plugin pipeline (U1/U2/U3) + export sinks (S7/S10)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import textwrap
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark import sinks
+from gcf_corima_parquet_converter_spark.operators import plugins as P
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [10, 10, 20, 20],
+                "value": [1.0, -2.0, 3.0, -4.0],
+            }
+        )
+    )
+
+
+# ------------------------------------------------------------------ chain
+
+
+def test_chain_composes_in_order(spark):
+    df = _events(spark)
+    chain = P.PluginChain(
+        [
+            P.FunctionPlugin(lambda d: d.withColumn("value", F.abs("value")), "abs"),
+            P.FunctionPlugin(lambda d: d.where(F.col("value") > 1.5), "gate"),
+        ]
+    )
+    got = chain.apply(df).orderBy("event_id").collect()
+    assert [r.event_id for r in got] == [2, 3, 4]
+    # order matters: gate-then-abs would keep only ids 3 (value 3.0)
+    rev = P.PluginChain(list(reversed(chain.plugins)))
+    assert [r.event_id for r in rev.apply(df).orderBy("event_id").collect()] == [3]
+
+
+def test_chain_is_one_lazy_plan(spark):
+    """Filters written INSIDE a plugin must still reach the scan —
+    the chain fuses into one plan Catalyst optimizes across."""
+    df = _events(spark)
+    chain = P.PluginChain(
+        [P.FunctionPlugin(lambda d: d.where(F.col("user_id") == 10), "f")]
+    )
+    plan = chain.apply(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "user_id" in plan  # filter survives into the single plan
+
+
+def test_lifecycle_and_tag_fanout(spark):
+    calls: list[str] = []
+
+    class Probe(P.Plugin):
+        name = "probe"
+
+        def process(self, d):
+            return d
+
+        def start_log_cb(self):
+            calls.append("start")
+
+        def stop_log_cb(self):
+            calls.append("stop")
+
+        def tag_cb(self, status, label):
+            calls.append(f"tag:{status}:{label}")
+
+    chain = P.PluginChain([Probe(), Probe()])
+    chain.apply(_events(spark))
+    chain.tag(True, "anomaly")
+    assert calls == ["start", "start", "stop", "stop", "tag:True:anomaly", "tag:True:anomaly"]
+
+
+def test_pandas_batch_plugin(spark):
+    """mapInPandas plugin: batch-imperative logic with declared schema."""
+
+    def double(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["event_id"]].copy()
+        out["doubled"] = batch["value"] * 2
+        return out
+
+    plugin = P.PandasBatchPlugin(double, "event_id long, doubled double")
+    got = (
+        P.PluginChain([plugin])
+        .apply(_events(spark))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r.doubled for r in got] == [2.0, -4.0, 6.0, -8.0]
+
+
+# -------------------------------------------------------------- discovery
+
+
+def test_discover_plugins(tmp_path, spark):
+    (tmp_path / "p10_abs.py").write_text(
+        textwrap.dedent(
+            """
+            import pyspark.sql.functions as F
+            from gcf_corima_parquet_converter_spark.operators.plugins import Plugin
+
+            class PluginClass(Plugin):
+                name = "abs"
+                def process(self, df):
+                    return df.withColumn("value", F.abs("value"))
+            """
+        )
+    )
+    (tmp_path / "p20_gate.py").write_text(
+        textwrap.dedent(
+            """
+            import pyspark.sql.functions as F
+            from gcf_corima_parquet_converter_spark.operators.plugins import Plugin
+
+            class PluginClass(Plugin):
+                name = "gate"
+                def process(self, df):
+                    return df.where(F.col("value") > 1.5)
+            """
+        )
+    )
+    found = P.discover_plugins(tmp_path)
+    assert [p.name for p in found] == ["abs", "gate"]  # filename order
+    got = P.PluginChain(found).apply(_events(spark))
+    assert got.count() == 3
+
+
+def test_discover_rejects_missing_export(tmp_path):
+    (tmp_path / "bad.py").write_text("x = 1\n")
+    with pytest.raises(ValueError, match="PluginClass"):
+        P.discover_plugins(tmp_path)
+
+
+# ------------------------------------------------------------------ sinks
+
+
+def test_write_xsv_roundtrip(spark, tmp_path):
+    df = _events(spark)
+    for fmt, sep in [("CSV", ","), ("TSV", "\t")]:
+        path = str(tmp_path / fmt.lower())
+        sinks.write_xsv(df, path, file_format=fmt, single_file=True)
+        files = glob.glob(os.path.join(path, "part-*.csv"))
+        assert len(files) == 1
+        first = open(files[0]).readline().rstrip("\n")
+        assert first == sep.join(["event_id", "user_id", "value"])
+        back = (
+            spark.read.option("header", "true")
+            .option("sep", sep)
+            .option("inferSchema", "true")
+            .csv(path)
+        )
+        assert sorted(r.event_id for r in back.collect()) == [1, 2, 3, 4]
+
+
+def test_write_xsv_bad_format(spark, tmp_path):
+    with pytest.raises(ValueError, match="CSV or TSV"):
+        sinks.write_xsv(_events(spark), str(tmp_path / "x"), file_format="XLSX")
+
+
+def test_write_parquet_sorted_roundtrip(spark, tmp_path):
+    df = _events(spark)
+    path = str(tmp_path / "pq")
+    sinks.write_parquet(df, path, sort_by=["event_id"])
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    assert sorted(r.value for r in back.collect()) == [-4.0, -2.0, 1.0, 3.0]
