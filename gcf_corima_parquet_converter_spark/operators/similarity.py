@@ -110,14 +110,20 @@ def ivf_assign(
     ``centroids`` is a small driver-side matrix (an IVF codebook is KBs
     — broadcast as literals, evaluated fully JVM-side).  At scale the
     output is written bucketed by ``centroid_id`` so probes prune files.
+
+    Implemented as argmax over a scores ARRAY bound to its own
+    projection.  The obvious iterative ``when(score > best, ...)`` fold
+    embeds the previous best-score expression twice per centroid — a
+    2^K expression-tree blowup that OOMs the driver at K=16 before a
+    single row is read.  Ties keep the lowest centroid id
+    (array_position returns the first match).
     """
-    best_id, best_score = F.lit(0), dot(F.col(vec_col), lit_vec(centroids[0]))
-    for cid in range(1, len(centroids)):
-        s = dot(F.col(vec_col), lit_vec(centroids[cid]))
-        gt = s > best_score
-        best_id = F.when(gt, F.lit(cid)).otherwise(best_id)
-        best_score = F.when(gt, s).otherwise(best_score)
-    return emb.withColumn("centroid_id", best_id)
+    scores = F.array(*[dot(F.col(vec_col), lit_vec(c)) for c in centroids])
+    scored = emb.withColumn("_scores", scores)
+    return scored.withColumn(
+        "centroid_id",
+        (F.array_position("_scores", F.array_max("_scores")) - 1).cast("int"),
+    ).drop("_scores")
 
 
 def train_centroids_sample(

@@ -62,6 +62,63 @@ def lang_id(col: str | Column) -> Column:
     return expr
 
 
+# BPE-ish pre-tokenizer: contractions | space-prefixed words | numbers |
+# punctuation runs.  ASCII-scoped so the Java-regex (Spark) and RE2
+# (DuckDB oracle) dialects match byte-for-byte.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """GPT-2-style pre-tokenization as one JVM-side regex scan — the
+    cheap `how many LLM tokens is this corpus` estimator (a real BPE
+    merge pass only refines these boundaries downstream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every word k-gram, keep
+    the minimum hash of each sliding window of ``w`` consecutive k-gram
+    hashes.  Guarantees any shared run of ~k+w-1 tokens between two docs
+    yields a shared fingerprint, with a sublinear fingerprint count.
+
+    Returns (id, fingerprint) rows, distinct per doc.  md5 keeps the
+    hash portable to the SQL oracle.  Each intermediate array binds to
+    its own projection — higher-order lambdas re-evaluate inline
+    expressions per element (see dedup._shingles).
+    """
+    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    toked = nonempty.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    t = F.col("_toks")
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - k + 1, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+        ),
+    )
+    hashed = toked.select(F.col(id_col), kgram_hashes.alias("_h"))
+    h = F.col("_h")
+    window_mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(h) - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(h, j, w)),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(window_mins)).alias("fingerprint"),
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Document fingerprint: md5 over the normalized token stream.
 

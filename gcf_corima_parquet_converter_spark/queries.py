@@ -1169,6 +1169,99 @@ def q37(spark, sf_dir):
     )
 
 
+# ------------------------------------------- north-star text additions
+# -- q38: BPE-ish token counting (the LLM-token budget estimator)
+@query(
+    "q38_bpe_token_stats",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           SUM(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+             AS bpe_tokens,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q38(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.bpe_ish_token_count("text")).alias("bpe_tokens"),
+            F.sum(X.token_count("text")).alias("ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# -- q39: winnowing fingerprints (rolling-hash document fingerprinting;
+#    min-hash per sliding window of k-gram hashes, SIGMOD'03)
+@query(
+    "q39_winnow_fingerprints",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id <= 100 AND length(trim(text)) > 0),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks)-2, 1)+1),
+               i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ')))
+               AS hs
+      FROM t),
+    wm AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(hs)-3, 1)+1),
+               j -> list_aggregate(hs[CAST(j AS INT):CAST(j+3 AS INT)], 'min')))
+               AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fingerprint
+    FROM wm ORDER BY doc_id, fingerprint
+    """,
+)
+def q39(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    return X.winnow_fingerprints(d, "doc_id", "text", k=3, w=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
+# ------------------------------------- north-star similarity scale path
+# -- q40: IVF approximate top-k (rows-only: the probe set depends on the
+#    engine-side codebook; tests/test_dedup_similarity.py asserts recall
+#    against the exact brute-force top-k)
+@query("q40_ivf_topk")
+def q40(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = S.train_centroids_sample(e, n_centroids=16)
+    assigned = S.ivf_assign(e, cents)
+    topk = S.ivf_topk(assigned, cents, qvec, k=10, n_probe=4)
+    return topk.select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy(F.desc("sim_fx"), "vec_id")
+
+
+# -- q41: LSH-bucketed embedding near-dup — the blocking path that
+#    replaces q29's bounded brute force at scale (rows-only: hyperplane
+#    projections aren't portable SQL)
+@query("q41_lsh_near_dup")
+def q41(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
+    dim = len(e.select("embedding").first()[0])
+    # 4 planes x 8 tables: collision prob ~0.75 at cos=0.4 (the demo
+    # threshold); a production near-dup pass at cos>=0.9 would flip to
+    # more planes per table (see with_lsh_bucket docstring).
+    blocked = S.with_lsh_bucket(e, n_planes=4, n_tables=8, dim=dim)
+    pairs = D.embedding_near_dup_pairs(
+        blocked, threshold=0.4, block_col="lsh_bucket"
+    )
+    return pairs.select(
+        "id_a", "id_b", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy("id_a", "id_b")
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
