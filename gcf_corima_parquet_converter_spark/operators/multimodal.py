@@ -79,6 +79,118 @@ def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, np.ndarray]
     return width, height, feats
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_s", FloatType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    type_col: str = "media_type",
+    decode: str = "fake",
+) -> DataFrame:
+    """Resize kernel over ``mapInPandas`` (1:1 rows, new payload).
+
+    ``decode="fake"`` re-encodes deterministically (sha256-keyed bytes
+    of the target size, capped) so downstream schema/size contracts are
+    testable; ``decode="real"`` is the PIL/opencv seam.  The payload
+    column is REPLACED — at 100 TB you write this to a new partitioned
+    table, never hold both generations in one frame.
+    """
+    if decode == "real":
+        raise NotImplementedError("real resize needs PIL/opencv; use decode='fake'")
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode {decode!r}")
+    w, h = int(width), int(height)
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf[type_col].astype(str),
+                    "width": np.int32(w),
+                    "height": np.int32(h),
+                    "payload": [
+                        # deterministic stand-in for the resized encoding
+                        (hashlib.sha256(bytes(p)).digest() * ((w * h) // 32 + 1))[
+                            : min(w * h, 4096)
+                        ]
+                        for p in pdf[bin_col]
+                    ],
+                }
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(type_col), F.col(bin_col)).mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    fps: float = 1.0,
+    duration_s: float = 8.0,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one input row -> ``fps * duration`` frame
+    rows (the UDTF shape, U5).  ``mapInPandas`` yields arbitrary row
+    counts per batch, so the fan-out needs no explode or join; frame
+    timestamps are ``frame_idx / fps``.  Fake kernel: frame bytes are
+    deterministic slices keyed by (payload digest, frame_idx); real
+    kernel is the ffmpeg seam.
+    """
+    if decode == "real":
+        raise NotImplementedError("real frame sampling needs ffmpeg; use decode='fake'")
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode {decode!r}")
+    n_frames = max(int(fps * duration_s), 1)
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[bin_col]):
+                digest = hashlib.sha256(bytes(p)).digest()
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i / fps)
+                    payloads.append(
+                        hashlib.sha256(digest + i.to_bytes(4, "little")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_s": pd.Series(tss, dtype="float32"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1262,6 +1262,31 @@ def q41(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# -- q42: video frame-sampling fan-out (U5 one-to-many over mapInPandas;
+#    oracle checks the row-structure contract — ids, frame indexes,
+#    timestamps — via a SQL cross-join fan-out; frame bytes are engine-
+#    side sha256 and tested in tests/test_text_multimodal.py)
+@query(
+    "q42_frame_sample",
+    """
+    SELECT d.doc_id AS media_id,
+           CAST(g.range AS INT) AS frame_idx,
+           CAST(g.range * 500 AS BIGINT) AS ts_ms
+    FROM documents d CROSS JOIN range(6) g
+    WHERE d.doc_id <= 100
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q42(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    frames = M.sample_frames(M.attach_payload(d), fps=2.0, duration_s=3.0)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col("ts_s").cast("double") * 1000).cast("long").alias("ts_ms"),
+    ).orderBy("media_id", "frame_idx")
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

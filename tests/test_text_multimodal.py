@@ -72,3 +72,37 @@ def test_payload_meta_is_builtin_only(spark, sf_dir):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_resize_media_schema_and_determinism(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents").where(F.col("doc_id") <= 20)
+    out = M.resize_media(M.attach_payload(d), width=32, height=16)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == d.count()
+    r = next(iter(rows.values()))
+    assert (r.width, r.height) == (32, 16)
+    assert len(r.payload) == min(32 * 16, 4096)
+    # deterministic: same input -> same resized payload
+    again = {r.media_id: r.payload for r in M.resize_media(
+        M.attach_payload(d), width=32, height=16).collect()}
+    assert all(bytes(again[k]) == bytes(v.payload) for k, v in rows.items())
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents").where(F.col("doc_id") <= 10)
+    out = M.sample_frames(M.attach_payload(d), fps=2.0, duration_s=3.0)
+    per = out.groupBy("media_id").count().collect()
+    assert all(r["count"] == 6 for r in per)          # 2 fps * 3 s
+    one = out.where(F.col("media_id") == per[0].media_id).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in one] == list(range(6))
+    assert abs(one[3].ts_s - 1.5) < 1e-6              # frame 3 at 3/fps
+    digests = {bytes(r.frame_payload) for r in one}
+    assert len(digests) == 6                           # per-frame distinct bytes
+
+
+def test_resize_and_frames_real_mode_raise(spark, sf_dir):
+    d = M.attach_payload(catalog.load(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(NotImplementedError):
+        M.resize_media(d, 8, 8, decode="real")
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(d, decode="real")
