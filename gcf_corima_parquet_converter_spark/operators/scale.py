@@ -1,0 +1,87 @@
+"""Scale toolkit: co-located (bucketed) joins and skew salting.
+
+These are the two shuffle levers SURVEY §0/§4 calls out for the 100 TB
+posture beyond what AQE does automatically:
+
+* **Bucketing** — persist both sides of a repeated big⋈big join
+  pre-hash-partitioned on the key (``bucketBy`` + ``saveAsTable``).
+  Spark then plans the join with ZERO Exchange on either side: at
+  100 TB that deletes the single most expensive stage of a fact-fact
+  join, and the bucket files co-locate for every future join on the
+  same key, not just this one.
+* **Salting** — when one key dominates (power-law user_ids, null-heavy
+  foreign keys), hash joins put the hot key on one reducer.  AQE's
+  skew-join splits oversized partitions *of the probe side*; salting
+  goes further by splitting the hot key itself: explode the build side
+  k ways, scatter the probe side uniformly, join on (key, salt).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on the join
+    key.  ``n_buckets`` should match across co-joined tables and be
+    sized so one bucket of the BIGGER table fits an executor's memory
+    at target scale (100 TB / 32 buckets is too coarse; think
+    1024-4096 buckets there — the local default keeps tests light).
+    ``path`` makes it an external table (bucketing metadata still lands
+    in the catalog, which is what the join planner reads).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables previously written by :func:`write_bucketed` on
+    the bucket key — planned with no Exchange on either side (assert
+    via ``.explain``: the SortMergeJoin's children are scans, not
+    shuffles)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy key skew in ``big``.
+
+    The small/skew-target side ``skewed`` is replicated ``salt`` ways
+    (explode of a literal range — ``salt``x its size, so keep it the
+    smaller side); ``big`` scatters each row to one salt uniformly via
+    a hash of monotonically_increasing_id.  The hot key's rows now
+    spread over ``salt`` reducers instead of one.  Columns returned =
+    big's columns + skewed's non-key columns (join key deduped).
+    """
+    salt_col = "_sg_salt"
+    big_s = big.withColumn(
+        salt_col, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    skew_s = skewed.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(skew_s, [on, salt_col], how).drop(salt_col)
