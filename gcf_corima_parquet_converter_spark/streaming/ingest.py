@@ -122,6 +122,41 @@ def reassemble_packets(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """T6: gap-based session windows via ``F.session_window``.
+
+    Works identically on batch and streaming frames (``withWatermark``
+    is a no-op in batch) — sessions close when ``gap`` passes with no
+    event for the key; state is bounded by the watermark in streaming.
+    The batch twin of the q15 lag+running-sum sessionization, but O(1)
+    state per open session instead of a full-partition sort window.
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        src.groupBy(F.col(key_col), w.alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
 def streaming_rms(
     samples: DataFrame,
     start_ns: int = 0,

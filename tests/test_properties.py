@@ -1,0 +1,60 @@
+"""Property tests (hypothesis): invariants that fixed examples miss."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gcf_corima_parquet_converter_spark.schema.sanitize import sanitize_name
+from gcf_corima_parquet_converter_spark.sources.dat import (
+    DecodeParams,
+    PacketFramer,
+    frame_packets,
+)
+
+PARAMS = DecodeParams(
+    dim=3, data_type="int16", samples_per_ts=8, sensitivity=0.001, odr=100.0
+)
+PACKET = PARAMS.samples_per_ts * PARAMS.dim * 2 + 8
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_packets=st.integers(0, 6),
+    tail=st.integers(0, PACKET - 1),
+    data=st.data(),
+)
+def test_framer_chunking_invariance(n_packets, tail, data):
+    """Decoding a byte stream through ANY chunking equals decoding the
+    whole buffer at once — the T2 remainder-carry law."""
+    rng = np.random.default_rng(42)
+    total = n_packets * PACKET + tail
+    buf = rng.integers(0, 256, total, dtype=np.uint8).tobytes()
+    # random cut points
+    n_cuts = data.draw(st.integers(0, min(8, total)))
+    cuts = sorted(data.draw(
+        st.lists(st.integers(0, total), min_size=n_cuts, max_size=n_cuts)
+    ))
+    chunks = [buf[a:b] for a, b in zip([0] + cuts, cuts + [total])]
+
+    whole_samples, whole_ts, whole_rest = frame_packets(buf, PARAMS)
+    framer = PacketFramer(PARAMS)
+    parts = [framer.feed(c) for c in chunks]
+    got_samples = (
+        np.concatenate([s for s, _ in parts if len(s)])
+        if any(len(s) for s, _ in parts)
+        else np.empty((0, PARAMS.dim))
+    )
+    got_ts = np.concatenate([t for _, t in parts])
+    np.testing.assert_array_equal(got_samples, whole_samples)
+    np.testing.assert_array_equal(got_ts, whole_ts)
+    assert framer._buf == whole_rest
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_sanitize_name_idempotent_and_safe(name):
+    once = sanitize_name(name)
+    assert sanitize_name(once) == once  # idempotent
+    assert " " not in once and "[" not in once and "]" not in once

@@ -137,3 +137,44 @@ def test_streaming_rms_matches_batch_pipeline(spark, tmp_path):
     assert len(merged) == len(got), "streaming emitted a window batch lacks"
     for c in ["rms_x", "rms_y", "rms_z", "rms_mod"]:
         np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"], rtol=1e-9)
+
+
+def test_sessionize_batch_and_stream(spark, tmp_path):
+    from gcf_corima_parquet_converter_spark.streaming.ingest import sessionize
+
+    # two users; user 1 has two sessions split by a >10s gap
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00:00", "2025-01-01 00:00:05",
+                 "2025-01-01 00:01:00", "2025-01-01 00:00:00",
+                 "2025-01-01 00:00:03"]
+            ),
+        }
+    )
+    batch = sessionize(
+        spark.createDataFrame(pdf), gap="10 seconds", watermark=None
+    )
+    rows = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert rows == {(1, 2), (1, 1), (2, 2)}
+
+    src = str(tmp_path / "sess_src")
+    # write via Spark: pandas' parquet writer emits TIMESTAMP(NANOS),
+    # which the explicit 'ts timestamp' stream schema rejects
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize(stream, gap="10 seconds", watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.n_events) for r in spark.table("sessions_t").collect()}
+    # append mode emits only watermark-closed sessions; all emitted
+    # sessions must appear in the batch result
+    assert got <= rows
