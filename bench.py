@@ -50,9 +50,26 @@ def main() -> None:
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so timings measure the engine,
-    # not first-touch classloading.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM once so timings measure the engine, not first-touch
+    # classloading and codegen compilation: a tiny query touching the
+    # agg + broadcast-join + window code paths on the 5-row region table.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("r_name").orderBy("n_name")),
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("rk").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
