@@ -1287,6 +1287,107 @@ def q42(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+# ------------------------------------------------ relational long tail
+# -- q43: ordered string aggregation (collect_list -> sort -> join;
+#    deterministic because the order is total)
+@query(
+    "q43_ordered_string_agg",
+    """
+    SELECT n.n_name,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS names,
+           count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey <= 200
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q43(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# -- q44: pivot (orders status x year) — Spark's pivot() vs conditional
+#    aggregation in the oracle; explicit value list keeps columns stable
+@query(
+    "q44_pivot_order_status",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders GROUP BY yr ORDER BY yr
+    """,
+)
+def q44(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.groupBy("yr")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .orderBy("yr")
+    )
+
+
+# -- q45: exact percentile/median (l_quantity is whole-valued, so the
+#    midpoint interpolation is exactly representable on both engines)
+@query(
+    "q45_median_quantity",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q45(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# -- q46: explicit UNION ALL (§2.7's last uncovered member)
+@query(
+    "q46_union_all_slices",
+    f"""
+    SELECT event_type, count(*) AS n, {sql_fsum('value', 1_000_000)} AS total
+    FROM (
+      SELECT event_type, value FROM events WHERE value > 400
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_type = 'signup'
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q46(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    u = e.where(F.col("value") > 400).select("event_type", "value").unionAll(
+        e.where(F.col("event_type") == "signup").select("event_type", "value")
+    )
+    return (
+        u.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value", 1_000_000).alias("total"))
+        .orderBy("event_type")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
