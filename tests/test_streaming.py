@@ -178,3 +178,48 @@ def test_sessionize_batch_and_stream(spark, tmp_path):
     # append mode emits only watermark-closed sessions; all emitted
     # sessions must appear in the batch result
     assert got <= rows
+
+
+def test_acquisition_gate_waits_then_processes_once(spark, tmp_path):
+    from gcf_corima_parquet_converter_spark.sources.synthetic import write_acquisition
+    from gcf_corima_parquet_converter_spark.streaming.acquisition_gate import (
+        stream_acquisitions,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    acq = os.path.join(landing, "ACQ1")
+    write_acquisition(acq)
+    # make it INCOMPLETE: hold back the .dat
+    dat = os.path.join(acq, "iis3dwb_acc.dat")
+    held = os.path.join(str(tmp_path), "held.dat")
+    os.rename(dat, held)
+
+    processed: list[str] = []
+    q = stream_acquisitions(
+        spark, landing, out, ckpt,
+        on_processed=lambda folder, res: processed.append(folder),
+    )
+    q.awaitTermination(120)
+    assert processed == []          # gate held: acquisition incomplete
+    assert not os.path.exists(os.path.join(out, "iis3dwb_acc"))
+
+    # final file arrives -> a new availableNow pass completes the dir
+    os.rename(held, dat)
+    q2 = stream_acquisitions(
+        spark, landing, out, ckpt,
+        on_processed=lambda folder, res: processed.append(folder),
+    )
+    q2.awaitTermination(120)
+    assert processed == [acq]
+    enriched = spark.read.parquet(os.path.join(out, "iis3dwb_acc"))
+    assert enriched.count() > 0 and "alias" in enriched.columns
+
+    # third pass: marker prevents reprocessing even though readiness holds
+    q3 = stream_acquisitions(
+        spark, landing, out, ckpt,
+        on_processed=lambda folder, res: processed.append(folder),
+    )
+    q3.awaitTermination(120)
+    assert processed == [acq]       # still exactly once
