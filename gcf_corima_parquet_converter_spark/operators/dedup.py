@@ -62,14 +62,19 @@ def _shingles(toks: Column, n: int) -> Column:
     function lambdas are interpreted, not codegen'd, so every reference
     to ``toks`` inside the lambda is re-evaluated PER ELEMENT — an
     inline split turns O(m) shingling into O(m^2) re-tokenization
-    (measured 3x the whole operator).  element_at + concat_ws instead of
-    slice + array_join avoids a fresh sub-array allocation per position;
-    concat_ws skips the trailing NULLs a short document produces, which
-    exactly reproduces slice's clamp-at-end semantics.
+    (measured 3x the whole operator).  try_element_at + concat_ws instead
+    of slice + array_join avoids a fresh sub-array allocation per
+    position; concat_ws skips the trailing NULLs a short document
+    produces, which exactly reproduces slice's clamp-at-end semantics.
+    (Must be try_element_at: under ANSI mode — Spark 4's default —
+    plain element_at THROWS past the array end, so any document shorter
+    than n tokens would kill the job.)
     """
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+        ),
     )
     return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
 

@@ -133,13 +133,19 @@ def label_samples(
     Tag tables are tiny (sw_tag0..15) — broadcast so the range predicate
     never shuffles the fact side.  With ``extra_keys`` (e.g. alias) the
     join is equi+range, which AQE turns into a broadcast hash join with
-    a residual range filter.
+    a residual range filter.  Tag-side key columns are renamed before
+    the join (referencing a column and dropping it from the join input
+    is an analysis error) and dropped from the output, so samples keep
+    exactly one copy of each key.
     """
-    cond = (samples[time_col] >= tags[start_col]) & (samples[time_col] < tags[end_col])
+    t = tags
     for k in extra_keys:
-        cond = cond & (samples[k] == tags[k])
-    return samples.join(
-        F.broadcast(tags.drop(*extra_keys) if how == "left" else tags), cond, how
+        t = t.withColumnRenamed(k, f"_tag_{k}")
+    cond = (samples[time_col] >= t[start_col]) & (samples[time_col] < t[end_col])
+    for k in extra_keys:
+        cond = cond & (samples[k] == t[f"_tag_{k}"])
+    return samples.join(F.broadcast(t), cond, how).drop(
+        *[f"_tag_{k}" for k in extra_keys]
     )
 
 

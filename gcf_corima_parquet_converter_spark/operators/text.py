@@ -104,7 +104,8 @@ def winnow_fingerprints(
     kgram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - k + 1, F.lit(1))),
         lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+            # try_element_at: ANSI-safe past the array end (short docs)
+            F.concat_ws(" ", *[F.try_element_at(t, i + j) for j in range(k)])
         ),
     )
     hashed = toked.select(F.col(id_col), kgram_hashes.alias("_h"))

@@ -1388,6 +1388,51 @@ def q46(spark, sf_dir):
     )
 
 
+# -- q47: the tag/label interval join as a graded query (J3 — the
+#    reference's latent `labeled` path): label every event falling in
+#    its user's first post-purchase day via telemetry.label_samples.
+@query(
+    "q47_label_events",
+    """
+    WITH tags AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS t_start,
+             min(epoch_us(ts)) + 86400000000 AS t_end
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT e.event_type, count(*) AS n_labeled
+    FROM events e JOIN tags g
+      ON e.user_id = g.user_id
+     AND epoch_us(e.ts) >= g.t_start AND epoch_us(e.ts) < g.t_end
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q47(spark, sf_dir):
+    from .operators.telemetry import label_samples
+
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    tags = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("t_start"),
+            (F.min("ts_us") + F.lit(US_PER_DAY)).alias("t_end"),
+        )
+        .withColumn("tag", F.lit("post_purchase"))
+    )
+    labeled = label_samples(
+        e,
+        tags,
+        time_col="ts_us",
+        extra_keys=["user_id"],
+        how="inner",
+    )
+    return (
+        labeled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_labeled"))
+        .orderBy("event_type")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

@@ -1,0 +1,62 @@
+"""P8: null/degenerate-input behavior of the north-star operators.
+
+The reference assumes dense well-formed data; a 100 TB documents corpus
+does not — operators must neither crash nor silently fabricate matches
+for null/empty/whitespace text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from gcf_corima_parquet_converter_spark.operators import dedup as D
+from gcf_corima_parquet_converter_spark.operators import text as X
+
+
+def _docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            # 6/7: shorter than the shingle width — the ANSI element_at
+            # out-of-bounds trap (must clamp, not throw)
+            "text": ["a b c d e f", "a b c d e f", None, "", "   ", "solo", "two words"],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_minhash_ignores_null_and_empty_docs(spark):
+    pairs = D.minhash_dedup_pairs(_docs(spark), "doc_id", "text", k=8, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # only the real duplicate pair; 3/4/5 never appear
+
+
+def test_simhash_drops_tokenless_docs(spark):
+    sig = D.simhash(_docs(spark), "doc_id", "text")
+    ids = {r.doc_id for r in sig.collect()}
+    assert ids == {1, 2, 6, 7}  # tokenless 3/4/5 dropped, short docs kept
+
+
+def test_ngram_jaccard_null_safe(spark):
+    pairs = D.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=2, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    # null text is CONTENT (a distinct group), not an error: concat_ws
+    # treats null as empty, so null and "" collide — acceptable and
+    # documented here; both must survive as one kept row.
+    kept = D.exact_dedup(_docs(spark), ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in ids and 2 not in ids  # dup pair collapsed to lowest id
+    assert len(ids) == 5  # (1), (null/"" group), ("   "), ("solo"), ("two words")
+
+
+def test_quality_features_null_text(spark):
+    out = X.quality_features(_docs(spark)).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[3].n_tokens is None  # null propagates, no crash
+    assert by_id[4].quality_keep is False
+    assert bool(by_id[1].quality_keep) is False  # only 6 tokens, <20 chars
