@@ -158,6 +158,32 @@ def _perm_hash(i: int):
     return lambda s: F.xxhash64(s, F.lit(i))
 
 
+_MH_INF = (1 << 63) - 1
+
+
+def _signatures_from_sets(sets: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) from (id, _sh): ONE aggregate pass folding
+    each shingle's k hashes into a running element-wise minimum.
+
+    Equivalent to k separate array_min(transform(...)) projections but
+    with a k-times smaller expression tree — measured 3.8s -> 1.1s cold
+    at sf0.1, all of it plan/codegen compilation (warm times equal).
+    """
+    sig = F.aggregate(
+        "_sh",
+        F.array_repeat(F.lit(_MH_INF).cast("long"), k),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sigs = sets.select(F.col(id_col), sig.alias("_sig"))
+    return sigs.select(
+        F.col(id_col), *[F.col("_sig")[i].alias(f"mh_{i}") for i in range(k)]
+    )
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, _sh shingle-array) with an exchange barrier.
 
@@ -187,20 +213,14 @@ def minhash_signatures(
     """k-permutation MinHash signature per doc as ONE aggregation.
 
     Each "permutation" is xxhash64(shingle, seed_i); the signature row
-    is k array_min(transform(...)) expressions over the per-doc shingle
-    array — a pure narrow map, ZERO shuffle (no explode, no groupBy;
-    the naive explode-by-seed layout multiplies rows k-fold and then
-    pays a full aggregation shuffle to undo it).  Docs with no shingles
-    (empty/whitespace text) are dropped, matching the grouped layout.
+    is one fold over the per-doc shingle array — a pure narrow map,
+    ZERO shuffle (no explode, no groupBy; the naive explode-by-seed
+    layout multiplies rows k-fold and then pays a full aggregation
+    shuffle to undo it).  Docs with no shingles (empty/whitespace text)
+    are dropped, matching the grouped layout.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    return sets.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform("_sh", _perm_hash(i))).alias(f"mh_{i}")
-            for i in range(k)
-        ],
-    )
+    return _signatures_from_sets(sets, id_col, k)
 
 
 def minhash_candidate_pairs(
@@ -252,13 +272,7 @@ def minhash_dedup_pairs(
     arrays cross the wire once, the candidate pairs (tiny) broadcast.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    sigs = sets.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform("_sh", _perm_hash(i))).alias(f"mh_{i}")
-            for i in range(k)
-        ],
-    )
+    sigs = _signatures_from_sets(sets, id_col, k)
     cand = minhash_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=k // bands)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))

@@ -1433,6 +1433,50 @@ def q47(spark, sf_dir):
     )
 
 
+# -- q48: struct + map column functions (F10's composite-type tail;
+#    DTDL Objects map to StructType per SURVEY §1.2): pack per-order
+#    structs, explode a map built from entries, read nested fields back.
+@query(
+    "q48_struct_map_funcs",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             {'priority': o_orderpriority, 'price': o_totalprice} AS info,
+             MAP {'yr': CAST(year(o_orderdate) AS BIGINT),
+                  'mo': CAST(month(o_orderdate) AS BIGINT)} AS parts
+      FROM orders WHERE o_orderkey <= 200)
+    SELECT o_orderkey,
+           info.priority AS priority,
+           CAST(floor(info.price*100 + 0.5) AS BIGINT) AS price_fx,
+           parts['yr'][1] AS yr,
+           parts['mo'][1] AS mo,
+           cardinality(parts) AS n_keys
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def q48(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("info"),
+        F.create_map(
+            F.lit("yr"), F.year("o_orderdate").cast("long"),
+            F.lit("mo"), F.month("o_orderdate").cast("long"),
+        ).alias("parts"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("info.priority").alias("priority"),
+        fx(F.col("info.price"), 100).alias("price_fx"),
+        F.col("parts")["yr"].alias("yr"),
+        F.col("parts")["mo"].alias("mo"),
+        F.size("parts").alias("n_keys"),
+    ).orderBy("o_orderkey")
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

@@ -135,3 +135,24 @@ def test_cosine_topk_is_take_ordered(spark, emb):
     qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     plan = S.cosine_topk(emb, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_dedup_similarity_plans_are_jvm_only(spark, sf_dir):
+    """The 100 TB hot paths must not round-trip rows through Python:
+    no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas nodes."""
+    from gcf_corima_parquet_converter_spark import catalog
+
+    d = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    e = catalog.load(spark, sf_dir, "embeddings")
+    qv = [0.1] * len(e.select("embedding").first()[0])
+    plans = {
+        "minhash": D.minhash_dedup_pairs(d, "doc_id", "text", k=8, bands=4),
+        "simhash": D.simhash(d, "doc_id", "text"),
+        "jaccard": D.ngram_jaccard_pairs(d, "doc_id", "text"),
+        "topk": S.cosine_topk(e, qv),
+        "exact": D.exact_dedup(d, ["text"], "doc_id"),
+    }
+    for name, df in plans.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in p, f"{name} plan fell back to Python: {marker}"
