@@ -182,6 +182,13 @@ def write_hive_partitioned(
     (
         out.sortWithinPartitions(*partition_cols, time_col)
         .write.mode(mode)
+        # dynamic: overwrite ONLY the partitions present in df.  Static
+        # overwrite (the default) clears the whole root first — writing
+        # acquisition B would delete acquisition A's alias/date
+        # partitions.  Dynamic also preserves the reference's
+        # idempotence: re-processing the same acquisition rewrites
+        # exactly its own partition (main.py:121-131 deterministic path).
+        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
         .parquet(root)

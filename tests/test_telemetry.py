@@ -138,3 +138,25 @@ def test_hive_partitioned_write(spark, tmp_path, sensor_pdf):
     back = spark.read.parquet(root)
     assert back.count() == len(sensor_pdf)
     assert dict(back.dtypes)["Time"] == "bigint"
+
+
+def test_hive_write_preserves_other_partitions(spark, tmp_path):
+    """Writing acquisition B must not clobber acquisition A's partitions
+    (dynamic partition overwrite), and re-writing A must be idempotent."""
+    import pandas as pd
+
+    root = str(tmp_path / "multi")
+
+    def frame(alias, day):
+        t0 = int(pd.Timestamp(f"2025-07-{day:02d}", tz="UTC").value)
+        return spark.createDataFrame(
+            pd.DataFrame({"Time": [t0, t0 + 1], "v": [1.0, 2.0], "alias": alias})
+        )
+
+    TM.write_hive_partitioned(frame("A", 1), root)
+    TM.write_hive_partitioned(frame("B", 2), root)
+    got = spark.read.parquet(root)
+    assert {r.alias for r in got.select("alias").distinct().collect()} == {"A", "B"}
+    # idempotent re-write of A: same total rows, A not duplicated
+    TM.write_hive_partitioned(frame("A", 1), root)
+    assert spark.read.parquet(root).count() == 4
