@@ -54,6 +54,7 @@ def write_acquisition(
     start_time: str = "2025-07-11T16:22:17.000Z",
     alias: str = "LAF1",
     incomplete: bool = False,
+    tags: list | None = None,
     **dat_kw,
 ) -> tuple[np.ndarray, np.ndarray]:
     os.makedirs(folder, exist_ok=True)
@@ -72,7 +73,7 @@ def write_acquisition(
                 "end_time": "",
                 "data_ext": ".dat",
                 "data_fmt": "HSD_2.0.0",
-                "tags": [],
+                "tags": tags or [],
                 "interface": 0,
                 "schema_version": "2.0.0",
             },
