@@ -1,0 +1,166 @@
+"""Training-data curation operators: quota capping, deterministic
+splits, PII/entity masking, benchmark decontamination.
+
+These are the corpus-level ops a 100 TB LLM-data pipeline runs after
+dedup/quality (operators/dedup.py, operators/text.py): cap per-domain
+volume, carve reproducible train/val/test splits, mask sensitive
+spans, and drop documents that leak evaluation benchmarks.  No
+reference twin — the reference stops at telemetry conversion — but
+they are first-class engine surface (BASELINE.json north-star).
+
+Scale posture: ``hash_split`` and ``redact``/``mask_terms`` are pure
+narrow maps (zero shuffle, whole-stage codegen'd JVM regex/md5).
+``source_quota`` shuffles once on the group key — a single hot domain
+is the classic skew case, so the cap is applied per-partition first
+(local top-cap) when ``pre_rank=True``, cutting the shuffle to ≤cap
+rows per source before the exact global rank.  ``ngram_contamination``
+joins corpus n-grams against the (small) benchmark set — the benchmark
+side broadcasts, so the 100 TB side never shuffles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .dedup import _shingles, _tokenized
+
+# Java-regex (Spark) patterns; all RE2-compatible so DuckDB/others can
+# run the same strings.  \b word boundaries work in both.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,2}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def source_quota(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_col: str,
+    pre_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col``, deterministically:
+    the first ``cap`` by ``order_col`` (per-domain document caps).
+
+    ``pre_rank=True`` adds a map-side pre-filter: rank within the
+    *input partition* first and drop rows past ``cap`` locally, so a
+    source with 10^9 rows ships at most cap×n_partitions rows into the
+    exact global rank instead of all of them — the window-function
+    analogue of partial aggregation.  Semantically identical because
+    local rank ≥ global rank ⇒ dropping local rank > cap never drops a
+    global top-cap row.
+    """
+    if pre_rank:
+        local = Window.partitionBy(F.spark_partition_id(), key_col).orderBy(
+            order_col
+        )
+        df = df.withColumn("_lrk", F.row_number().over(local)).where(
+            F.col("_lrk") <= cap
+        ).drop("_lrk")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment by content-independent
+    hash of the id: ``md5(id || salt)`` → bucket 0..99 → split.
+
+    A narrow map — no shuffle, no RNG state, stable across reruns,
+    cluster sizes and engines (md5 is engine-portable, unlike
+    ``rand(seed)`` whose stream depends on partitioning).  Changing
+    ``salt`` re-deals the split without touching the data.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return df.withColumn(
+        split_col,
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def mask_terms(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str],
+    token: str = "[{name}]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Mask every regex match with a placeholder and count matches.
+
+    Adds ``n_<name>`` (match count, pre-replacement) per pattern and
+    the masked text in ``out_col`` (default: in place).  Used for PII
+    redaction (``PII_PATTERNS``) and dictionary scrubs (e.g. masking
+    known-contaminated strings).  All JVM-side regex — one codegen'd
+    projection, zero shuffle.
+    """
+    out_col = out_col or text_col
+    masked = F.col(text_col)
+    counts = {}
+    for name, pat in patterns.items():
+        counts[f"n_{name}"] = F.regexp_count(text_col, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, token.format(name=name.upper()))
+    return df.withColumns({**counts, out_col: masked})
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """PII redaction with the stock email/phone/IP/SSN patterns."""
+    return mask_terms(df, text_col, PII_PATTERNS, token="[{name}]", out_col=out_col)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: which corpus docs share a token
+    n-gram with an evaluation document (the GPT-3-style 8..13-gram
+    overlap rule).
+
+    Returns (corpus_id, bench_id, n_overlap_grams).  Both sides
+    shingle with the SAME kernel as minhash dedup (one narrow map
+    each); the benchmark side is tiny relative to the corpus, so its
+    exploded gram set broadcasts and the 100 TB corpus side joins
+    without a shuffle.  Downstream: anti-join corpus against the
+    distinct corpus_ids to drop or quarantine.
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toked = _tokenized(df, id_col, text_col)
+        return toked.select(
+            F.col(id_col).alias(out_id),
+            F.explode(_shingles(F.col("_toks"), n)).alias("gram"),
+        ).where(F.length("gram") > 0)
+
+    c = grams(corpus, "corpus_id")
+    b = grams(benchmark, "bench_id")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count_distinct("gram").alias("n_overlap_grams"))
+    )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from . import catalog
 from .operators import dedup as D
 from .operators import multimodal as M
+from .operators import pipeline as P
 from .operators import similarity as S
 from .operators import text as X
 
@@ -1475,6 +1476,145 @@ def q48(spark, sf_dir):
         F.col("parts")["mo"].alias("mo"),
         F.size("parts").alias("n_keys"),
     ).orderBy("o_orderkey")
+
+
+# -- q49: per-source document quota (training-data curation: cap any
+#    one domain's share of the corpus).  Exact window-rank cap; the
+#    operator's pre_rank mode handles the hot-domain skew at scale.
+@query(
+    "q49_source_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           max(doc_id) AS last_doc
+    FROM ranked WHERE rn <= 10
+    GROUP BY source ORDER BY source
+    """,
+)
+def q49(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    kept = P.source_quota(docs, "source", cap=10, order_col="doc_id", pre_rank=True)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- q50: deterministic train/val/test split by md5 hash bucket — the
+#    reproducible, engine-portable alternative to rand(seed) sampling.
+@query(
+    "q50_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def q50(spark, sf_dir):
+    docs = P.hash_split(T(spark, sf_dir, "documents"), "doc_id", salt="r1")
+    return (
+        docs.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+# -- q51: regex masking scrub (the PII-redaction kernel; exercised here
+#    with a dictionary pattern that actually occurs in the synthetic
+#    corpus — true PII patterns are pinned by tests/test_pipeline_ops.py).
+_MASK_RE = r"\b(customer|supplier|part)\b"
+
+
+@query(
+    "q51_entity_mask",
+    rf"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_MASK_RE}'))) AS BIGINT)
+             AS n_masked,
+           CAST(sum(length(regexp_replace(text, '{_MASK_RE}', '[ENTITY]', 'g')))
+             AS BIGINT) AS masked_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q51(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    masked = P.mask_terms(
+        docs, "text", {"entity": _MASK_RE}, token="[ENTITY]", out_col="masked"
+    )
+    return (
+        masked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_entity").alias("n_masked"),
+            F.sum(F.length("masked")).alias("masked_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- q52: benchmark decontamination — token-8-gram overlap between the
+#    corpus and a held-out "benchmark" subset (GPT-3-style n-gram rule;
+#    n=4 here because the synthetic corpus's tiny vocabulary makes 8-gram
+#    collisions vanishingly rare — production default stays 8..13).
+#    Benchmark grams broadcast; the corpus side never shuffles.
+@query(
+    "q52_contamination",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')))
+               AS gram
+      FROM docs),
+    g AS (SELECT DISTINCT doc_id, gram FROM g_raw WHERE length(gram) > 0),
+    bench AS (SELECT * FROM g WHERE doc_id % 50 = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+           count(DISTINCT b.gram) AS n_overlap_grams
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id, b.doc_id
+    ORDER BY corpus_id, bench_id
+    """,
+)
+def q52(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return (
+        P.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
+        .select(
+            F.col("corpus_id"),
+            F.col("bench_id"),
+            F.col("n_overlap_grams"),
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
 
 
 # ===================================== reference pipeline, end to end

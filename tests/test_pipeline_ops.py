@@ -1,0 +1,101 @@
+"""Training-data curation operators (operators/pipeline.py): quota
+capping, deterministic hash splits, PII masking, decontamination."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", f"doc {i} body " * (1 + i % 4)) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_source_quota_caps_and_is_deterministic(spark, docs):
+    kept = P.source_quota(docs, "source", cap=5, order_col="doc_id")
+    pdf = kept.toPandas()
+    assert pdf.groupby("source").size().max() == 5
+    # first-by-order semantics: src0 keeps doc_ids 0,3,6,9,12
+    assert sorted(pdf[pdf.source == "src0"].doc_id) == [0, 3, 6, 9, 12]
+
+
+def test_source_quota_pre_rank_parity(spark, docs):
+    """pre_rank local cap must not change the result, only the shuffle."""
+    a = P.source_quota(docs, "source", cap=7, order_col="doc_id")
+    b = P.source_quota(docs.repartition(8), "source", cap=7, order_col="doc_id",
+                       pre_rank=True)
+    assert sorted(a.toPandas().doc_id) == sorted(b.toPandas().doc_id)
+
+
+def test_hash_split_stable_and_exhaustive(spark, docs):
+    s1 = P.hash_split(docs, "doc_id", salt="s").toPandas()
+    s2 = P.hash_split(docs, "doc_id", salt="s").toPandas()
+    assert (s1.sort_values("doc_id").split.values
+            == s2.sort_values("doc_id").split.values).all()
+    assert set(s1.split) <= {"train", "val", "test"}
+    assert s1.split.isna().sum() == 0
+    # different salt re-deals at least one doc
+    s3 = P.hash_split(docs, "doc_id", salt="other").toPandas()
+    assert (s1.sort_values("doc_id").split.values
+            != s3.sort_values("doc_id").split.values).any()
+    # no shuffle: a pure narrow map keeps the input partitioning
+    plan = P.hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call +1 (555) 123-4567"),
+            (2, "server 10.0.42.7 leaked ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in P.redact_pii(df, "text").collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].text and "[PHONE]" in out[1].text
+    assert "jo.doe" not in out[1].text and "555" not in out[1].text
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert "[IPV4]" in out[2].text and "[SSN]" in out[2].text
+    assert out[3].text == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_phone == 0
+
+
+def test_mask_terms_counts_before_masking(spark):
+    df = spark.createDataFrame([(1, "a b a c a")], "id long, text string")
+    out = P.mask_terms(df, "text", {"hit": r"\ba\b"}, token="[X]",
+                       out_col="masked").collect()[0]
+    assert out.n_hit == 3
+    assert out.masked == "[X] b [X] c [X]"
+    assert out.text == "a b a c a"  # original kept when out_col differs
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),  # shares one 5-gram
+            (2, "completely unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = P.ngram_contamination(corpus, bench, "doc_id", "text", n=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.corpus_id, r.bench_id) == (1, 100)
+    assert r.n_overlap_grams == 1  # "alpha beta gamma delta epsilon"
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark, docs):
+    bench = docs.where(F.col("doc_id") < 3)
+    plan = (
+        P.ngram_contamination(docs, bench, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
