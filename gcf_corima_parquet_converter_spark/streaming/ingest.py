@@ -209,3 +209,29 @@ def streaming_rms(
             + F.col("rms_z") * F.col("rms_z")
         ).alias("rms_mod"),
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous exact dedup of a stream: emit the first arrival of
+    each key, drop re-deliveries (at-least-once sources like Kafka or
+    re-listed object-store files replay records; a continuously-fed
+    training corpus must still ingest each document once).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state is bounded by arrival rate x watermark
+    instead of growing with corpus size forever — the difference
+    between a stream that runs for months and one that OOMs.  The
+    guarantee matches the source contract: duplicates arriving within
+    the watermark delay of the first copy are dropped; a replay from
+    further in the past than the watermark re-emits (same as the batch
+    ``exact_dedup`` run on the re-ingested slice).  The batch twin is
+    ``operators/dedup.py exact_dedup`` (hash-groupBy keep-first).
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

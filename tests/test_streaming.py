@@ -223,3 +223,41 @@ def test_acquisition_gate_waits_then_processes_once(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert processed == [acq]       # still exactly once
+
+
+def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
+    """Duplicate keys re-delivered in a LATER micro-batch (within the
+    watermark) must be dropped; distinct keys all survive."""
+    from gcf_corima_parquet_converter_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    base = pd.Timestamp("2025-07-11T16:00:00Z")
+    # batch 0: docs 0..9; batch 1: docs 5..14 (5 redeliveries) + 10..14 new
+    for f, ids in enumerate([range(0, 10), range(5, 15)]):
+        pd.DataFrame(
+            {
+                "doc_id": list(ids),
+                "ts": [base + pd.Timedelta(seconds=f * 10 + i) for i in ids],
+            }
+        ).astype({"ts": "datetime64[us, UTC]"}).to_parquet(
+            f"{src}/batch_{f}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, ["doc_id"], watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got.doc_id) == list(range(15))  # each key exactly once
