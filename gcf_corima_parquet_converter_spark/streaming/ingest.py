@@ -235,3 +235,57 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def label_stream(
+    samples: DataFrame,
+    tags: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    extra_keys: list[str] | None = None,
+    max_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch interval tag join
+    (``operators/telemetry.label_samples``, J3): label live samples
+    with the tag interval containing them, both sides streams.
+
+    Stream-stream joins need BOTH a watermark per side and a bounded
+    event-time relation between the sides so state can be evicted —
+    an open-ended ``ts < t_end`` alone would force Spark to keep every
+    tag forever.  ``max_duration`` caps how long a tag interval can be
+    (sw-tags in the reference are start/stop button presses within one
+    acquisition), which turns the predicate into the required bounded
+    range: ``t_start <= ts < t_start + max_duration`` with the true
+    ``ts < t_end`` kept as a residual filter.  Inner join: unlabeled
+    samples flow through the un-joined branch of the pipeline instead
+    (same split as the reference's labeled=True export, main.py:78).
+    """
+    # Spark additionally requires >=1 EQUALITY predicate between the
+    # streams (state is keyed by it).  Tags are per-device, so the
+    # natural key is alias/comp_name via extra_keys; with no key (the
+    # reference's live path is one acquisition = one logical stream) a
+    # constant key is semantically exact — all tag state then lives
+    # under one key, fine for per-device tag volumes.
+    keys = list(extra_keys or [])
+    drop_cols = []
+    if not keys:
+        samples = samples.withColumn("_sjk", F.lit(1))
+        tags = tags.withColumn("_sjk", F.lit(1))
+        keys = ["_sjk"]
+        drop_cols.append("_sjk")
+    s = samples.withWatermark(ts_col, watermark)
+    t = tags.withWatermark(start_col, watermark)
+    for k in keys:
+        t = t.withColumnRenamed(k, f"_tag_{k}")
+    cond = (
+        (s[ts_col] >= t[start_col])
+        & (s[ts_col] < t[start_col] + F.expr(f"INTERVAL {max_duration}"))
+        & (s[ts_col] < t[end_col])
+    )
+    for k in keys:
+        cond = cond & (s[k] == t[f"_tag_{k}"])
+    return s.join(t, cond, "inner").drop(
+        *[f"_tag_{k}" for k in keys], *drop_cols
+    )

@@ -261,3 +261,63 @@ def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).toPandas()
     assert sorted(got.doc_id) == list(range(15))  # each key exactly once
+
+
+def test_label_stream_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream tag join labels exactly the samples inside each
+    tag interval — verified against the batch label_samples result."""
+    from gcf_corima_parquet_converter_spark.operators.telemetry import label_samples
+    from gcf_corima_parquet_converter_spark.streaming.ingest import label_stream
+
+    base = pd.Timestamp("2025-07-11T16:00:00Z")
+    sec = pd.Timedelta(seconds=1)
+    samples_pdf = pd.DataFrame(
+        {
+            "sample_id": range(40),
+            "ts": [base + i * sec for i in range(40)],
+        }
+    ).astype({"ts": "datetime64[us, UTC]"})
+    tags_pdf = pd.DataFrame(
+        {
+            "label": ["run", "idle"],
+            "t_start": [base + 5 * sec, base + 20 * sec],
+            "t_end": [base + 12 * sec, base + 25 * sec],
+        }
+    ).astype({"t_start": "datetime64[us, UTC]", "t_end": "datetime64[us, UTC]"})
+
+    s_dir, t_dir = str(tmp_path / "samples"), str(tmp_path / "tags")
+    os.makedirs(s_dir), os.makedirs(t_dir)
+    samples_pdf.iloc[:20].to_parquet(f"{s_dir}/a.parquet")
+    samples_pdf.iloc[20:].to_parquet(f"{s_dir}/b.parquet")
+    tags_pdf.to_parquet(f"{t_dir}/t.parquet")
+
+    s_stream = spark.readStream.schema("sample_id long, ts timestamp").parquet(s_dir)
+    t_stream = spark.readStream.schema(
+        "label string, t_start timestamp, t_end timestamp"
+    ).parquet(t_dir)
+    out = str(tmp_path / "out")
+    q = (
+        label_stream(s_stream, t_stream, max_duration="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_label"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("sample_id")
+
+    expect = (
+        label_samples(
+            spark.createDataFrame(samples_pdf),
+            spark.createDataFrame(tags_pdf),
+            time_col="ts",
+            how="inner",
+        )
+        .toPandas()
+        .sort_values("sample_id")
+    )
+    assert list(got.sample_id) == list(expect.sample_id)
+    assert list(got.label) == list(expect.label)
+    # interval semantics: [start, end) — ids 5..11 run, 20..24 idle
+    assert list(got.sample_id) == list(range(5, 12)) + list(range(20, 25))
