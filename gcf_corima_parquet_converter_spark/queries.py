@@ -1617,6 +1617,61 @@ def q52(spark, sf_dir):
     )
 
 
+# -- q53/q54: the SQL front-end.  Everything else in the corpus drives
+#    the DataFrame API; these two run ENTIRELY through spark.sql over
+#    catalog.register_views, proving the engine's second user-facing
+#    surface plans correlated subqueries (scalar, EXISTS, IN) — shapes
+#    Catalyst must decorrelate into joins.  The customer-average is
+#    fixed-point (exact int sum, one final double division) so the
+#    above-average predicate is bit-identical across engines.
+@query(
+    "q53_sql_above_avg_orders",
+    """
+    SELECT o.o_custkey, count(*) AS n_above,
+           max(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS top_fx
+    FROM orders o
+    WHERE o.o_totalprice >
+          (SELECT sum(CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT))
+                  / (100.0 * count(*))
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      AND o.o_custkey <= 500
+    GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """,
+)
+def q53(spark, sf_dir):
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_custkey, count(*) AS n_above,
+               max(floor(o.o_totalprice*100 + 0.5)) AS top_fx
+        FROM orders o
+        WHERE o.o_totalprice >
+              (SELECT sum(floor(o2.o_totalprice*100 + 0.5))
+                      / (100.0 * count(*))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          AND o.o_custkey <= 500
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
+        """
+    )
+
+
+_Q54_SQL = """
+    SELECT c.c_mktsegment, count(*) AS n_cust
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority LIKE '1-%')
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """
+
+
+@query("q54_sql_exists_in", _Q54_SQL)
+def q54(spark, sf_dir):
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_Q54_SQL)
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
