@@ -36,6 +36,10 @@ HEADLINE = [
     "q23_text_quality",
     "q25_cosine_topk",
     "q26_minhash_near_dup",
+    "q49_source_quota",
+    "q50_hash_split",
+    "q52_contamination",
+    "q53_sql_above_avg_orders",
 ]
 
 
