@@ -170,3 +170,54 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Distributed Lloyd iterations refining the seeded IVF codebook
+    (the iterative-algorithm class: driver holds the tiny model, the
+    cluster holds the data).
+
+    Per iteration: assign every vector to its max-dot centroid (the
+    same JVM-side argmax as ``ivf_assign``, codebook broadcast as
+    literals), then recompute each centroid as the mean of its members
+    via ONE aggregation with ``dim`` per-element ``sum(vec[i])``
+    columns — no explode (which would multiply the 100 TB side by
+    dim), map-side partials shrink the shuffle to K rows x dim cols
+    per partition regardless of row count.  Only the K x dim stats
+    table is collected per iteration (the codebook IS driver state in
+    IVF).  ``normalize=True`` renormalizes means to unit length —
+    spherical k-means, the right objective for cosine retrieval; the
+    mean-of-members update is the exact maximizer of within-cluster
+    cosine under unit centroids, so the objective is monotone.  Empty
+    clusters keep their previous centroid.
+    """
+    cents = np.asarray(centroids, dtype=np.float64).copy()
+    dim = cents.shape[1]
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        rows = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            m = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            if normalize:
+                nrm = float(np.linalg.norm(m))
+                if nrm > 0.0:
+                    m = m / nrm
+            cents[r["centroid_id"]] = m
+    return cents

@@ -1244,6 +1244,25 @@ def q40(spark, sf_dir):
     ).orderBy(F.desc("sim_fx"), "vec_id")
 
 
+# -- q55: IVF with Lloyd-refined codebook (rows-only: iterative
+#    algorithm, not SQL-expressible; monotonicity + recall pinned by
+#    tests/test_dedup_similarity.py::test_kmeans_refine_monotone_*)
+@query("q55_ivf_refined_topk")
+def q55(spark, sf_dir):
+    import numpy as np
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    seeds = S.train_centroids_sample(e, n_centroids=16)
+    seeds = seeds / np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+    cents = S.kmeans_refine(e, seeds, n_iter=2)
+    assigned = S.ivf_assign(e, cents)
+    topk = S.ivf_topk(assigned, cents, qvec, k=10, n_probe=4)
+    return topk.select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy(F.desc("sim_fx"), "vec_id")
+
+
 # -- q41: LSH-bucketed embedding near-dup — the blocking path that
 #    replaces q29's bounded brute force at scale (rows-only: hyperplane
 #    projections aren't portable SQL)

@@ -156,3 +156,34 @@ def test_dedup_similarity_plans_are_jvm_only(spark, sf_dir):
         p = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
             assert marker not in p, f"{name} plan fell back to Python: {marker}"
+
+
+def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
+    """Spherical Lloyd: the sum of max-dot assignments must not
+    decrease per iteration (mean-renormalize is the exact per-cluster
+    maximizer), and refined centroids must not hurt IVF recall."""
+    import numpy as np
+
+    seeds = S.train_centroids_sample(emb, n_centroids=8)
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    def objective(cents):
+        best = F.array_max(
+            F.array(*[S.dot(F.col("embedding"), S.lit_vec(c)) for c in cents])
+        )
+        return emb.select(F.sum(best)).first()[0]
+
+    o0 = objective(seeds)
+    c1 = S.kmeans_refine(emb, seeds, n_iter=1)
+    o1 = objective(c1)
+    c2 = S.kmeans_refine(emb, c1, n_iter=1)
+    o2 = objective(c2)
+    assert o1 >= o0 - 1e-9 and o2 >= o1 - 1e-9, (o0, o1, o2)
+
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk(S.ivf_assign(emb, c2), c2, qvec, k=10, n_probe=4).collect()
+    ]
+    assert len(set(exact) & set(got)) / 10 >= 0.5
