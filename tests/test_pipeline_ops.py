@@ -99,3 +99,17 @@ def test_ngram_contamination_broadcasts_benchmark(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_ops_null_robustness(spark):
+    """Null text/ids must flow through, not crash: masking keeps the
+    null, counts stay null (not 0 — unknown input, unknown count), and
+    null ids deterministically land in the 'test' split (the otherwise
+    branch), never in training data."""
+    df = spark.createDataFrame(
+        [(1, None), (None, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in P.redact_pii(df, "text").collect()}
+    assert out[1].text is None and out[1].n_email is None
+    split = {r.doc_id: r.split for r in P.hash_split(df, "doc_id").collect()}
+    assert split[None] == "test"
