@@ -105,3 +105,42 @@ def write_acquisition(
         with open(os.path.join(folder, f"{SENSOR}.dat"), "wb") as f:
             f.write(data)
     return in_g, t
+
+
+def add_sensor(
+    folder: str,
+    name: str,
+    odr: float = 1000.0,
+    spts: int = 32,
+    dim: int = 1,
+    sensitivity: float = 0.001,
+    seed: int = 23,
+    n_seconds: float = 2.0,
+) -> np.ndarray:
+    """Add a second component to an existing acquisition: write
+    ``<name>.dat`` and register its decode params in
+    device_config.json (acquisitions hold one .dat per component)."""
+    data, in_g, _t = make_dat_bytes(
+        n_seconds=n_seconds, odr=odr, spts=spts, dim=dim,
+        sensitivity=sensitivity, seed=seed,
+    )
+    with open(os.path.join(folder, f"{name}.dat"), "wb") as f:
+        f.write(data)
+    cfg_path = os.path.join(folder, "device_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["device"]["components"].append(
+        {
+            name: {
+                "odr": odr,
+                "enable": True,
+                "samples_per_ts": spts,
+                "dim": dim,
+                "sensitivity": sensitivity,
+                "data_type": "int16",
+            }
+        }
+    )
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return in_g

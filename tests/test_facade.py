@@ -109,3 +109,28 @@ def test_convert_csv_roundtrip(spark, acq_folder, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == int((t < 1.0).sum())
     assert "Time" in back.columns and "alias" in back.columns
+
+
+def test_multi_sensor_acquisition(spark, tmp_path):
+    """One acquisition, two components: per-sensor decode params and
+    one DataFrame each from load() (reference: one .dat per component,
+    get_sensor(hsd, name) selects which, main.py:74)."""
+    from gcf_corima_parquet_converter_spark.sources.synthetic import add_sensor
+
+    folder = str(tmp_path / "multi_sensor")
+    write_acquisition(folder, n_seconds=2.0)
+    add_sensor(folder, "stts22h_temp", dim=1, odr=1000.0, spts=32)
+
+    hsd = Acquisition(spark, folder)
+    assert hsd.sensors == [SENSOR, "stts22h_temp"]
+    assert hsd.get_sensor("stts22h_temp").params.dim == 1
+    assert hsd.get_sensor(SENSOR).params.dim == 3
+
+    frames = hsd.load()
+    assert set(frames) == {SENSOR, "stts22h_temp"}
+    temp = frames["stts22h_temp"]
+    # dim=1 -> one axis column; 2 s at 1000 Hz in 32-sample packets
+    axis_cols = [c for c in temp.columns if c not in ("Time", "alias")]
+    assert len(axis_cols) == 1
+    assert temp.count() == (2000 // 32) * 32
+    assert frames[SENSOR].count() == int(2.0 * 2000.0) // 64 * 64
