@@ -221,3 +221,47 @@ def kmeans_refine(
                     m = m / nrm
             cents[r["centroid_id"]] = m
     return cents
+
+
+def batch_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k neighbors for a BATCH of query vectors in one pass — the
+    ANN serving shape (many queries amortize one corpus scan).
+
+    The query batch broadcasts (one row per query — KBs); scores are
+    JVM-side dot products.  Ranking is two-phase: a per-input-partition
+    local top-k first, so the global per-query rank receives at most
+    k x n_partitions rows per query instead of the whole scored corpus
+    — without it, partitionBy(q_id) would funnel corpus x batch rows
+    into batch-many partitions, the classic 100 TB window-function
+    trap.  Scores are ranked in fixed-point (``scale``) so ordering is
+    reproducible across engines (ties break by id).
+    """
+    from pyspark.sql import Window
+
+    sim_fx = F.floor(
+        dot(F.col(vec_col), F.col(q_vec_col)) * F.lit(float(scale)) + F.lit(0.5)
+    )
+    scored = emb.join(F.broadcast(queries)).select(
+        F.col(q_id_col), F.col(id_col), sim_fx.alias("sim_fx")
+    )
+    local = Window.partitionBy(F.spark_partition_id(), q_id_col).orderBy(
+        F.desc("sim_fx"), id_col
+    )
+    pre = scored.withColumn("_lrk", F.row_number().over(local)).where(
+        F.col("_lrk") <= k
+    ).drop("_lrk")
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim_fx"), id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1691,6 +1691,70 @@ def q54(spark, sf_dir):
     return spark.sql(_Q54_SQL)
 
 
+# -- q56: batched multi-query top-k — the ANN serving shape (broadcast
+#    query batch, one corpus scan, two-phase per-query ranking so the
+#    global rank never sees the whole scored corpus).
+@query(
+    "q56_batch_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.q_id, e.vec_id,
+                 CAST(floor(list_dot_product(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+                    )*1000000 + 0.5) AS BIGINT) AS sim_fx
+          FROM embeddings e CROSS JOIN q),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY sim_fx DESC, vec_id) AS rn
+          FROM s)
+    SELECT q_id, vec_id, sim_fx FROM r WHERE rn <= 5
+    ORDER BY q_id, sim_fx DESC, vec_id
+    """,
+)
+def q56(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk = S.batch_cosine_topk(e, qs, k=5)
+    return topk.select(
+        "q_id", "vec_id", F.col("sim_fx").cast("long").alias("sim_fx")
+    ).orderBy("q_id", F.desc("sim_fx"), "vec_id")
+
+
+# -- q57: hopping (sliding) windows — 10-minute windows every 5 minutes,
+#    each event lands in exactly width/slide = 2 windows.  The oracle
+#    reproduces Spark's epoch-aligned window starts with an explicit
+#    2-offset expansion.
+@query(
+    "q57_hopping_rms",
+    f"""
+    WITH x AS (
+      SELECT ((epoch_us(ts) // {300_000_000}) - off) * {300_000_000} AS ws_us,
+             value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off))
+    SELECT ws_us, {sql_frms('value', 1_000_000)} AS rms_value,
+           count(*) AS n_events
+    FROM x GROUP BY ws_us HAVING count(*) >= 5 ORDER BY ws_us
+    """,
+)
+def q57(spark, sf_dir):
+    e = T(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    win = F.window(F.timestamp_micros(F.col("ts_us")), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(frms("value").alias("rms_value"), F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= 5)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            "rms_value",
+            "n_events",
+        )
+        .orderBy("ws_us")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

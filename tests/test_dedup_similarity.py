@@ -187,3 +187,25 @@ def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
         for r in S.ivf_topk(S.ivf_assign(emb, c2), c2, qvec, k=10, n_probe=4).collect()
     ]
     assert len(set(exact) & set(got)) / 10 >= 0.5
+
+
+def test_batch_topk_matches_single_query_topk(spark, emb):
+    """batch_cosine_topk(queries) == cosine_topk run per query (modulo
+    the batch op's fixed-point ranking), and the query batch broadcasts."""
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = S.batch_cosine_topk(emb, qs, k=5)
+    got = {
+        q: [r["vec_id"] for r in rows]
+        for q, rows in __import__("itertools").groupby(
+            batch.orderBy("q_id", F.desc("sim_fx"), "vec_id").collect(),
+            key=lambda r: r["q_id"],
+        )
+    }
+    for q in range(3):
+        qvec = emb.where(F.col("vec_id") == q).collect()[0]["embedding"]
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=5).collect()]
+        assert got[q] == exact, (q, got[q], exact)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
