@@ -164,3 +164,29 @@ def ngram_contamination(
         .groupBy("corpus_id", "bench_id")
         .agg(F.count_distinct("gram").alias("n_overlap_grams"))
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.10,
+    keep: str = "above",
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus-relative quality gate: keep rows whose score clears the
+    q-th quantile (the Gopher/C4-style "drop the worst X%" filter,
+    where the cut must adapt to the corpus, not a fixed constant).
+
+    The threshold is a 1-row aggregate broadcast back over the corpus
+    — no driver collect, the scan stays distributed.  ``exact=True``
+    uses ``percentile`` (a full sort of scores — needed for bit-exact
+    oracle parity and fine into the low billions of rows);
+    the default ``approx_percentile`` (t-digest, mergeable, one pass)
+    is the 100 TB path where a +-0.1% cut boundary is immaterial.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    thr = df.select(F.expr(f"{fn}({score_col}, {q})").alias("_thr"))
+    op = (F.col(score_col) >= F.col("_thr")) if keep == "above" else (
+        F.col(score_col) <= F.col("_thr")
+    )
+    return df.join(F.broadcast(thr)).where(op).drop("_thr")

@@ -1755,6 +1755,47 @@ def q57(spark, sf_dir):
     )
 
 
+# -- q58: corpus-relative quality gate — drop docs below the 10th
+#    percentile of stopword-density score (integer score so the
+#    percentile interpolation is exact on both engines; exact
+#    percentile here for parity, approx_percentile is the scale path).
+@query(
+    "q58_quality_percentile_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, len(toks) AS n_tok,
+             (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+              * 1000) // len(toks) AS score
+      FROM t WHERE len(toks) > 0),
+    thr AS (SELECT quantile_cont(score, 0.10) AS p10 FROM s)
+    SELECT s.lang, count(*) AS n_kept,
+           CAST(sum(s.n_tok) AS BIGINT) AS tokens_kept
+    FROM s, thr WHERE s.score >= thr.p10
+    GROUP BY s.lang ORDER BY s.lang
+    """,
+)
+def q58(spark, sf_dir):
+    docs = X.quality_features(T(spark, sf_dir, "documents"))
+    s = docs.where(F.col("n_tokens") > 0).select(
+        "lang",
+        "n_tokens",
+        F.expr("(n_stopwords * 1000) div n_tokens").alias("score"),
+    )
+    kept = P.quantile_threshold_filter(s, "score", q=0.10, exact=True)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

@@ -113,3 +113,16 @@ def test_pipeline_ops_null_robustness(spark):
     assert out[1].text is None and out[1].n_email is None
     split = {r.doc_id: r.split for r in P.hash_split(df, "doc_id").collect()}
     assert split[None] == "test"
+
+
+def test_quantile_threshold_filter(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, score double")
+    kept = P.quantile_threshold_filter(df, "score", q=0.10, exact=True).toPandas()
+    # p10 of 0..99 (interpolated) = 9.9 -> keep scores >= 9.9 -> ids 10..99
+    assert sorted(kept.id) == list(range(10, 100))
+    worst = P.quantile_threshold_filter(df, "score", q=0.10, keep="below",
+                                        exact=True).toPandas()
+    assert sorted(worst.id) == list(range(0, 10))
+    # approx path: same shape on uniform data, no crash
+    approx = P.quantile_threshold_filter(df, "score", q=0.10).toPandas()
+    assert 80 <= len(approx) <= 95
