@@ -65,3 +65,42 @@ def write_parquet(
         .option("parquet.writer.version", page_version)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark,
+    root: str,
+    partition_cols: list[str],
+    target_records_per_file: int = 5_000_000,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Small-file compaction for a Hive-partitioned table (the
+    operational tail of S8: a per-acquisition writer — or a streaming
+    sink — leaves many tiny files per partition; readers then pay one
+    task+open per file).
+
+    Rewrites each partition's files into ceil(rows/target) files via a
+    single distributed job: read -> repartition ON THE PARTITION KEYS
+    (so each output partition's rows co-locate, one writer task per
+    partition instead of every task writing to every partition) ->
+    dynamic-overwrite ONLY the partitions present.  ``sort_within``
+    re-sorts rows inside each rewritten file so delta encoding
+    survives compaction.  Returns the number of rows rewritten.
+
+    At 100 TB: run per-partition-subset (pass a root with partition
+    predicates pushed, e.g. ``.../year=2025/month=7``) so one
+    compaction job never rewrites the whole table.
+    """
+    df = spark.read.parquet(root)
+    n = df.count()
+    out = df.repartition(*partition_cols)
+    if sort_within:
+        out = out.sortWithinPartitions(*partition_cols, *sort_within)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )
+    return n

@@ -172,3 +172,40 @@ def test_write_parquet_sorted_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.schema == df.schema
     assert sorted(r.value for r in back.collect()) == [-4.0, -2.0, 1.0, 3.0]
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """Many tiny files per partition -> one file per partition after
+    compaction, same rows, delta-friendly sort restored."""
+    import glob
+    import pandas as pd
+    from gcf_corima_parquet_converter_spark.sinks import compact_partitions
+
+    root = str(tmp_path / "table")
+    pdf = pd.DataFrame(
+        {
+            "Time": range(1000),
+            "v": [float(i) for i in range(1000)],
+            "alias": ["A"] * 500 + ["B"] * 500,
+        }
+    )
+    # simulate a drip-feed writer: 10 appends of 100 rows each
+    for i in range(10):
+        (
+            spark.createDataFrame(pdf.iloc[i * 100 : (i + 1) * 100])
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("alias")
+            .parquet(root)
+        )
+    files_before = glob.glob(f"{root}/alias=*/*.parquet")
+    assert len(files_before) > 20
+
+    n = compact_partitions(spark, root, ["alias"], sort_within=["Time"])
+    assert n == 1000
+    files_after = glob.glob(f"{root}/alias=*/*.parquet")
+    assert len(files_after) == 2  # one per partition
+    back = spark.read.parquet(root).toPandas()
+    assert len(back) == 1000
+    assert set(back.alias) == {"A", "B"}
+    assert sorted(back.Time) == list(range(1000))
