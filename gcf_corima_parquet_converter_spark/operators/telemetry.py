@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..schema.sanitize import sanitize_columns
 
@@ -193,3 +193,72 @@ def write_hive_partitioned(
         .partitionBy(*partition_cols)
         .parquet(root)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_cols: Sequence[str],
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: int | None = None,
+    asof_col: str = "_asof_time",
+) -> DataFrame:
+    """As-of join (J3 family): attach to each left row the latest right
+    row at-or-before its ``on`` value (backward), or the earliest
+    at-or-after (forward) — pandas ``merge_asof`` semantics, per ``by``
+    group, plus an optional ``tolerance`` (same units as ``on``) beyond
+    which the match is nulled.
+
+    Implemented as ONE window pass over the unioned stream: right rows
+    interleave with left rows in ``on`` order and their payload is
+    carried by ``last(ignorenulls)`` — no per-row subquery, no range
+    cross-join blowup; the cost is a single sort within ``by``
+    partitions, which is how it stays linear at 100 TB (same pattern
+    the reference's latent tag/as-of path needs, main.py:78).  Left
+    rows with no match keep nulls (left-join semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    lhs = left.withColumn("_side", F.lit(1)).withColumns(
+        {c: F.lit(None).cast(right.schema[c].dataType) for c in right_cols}
+        | {asof_col: F.lit(None).cast(right.schema[on].dataType)}
+    )
+    rhs = right.select(
+        *by, F.col(on), *right_cols, F.col(on).alias(asof_col), F.lit(0).alias("_side")
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    both = lhs.unionByName(rhs.select(lhs.columns))
+    # Trailing right-payload sort keys make duplicate (by, on) right
+    # rows deterministic: the greatest payload tuple wins.  Without
+    # them the window's tie order — hence the carried match — would
+    # depend on partitioning (merge_asof's input-row-order tiebreak
+    # has no distributed meaning).
+    tiebreak = [F.col(c).asc() for c in right_cols]
+    order = [F.col(on).asc(), F.col("_side").asc(), *tiebreak]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("_side").asc(), *tiebreak]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in [*right_cols, asof_col]}
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        gap = (
+            (F.col(on) - F.col(asof_col))
+            if direction == "backward"
+            else (F.col(asof_col) - F.col(on))
+        )
+        ok = F.col(asof_col).isNotNull() & (gap <= F.lit(tolerance))
+        out = out.withColumns(
+            {c: F.when(ok, F.col(c)) for c in [*right_cols, asof_col]}
+        )
+    return out

@@ -160,3 +160,52 @@ def test_hive_write_preserves_other_partitions(spark, tmp_path):
     # idempotent re-write of A: same total rows, A not duplicated
     TM.write_hive_partitioned(frame("A", 1), root)
     assert spark.read.parquet(root).count() == 4
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Backward/forward/tolerance parity with pandas merge_asof on a
+    two-key dataset with unmatched rows on both ends."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60),
+            "t": np.sort(rng.integers(0, 1000, 60)),
+            "lv": np.arange(60),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 25),
+            # unique on-values: merge_asof breaks (k,t) ties by input
+            # row order, which has no distributed analogue (asof_join
+            # uses a greatest-payload tiebreak instead)
+            "t": np.sort(rng.choice(1000, 25, replace=False)),
+            "rv": np.arange(25) * 10,
+        }
+    )
+    L, R = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 100):
+            exp = pd.merge_asof(
+                left.sort_values("t", kind="mergesort"),
+                right.sort_values("t", kind="mergesort"),
+                on="t", by="k", direction=direction,
+                tolerance=tol,
+            ).sort_values("lv")
+            got = (
+                TM.asof_join(
+                    L, R, on="t", right_cols=["rv"], by=["k"],
+                    direction=direction, tolerance=tol,
+                )
+                .orderBy("lv")
+                .toPandas()
+            )
+            assert len(got) == len(exp)
+            g = got["rv"].astype("float64").to_numpy()
+            e = exp["rv"].astype("float64").to_numpy()
+            same = (g == e) | (np.isnan(g) & np.isnan(e))
+            assert same.all(), (direction, tol, got[~same], exp[~same])
