@@ -51,6 +51,31 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     return df.join(winners, id_col, "left_semi")
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, content_cols: list[str], id_col: str, score_col: str
+) -> DataFrame:
+    """Keep the highest-``score_col`` row per distinct content (ties:
+    lowest id) — the production survivor policy: when a document exists
+    in several crawls/sources, keep the best copy, not the first seen.
+
+    Same zero-payload-shuffle shape as ``exact_dedup``: only (digest,
+    score, id) triples move; ``max_by`` over a (score, -id) struct makes
+    the winner deterministic under any partitioning.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols)).alias("_digest")
+    winners = (
+        df.select(digest, F.col(id_col), F.col(score_col))
+        .groupBy("_digest")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 # --------------------------------------------------------------- shingles
 
 

@@ -1796,6 +1796,28 @@ def q58(spark, sf_dir):
     )
 
 
+# -- q59: dedup with quality-ranked survivor selection — keep the
+#    longest copy of each duplicate group (ties: lowest id), the
+#    production policy when the same document arrives via many crawls.
+@query(
+    "q59_dedup_keep_best",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+    ORDER BY d.doc_id
+    """,
+)
+def q59(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    kept = D.exact_dedup_keep_best(docs, ["text"], "doc_id", "n_chars")
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

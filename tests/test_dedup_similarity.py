@@ -209,3 +209,24 @@ def test_batch_topk_matches_single_query_topk(spark, emb):
         assert got[q] == exact, (q, got[q], exact)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_keep_best_survivor_policy(spark):
+    """Highest score survives per duplicate group; score ties fall back
+    to lowest id; unique docs always survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 10.0),
+            (2, "same text", 30.0),   # winner: best score
+            (3, "same text", 20.0),
+            (4, "other", 5.0),
+            (5, "tied", 7.0),         # winner: tie -> lowest id
+            (6, "tied", 7.0),
+        ],
+        "doc_id long, text string, score double",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.exact_dedup_keep_best(df, ["text"], "doc_id", "score").collect()
+    )
+    assert kept == [2, 4, 5]

@@ -321,3 +321,40 @@ def test_label_stream_matches_batch_interval_join(spark, tmp_path):
     assert list(got.label) == list(expect.label)
     # interval semantics: [start, end) — ids 5..11 run, 20..24 idle
     assert list(got.sample_id) == list(range(5, 12)) + list(range(20, 25))
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path):
+    """hash_split and redact_pii are pure narrow maps, so they apply
+    unchanged to a streaming ingest — the continuous training-data
+    pipeline shape (stream -> split/scrub -> partitioned sink)."""
+    from gcf_corima_parquet_converter_spark.operators.pipeline import (
+        hash_split,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "cur_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [f"doc {i} contact x{i}@example.com ok" for i in range(50)],
+        }
+    ).to_parquet(f"{src}/a.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "cur_out")
+    q = (
+        redact_pii(hash_split(stream, "doc_id"), "text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 50
+    assert set(got.split) <= {"train", "val", "test"}
+    assert (got.n_email == 1).all()
+    assert got.text.str.contains(r"\[EMAIL\]", regex=True).all()
+    assert not got.text.str.contains("example.com").any()
