@@ -58,3 +58,48 @@ def test_sanitize_name_idempotent_and_safe(name):
     once = sanitize_name(name)
     assert sanitize_name(once) == once  # idempotent
     assert " " not in once and "[" not in once and "]" not in once
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_pandas_property(spark, data):
+    """asof_join == pandas merge_asof for random inputs (right side
+    unique per (k, t) — duplicate on-values use the engine's own
+    deterministic tiebreak, which pandas cannot model)."""
+    import pandas as pd
+
+    from gcf_corima_parquet_converter_spark.operators.telemetry import asof_join
+
+    n_l = data.draw(st.integers(1, 25))
+    lt = data.draw(
+        st.lists(st.integers(0, 100), min_size=n_l, max_size=n_l)
+    )
+    lk = data.draw(
+        st.lists(st.integers(0, 2), min_size=n_l, max_size=n_l)
+    )
+    rt = sorted(
+        data.draw(st.sets(st.integers(0, 100), min_size=1, max_size=15))
+    )
+    rk = data.draw(
+        st.lists(st.integers(0, 2), min_size=len(rt), max_size=len(rt))
+    )
+    direction = data.draw(st.sampled_from(["backward", "forward"]))
+    left = pd.DataFrame({"k": lk, "t": sorted(lt), "lv": range(n_l)})
+    right = pd.DataFrame({"k": rk, "t": rt, "rv": [v * 10 for v in range(len(rt))]})
+
+    exp = pd.merge_asof(left, right, on="t", by="k", direction=direction)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            right_cols=["rv"],
+            by=["k"],
+            direction=direction,
+        )
+        .orderBy("lv")
+        .toPandas()
+    )
+    e = exp.sort_values("lv")["rv"].astype("float64").to_numpy()
+    g = got["rv"].astype("float64").to_numpy()
+    assert ((e == g) | (np.isnan(e) & np.isnan(g))).all(), (direction, exp, got)
