@@ -40,6 +40,7 @@ HEADLINE = [
     "q50_hash_split",
     "q52_contamination",
     "q53_sql_above_avg_orders",
+    "q60_curation_pipeline",
 ]
 
 

@@ -1818,6 +1818,75 @@ def q59(spark, sf_dir):
     return kept.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+# -- q60: the full curation pipeline, end to end — exact dedup (keep
+#    first), benchmark decontamination (anti-join on 4-gram overlap),
+#    quality gate, deterministic split, per-(lang, split) audit.  Every
+#    stage is individually oracle-proven (q22/q52/q23/q50); this pins
+#    their COMPOSITION, which is what a production corpus build runs.
+@query(
+    "q60_curation_pipeline",
+    r"""
+    WITH dedup AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')))
+               AS gram
+      FROM toks),
+    g AS (SELECT DISTINCT doc_id, gram FROM g_raw WHERE length(gram) > 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM g c JOIN g b ON c.gram = b.gram
+      WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'r1'),
+                                            1, 8)) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'r1'),
+                                            1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split,
+             len(string_split_regex(trim(d.text), '\s+')) AS n_tok,
+             len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                             x -> x IN ('the','a','and','of','to','in'))) AS n_stop
+      FROM documents d
+      JOIN dedup k ON d.doc_id = k.doc_id
+      WHERE d.doc_id % 50 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM kept
+    WHERE n_tok >= 5 AND length(text) >= 20 AND n_stop * 20 >= n_tok
+    GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q60(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    deduped = D.exact_dedup(docs, ["text"], "doc_id")
+    corpus = deduped.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    dirty = (
+        P.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    scored = X.quality_features(clean)
+    final = P.hash_split(scored.where("quality_keep"), "doc_id", salt="r1")
+    return (
+        final.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
