@@ -684,7 +684,7 @@ def q18(spark, sf_dir):
     "q19_events_json_extract",
     r"""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -1177,10 +1177,10 @@ def q37(spark, sf_dir):
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           SUM(len(regexp_extract_all(text,
+           CAST(SUM(len(regexp_extract_all(text,
                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
-             AS bpe_tokens,
-           SUM(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens
+             AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -1341,9 +1341,9 @@ def q43(spark, sf_dir):
     "q44_pivot_order_status",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY yr ORDER BY yr
     """,
 )

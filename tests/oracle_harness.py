@@ -50,7 +50,25 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _assert_driver_safe_oracle_types(con, sql: str, name: str):
+    """The driver hash-compares Arrow values, so a DuckDB HUGEINT/DECIMAL
+    (decimal128) oracle column hash-mismatches Spark's BIGINT even when the
+    values are equal. _normalize used to mask that locally (int64 coercion) —
+    fail loudly instead so the bug class can't survive pytest.
+    """
+    import pyarrow as pa
+
+    schema = con.execute(sql).arrow().schema
+    bad = [f"{f.name}:{f.type}" for f in schema if pa.types.is_decimal(f.type)]
+    assert not bad, (
+        f"{name}: oracle SQL yields decimal128/HUGEINT columns {bad} — the "
+        f"driver's Arrow hash compare will fail even if values match. "
+        f"Wrap the aggregate as CAST(... AS BIGINT/DOUBLE) in the oracle SQL."
+    )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
+    _assert_driver_safe_oracle_types(con, sql, name)
     s = _normalize(spark_df.toPandas())
     d = _normalize(con.execute(sql).df())
     assert list(s.columns) == list(d.columns), (
