@@ -247,10 +247,23 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in [*right_cols, asof_col]}
+    # Carry ONE struct per matched right row rather than per-column
+    # last(ignorenulls): the struct is non-null for every right row even
+    # when individual payload fields are null, so a matched right row
+    # with a genuinely-NULL payload propagates that NULL instead of a
+    # stale value from an earlier right row (pandas merge_asof parity).
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(c) for c in [*right_cols, asof_col]]),
     )
-    out = carried.where(F.col("_side") == 1).drop("_side")
+    carried = both.withColumn("_asof_payload", F.last(payload, ignorenulls=True).over(w))
+    out = (
+        carried.where(F.col("_side") == 1)
+        .withColumns(
+            {c: F.col("_asof_payload").getField(c) for c in [*right_cols, asof_col]}
+        )
+        .drop("_side", "_asof_payload")
+    )
     if tolerance is not None:
         gap = (
             (F.col(on) - F.col(asof_col))

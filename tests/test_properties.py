@@ -84,14 +84,27 @@ def test_asof_join_matches_pandas_property(spark, data):
         st.lists(st.integers(0, 2), min_size=len(rt), max_size=len(rt))
     )
     direction = data.draw(st.sampled_from(["backward", "forward"]))
+    # Some right rows carry a genuinely-NULL payload: a matched null row
+    # must yield null, not a stale value from an earlier right row.
+    null_mask = data.draw(
+        st.lists(st.booleans(), min_size=len(rt), max_size=len(rt))
+    )
+    rv_vals = [
+        None if null_mask[v] else float(v * 10) for v in range(len(rt))
+    ]
     left = pd.DataFrame({"k": lk, "t": sorted(lt), "lv": range(n_l)})
-    right = pd.DataFrame({"k": rk, "t": rt, "rv": [v * 10 for v in range(len(rt))]})
+    right = pd.DataFrame(
+        {"k": rk, "t": rt, "rv": [np.nan if v is None else v for v in rv_vals]}
+    )
 
     exp = pd.merge_asof(left, right, on="t", by="k", direction=direction)
+    spark_right = spark.createDataFrame(
+        list(zip(rk, rt, rv_vals)), schema="k long, t long, rv double"
+    )
     got = (
         asof_join(
             spark.createDataFrame(left),
-            spark.createDataFrame(right),
+            spark_right,
             on="t",
             right_cols=["rv"],
             by=["k"],

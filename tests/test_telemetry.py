@@ -209,3 +209,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             e = exp["rv"].astype("float64").to_numpy()
             same = (g == e) | (np.isnan(g) & np.isnan(e))
             assert same.all(), (direction, tol, got[~same], exp[~same])
+
+
+def test_asof_join_null_payload_propagates(spark):
+    """A matched right row whose payload column is genuinely NULL must
+    yield NULL — not a stale payload from an earlier right row (pandas
+    merge_asof parity; round-2 regression for the per-column
+    last(ignorenulls) carry bug)."""
+    import gcf_corima_parquet_converter_spark.operators.telemetry as TM
+
+    L = spark.createDataFrame([(1, 10, 0), (1, 25, 1)], "k long, t long, lv long")
+    R = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, None)], "k long, t long, rv double"
+    )
+    got = {
+        r["lv"]: (r["rv"], r["_asof_time"])
+        for r in TM.asof_join(
+            L, R, on="t", right_cols=["rv"], by=["k"], direction="backward"
+        ).collect()
+    }
+    assert got[0] == (100.0, 5)  # matched the t=5 row
+    # t=25 matches the t=20 right row, whose rv is genuinely NULL:
+    assert got[1] == (None, 20), got[1]
