@@ -392,14 +392,32 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_brute: bool = False,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With ``block_col`` the self-join is
-    equi on the block (e.g. an LSH bucket from similarity.hyperplane_
-    buckets or a coarse IVF centroid) — the scalable path.  Without it,
-    a bounded brute-force cross join (testing / small partitions only).
+    equi on the block (e.g. an LSH bucket from similarity.with_lsh_bucket
+    or a coarse IVF centroid) — the scalable path.  Without a block
+    column, sign-LSH buckets are computed INTERNALLY (``n_planes`` x
+    ``n_tables`` OR-amplified tables) so the default plan is always a
+    bucketed equi-join — never a cartesian product.  The exact all-pairs
+    cross join survives only behind an explicit ``allow_brute=True``
+    (oracle/testing use: it is O(n^2) shuffle and a scale-killer on any
+    real embedding table).
     """
-    from .similarity import dot  # local import to avoid cycle
+    from .similarity import dot, with_lsh_bucket  # local import, avoids cycle
 
+    if block_col is None and not allow_brute:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])  # one-row peek
+        emb = with_lsh_bucket(
+            emb, n_planes=n_planes, n_tables=n_tables,
+            vec_col=vec_col, dim=dim, seed=seed,
+        )
+        block_col = "lsh_bucket"
     if block_col and dict(emb.dtypes)[block_col].startswith("array"):
         # multi-table LSH: explode (table, bucket) pairs; a pair is a
         # candidate if it collides in ANY table (distinct dedups the ORs)

@@ -12,6 +12,7 @@ by centroid; LSH buckets make all-pairs linear-ish.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -99,25 +100,64 @@ def with_lsh_bucket(
 # ----------------------------------------------------------------- IVF
 
 
+# Above this K the literal expression tree (K dot-product expressions,
+# each O(dim) nodes) bloats plan size / codegen; switch to an
+# Arrow-batched matmul against a broadcast numpy codebook instead.
+IVF_MATMUL_K_THRESHOLD = 64
+
+
+def _ivf_assign_matmul(
+    emb: DataFrame, cents: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Large-K assign: one Arrow-batched ``codebook @ batch.T`` per
+    record batch.  The codebook ships once per executor as a real Spark
+    broadcast (a K=64k x dim=1k float64 codebook is ~512 MB as literals
+    *per expression*, but one shared read-only block as a broadcast);
+    plan size is O(1) in K."""
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_list()).astype(np.float64, copy=False)
+        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid_id", _assign(F.col(vec_col)))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_matmul: bool | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-dot) centroid.
 
-    ``centroids`` is a small driver-side matrix (an IVF codebook is KBs
-    — broadcast as literals, evaluated fully JVM-side).  At scale the
-    output is written bucketed by ``centroid_id`` so probes prune files.
+    ``centroids`` is a driver-side matrix.  Two physical strategies:
 
-    Implemented as argmax over a scores ARRAY bound to its own
-    projection.  The obvious iterative ``when(score > best, ...)`` fold
-    embeds the previous best-score expression twice per centroid — a
-    2^K expression-tree blowup that OOMs the driver at K=16 before a
-    single row is read.  Ties keep the lowest centroid id
-    (array_position returns the first match).
+    * small K (<= IVF_MATMUL_K_THRESHOLD, default): codebook inlined as
+      literals, argmax over a scores ARRAY bound to its own projection —
+      fully JVM-side, whole-stage-codegen, bit-reproducible.  The
+      obvious iterative ``when(score > best, ...)`` fold embeds the
+      previous best-score expression twice per centroid — a 2^K
+      expression-tree blowup that OOMs the driver at K=16 before a
+      single row is read.  Ties keep the lowest centroid id
+      (array_position returns the first match).
+    * large K (production codebooks, 1k-64k): Arrow-batched numpy
+      matmul against a broadcast codebook (plan is O(1) in K; a literal
+      tree at K=1024 is tens of MB of expression nodes and minutes of
+      codegen).  numpy argmax also keeps the lowest id on ties.
+
+    At scale the output is written bucketed by ``centroid_id`` so
+    probes prune files.
     """
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if use_matmul is None:
+        use_matmul = len(centroids) > IVF_MATMUL_K_THRESHOLD
+    if use_matmul:
+        return _ivf_assign_matmul(emb, centroids, vec_col)
     scores = F.array(*[dot(F.col(vec_col), lit_vec(c)) for c in centroids])
     scored = emb.withColumn("_scores", scores)
     return scored.withColumn(
@@ -133,19 +173,29 @@ def train_centroids_sample(
     vec_col: str = "embedding",
     stride: int | None = None,
 ) -> np.ndarray:
-    """Deterministic codebook: every stride-th vector by id (a k-means
-    seeding without iteration — adequate for bucketing; swap in k-means||
-    when recall targets demand it)."""
-    if stride is None:
-        total = emb.count()
-        stride = max(total // n_centroids, 1)
-    rows = (
-        emb.where(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
+    """Deterministic codebook seeding without a counting pre-pass: the
+    ``n_centroids`` rows with the smallest ``xxhash64(id)`` — an
+    order-statistic sample that is (a) deterministic, (b) uniform-ish
+    over the id space, and (c) ONE TakeOrderedAndProject scan (per-
+    partition top-k then a driver merge of k-row partials; the old
+    ``count()``-derived stride burned a full extra scan just to pick a
+    stride).  Passing ``stride`` explicitly keeps the legacy every-
+    stride-th-by-id behavior."""
+    if stride is not None:
+        rows = (
+            emb.where(F.col(id_col) % stride == 0)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect()
+        )
+    else:
+        rows = (
+            emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect()
+        )
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 

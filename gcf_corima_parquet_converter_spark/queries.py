@@ -982,7 +982,8 @@ def q28(spark, sf_dir):
 )
 def q29(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
-    pairs = D.embedding_near_dup_pairs(e, threshold=0.4)
+    # exact all-pairs to mirror the SQL oracle; brute is opt-in only
+    pairs = D.embedding_near_dup_pairs(e, threshold=0.4, allow_brute=True)
     return pairs.select(
         "id_a", "id_b", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
     ).orderBy("id_a", "id_b")

@@ -105,7 +105,9 @@ def test_lsh_bucket_blocking_vs_bruteforce(spark, emb):
     both = sub.unionByName(near)
     brute = {
         (r["id_a"], r["id_b"])
-        for r in D.embedding_near_dup_pairs(both, threshold=0.9).collect()
+        for r in D.embedding_near_dup_pairs(
+            both, threshold=0.9, allow_brute=True
+        ).collect()
     }
     bucketed = D.embedding_near_dup_pairs(
         S.with_lsh_bucket(both, n_planes=10, n_tables=4),
@@ -230,3 +232,65 @@ def test_exact_dedup_keep_best_survivor_policy(spark):
         for r in D.exact_dedup_keep_best(df, ["text"], "doc_id", "score").collect()
     )
     assert kept == [2, 4, 5]
+
+
+def test_embedding_near_dup_default_is_not_cartesian(spark, emb):
+    """Round-2 de-fang: with no block_col the operator must build LSH
+    buckets internally and equi-join on them — a cartesian product may
+    appear ONLY behind an explicit allow_brute=True."""
+    sub = emb.where(F.col("vec_id") <= 100)
+    default_plan = (
+        D.embedding_near_dup_pairs(sub, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in default_plan, default_plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in default_plan, default_plan[:2000]
+    brute_plan = (
+        D.embedding_near_dup_pairs(sub, threshold=0.9, allow_brute=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert (
+        "CartesianProduct" in brute_plan
+        or "BroadcastNestedLoopJoin" in brute_plan
+    )
+
+
+def test_ivf_assign_matmul_matches_literal_path(spark, emb):
+    """The Arrow-batch matmul assign must agree with the JVM literal
+    argmax exactly (both keep the lowest centroid id on ties)."""
+    cents = S.train_centroids_sample(emb, n_centroids=8)
+    lit = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(emb, cents, use_matmul=False).collect()
+    }
+    mm = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(emb, cents, use_matmul=True).collect()
+    }
+    assert lit == mm
+
+
+def test_ivf_assign_plan_is_o1_in_k(spark, emb):
+    """At production K the plan must NOT inline the codebook: plan size
+    stays flat from K=256 to K=1024 (literal plans grow linearly —
+    tens of MB of expression nodes at real codebook sizes)."""
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    plans = {}
+    for k in (256, 1024):
+        cents = rng.standard_normal((k, dim))
+        df = S.ivf_assign(emb, cents)  # default: matmul above threshold
+        plans[k] = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plans[k] or "Python" in plans[k]
+    assert abs(len(plans[1024]) - len(plans[256])) < 1000, (
+        len(plans[256]), len(plans[1024])
+    )
+
+
+def test_train_centroids_sample_no_count_prepass(spark, emb):
+    """Default seeding is one TakeOrderedAndProject scan — no count()
+    job; deterministic across calls."""
+    a = S.train_centroids_sample(emb, n_centroids=8)
+    b = S.train_centroids_sample(emb, n_centroids=8)
+    assert a.shape == (8, len(emb.select("embedding").first()[0]))
+    assert (a == b).all()
