@@ -11,6 +11,8 @@ types — built once at plan time, never inferred from data.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any
 
 from pyspark.sql.types import (
@@ -115,3 +117,261 @@ def decode_params_from_status(
         odr=float(status.get("odr", 26667.0)),
         axis_names=names,
     )
+
+
+# ------------------------------------------------ device-template catalog
+
+
+def _hex_id(v: int | str) -> str:
+    """Catalog ids are lowercase hex strings ('0x10'); ints are hexed the
+    way the reference's add path does (device_template_manager.py:101-103)."""
+    return hex(v) if isinstance(v, int) else str(v).lower()
+
+
+class DeviceTemplateCatalog:
+    """File-backed ``(board_id, fw_id) -> device template`` resolution —
+    parity with the reference's DeviceTemplateManager catalog statics
+    (stdatalog_pnpl DTDL/device_template_manager.py:100-199):
+
+    * ``query(board_id, fw_id)``: for every catalog entry matching the
+      pair, a non-empty ``custom_dtmi`` OVERRIDES ``local_dtmi``
+      (query_dtdl_model:139-160).  Exactly one hit returns the parsed
+      template JSON; several hits return ``{dtmi_path: template}``;
+      none returns ``None`` (the reference returns ``""`` — None is the
+      Pythonic spelling of the same sentinel).
+    * ``add_custom(board_id, fw_id, name, template)``: updates the
+      matching entry's ``custom_dtmi`` (or appends a new entry) and
+      writes the model file (add_dtdl_model:100-136).
+    * ``remove_custom(board_id, fw_id)``: deletes the custom model file
+      and clears the override, restoring the base template
+      (remove_custom_dtdl_model:85-98).
+
+    The catalog is tiny driver-side state (a JSON index plus KB-scale
+    template files); the resolved StructType is then applied to the
+    distributed scan — schema resolution never touches executors.
+    """
+
+    INDEX = "usb_device_catalog.json"
+
+    def __init__(self, catalog_dir: str):
+        self.catalog_dir = catalog_dir
+        self.index_path = os.path.join(catalog_dir, self.INDEX)
+
+    # -- index I/O ----------------------------------------------------
+    def _read_index(self) -> list[dict]:
+        if not os.path.exists(self.index_path):
+            return []
+        with open(self.index_path) as f:
+            return json.load(f)
+
+    def _write_index(self, entries: list[dict]) -> None:
+        os.makedirs(self.catalog_dir, exist_ok=True)
+        with open(self.index_path, "w") as f:
+            json.dump(entries, f, indent=4)
+
+    def _load_model(self, dtmi_path: str):
+        p = dtmi_path
+        if not os.path.isabs(p):
+            p = os.path.join(self.catalog_dir, p)
+        with open(p) as f:
+            return json.load(f)
+
+    # -- reference-parity API ----------------------------------------
+    def query(self, board_id: int | str, fw_id: int | str):
+        b, w = _hex_id(board_id), _hex_id(fw_id)
+        dtmi_paths = []
+        for entry in self._read_index():
+            if _hex_id(entry.get("board_id", "")) != b:
+                continue
+            if _hex_id(entry.get("fw_id", "")) != w:
+                continue
+            if entry.get("custom_dtmi"):
+                dtmi_paths.append(entry["custom_dtmi"])
+            elif entry.get("local_dtmi"):
+                dtmi_paths.append(entry["local_dtmi"])
+        if not dtmi_paths:
+            return None
+        if len(dtmi_paths) == 1:
+            return self._load_model(dtmi_paths[0])
+        return {p: self._load_model(p) for p in dtmi_paths}
+
+    def add_custom(
+        self,
+        board_id: int | str,
+        fw_id: int | str,
+        model_name: str,
+        template_json,
+    ) -> str:
+
+        b, w = _hex_id(board_id), _hex_id(fw_id)
+        rel = os.path.join("dtmi", "custom", os.path.basename(model_name) + ".json")
+        entries = self._read_index()
+        for entry in entries:
+            if (
+                _hex_id(entry.get("board_id", "")) == b
+                and _hex_id(entry.get("fw_id", "")) == w
+            ):
+                entry["custom_dtmi"] = rel
+                break
+        else:
+            entries.append({"board_id": b, "fw_id": w, "custom_dtmi": rel})
+        target = os.path.join(self.catalog_dir, rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            json.dump(template_json, f)
+        self._write_index(entries)
+        return rel
+
+    def remove_custom(self, board_id: int | str, fw_id: int | str) -> None:
+        b, w = _hex_id(board_id), _hex_id(fw_id)
+        entries = self._read_index()
+        for entry in entries:
+            if (
+                _hex_id(entry.get("board_id", "")) == b
+                and _hex_id(entry.get("fw_id", "")) == w
+                and entry.get("custom_dtmi")
+            ):
+                p = entry["custom_dtmi"]
+                if not os.path.isabs(p):
+                    p = os.path.join(self.catalog_dir, p)
+                if os.path.exists(p):
+                    os.remove(p)
+                entry["custom_dtmi"] = ""
+        self._write_index(entries)
+
+    # -- Spark-side resolution ---------------------------------------
+    def resolve_structtypes(
+        self, board_id: int | str, fw_id: int | str
+    ) -> dict[str, StructType] | None:
+        """Resolve the pair straight to ``{component -> StructType}``
+        (catalog hit -> find_components -> interface_to_structtype);
+        None on a catalog miss."""
+        template = self.query(board_id, fw_id)
+        if template is None:
+            return None
+        if isinstance(template, dict) and "@id" not in template:
+            # multiple dtmi hits: first in catalog order wins for schema
+            template = next(iter(template.values()))
+        return {
+            name: interface_to_structtype(iface)
+            for name, iface in find_components(template).items()
+        }
+
+
+# --------------------------------------------- semantic annotations
+
+
+def content_constraints(interface: dict) -> dict[str, dict]:
+    """Per-Property semantic annotations from a DTDL interface —
+    ``minValue``/``maxValue`` (Integer/Double), ``decimalPlaces``
+    (Double), ``minLength``/``maxLength``/``trimWhitespace`` (String)
+    and Enum value sets (device_template_model.py:338-389 carries
+    exactly these fields).  Returns ``{column -> constraint dict}``
+    with only the annotations actually present."""
+    out: dict[str, dict] = {}
+    for c in interface.get("contents", []):
+        ctype = c.get("@type")
+        is_prop = (
+            "Property" in ctype if isinstance(ctype, list) else ctype == "Property"
+        )
+        if not is_prop or "name" not in c:
+            continue
+        cons: dict = {}
+        for src, dst in (
+            ("minValue", "min_value"),
+            ("maxValue", "max_value"),
+            ("decimalPlaces", "decimal_places"),
+            ("minLength", "min_length"),
+            ("maxLength", "max_length"),
+            ("trimWhitespace", "trim_whitespace"),
+        ):
+            if c.get(src) is not None:
+                cons[dst] = c[src]
+        schema = c.get("schema")
+        if isinstance(schema, dict):
+            stype = schema.get("@type")
+            if isinstance(stype, list):
+                stype = stype[0]
+            if stype == "Enum":
+                cons["enum_values"] = [
+                    v.get("enumValue") for v in schema.get("enumValues", [])
+                ]
+        if cons:
+            out[c["name"]] = cons
+    return out
+
+
+def validate_constraints(
+    df,
+    interface: dict,
+    mode: str = "flag",
+    violations_col: str = "_violations",
+):
+    """Apply a DTDL interface's semantic annotations to a DataFrame as
+    pure built-in expressions (JVM-side; the check scales with the scan).
+
+    Modes:
+      * ``flag``   — append ``violations_col: array<string>`` naming
+        every failed check per row (empty array = clean row).
+      * ``filter`` — keep only clean rows.
+      * ``reject`` — keep only violating rows (the data-quality
+        quarantine side of the same split).
+      * ``enforce`` — REPAIR what the annotations define as repairable
+        (trimWhitespace -> trim, decimalPlaces -> round) and then flag
+        the remaining violations.
+    """
+    import pyspark.sql.functions as F
+
+    if mode not in ("flag", "filter", "reject", "enforce"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cons = content_constraints(interface)
+    cons = {k: v for k, v in cons.items() if k in df.columns}
+
+    if mode == "enforce":
+        for name, c in cons.items():
+            if c.get("trim_whitespace"):
+                df = df.withColumn(name, F.trim(F.col(name)))
+            if c.get("decimal_places") is not None:
+                df = df.withColumn(name, F.round(F.col(name), c["decimal_places"]))
+
+    checks = []
+    for name, c in cons.items():
+        col = F.col(name)
+        scol = F.trim(col) if (c.get("trim_whitespace") and mode != "enforce") else col
+        if c.get("min_value") is not None:
+            checks.append((f"{name}<minValue", col < F.lit(c["min_value"])))
+        if c.get("max_value") is not None:
+            checks.append((f"{name}>maxValue", col > F.lit(c["max_value"])))
+        if c.get("decimal_places") is not None and mode != "enforce":
+            checks.append(
+                (
+                    f"{name}!decimalPlaces",
+                    F.round(col, c["decimal_places"]) != col,
+                )
+            )
+        if c.get("min_length") is not None:
+            checks.append((f"{name}<minLength", F.length(scol) < c["min_length"]))
+        if c.get("max_length") is not None:
+            checks.append((f"{name}>maxLength", F.length(scol) > c["max_length"]))
+        if c.get("enum_values"):
+            checks.append(
+                (f"{name}!enum", ~col.isin(*[v for v in c["enum_values"]]))
+            )
+
+    # NULL values compare to NULL -> when() yields NULL -> array_compact
+    # drops it: nulls are "clean" here (SQL three-valued semantics);
+    # nullability itself is the schema's job, not an annotation's.
+    viol = (
+        F.array_compact(
+            F.array(*[F.when(cond, F.lit(label)) for label, cond in checks])
+        )
+        if checks
+        else F.array().cast("array<string>")
+    )
+
+    flagged = df.withColumn(violations_col, viol)
+    if mode in ("flag", "enforce"):
+        return flagged
+    if mode == "filter":
+        return flagged.where(F.size(violations_col) == 0).drop(violations_col)
+    return flagged.where(F.size(violations_col) > 0)

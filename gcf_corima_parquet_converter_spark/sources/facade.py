@@ -115,6 +115,29 @@ class Acquisition:
         """Sensor handle = parsed metadata + decode params (main.py:74)."""
         return load_meta(self.folder, name)
 
+    def resolve_device_template(
+        self,
+        catalog,
+        board_id: int | str | None = None,
+        fw_id: int | str | None = None,
+    ):
+        """Resolve this acquisition's device template from a
+        ``schema.dtdl.DeviceTemplateCatalog`` by ``(board_id, fw_id)``
+        — the reference's query_dtdl_model entry point
+        (device_template_manager.py:139-199: custom override beats the
+        base catalog template).  The ids come from the firmware info
+        when present; heterogeneous-fleet callers pass them explicitly.
+        Returns the template JSON (or ``{dtmi: template}`` on multiple
+        hits, ``None`` on a miss)."""
+        fw = self.get_firmware_info().get("firmware_info", {})
+        board_id = board_id if board_id is not None else fw.get("board_id")
+        fw_id = fw_id if fw_id is not None else fw.get("fw_id")
+        if board_id is None or fw_id is None:
+            raise ValueError(
+                "no (board_id, fw_id) in firmware info; pass them explicitly"
+            )
+        return catalog.query(board_id, fw_id)
+
     def tags(self) -> list[tuple[str, float, float]]:
         meta = self.get_sensor(self.sensors[0])
         return tag_intervals(meta.info, meta.start_time)

@@ -1,0 +1,211 @@
+"""DTDL device-template catalog lookup (board_id, fw_id) with
+custom-override precedence, and semantic-annotation constraints as
+validating projections — parity targets:
+stdatalog_pnpl DTDL/device_template_manager.py:100-199 (query/add/
+remove with custom_dtmi > local_dtmi) and
+DTDL/device_template_model.py:338-389 (minValue/maxValue/
+decimalPlaces/minLength/maxLength/trimWhitespace/Enum annotations).
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from gcf_corima_parquet_converter_spark.schema.dtdl import (
+    DeviceTemplateCatalog,
+    content_constraints,
+    interface_to_structtype,
+    validate_constraints,
+)
+
+IFACE_BASE = {
+    "@id": "dtmi:test:sensor;1",
+    "@type": "Interface",
+    "contents": [
+        {"@type": "Property", "name": "odr", "schema": "double"},
+        {"@type": "Property", "name": "enable", "schema": "boolean"},
+    ],
+}
+IFACE_CUSTOM = {
+    "@id": "dtmi:test:sensor;2",
+    "@type": "Interface",
+    "contents": [
+        {"@type": "Property", "name": "odr", "schema": "double"},
+        {"@type": "Property", "name": "fs", "schema": "integer"},
+    ],
+}
+
+
+def template(iface):
+    root = {
+        "@id": "dtmi:test:root;1",
+        "@type": "Interface",
+        "contents": [
+            {"@type": "Component", "name": "acc", "schema": iface["@id"]}
+        ],
+    }
+    return [root, iface]
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    cat = DeviceTemplateCatalog(str(tmp_path))
+    base_rel = os.path.join("dtmi", "base", "sensor_v1.json")
+    os.makedirs(tmp_path / "dtmi" / "base")
+    with open(tmp_path / base_rel, "w") as f:
+        json.dump(template(IFACE_BASE), f)
+    cat._write_index(
+        [
+            {"board_id": "0xe", "fw_id": "0x5", "local_dtmi": base_rel},
+            {"board_id": "0xf", "fw_id": "0x9", "local_dtmi": ""},
+        ]
+    )
+    return cat
+
+
+def test_catalog_hit_returns_base_template(catalog):
+    tpl = catalog.query(0x0E, 0x05)  # int ids hex-normalized
+    assert tpl is not None
+    assert tpl[1]["@id"] == "dtmi:test:sensor;1"
+
+
+def test_catalog_miss_returns_none(catalog):
+    assert catalog.query(0xAA, 0xBB) is None
+    # entry exists but has no dtmi at all -> miss
+    assert catalog.query(0x0F, 0x09) is None
+
+
+def test_custom_override_beats_local_and_restores(catalog):
+    catalog.add_custom(0x0E, 0x05, "sensor_v2", template(IFACE_CUSTOM))
+    tpl = catalog.query(0x0E, 0x05)
+    assert tpl[1]["@id"] == "dtmi:test:sensor;2"  # custom wins
+    catalog.remove_custom(0x0E, 0x05)
+    tpl = catalog.query(0x0E, 0x05)
+    assert tpl[1]["@id"] == "dtmi:test:sensor;1"  # base restored
+
+
+def test_add_custom_for_new_pair_appends_entry(catalog):
+    catalog.add_custom("0x20", "0x1", "other", template(IFACE_CUSTOM))
+    tpl = catalog.query("0x20", "0x1")
+    assert tpl[1]["@id"] == "dtmi:test:sensor;2"
+
+
+def test_resolve_structtypes_end_to_end(catalog):
+    types = catalog.resolve_structtypes(0x0E, 0x05)
+    assert set(types) == {"acc"}
+    assert [f.name for f in types["acc"].fields] == ["odr", "enable"]
+    assert catalog.resolve_structtypes(1, 2) is None
+
+
+def test_facade_resolves_template_via_catalog(spark, catalog, tmp_path):
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        write_acquisition,
+    )
+
+    folder = str(tmp_path / "acq")
+    write_acquisition(folder)
+    acq = Acquisition(spark, folder)
+    # synthetic firmware info has no ids -> explicit pair resolves
+    tpl = acq.resolve_device_template(catalog, board_id=0x0E, fw_id=0x05)
+    assert tpl[1]["@id"] == "dtmi:test:sensor;1"
+    with pytest.raises(ValueError):
+        acq.resolve_device_template(catalog)
+
+
+# ------------------------------------------------ annotation constraints
+
+IFACE_ANNOT = {
+    "@id": "dtmi:test:cfg;1",
+    "@type": "Interface",
+    "contents": [
+        {
+            "@type": "Property",
+            "name": "odr",
+            "schema": "double",
+            "minValue": 10,
+            "maxValue": 1000,
+            "decimalPlaces": 1,
+        },
+        {
+            "@type": "Property",
+            "name": "label",
+            "schema": "string",
+            "maxLength": 5,
+            "trimWhitespace": True,
+        },
+        {
+            "@type": "Property",
+            "name": "fs",
+            "schema": {
+                "@type": "Enum",
+                "valueSchema": "integer",
+                "enumValues": [
+                    {"name": "g2", "enumValue": 2},
+                    {"name": "g4", "enumValue": 4},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_content_constraints_extraction():
+    cons = content_constraints(IFACE_ANNOT)
+    assert cons["odr"] == {"min_value": 10, "max_value": 1000, "decimal_places": 1}
+    assert cons["label"] == {"max_length": 5, "trim_whitespace": True}
+    assert cons["fs"]["enum_values"] == [2, 4]
+
+
+@pytest.fixture()
+def cfg_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 100.0, "ok", 2),        # clean
+            (2, 5.0, "ok", 4),          # odr < minValue
+            (3, 100.05, "ok", 2),       # odr violates decimalPlaces
+            (4, 100.0, "toolong!", 2),  # label > maxLength
+            (5, 100.0, "  ok  ", 2),    # trims to <=5 -> clean
+            (6, 100.0, "ok", 3),        # fs not in enum
+            (7, None, None, None),      # nulls are schema's concern, clean
+        ],
+        "id int, odr double, label string, fs int",
+    )
+
+
+def test_validate_constraints_flag_and_filter(spark, cfg_df):
+    flagged = validate_constraints(cfg_df, IFACE_ANNOT, mode="flag")
+    got = {r["id"]: list(r["_violations"]) for r in flagged.collect()}
+    assert got[1] == [] and got[5] == [] and got[7] == []
+    assert got[2] == ["odr<minValue"]
+    assert got[3] == ["odr!decimalPlaces"]
+    assert got[4] == ["label>maxLength"]
+    assert got[6] == ["fs!enum"]
+
+    kept = validate_constraints(cfg_df, IFACE_ANNOT, mode="filter")
+    assert {r["id"] for r in kept.collect()} == {1, 5, 7}
+    assert kept.columns == cfg_df.columns
+
+    rejected = validate_constraints(cfg_df, IFACE_ANNOT, mode="reject")
+    assert {r["id"] for r in rejected.collect()} == {2, 3, 4, 6}
+
+
+def test_validate_constraints_enforce_repairs(spark, cfg_df):
+    fixed = validate_constraints(cfg_df, IFACE_ANNOT, mode="enforce")
+    rows = {r["id"]: r for r in fixed.collect()}
+    assert rows[3]["odr"] == 100.1  # decimalPlaces rounded
+    assert list(rows[3]["_violations"]) == []
+    assert rows[5]["label"] == "ok"  # trimWhitespace applied
+    # out-of-range odr is NOT repairable -> still flagged
+    assert list(rows[2]["_violations"]) == ["odr<minValue"]
+
+
+def test_validate_constraints_plan_is_jvm_only(spark, cfg_df):
+    plan = (
+        validate_constraints(cfg_df, IFACE_ANNOT, mode="flag")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
