@@ -2,12 +2,20 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas functions over ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed: ``decode=\"fake\"`` produces deterministic pseudo-features from
-the bytes (so schema/partitioning/batch plumbing is fully testable);
-``decode=\"real\"`` raises NotImplementedError at the exact seam where
-PIL/librosa/ffmpeg would slot in.  Everything around the stub — the
-schema contract, Arrow batching, partition sizing — is real Spark.
+Decode kernels come in three modes:
+
+* ``decode="fake"`` — deterministic pseudo-features from the bytes
+  (schema/partitioning/batch plumbing fully testable with no codecs);
+* ``decode="real"`` — a REAL Pillow kernel (image open/resize/
+  feature-extract) behind an optional import: raises
+  NotImplementedError with an install hint when Pillow is absent;
+* ``decode="auto"`` — real when Pillow imports, fake otherwise (the
+  graceful-fallback mode for heterogeneous clusters / CI).
+
+Audio/video codecs (librosa/ffmpeg) stay honest NotImplementedError
+seams — ``sample_frames`` documents where ffmpeg slots in.  Everything
+around the kernels — the schema contract, Arrow batching, partition
+sizing — is real Spark either way.
 """
 
 from __future__ import annotations
@@ -64,6 +72,48 @@ def payload_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     )
 
 
+def _pil():
+    """Optional-import gate for the real image kernels (None if Pillow
+    is not installed — executors and driver share the environment)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _resolve_decode(decode: str, needs: str = "Pillow") -> str:
+    """'auto' -> 'real' iff Pillow imports; 'real' without Pillow is an
+    explicit NotImplementedError (the honest capability seam)."""
+    if decode == "auto":
+        return "real" if _pil() is not None else "fake"
+    if decode == "real" and _pil() is None:
+        raise NotImplementedError(
+            f"decode='real' needs {needs} (pip install pillow), which is "
+            "not present; decode='auto' falls back to the fake kernel"
+        )
+    if decode not in ("real", "fake"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+    return decode
+
+
+def _real_image_decode(
+    payload: bytes, n_features: int
+) -> tuple[int, int, np.ndarray]:
+    """Pillow kernel: true dimensions + a grayscale thumbnail feature
+    vector (n_features values in [0,1], resampled row-major)."""
+    import io
+
+    img = _pil().open(io.BytesIO(payload))
+    width, height = img.size
+    side = max(int(np.ceil(np.sqrt(n_features))), 1)
+    small = np.asarray(
+        img.convert("L").resize((side, side)), dtype=np.float32
+    ).ravel()[:n_features]
+    return width, height, (small / 255.0).astype(np.float32)
+
+
 def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, np.ndarray]:
     """Deterministic pseudo-decoder: dimensions and features derived
     from a sha256 of the bytes.  Replace with a real codec off-cluster."""
@@ -112,31 +162,41 @@ def resize_media(
 
     ``decode="fake"`` re-encodes deterministically (sha256-keyed bytes
     of the target size, capped) so downstream schema/size contracts are
-    testable; ``decode="real"`` is the PIL/opencv seam.  The payload
-    column is REPLACED — at 100 TB you write this to a new partitioned
-    table, never hold both generations in one frame.
+    testable; ``decode="real"`` is a Pillow open->resize->PNG kernel
+    (optional import; ``decode="auto"`` falls back to fake).  The
+    payload column is REPLACED — at 100 TB you write this to a new
+    partitioned table, never hold both generations in one frame.
     """
-    if decode == "real":
-        raise NotImplementedError("real resize needs PIL/opencv; use decode='fake'")
-    if decode != "fake":
-        raise ValueError(f"unknown decode mode {decode!r}")
+    decode = _resolve_decode(decode)
     w, h = int(width), int(height)
+
+    def _resize_real_one(p: bytes) -> bytes:
+        import io
+
+        img = _pil().open(io.BytesIO(bytes(p)))
+        buf = io.BytesIO()
+        img.resize((w, h)).save(buf, format="PNG")
+        return buf.getvalue()
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if decode == "real":
+                payloads = [_resize_real_one(p) for p in pdf[bin_col]]
+            else:
+                payloads = [
+                    # deterministic stand-in for the resized encoding
+                    (hashlib.sha256(bytes(p)).digest() * ((w * h) // 32 + 1))[
+                        : min(w * h, 4096)
+                    ]
+                    for p in pdf[bin_col]
+                ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "media_type": pdf[type_col].astype(str),
                     "width": np.int32(w),
                     "height": np.int32(h),
-                    "payload": [
-                        # deterministic stand-in for the resized encoding
-                        (hashlib.sha256(bytes(p)).digest() * ((w * h) // 32 + 1))[
-                            : min(w * h, 4096)
-                        ]
-                        for p in pdf[bin_col]
-                    ],
+                    "payload": payloads,
                 }
             )
             yield out
@@ -161,8 +221,15 @@ def sample_frames(
     deterministic slices keyed by (payload digest, frame_idx); real
     kernel is the ffmpeg seam.
     """
-    if decode == "real":
-        raise NotImplementedError("real frame sampling needs ffmpeg; use decode='fake'")
+    if decode in ("real", "auto"):
+        # video decoding needs ffmpeg, which has no pure-Python fallback:
+        # this stays an honest capability seam (unlike the Pillow-backed
+        # image kernels, 'auto' cannot silently degrade a frame SAMPLER
+        # to fake frames without corrupting downstream training data).
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg (not installed); use "
+            "decode='fake' for plumbing tests"
+        )
     if decode != "fake":
         raise ValueError(f"unknown decode mode {decode!r}")
     n_frames = max(int(fps * duration_s), 1)
@@ -209,15 +276,9 @@ def decode_media(
     not the input's).  Runs one task per input partition: repartition
     upstream so tasks stay balanced when payload sizes are skewed.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decoding needs PIL/librosa/ffmpeg, not present in "
-            "this container; use decode='fake' for plumbing tests"
-        )
-    if decode != "fake":
-        raise ValueError(f"unknown decode mode {decode!r}")
-
+    decode = _resolve_decode(decode)
     nf = int(n_features)
+    kernel = _real_image_decode if decode == "real" else _fake_decode
 
     def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -228,7 +289,7 @@ def decode_media(
                     chunk[id_col], chunk[type_col], chunk[bin_col]
                 ):
                     data = bytes(payload)
-                    w, h, feats = _fake_decode(data, nf)
+                    w, h, feats = kernel(data, nf)
                     rows.append(
                         (
                             int(mid),

@@ -106,3 +106,53 @@ def test_resize_and_frames_real_mode_raise(spark, sf_dir):
         M.resize_media(d, 8, 8, decode="real")
     with pytest.raises(NotImplementedError):
         M.sample_frames(d, decode="real")
+
+
+def test_media_decode_real_raises_only_without_pillow(spark, sf_dir):
+    """The real seam is an optional import now: NotImplementedError is
+    the no-Pillow behavior, not a hardcoded stub."""
+    if M._pil() is not None:
+        pytest.skip("Pillow installed: the raise-path is exercised elsewhere")
+    d = M.attach_payload(catalog.load(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(NotImplementedError, match="pillow"):
+        M.decode_media(d, decode="real")
+
+
+def test_auto_mode_falls_back_to_fake_without_pillow(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(M, "_pil", lambda: None)
+    d = M.attach_payload(catalog.load(spark, sf_dir, "documents").limit(3))
+    auto = {r["media_id"]: r for r in M.decode_media(d, decode="auto").collect()}
+    fake = {r["media_id"]: r for r in M.decode_media(d, decode="fake").collect()}
+    assert auto.keys() == fake.keys()
+    for k in auto:
+        assert list(auto[k]["features"]) == list(fake[k]["features"])
+    resized = M.resize_media(d, 8, 8, decode="auto").collect()
+    assert {r["width"] for r in resized} == {8}
+
+
+def test_real_image_kernels_with_pillow(spark):
+    """Gated on Pillow: true dimensions + real resize through the same
+    Arrow-batch plumbing the fake kernel uses."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(20, 12, (255, 0, 0)), "image/png"),
+         (2, png(7, 9, (0, 255, 0)), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r["media_id"]: r for r in M.decode_media(df, decode="real").collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (20, 12)
+    assert (meta[2]["width"], meta[2]["height"]) == (7, 9)
+    assert len(meta[1]["features"]) == 16
+    assert all(0.0 <= f <= 1.0 for f in meta[1]["features"])
+
+    resized = M.resize_media(df, 8, 8, decode="real").collect()
+    for r in resized:
+        img = Image.open(io.BytesIO(bytes(r["payload"])))
+        assert img.size == (8, 8)
