@@ -190,3 +190,51 @@ def quantile_threshold_filter(
         F.col(score_col) <= F.col("_thr")
     )
     return df.join(F.broadcast(thr)).where(op).drop("_thr")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    seed: str = "",
+    shard_col: str = "shard",
+    order_col: str = "_shuffle_order",
+    keep_order_col: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export —
+    the step between curation and the trainer's data loader.
+
+    Both the shard assignment and the intra-shard order are pure hashes
+    of ``(id, seed)``: ``md5`` like ``hash_split`` — NOT ``rand()``,
+    whose stream depends on partitioning and retries, silently
+    reshuffling data between attempts of the same job (a reproducibility
+    bug in a training pipeline).  Changing ``seed`` re-deals the whole
+    shuffle; same seed -> byte-identical shards on any cluster size.
+
+    Scale shape: assignment is a narrow map; the only exchange is the
+    ``repartition(n_shards, shard)`` that co-locates each shard, and
+    ``sortWithinPartitions`` keeps the per-shard order sort local (no
+    global sort / range exchange).  Write with
+    ``write.partitionBy(shard_col)`` (or one task per shard via the
+    repartition already in place) for loader-addressable shard files.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = (
+        df.withColumn(order_col, h)
+        .withColumn(shard_col, (F.col(order_col) % n_shards).cast("int"))
+        .repartition(n_shards, F.col(shard_col))
+        # hash(shard) % n is not a bijection, so a task may hold several
+        # shards: sort shard-first so each shard's rows are contiguous
+        # and hash-ordered inside the task (partitionBy(shard) writes
+        # then preserve per-shard order within each file)
+        .sortWithinPartitions(shard_col, order_col, id_col)
+    )
+    return out if keep_order_col else out.drop(order_col)

@@ -1919,3 +1919,41 @@ def q32(spark, sf_dir):
         fx("rms_z", 1_000_000_000).alias("rms_z_fx"),
         fx("rms_mod", 1_000_000_000).alias("rms_mod_fx"),
     ).orderBy("Time")
+
+
+# -- q61: deterministic shuffle-shard export (training-data loader prep)
+#    — shard stats prove assignment + order hashing are engine-portable
+#    (md5-based; rand(seed) would not survive a retry, let alone an
+#    oracle).  Spark conv(substr(md5,1,14),16,10) == DuckDB
+#    CAST('0x'||substr(md5,1,14) AS BIGINT).
+@query(
+    "q61_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 14))
+                  AS BIGINT) AS o
+      FROM documents
+    )
+    SELECT CAST(o % 8 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(min(o) AS BIGINT) AS min_o,
+           CAST(max(o) AS BIGINT) AS max_o
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+)
+def q61(spark, sf_dir):
+    from .operators import pipeline as P
+
+    d = T(spark, sf_dir, "documents")
+    sharded = P.shuffle_shards(
+        d, 8, "doc_id", seed="r2", keep_order_col=True
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_shuffle_order").alias("min_o"),
+            F.max("_shuffle_order").alias("max_o"),
+        )
+        .orderBy("shard")
+    )

@@ -126,3 +126,48 @@ def test_quantile_threshold_filter(spark):
     # approx path: same shape on uniform data, no crash
     approx = P.quantile_threshold_filter(df, "score", q=0.10).toPandas()
     assert 80 <= len(approx) <= 95
+
+
+def test_shuffle_shards_deterministic_across_partitioning(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    d = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = P.shuffle_shards(d, 8, "doc_id", seed="s1")
+    b = P.shuffle_shards(d.repartition(17), 8, "doc_id", seed="s1")
+    assign_a = {r["doc_id"]: r["shard"] for r in a.collect()}
+    assign_b = {r["doc_id"]: r["shard"] for r in b.collect()}
+    assert assign_a == assign_b  # partitioning-independent, unlike rand()
+    assert set(assign_a.values()) == set(range(8))
+    # a different seed re-deals the shuffle
+    c = {r["doc_id"]: r["shard"] for r in
+         P.shuffle_shards(d, 8, "doc_id", seed="s2").collect()}
+    assert c != assign_a
+
+
+def test_shuffle_shards_order_is_local_sort_only(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    d = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = P.shuffle_shards(d, 4, "doc_id", keep_order_col=True)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange for shard co-location, NO range exchange (a
+    # global sort would be a second, avoidable shuffle)
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert "Sort [" in plan  # the intra-partition order sort is there
+    # within every partition rows are ordered by the shuffle hash
+    import numpy as np
+
+    def check(it):
+        for pdf in it:
+            # several shards may share a task (hash(shard)%n is not a
+            # bijection); each shard's run must be contiguous + ordered
+            for _, grp in pdf.groupby("shard", sort=False):
+                assert grp["_shuffle_order"].is_monotonic_increasing
+                assert (grp.index.to_numpy() == np.arange(
+                    grp.index[0], grp.index[0] + len(grp))).all()
+            yield pdf[["doc_id"]]
+
+    n = sharded.mapInPandas(check, "doc_id long").count()
+    assert n == d.count()
