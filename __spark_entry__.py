@@ -42,6 +42,7 @@ _ROWS_ONLY_TAIL = (
     "q40_ivf_topk",
     "q55_ivf_refined_topk",
     "q41_lsh_near_dup",
+    "q62_pack_sequences",
     "q32_hsd_pipeline",
 )
 

@@ -238,3 +238,79 @@ def shuffle_shards(
         .sortWithinPartitions(shard_col, order_col, id_col)
     )
     return out if keep_order_col else out.drop(order_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str,
+    token_col: str,
+    n_workers: int = 64,
+    seed: str = "",
+    pack_col: str = "pack_id",
+    pos_col: str = "pack_pos",
+) -> DataFrame:
+    """Pack documents into token-budget bins (sequence packing — the
+    step that turns a curated corpus into fixed-length training
+    sequences without padding waste).
+
+    Greedy next-fit packing is inherently sequential *within a bin*, so
+    the parallel shape is: deterministically scatter docs over
+    ``n_workers`` hash partitions (md5, same rationale as
+    ``shuffle_shards`` — stable across retries and cluster sizes), then
+    run the greedy scan per partition via ``mapInPandas``.  Pack ids are
+    globally unique (``worker_id * 2^40 + local_seq``) without any
+    cross-partition coordination.  A doc longer than ``budget`` gets a
+    singleton pack — truncation is the tokenizer's decision, not the
+    packer's.
+
+    100 TB shape: one hash exchange + an Arrow-batched linear scan per
+    partition; no global sort, no driver state.  Packing quality vs a
+    global greedy is the usual trade — within-partition fill stays near
+    budget because each worker still packs in deterministic hash order.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    scattered = (
+        df.withColumn("_pk_order", h)
+        .withColumn("_pk_worker", (F.col("_pk_order") % n_workers).cast("int"))
+        .repartition(n_workers, F.col("_pk_worker"))
+        .sortWithinPartitions("_pk_worker", "_pk_order", id_col)
+    )
+    out_schema = StructType(
+        [*scattered.schema.fields,
+         StructField(pack_col, LongType()),
+         StructField(pos_col, IntegerType())]
+    )
+
+    def _pack(it):
+        import pandas as pd
+
+        for pdf in it:
+            packs, positions = [], []
+            fill = {}  # worker -> (local_seq, tokens_used)
+            for w, t in zip(pdf["_pk_worker"], pdf[token_col]):
+                seq, used = fill.get(w, (0, 0))
+                t = int(t)
+                if used > 0 and used + t > budget:
+                    seq, used = seq + 1, 0
+                packs.append((int(w) << 40) | seq)
+                positions.append(used)
+                fill[w] = (seq, used + t)
+            pdf = pdf.copy()
+            pdf[pack_col] = pd.Series(packs, index=pdf.index, dtype="int64")
+            pdf[pos_col] = pd.Series(positions, index=pdf.index, dtype="int32")
+            yield pdf
+
+    return scattered.mapInPandas(_pack, out_schema).drop(
+        "_pk_order", "_pk_worker"
+    )

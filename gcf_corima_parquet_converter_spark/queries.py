@@ -1957,3 +1957,29 @@ def q61(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# -- q62: sequence packing (rows-only: greedy reset-cumsum packing is
+#    not expressible in portable SQL; tests/test_pipeline_ops.py pins
+#    budget-respect, exactly-once coverage and partitioning-independent
+#    determinism).  Output: per-pack stats of the packed documents
+#    table at budget=512.
+@query("q62_pack_sequences")
+def q62(spark, sf_dir):
+    from .operators import pipeline as P
+    from .operators.text import token_count
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = P.pack_sequences(
+        d, budget=512, id_col="doc_id", token_col="n_tokens", n_workers=8
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill_tokens"),
+        )
+        .orderBy("pack_id")
+    )

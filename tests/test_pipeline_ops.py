@@ -171,3 +171,62 @@ def test_shuffle_shards_order_is_local_sort_only(spark, sf_dir):
 
     n = sharded.mapInPandas(check, "doc_id long").count()
     assert n == d.count()
+
+
+def test_pack_sequences_budget_and_coverage(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+    from gcf_corima_parquet_converter_spark.operators.text import token_count
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+    packed = P.pack_sequences(d, budget=256, id_col="doc_id",
+                              token_col="n_tokens", n_workers=8)
+    rows = packed.collect()
+    assert len(rows) == d.count()  # every doc packed exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    fills = {}
+    for r in rows:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    over = {p: f for p, f in fills.items() if f > 256}
+    # only singleton oversize docs may exceed the budget
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r["pack_id"], []).append(r)
+    for p in over:
+        assert len(per_pack[p]) == 1 and per_pack[p][0]["n_tokens"] > 256
+    # pack positions are the running fill offsets
+    for p, members in per_pack.items():
+        members.sort(key=lambda r: r["pack_pos"])
+        run = 0
+        for m in members:
+            assert m["pack_pos"] == run
+            run += m["n_tokens"]
+
+
+def test_pack_sequences_deterministic_across_partitioning(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+    from gcf_corima_parquet_converter_spark.operators.text import token_count
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+    a = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in
+         P.pack_sequences(d, 512, "doc_id", "n_tokens", n_workers=4).collect()}
+    b = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in
+         P.pack_sequences(d.repartition(13), 512, "doc_id", "n_tokens",
+                          n_workers=4).collect()}
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    d = catalog.load(spark, sf_dir, "documents").select("doc_id")
+    with pytest.raises(ValueError):
+        P.pack_sequences(d.withColumn("t", F.lit(1)), 0, "doc_id", "t")
