@@ -129,6 +129,77 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.array_join(tokens(col), " "))
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition features — the Gopher-style
+    repetition filters (Rae et al. 2021, appendix A1.1) every
+    pretraining pipeline applies after the cheap length gates:
+
+    - ``distinct_token_ratio``: distinct tokens / total tokens (low =>
+      looping text),
+    - ``top_ngram_frac``: share of all n-grams taken by the single most
+      frequent n-gram,
+    - ``dup_ngram_frac``: share of n-gram occurrences whose n-gram
+      appears more than once.
+
+    Distributed shape: n-grams are exploded and counted with a two-level
+    aggregation (map-side partial combine on ``(id, gram)``), so the
+    shuffle key cardinality is bounded by per-document vocabulary — no
+    whole-document strings cross the wire, and skew is bounded by the
+    longest document, never the corpus.  Documents too short to form an
+    n-gram keep a row with zeroed gram stats via the left join.
+    """
+    t = F.col("_t")
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("_n_dist"),
+        F.transform(
+            # sequence(1, 0) is DESCENDING in Spark — empty starts for
+            # docs too short to form an n-gram, not greatest(.., 0).
+            F.when(
+                F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)
+            ).otherwise(F.expr("array()").cast("array<int>")),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(t, i + j) for j in range(n)]
+            ),
+        ).alias("_grams"),
+    )
+    gram_counts = (
+        base.select(F.col(id_col), F.explode("_grams").alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gram_stats = gram_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_n_grams"),
+        F.max("_c").alias("_top_c"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias("_dup_c"),
+    )
+    joined = base.drop("_grams").join(gram_stats, id_col, "left")
+    n_grams = F.coalesce(F.col("_n_grams"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        n_grams.alias("n_grams"),
+        F.when(
+            F.col("n_tokens") > 0, F.col("_n_dist") / F.col("n_tokens")
+        ).alias("distinct_token_ratio"),
+        F.when(n_grams > 0, F.coalesce(F.col("_top_c"), F.lit(0)) / n_grams).alias(
+            "top_ngram_frac"
+        ),
+        F.when(n_grams > 0, F.coalesce(F.col("_dup_c"), F.lit(0)) / n_grams).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:

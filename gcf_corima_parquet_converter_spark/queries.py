@@ -1983,3 +1983,63 @@ def q62(spark, sf_dir):
         )
         .orderBy("pack_id")
     )
+
+
+# ===================================== repetition quality filters
+# -- q63: Gopher-style repetition features (operators/text.py:
+#    ngram_repetition) per document — the filters applied after length
+#    gates in every pretraining curation pipeline.  Fixed-point on the
+#    fractions for hash-stable compare (int/int division is correctly
+#    rounded IEEE on both engines).
+@query(
+    "q63_repetition_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_dist,
+             t
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM base, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+    ), gcnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+    ), gstat AS (
+      SELECT doc_id,
+             SUM(c) AS n_grams,
+             MAX(c) AS top_c,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+      FROM gcnt GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(floor((b.n_dist / b.n_tokens) * 1000000 + 0.5) AS BIGINT)
+             AS dist_ratio_fx,
+           CAST(floor((COALESCE(g.top_c, 0) / COALESCE(g.n_grams, 1))
+                      * 1000000 + 0.5) AS BIGINT) AS top2_frac_fx,
+           CAST(floor((COALESCE(g.dup_c, 0) / COALESCE(g.n_grams, 1))
+                      * 1000000 + 0.5) AS BIGINT) AS dup2_frac_fx
+    FROM base b LEFT JOIN gstat g USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q63(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    feats = X.ngram_repetition(d, "doc_id", "text", n=2)
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        fx("distinct_token_ratio", 1_000_000).alias("dist_ratio_fx"),
+        fx(F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)), 1_000_000).alias(
+            "top2_frac_fx"
+        ),
+        fx(F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)), 1_000_000).alias(
+            "dup2_frac_fx"
+        ),
+    ).orderBy("doc_id")

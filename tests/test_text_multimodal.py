@@ -156,3 +156,27 @@ def test_real_image_kernels_with_pillow(spark):
     for r in resized:
         img = Image.open(io.BytesIO(bytes(r["payload"])))
         assert img.size == (8, 8)
+
+
+def test_ngram_repetition_known_values(spark):
+    """'a b a b a b' -> 6 tokens, 2 distinct, 5 bigrams ('a b' x3,
+    'b a' x2): top=3/5, dup=5/5, distinct-ratio=2/6.  A one-token doc
+    keeps its row with zeroed gram stats."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in X.ngram_repetition(df, "doc_id", "text", n=2).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_grams"]) == (6, 5)
+    assert r1["distinct_token_ratio"] == pytest.approx(2 / 6)
+    assert r1["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert r1["dup_ngram_frac"] == pytest.approx(1.0)
+    r2 = rows[2]
+    assert r2["dup_ngram_frac"] == 0.0 and r2["top_ngram_frac"] == pytest.approx(1 / 3)
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["n_grams"]) == (1, 0)
+    assert r3["top_ngram_frac"] is None and r3["dup_ngram_frac"] is None
