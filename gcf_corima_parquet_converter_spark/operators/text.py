@@ -200,6 +200,51 @@ def ngram_repetition(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step of RAG indexing and pretraining tokenizers.
+
+    Start positions run 1, 1+stride, ... while start <= max(n-overlap, 1)
+    with ``stride = chunk_tokens - overlap``, so every token is covered
+    and consecutive chunks share exactly ``overlap`` tokens (the final
+    chunk may be shorter).  Returns one row per chunk:
+    ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: a narrow per-row transform + posexplode — ZERO shuffle;
+    chunking 100 TB is embarrassingly parallel and this plan keeps it
+    that way (one WholeStageCodegen span over the scan).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.col("_t")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(t, s, chunk_tokens), " ").alias("chunk_text"),
+            F.size(F.slice(t, s, chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    return toked.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:

@@ -2043,3 +2043,31 @@ def q63(spark, sf_dir):
             "dup2_frac_fx"
         ),
     ).orderBy("doc_id")
+
+
+# ===================================== document chunking
+# -- q64: overlapping token-window chunking (operators/text.py:
+#    chunk_documents) — RAG / context-window prep.  Zero-shuffle narrow
+#    plan; the oracle re-derives the same windows with generate_series +
+#    list slicing (both engines clamp slices at the array end).
+@query(
+    "q64_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 56 AS INT) AS chunk_idx,
+           array_to_string(t[s : s + 63], ' ') AS chunk_text,
+           CAST(len(t[s : s + 63]) AS INT) AS n_chunk_tokens
+    FROM toks,
+         UNNEST(generate_series(1, greatest(len(t) - 8, 1), 56)) AS u(s)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q64(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return X.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_idx")

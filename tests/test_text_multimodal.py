@@ -180,3 +180,27 @@ def test_ngram_repetition_known_values(spark):
     r3 = rows[3]
     assert (r3["n_tokens"], r3["n_grams"]) == (1, 0)
     assert r3["top_ngram_frac"] is None and r3["dup_ngram_frac"] is None
+
+
+def test_chunk_documents_boundaries(spark):
+    """10 tokens, chunk=4, overlap=1 (stride 3): starts 1,4,7 -> chunks
+    cover every token, consecutive chunks share exactly 1 token, final
+    chunk full.  12 tokens -> starts 1,4,7,10 with a short last chunk."""
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+         (2, "a b c"),],
+        "doc_id long, text string",
+    )
+    out = X.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        out.where("doc_id = 1").collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4]
+    short = out.where("doc_id = 2").collect()
+    assert len(short) == 1 and short[0]["chunk_text"] == "a b c"
+    # chunking is embarrassingly parallel: the plan must not shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
