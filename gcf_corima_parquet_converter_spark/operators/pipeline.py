@@ -295,9 +295,14 @@ def pack_sequences(
     def _pack(it):
         import pandas as pd
 
+        # mapInPandas streams each partition as MULTIPLE Arrow batches
+        # (split at spark.sql.execution.arrow.maxRecordsPerBatch), so the
+        # greedy state is per-PARTITION and must live outside the batch
+        # loop — resetting it per batch restarts local_seq at 0 and
+        # collides pack ids across batches of the same partition.
+        fill = {}  # worker -> (local_seq, tokens_used); partition-scoped
         for pdf in it:
             packs, positions = [], []
-            fill = {}  # worker -> (local_seq, tokens_used)
             for w, t in zip(pdf["_pk_worker"], pdf[token_col]):
                 seq, used = fill.get(w, (0, 0))
                 t = int(t)

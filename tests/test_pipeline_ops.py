@@ -223,6 +223,42 @@ def test_pack_sequences_deterministic_across_partitioning(spark, sf_dir):
     assert a == b
 
 
+def test_pack_sequences_state_survives_arrow_batch_splits(spark):
+    """mapInPandas streams a partition as multiple Arrow batches; the
+    greedy state must persist across them or pack ids collide and packs
+    blow the budget (round-2 VERDICT 'What's wrong #1')."""
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    rows = [(i, 40 + (i * 7) % 90) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "50")  # 300 docs / 2 workers >> 50 rows/batch
+        small = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in
+                 P.pack_sequences(d, 256, "doc_id", "n_tokens",
+                                  n_workers=2).collect()}
+        spark.conf.set(key, "100000")  # single batch per partition
+        big = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in
+               P.pack_sequences(d, 256, "doc_id", "n_tokens",
+                                n_workers=2).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # batch-boundary invariance: tiny batches == one big batch
+    assert small == big
+    # and every multi-member pack respects the budget
+    fills, sizes = {}, {}
+    n_tok = dict(rows)
+    for doc, (pack, _pos) in small.items():
+        fills[pack] = fills.get(pack, 0) + n_tok[doc]
+        sizes[pack] = sizes.get(pack, 0) + 1
+    for pack, f in fills.items():
+        assert f <= 256 or sizes[pack] == 1
+
+
 def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
     from gcf_corima_parquet_converter_spark import catalog
     from gcf_corima_parquet_converter_spark.operators import pipeline as P
