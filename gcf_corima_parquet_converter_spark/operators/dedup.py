@@ -412,7 +412,21 @@ def embedding_near_dup_pairs(
 
     if block_col is None and not allow_brute:
         if dim is None:
-            dim = len(emb.select(vec_col).first()[0])  # one-row peek
+            # The schema can't carry array length, so hyperplane seeding
+            # needs a one-row peek (an eager job at plan-construction
+            # time — pass dim explicitly to avoid it).  Guard the
+            # empty/all-null input instead of TypeError-ing on None:
+            # no vectors means no pairs, by definition.
+            row = (
+                emb.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+            )
+            if row is None:
+                return emb.limit(0).select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cos_sim"),
+                )
+            dim = len(row[0])
         emb = with_lsh_bucket(
             emb, n_planes=n_planes, n_tables=n_tables,
             vec_col=vec_col, dim=dim, seed=seed,

@@ -106,6 +106,30 @@ def with_lsh_bucket(
 IVF_MATMUL_K_THRESHOLD = 64
 
 
+# One live broadcast per distinct codebook (keyed by content digest):
+# repeated assigns against the same codebook — e.g. every Lloyd
+# iteration's re-assign, or assign-then-probe — must not leak a new
+# executor-resident broadcast each call.  Bounded: oldest entries are
+# unpersist()ed (executors re-fetch from the driver if a still-alive
+# plan needs one again — unpersist is safe where destroy() is not).
+_CODEBOOK_BROADCASTS: "dict[tuple[int, bytes], object]" = {}
+_CODEBOOK_BROADCASTS_MAX = 16
+
+
+def _codebook_broadcast(sc, cents: np.ndarray):
+    import hashlib
+
+    key = (id(sc), hashlib.sha1(cents.tobytes()).digest())
+    bc = _CODEBOOK_BROADCASTS.get(key)
+    if bc is None:
+        while len(_CODEBOOK_BROADCASTS) >= _CODEBOOK_BROADCASTS_MAX:
+            _, old = _CODEBOOK_BROADCASTS.popitem()
+            old.unpersist(blocking=False)
+        bc = sc.broadcast(cents)
+        _CODEBOOK_BROADCASTS[key] = bc
+    return bc
+
+
 def _ivf_assign_matmul(
     emb: DataFrame, cents: np.ndarray, vec_col: str
 ) -> DataFrame:
@@ -113,9 +137,17 @@ def _ivf_assign_matmul(
     record batch.  The codebook ships once per executor as a real Spark
     broadcast (a K=64k x dim=1k float64 codebook is ~512 MB as literals
     *per expression*, but one shared read-only block as a broadcast);
-    plan size is O(1) in K."""
-    bc = emb.sparkSession.sparkContext.broadcast(
-        np.ascontiguousarray(cents, dtype=np.float64)
+    plan size is O(1) in K.
+
+    FP caveat: numpy's blocked/SIMD float64 matmul may order summation
+    differently from the JVM's sequential dot, so on an exact score TIE
+    between two centroids the argmax can differ from the literal path by
+    one ulp's worth of rounding.  Agreement is therefore guaranteed only
+    up to near-ties (see test_ivf_assign_matmul_matches_literal_path).
+    """
+    bc = _codebook_broadcast(
+        emb.sparkSession.sparkContext,
+        np.ascontiguousarray(cents, dtype=np.float64),
     )
 
     @F.pandas_udf("int")

@@ -58,7 +58,10 @@ def _assert_driver_safe_oracle_types(con, sql: str, name: str):
     """
     import pyarrow as pa
 
-    schema = con.execute(sql).arrow().schema
+    # LIMIT 0 wrapper: only the schema is needed — materializing the
+    # full result here doubled oracle cost for every graded query
+    # (compare() runs the same SQL again for values).
+    schema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
     bad = [f"{f.name}:{f.type}" for f in schema if pa.types.is_decimal(f.type)]
     assert not bad, (
         f"{name}: oracle SQL yields decimal128/HUGEINT columns {bad} — the "

@@ -256,8 +256,12 @@ def test_embedding_near_dup_default_is_not_cartesian(spark, emb):
 
 
 def test_ivf_assign_matmul_matches_literal_path(spark, emb):
-    """The Arrow-batch matmul assign must agree with the JVM literal
-    argmax exactly (both keep the lowest centroid id on ties)."""
+    """The Arrow-batch matmul assign agrees with the JVM literal argmax
+    up to FP near-ties: numpy's blocked/SIMD summation can round a dot
+    product one ulp differently from the JVM's sequential fold, so on an
+    (effectively) tied pair of centroids the argmax may legitimately
+    differ.  Any disagreement must therefore BE a near-tie — a mismatch
+    with a clear score gap is a real bug."""
     cents = S.train_centroids_sample(emb, n_centroids=8)
     lit = {
         r["vec_id"]: r["centroid_id"]
@@ -267,7 +271,46 @@ def test_ivf_assign_matmul_matches_literal_path(spark, emb):
         r["vec_id"]: r["centroid_id"]
         for r in S.ivf_assign(emb, cents, use_matmul=True).collect()
     }
-    assert lit == mm
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert set(lit) == set(mm)
+    for vid, c_lit in lit.items():
+        c_mm = mm[vid]
+        if c_lit == c_mm:
+            continue
+        s_lit = float(vecs[vid] @ cents[c_lit])
+        s_mm = float(vecs[vid] @ cents[c_mm])
+        tol = 1e-9 * max(1.0, abs(s_lit), abs(s_mm))
+        assert abs(s_lit - s_mm) <= tol, (
+            f"{vid}: literal->{c_lit} ({s_lit}) vs matmul->{c_mm} "
+            f"({s_mm}) differ beyond FP-tie tolerance"
+        )
+
+
+def test_embedding_near_dup_empty_input_returns_empty_pairs(spark):
+    """No vectors -> no pairs; must not TypeError on the dim peek or
+    launch the LSH plan at all."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = D.embedding_near_dup_pairs(empty)
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    assert out.count() == 0
+
+
+def test_ivf_assign_reuses_codebook_broadcast(spark, emb):
+    """Repeated assigns against the same codebook must reuse one
+    broadcast (per-call broadcasts leak executor memory across Lloyd
+    iterations)."""
+    dim = len(emb.select("embedding").first()[0])
+    cents = np.random.default_rng(3).standard_normal((128, dim))
+    S._CODEBOOK_BROADCASTS.clear()
+    S.ivf_assign(emb, cents).count()
+    S.ivf_assign(emb, cents).count()
+    assert len(S._CODEBOOK_BROADCASTS) == 1
+    other = np.random.default_rng(4).standard_normal((128, dim))
+    S.ivf_assign(emb, other).count()
+    assert len(S._CODEBOOK_BROADCASTS) == 2
 
 
 def test_ivf_assign_plan_is_o1_in_k(spark, emb):
