@@ -83,24 +83,63 @@ def compact_partitions(
     single distributed job: read -> repartition ON THE PARTITION KEYS
     (so each output partition's rows co-locate, one writer task per
     partition instead of every task writing to every partition) ->
-    dynamic-overwrite ONLY the partitions present.  ``sort_within``
-    re-sorts rows inside each rewritten file so delta encoding
-    survives compaction.  Returns the number of rows rewritten.
+    STAGE under ``root/_compact_tmp_*`` (underscore prefix: invisible
+    to parquet readers of ``root`` while in flight) -> swap each
+    rewritten partition directory into place with filesystem renames.
+    Never read-from-and-overwrite the same prefix in one job — that
+    depends on commit-protocol ordering and corrupts on object stores
+    whose "rename" is copy+delete mid-scan.  ``sort_within`` re-sorts
+    rows inside each rewritten file so delta encoding survives
+    compaction.  Returns the number of rows rewritten (counted from
+    the staged output's parquet footers — a metadata-only scan, not a
+    second pass over the data).
 
     At 100 TB: run per-partition-subset (pass a root with partition
     predicates pushed, e.g. ``.../year=2025/month=7``) so one
     compaction job never rewrites the whole table.
     """
+    import uuid
+
     df = spark.read.parquet(root)
-    n = df.count()
     out = df.repartition(*partition_cols)
     if sort_within:
         out = out.sortWithinPartitions(*partition_cols, *sort_within)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root_path = HPath(root)
+    fs = root_path.getFileSystem(hconf)
+    tmp = HPath(root_path, "_compact_tmp_" + uuid.uuid4().hex)
     (
         out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", target_records_per_file)
         .partitionBy(*partition_cols)
-        .parquet(root)
+        .parquet(tmp.toString())
     )
+    try:
+        n = spark.read.parquet(tmp.toString()).count()
+
+        # build the partition-relative path from directory NAMES, not
+        # string slicing — listStatus returns scheme-qualified paths
+        # (file:/..., gs://...) that don't prefix-match the input string
+        def _leaf_dirs(path, depth, rel=()):
+            if depth == 0:
+                yield path, "/".join(rel)
+                return
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if st.isDirectory() and "=" in name:
+                    yield from _leaf_dirs(
+                        st.getPath(), depth - 1, rel + (name,)
+                    )
+
+        for src, rel in _leaf_dirs(tmp, len(partition_cols)):
+            dst = HPath(root_path, rel)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.mkdirs(dst.getParent())
+            fs.rename(src, dst)
+    finally:
+        fs.delete(tmp, True)
     return n

@@ -209,3 +209,5 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     assert len(back) == 1000
     assert set(back.alias) == {"A", "B"}
     assert sorted(back.Time) == list(range(1000))
+    # staging prefix is cleaned up even though the write succeeded
+    assert glob.glob(f"{root}/_compact_tmp_*") == []
