@@ -157,6 +157,15 @@ class DeviceTemplateCatalog:
         self.catalog_dir = catalog_dir
         self.index_path = os.path.join(catalog_dir, self.INDEX)
 
+    @classmethod
+    def builtin(cls) -> "DeviceTemplateCatalog":
+        """The generated built-in catalog (``schema.templates``): the
+        STWINBX1/FP-SNS-DATALOG2 pair the reference pipeline exercises
+        resolves out-of-the-box — no hand-seeded catalog required."""
+        from .templates import materialize
+
+        return materialize()
+
     # -- index I/O ----------------------------------------------------
     def _read_index(self) -> list[dict]:
         if not os.path.exists(self.index_path):

@@ -1,0 +1,274 @@
+"""Built-in generated DTDL device templates.
+
+The reference ships ~40 appconfig device-template JSONs inside the
+stdatalog_pnpl wheel and resolves them by ``(board_id, fw_id)`` through
+its catalog index (device_template_manager.py:139-199).  Re-shipping
+ST's JSONs verbatim is out (they are the vendor's artifacts); but the
+ONE pair the reference pipeline actually exercises — the STEVAL-STWINBX1
+running FP-SNS-DATALOG2, whose acceleration stream is the
+``iis3dwb_acc;5`` interface — can be GENERATED from public facts: the
+DTDL v2 grammar (a Microsoft standard) plus the IIS3DWB datasheet
+envelope (26.667 kHz ODR; ±2/4/8/16 g full scale; 3 axes of int16).
+
+Everything here is emitted by builder functions — no JSON is copied;
+the builders are also the extension point for users to register their
+own boards (``materialize`` accepts extra ``(board_id, fw_id,
+template)`` triples).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+# DTMI namespace for generated interfaces.  Deliberately OUR OWN
+# namespace, not ST's dtmi:vespucci/dtmi:appconfig ids: the template is
+# shape-compatible, not the vendor artifact.
+_NS = "dtmi:gcfspark:steval_stwinbx1:fp_sns_datalog2"
+
+#: The catalog pair the reference CI exercises: board 0xe is the
+#: STEVAL-STWINBX1, fw 0x6 is FP-SNS-DATALOG2 with the ;5 sensor
+#: interfaces (wheel catalog row -> Datalog2-6 template).
+STWINBX1_BOARD_ID = "0xe"
+DATALOG2_FW_ID = "0x6"
+
+
+def _prop(
+    name: str,
+    schema: Any,
+    *,
+    ptype: Any = "Property",
+    writable: bool = True,
+    unit: str | None = None,
+    display: str | None = None,
+    initial: Any = None,
+    min_value: Any = None,
+    max_value: Any = None,
+) -> dict:
+    """One DTDL Property content node."""
+    node: dict = {
+        "@id": f"{_NS}:{name};1",
+        "@type": ptype,
+        "displayName": {"en": display or name},
+        "name": name,
+        "schema": schema,
+        "writable": writable,
+    }
+    if unit is not None:
+        node["unit"] = unit
+    if initial is not None:
+        node["initialValue"] = initial
+    if min_value is not None:
+        node["minValue"] = min_value
+    if max_value is not None:
+        node["maxValue"] = max_value
+    return node
+
+
+def _enum_schema(name: str, values: list[tuple[str, int]]) -> dict:
+    return {
+        "@id": f"{_NS}:{name}:schema;1",
+        "@type": "Enum",
+        "displayName": {"en": "Enum"},
+        "enumValues": [
+            {
+                "@id": f"{_NS}:{name}:schema:{vname};1",
+                "displayName": {"en": vname},
+                "enumValue": v,
+                "name": vname,
+            }
+            for vname, v in values
+        ],
+        "valueSchema": "integer",
+    }
+
+
+def iis3dwb_acc_interface(version: int = 5) -> dict:
+    """The IIS3DWB accelerometer component interface, same property set
+    as the reference's ``sensors:iis3dwb_acc;5`` (odr/fs enums; enable;
+    samples_per_ts; dim/ioffset/measodr/usb_dps/sd_dps/sensitivity/
+    data_type value properties).  Initial values are the datasheet
+    defaults so ``initial_status`` yields a decode-ready status."""
+    contents = [
+        _prop(
+            "odr",
+            _enum_schema("odr", [("hz26667", 0)]),
+            unit="hertz",
+            writable=False,
+            display="ODR",
+        ),
+        _prop(
+            "fs",
+            _enum_schema("fs", [("g2", 0), ("g4", 1), ("g8", 2), ("g16", 3)]),
+            unit="gForce",
+            display="FS",
+        ),
+        _prop(
+            "enable",
+            "boolean",
+            ptype=["Property", "BooleanValue"],
+            display="Enabled",
+            initial=True,
+        ),
+        _prop(
+            "samples_per_ts",
+            "integer",
+            ptype=["Property", "Initialized", "NumberValue"],
+            display="Samples per Timestamp",
+            initial=1000,
+            min_value=0,
+            max_value=1000,
+        ),
+        _prop(
+            "dim",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=3,
+        ),
+        _prop(
+            "ioffset",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0.0,
+        ),
+        _prop(
+            "measodr",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=26667.0,
+        ),
+        _prop(
+            "usb_dps",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0,
+        ),
+        _prop(
+            "sd_dps",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0,
+        ),
+        _prop(
+            "sensitivity",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            # ±2 g range: 0.061 mg/LSB expressed in g
+            initial=0.0000610,
+        ),
+        _prop(
+            "data_type",
+            "string",
+            ptype=["Property", "StringValue"],
+            writable=False,
+            initial="int16",
+        ),
+    ]
+    return {
+        "@context": ["dtmi:iotcentral:context;2", "dtmi:dtdl:context;2"],
+        "@id": f"{_NS}:sensors:iis3dwb_acc;{version}",
+        "@type": "Interface",
+        "contents": contents,
+        "displayName": {"en": "IIS3DWB Accelerometer"},
+    }
+
+
+def stwinbx1_datalog2_template(version: int = 5) -> list[dict]:
+    """Root interface + iis3dwb_acc component — the minimal template
+    that resolves the reference pipeline's acceleration stream.  Shaped
+    like the wheel's templates (a list of interfaces; the root's
+    Component contents name their interface by schema @id)."""
+    acc = iis3dwb_acc_interface(version)
+    root = {
+        "@context": ["dtmi:iotcentral:context;2", "dtmi:dtdl:context;2"],
+        "@id": f"{_NS};1",
+        "@type": "Interface",
+        "contents": [
+            {
+                "@id": f"{_NS}:iis3dwb_acc;1",
+                "@type": "Component",
+                "displayName": {"en": "iis3dwb_acc"},
+                "name": "iis3dwb_acc",
+                "schema": acc["@id"],
+            }
+        ],
+        "displayName": {"en": "FP-SNS-DATALOG2 (generated)"},
+    }
+    return [root, acc]
+
+
+def initial_status(interface: dict) -> dict:
+    """``{property -> initialValue}`` for every Property carrying one —
+    the decode-ready status of a freshly-booted component (feed to
+    ``dtdl.decode_params_from_status``)."""
+    out = {}
+    for c in interface.get("contents", []):
+        if "initialValue" in c and "name" in c:
+            out[c["name"]] = c["initialValue"]
+    return out
+
+
+#: (board_id, fw_id, template_name, builder) rows materialized into the
+#: built-in catalog.  One row today — the pair the reference exercises.
+BUILTIN_TEMPLATES: list[tuple[str, str, str, Any]] = [
+    (
+        STWINBX1_BOARD_ID,
+        DATALOG2_FW_ID,
+        "stwinbx1_fp_sns_datalog2-6",
+        stwinbx1_datalog2_template,
+    ),
+]
+
+_BUILTIN_DIR: str | None = None
+
+
+def materialize(
+    catalog_dir: str | None = None,
+    extra: list[tuple[str, str, str, Any]] | None = None,
+):
+    """Write the generated templates + index into ``catalog_dir`` and
+    return a :class:`..schema.dtdl.DeviceTemplateCatalog` over it.  With
+    no dir, a per-process cached temp dir is used (idempotent — repeat
+    calls reuse it).  ``extra`` rows extend the catalog with caller
+    templates (board_id, fw_id, name, template-or-builder)."""
+    global _BUILTIN_DIR
+    from .dtdl import DeviceTemplateCatalog
+
+    if catalog_dir is None and extra is None and _BUILTIN_DIR is not None:
+        return DeviceTemplateCatalog(_BUILTIN_DIR)
+    cache_default = catalog_dir is None and extra is None
+    if catalog_dir is None:
+        catalog_dir = tempfile.mkdtemp(prefix="gcfspark_dtdl_catalog_")
+
+    rows = list(BUILTIN_TEMPLATES) + list(extra or [])
+    index = []
+    for board_id, fw_id, name, template in rows:
+        if callable(template):
+            template = template()
+        rel = os.path.join("dtmi", "appconfig", name + ".json")
+        target = os.path.join(catalog_dir, rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            json.dump(template, f, indent=1)
+        index.append(
+            {
+                "board_id": board_id,
+                "fw_id": fw_id,
+                "az_cloud_dtmi": "",
+                "st_cloud_dtmi": "",
+                "local_dtmi": rel,
+            }
+        )
+    cat = DeviceTemplateCatalog(catalog_dir)
+    cat._write_index(index)
+    if cache_default:
+        _BUILTIN_DIR = catalog_dir
+    return cat

@@ -117,7 +117,7 @@ class Acquisition:
 
     def resolve_device_template(
         self,
-        catalog,
+        catalog=None,
         board_id: int | str | None = None,
         fw_id: int | str | None = None,
     ):
@@ -125,10 +125,17 @@ class Acquisition:
         ``schema.dtdl.DeviceTemplateCatalog`` by ``(board_id, fw_id)``
         — the reference's query_dtdl_model entry point
         (device_template_manager.py:139-199: custom override beats the
-        base catalog template).  The ids come from the firmware info
-        when present; heterogeneous-fleet callers pass them explicitly.
-        Returns the template JSON (or ``{dtmi: template}`` on multiple
-        hits, ``None`` on a miss)."""
+        base catalog template).  With no ``catalog``, the generated
+        built-in catalog is used (``schema.templates``), which covers
+        the STWINBX1/FP-SNS-DATALOG2 pair the reference exercises.  The
+        ids come from the firmware info when present;
+        heterogeneous-fleet callers pass them explicitly.  Returns the
+        template JSON (or ``{dtmi: template}`` on multiple hits,
+        ``None`` on a miss)."""
+        if catalog is None:
+            from ..schema.dtdl import DeviceTemplateCatalog
+
+            catalog = DeviceTemplateCatalog.builtin()
         fw = self.get_firmware_info().get("firmware_info", {})
         board_id = board_id if board_id is not None else fw.get("board_id")
         fw_id = fw_id if fw_id is not None else fw.get("fw_id")

@@ -209,3 +209,86 @@ def test_validate_constraints_plan_is_jvm_only(spark, cfg_df):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
+
+
+# ------------------------------------------------ built-in generated catalog
+
+
+def test_builtin_catalog_resolves_reference_pair():
+    """The STWINBX1 (0xe) / FP-SNS-DATALOG2 (0x6) pair the reference
+    exercises resolves WITHOUT any hand-seeded catalog, straight to the
+    iis3dwb_acc;5-shaped interface."""
+    cat = DeviceTemplateCatalog.builtin()
+    tpl = cat.query(0x0E, 0x06)
+    assert tpl is not None and isinstance(tpl, list)
+    acc = [i for i in tpl if i["@id"].endswith("iis3dwb_acc;5")]
+    assert len(acc) == 1
+    types = cat.resolve_structtypes("0xe", "0x6")
+    assert set(types) == {"iis3dwb_acc"}
+    fields = {f.name: f.dataType.simpleString() for f in types["iis3dwb_acc"].fields}
+    assert fields == {
+        "odr": "int",  # enum -> value type
+        "fs": "int",
+        "enable": "boolean",
+        "samples_per_ts": "int",
+        "dim": "int",
+        "ioffset": "double",
+        "measodr": "double",
+        "usb_dps": "int",
+        "sd_dps": "int",
+        "sensitivity": "double",
+        "data_type": "string",
+    }
+    # repeated builtin() calls reuse one materialized dir
+    assert DeviceTemplateCatalog.builtin().catalog_dir == cat.catalog_dir
+
+
+def test_builtin_template_initial_status_is_decode_ready():
+    """initialValues carry enough state to build DecodeParams — the
+    full template -> status -> decoder-config chain, no acquisition
+    metadata needed."""
+    from gcf_corima_parquet_converter_spark.schema.dtdl import (
+        decode_params_from_status,
+    )
+    from gcf_corima_parquet_converter_spark.schema.templates import (
+        initial_status,
+        iis3dwb_acc_interface,
+    )
+
+    st = initial_status(iis3dwb_acc_interface())
+    params = decode_params_from_status(st)
+    assert params.dim == 3
+    assert params.data_type == "int16"
+    assert params.samples_per_ts == 1000
+    assert params.axis_names == ("A_x [g]", "A_y [g]", "A_z [g]")
+
+
+def test_builtin_catalog_custom_override_still_wins(tmp_path):
+    """add_custom on a materialized copy of the built-in catalog
+    overrides the generated template (reference precedence:
+    custom_dtmi > local_dtmi)."""
+    from gcf_corima_parquet_converter_spark.schema import templates
+
+    cat = templates.materialize(str(tmp_path / "cat"))
+    cat.add_custom("0xe", "0x6", "patched", template(IFACE_CUSTOM))
+    tpl = cat.query("0xe", "0x6")
+    assert tpl[1]["@id"] == "dtmi:test:sensor;2"
+    cat.remove_custom("0xe", "0x6")
+    tpl = cat.query("0xe", "0x6")
+    assert any(i["@id"].endswith("iis3dwb_acc;5") for i in tpl)
+
+
+def test_facade_resolves_with_builtin_catalog(spark, tmp_path):
+    """Acquisition.resolve_device_template with NO catalog argument:
+    a real STWIN-layout acquisition resolves through the built-in
+    generated catalog."""
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        write_acquisition,
+    )
+
+    folder = str(tmp_path / "acq")
+    write_acquisition(folder)
+    acq = Acquisition(spark, folder)
+    tpl = acq.resolve_device_template(board_id=0x0E, fw_id=0x06)
+    assert any(i["@id"].endswith("iis3dwb_acc;5") for i in tpl)
