@@ -186,9 +186,10 @@ def _perm_hash(i: int):
 _MH_INF = (1 << 63) - 1
 
 
-def _signatures_from_sets(sets: DataFrame, id_col: str, k: int) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) from (id, _sh): ONE aggregate pass folding
-    each shingle's k hashes into a running element-wise minimum.
+def _signature_array(k: int):
+    """Column expr: k-permutation MinHash signature of the ``_sh``
+    shingle array as ONE aggregate fold (element-wise running minimum
+    of each shingle's k hashes).
 
     Equivalent to k separate array_min(transform(...)) projections but
     with a k-times smaller expression tree — measured 3.8s -> 1.1s cold
@@ -201,7 +202,7 @@ def _signatures_from_sets(sets: DataFrame, id_col: str, k: int) -> DataFrame:
     # difference grows with k — the unrolled form is quadratic-ish in
     # plan-processing time as k rises.  Hashes are bit-identical: the
     # seed is hashed as an int32 value in both forms.
-    sig = F.aggregate(
+    return F.aggregate(
         "_sh",
         F.array_repeat(F.lit(_MH_INF).cast("long"), k),
         lambda acc, s: F.zip_with(
@@ -212,10 +213,6 @@ def _signatures_from_sets(sets: DataFrame, id_col: str, k: int) -> DataFrame:
             ),
             lambda a, b: F.least(a, b),
         ),
-    )
-    sigs = sets.select(F.col(id_col), sig.alias("_sig"))
-    return sigs.select(
-        F.col(id_col), *[F.col("_sig")[i].alias(f"mh_{i}") for i in range(k)]
     )
 
 
@@ -255,20 +252,33 @@ def minhash_signatures(
     are dropped, matching the grouped layout.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    return _signatures_from_sets(sets, id_col, k)
+    sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
+    return sigs.select(
+        F.col(id_col), *[F.col("_sig")[i].alias(f"mh_{i}") for i in range(k)]
+    )
 
 
 def minhash_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
-    some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b."""
-    k = bands * rows_per_band
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
+    some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
+
+    ``sigs`` carries either the array form ``(id, _sig)`` (the internal
+    fast path: band hash = xxhash64 of an array SLICE, no k-column
+    expansion in the plan) or the column form ``(id, mh_0..mh_{k-1})``
+    from :func:`minhash_signatures` (re-packed into an array here)."""
+    if "_sig" in sigs.columns:
+        sigs = sigs.select(F.col(id_col), "_sig")
+    else:
+        k = bands * rows_per_band
+        sigs = sigs.select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("_sig"),
+        )
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.xxhash64(F.slice("_sig", bi * rows_per_band + 1, rows_per_band)),
     )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
@@ -307,7 +317,7 @@ def minhash_dedup_pairs(
     arrays cross the wire once, the candidate pairs (tiny) broadcast.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    sigs = _signatures_from_sets(sets, id_col, k)
+    sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
     cand = minhash_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=k // bands)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
