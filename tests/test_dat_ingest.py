@@ -134,6 +134,66 @@ def test_process_acquisition_e2e(spark, tmp_path):
     assert (pdf["rms_mod"] > 0).all()
 
 
+def test_multi_acquisition_pipeline(spark, tmp_path):
+    """Three acquisitions with differing aliases and days through ONE
+    out_root — the reference CI's real multi-trigger behavior
+    (test-conversion.yml:83-118: each finalized acquisition fires the
+    converter into the shared dataset).  Asserts the combined Hive
+    layout (one (alias, year, month, day) leaf per acquisition) and
+    exact per-alias RMS parity with the pandas reference semantics."""
+    from tests.test_telemetry import reference_rms
+
+    specs = [
+        ("LAF1", "2025-07-11T16:22:17.000Z", 11, 4.5),
+        ("KBX2", "2025-07-12T02:05:09.000Z", 29, 5.5),
+        ("MWQ3", "2025-08-02T23:59:58.500Z", 57, 3.5),
+    ]
+    out = str(tmp_path / "dataset")
+    truths = {}
+    for i, (alias, start, seed, secs) in enumerate(specs):
+        folder = str(tmp_path / f"acq{i}")
+        in_g, t = write_acquisition(
+            folder, start_time=start, alias=alias, seed=seed, n_seconds=secs
+        )
+        res = acq.process_acquisition(spark, folder, out)
+        assert res is not None and res["rms_written"]
+        truths[alias] = (in_g, t, res["meta"].start_ns)
+
+    # one partition leaf per acquisition, for both tables
+    expect_parts = [
+        ("LAF1", 2025, 7, 11),
+        ("KBX2", 2025, 7, 12),
+        ("MWQ3", 2025, 8, 2),
+    ]
+    for table in (SENSOR, f"{SENSOR}_rms"):
+        for alias, y, m, d in expect_parts:
+            leaf = f"{out}/{table}/alias={alias}/year={y}/month={m}/day={d}"
+            assert glob.glob(f"{leaf}/*.parquet"), f"missing {leaf}"
+
+    back = spark.read.parquet(f"{out}/{SENSOR}_rms").toPandas()
+    assert set(back.alias) == {a for a, *_ in specs}
+    for alias, (in_g, t, start_ns) in truths.items():
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "Time": np.rint(t * 1e9).astype("int64") + start_ns,
+                "A_x_g": in_g[:, 0],
+                "A_y_g": in_g[:, 1],
+                "A_z_g": in_g[:, 2],
+            }
+        )
+        exp = reference_rms(pdf).sort_values("Time").reset_index(drop=True)
+        got = (
+            back[back.alias == alias]
+            .sort_values("Time")
+            .reset_index(drop=True)
+        )
+        assert list(got["Time"]) == list(exp["Time"]), alias
+        for c in ("rms_x", "rms_y", "rms_z", "rms_mod"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-12)
+
+
 def test_incomplete_acquisition_soft_skips(spark, tmp_path):
     write_acquisition(str(tmp_path / "F"), incomplete=True)
     assert acq.load_acquisition(spark, str(tmp_path / "F")) is None
