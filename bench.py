@@ -44,6 +44,65 @@ HEADLINE = [
 ]
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Structured-Streaming throughput probe: replay the sf events table
+    as an 8-file parquet stream (maxFilesPerTrigger=1 -> 8 micro-batches)
+    through streaming_rms and time source-to-sink wall clock.
+
+    The event rows are mapped deterministically onto the telemetry
+    sample shape (dense 1 ms spacing so 1 s windows pass the
+    completeness gate); the number measures the micro-batch engine +
+    stateful window path, not the mapping.  Reported SEPARATELY from
+    the headline total so round-over-round query comparisons stay
+    apples-to-apples.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.streaming.ingest import streaming_rms
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    replay, ckpt = os.path.join(work, "replay"), os.path.join(work, "ckpt")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        samples = events.select(
+            ((F.col("event_id") % 600_000) / 1000.0).alias("Time"),
+            F.col("event_type").alias("comp_name"),
+            F.col("value").alias("A_x_g"),
+            (F.col("value") * 0.5).alias("A_y_g"),
+            (-F.col("value")).alias("A_z_g"),
+        )
+        samples.repartition(8).write.parquet(replay)
+        n_rows = events.count()
+
+        src = (
+            spark.readStream.schema(spark.read.parquet(replay).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        t0 = time.perf_counter()
+        q = (
+            streaming_rms(src)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else -1
+        return {
+            "streaming_rms_replay_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall),
+            "micro_batches": batches,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,6 +146,8 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    streaming = bench_streaming(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -94,6 +155,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
