@@ -217,7 +217,18 @@ def _signature_array(k: int):
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, _sh shingle-array) with an exchange barrier.
+    """(id, _sh array<long>) — per-doc shingle sets, each shingle hashed
+    ONCE to a 64-bit token — with an exchange barrier.
+
+    Hashing shingles to longs at the source is the scale lever: every
+    downstream consumer (the k-permutation signature fold, the verify
+    join's arrays, array_intersect) operates on fixed-width 8-byte
+    values instead of ~n-word strings.  The signature permutations hash
+    a LONG (one 8-byte block) instead of re-hashing the string k times,
+    and the verify-phase shuffle carries ~3x fewer bytes per doc.
+    Jaccard over 64-bit hashes equals string Jaccard up to hash
+    collisions (~N^2/2^65 expected false merges corpus-wide —
+    negligible at any feasible N).
 
     The ``repartition`` is load-bearing twice over: (1) it stops
     CollapseProject from inlining the tokenize+shingle expression into
@@ -225,7 +236,7 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     slower end-to-end), and (2) the exchange is identical under every
     downstream branch (signatures, verify-join left, verify-join right)
     so AQE reuses ONE materialization instead of re-scanning the corpus
-    three times.  One shuffle of the shingle arrays, total.
+    three times.  One shuffle of the hashed-shingle arrays, total.
 
     Docs with no shingles are dropped via the equivalent cheap text
     predicate BEFORE tokenizing — a ``where(size(_sh) > 0)`` after the
@@ -235,7 +246,8 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     """
     nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
     toked = _tokenized(nonempty, id_col, text_col)
-    sets = toked.select(F.col(id_col), _shingles(F.col("_toks"), n).alias("_sh"))
+    hashed = F.transform(_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s))
+    sets = toked.select(F.col(id_col), hashed.alias("_sh"))
     return sets.repartition(id_col)
 
 
@@ -244,12 +256,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc as ONE aggregation.
 
-    Each "permutation" is xxhash64(shingle, seed_i); the signature row
-    is one fold over the per-doc shingle array — a pure narrow map,
-    ZERO shuffle (no explode, no groupBy; the naive explode-by-seed
-    layout multiplies rows k-fold and then pays a full aggregation
-    shuffle to undo it).  Docs with no shingles (empty/whitespace text)
-    are dropped, matching the grouped layout.
+    Each "permutation" is xxhash64(shingle_hash, seed_i) over the
+    64-bit shingle tokens from :func:`_shingle_sets` (the string is
+    hashed once; the k permutations re-hash the fixed-width long — far
+    cheaper than k string hashes); the signature row is one fold over
+    the per-doc array — a pure narrow map, ZERO shuffle (no explode, no
+    groupBy; the naive explode-by-seed layout multiplies rows k-fold
+    and then pays a full aggregation shuffle to undo it).  Docs with no
+    shingles (empty/whitespace text) are dropped, matching the grouped
+    layout.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
@@ -315,6 +330,9 @@ def minhash_dedup_pairs(
     array_min(transform(...)) projections of the same per-row arrays the
     verify join uses, sharing one exchange (see _shingle_sets) — the
     arrays cross the wire once, the candidate pairs (tiny) broadcast.
+    Both phases operate on 64-bit shingle hashes, so the verify
+    ``array_intersect`` compares longs, not strings (exact up to 64-bit
+    collisions — see _shingle_sets).
     """
     sets = _shingle_sets(df, id_col, text_col, n)
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
