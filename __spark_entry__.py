@@ -42,6 +42,7 @@ _DEMOTED_REDUNDANT = (
     "q14_hourly_rms",
     "q36_rank_ntile",
     "q54_sql_exists_in",
+    "q57_hopping_rms",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -172,6 +172,76 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------------ line dedup
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines duplicated across >= ``min_docs`` documents (CCNet /
+    Gopher-style boilerplate removal: nav bars, cookie banners, license
+    headers repeat verbatim across pages and poison LLM training data).
+
+    Returns ``df`` with ``text_col`` rewritten (offending lines removed,
+    remaining lines re-joined on ``sep`` in original order) plus
+    ``n_lines`` (content lines before) and ``n_dropped`` columns.
+
+    100 TB shape — the heavy text column never rides a shuffle:
+
+    1. explode to (id, pos, xxhash64(trim(line))) triples — 16 bytes of
+       payload per line; blank lines are neither counted nor droppable.
+    2. line document-frequency = count over DISTINCT (hash, id) — the
+       only corpus-wide shuffle, keyed on the 8-byte hash.  (Distinct-
+       docs, not occurrences: a line repeated inside ONE doc is not
+       boilerplate.)
+    3. per-doc dropped POSITIONS via a semi-join of the triples against
+       the duplicated hashes, collected to one small array per doc.
+    4. one join back to the original rows on ``id_col`` (AQE broadcasts
+       it when few docs are affected) and an index-filter over
+       split(text) — the text is re-derived in place, never shuffled.
+    """
+    lines = F.split(F.col(text_col), sep)
+    triples = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("_pos", "_line"))
+        .where(F.length(F.trim("_line")) > 0)
+        .select(F.col(id_col), "_pos", F.xxhash64(F.trim("_line")).alias("_lh"))
+    )
+    dup = (
+        triples.select("_lh", id_col)
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_lh")
+    )
+    drops = (
+        triples.join(dup, "_lh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_drop"))
+    )
+    kept = F.filter(lines, lambda x, i: ~F.array_contains("_drop", i))
+    n_content = F.size(F.filter(lines, lambda x: F.length(F.trim(x)) > 0))
+    return (
+        df.join(drops, id_col, "left")
+        .withColumn("n_lines", n_content)
+        .withColumn(
+            "n_dropped",
+            F.coalesce(F.size("_drop"), F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("_drop").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept, sep)
+            ),
+        )
+        .drop("_drop")
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 

@@ -2076,3 +2076,83 @@ def q64(spark, sf_dir):
     return X.chunk_documents(
         d, "doc_id", "text", chunk_tokens=64, overlap=8
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ===================================== line-level dedup (boilerplate)
+# -- q65: CCNet/Gopher-style line dedup (operators/dedup.py:line_dedup)
+#    — strip lines duplicated across >= min_docs documents.  The fixture
+#    rebuilds each doc as 8-token lines wrapped in a shared boilerplate
+#    header and a per-source footer (both engines derive the identical
+#    multi-line text), so the operator observably removes exactly the
+#    planted boilerplate.  Only (id, pos, hash) triples shuffle; the
+#    oracle re-derives drops with string keys (hash-collision-free twin).
+@query(
+    "q65_line_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    ml AS (
+      SELECT doc_id,
+             'corpus shared boilerplate header line' || chr(10) ||
+             array_to_string(
+               list_transform(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1),
+                              i -> array_to_string(t[i*8+1 : i*8+8], ' ')),
+               chr(10)) || chr(10) ||
+             'footer of ' || source AS text
+      FROM toks
+    ),
+    l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM ml
+    ),
+    c AS (SELECT doc_id, pos, trim(line) AS key FROM l WHERE trim(line) <> ''),
+    dup AS (
+      SELECT key FROM (SELECT DISTINCT doc_id, key FROM c)
+      GROUP BY key HAVING count(*) >= 10
+    ),
+    drops AS (SELECT c.doc_id, c.pos FROM c JOIN dup USING (key)),
+    kept AS (
+      SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS new_text
+      FROM l ANTI JOIN drops ON l.doc_id = drops.doc_id AND l.pos = drops.pos
+      GROUP BY l.doc_id
+    ),
+    stats AS (
+      SELECT c.doc_id, CAST(count(*) AS INT) AS n_lines,
+             CAST(count(d.pos) AS INT) AS n_dropped
+      FROM c LEFT JOIN drops d ON c.doc_id = d.doc_id AND c.pos = d.pos
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_lines, s.n_dropped,
+           coalesce(k.new_text, '') AS new_text
+    FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q65(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    ml = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("corpus shared boilerplate header line"),
+            F.array_join(body, "\n"),
+            F.concat(F.lit("footer of "), F.col("source")),
+        ).alias("text"),
+    )
+    out = D.line_dedup(ml, "doc_id", "text", min_docs=10)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_dropped").cast("int").alias("n_dropped"),
+        F.col("text").alias("new_text"),
+    ).orderBy("doc_id")

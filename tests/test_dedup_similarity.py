@@ -337,3 +337,36 @@ def test_train_centroids_sample_no_count_prepass(spark, emb):
     b = S.train_centroids_sample(emb, n_centroids=8)
     assert a.shape == (8, len(emb.select("embedding").first()[0]))
     assert (a == b).all()
+
+
+def test_line_dedup_strips_cross_doc_boilerplate(spark):
+    rows = [
+        (1, "BOILER\nunique one\n\nrepeat me\nrepeat me\nBOILER"),
+        (2, "BOILER\nunique two\nother text"),
+        (3, "BOILER\nunique three"),
+        (4, "no shared lines\nat all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.line_dedup(df, "doc_id", "text", min_docs=3).collect()}
+    # BOILER appears in 3 docs -> dropped everywhere (both copies in doc 1)
+    assert out[1]["text"] == "unique one\n\nrepeat me\nrepeat me"
+    assert out[1]["n_dropped"] == 2  # two BOILER positions removed
+    # blank line preserved; within-doc repetition ("repeat me" x2, one doc) kept
+    assert out[2]["text"] == "unique two\nother text"
+    assert out[3]["text"] == "unique three"
+    # doc with no dropped lines passes through byte-identical
+    assert out[4]["text"] == "no shared lines\nat all"
+    assert out[4]["n_dropped"] == 0
+    # n_lines counts content lines before dropping (doc 1: 5 non-blank)
+    assert out[1]["n_lines"] == 5
+
+
+def test_line_dedup_min_docs_boundary(spark):
+    rows = [(1, "shared\na"), (2, "shared\nb"), (3, "solo\nc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # min_docs=3: "shared" only appears in 2 docs -> nothing dropped
+    kept = D.line_dedup(df, "doc_id", "text", min_docs=3)
+    assert kept.where(F.col("n_dropped") > 0).count() == 0
+    # min_docs=2: dropped from both
+    dropped = {r["doc_id"]: r["text"] for r in D.line_dedup(df, "doc_id", "text", min_docs=2).collect()}
+    assert dropped[1] == "a" and dropped[2] == "b" and dropped[3] == "solo\nc"
