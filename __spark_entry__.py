@@ -43,6 +43,7 @@ _DEMOTED_REDUNDANT = (
     "q36_rank_ntile",
     "q54_sql_exists_in",
     "q57_hopping_rms",
+    "q11_top_parts",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -2156,3 +2156,51 @@ def q65(spark, sf_dir):
         F.col("n_dropped").cast("int").alias("n_dropped"),
         F.col("text").alias("new_text"),
     ).orderBy("doc_id")
+
+
+# ===================================== tf-idf keyword extraction
+# -- q66: per-doc top-5 terms by TF-IDF (operators/text.py:tfidf_topk).
+#    idf="inv" (score = tf/doc_freq, one IEEE division of two small
+#    ints) so the score is bit-identical across engines — libm ln in
+#    the classic log-idf could differ in the last ulp and flip near-tie
+#    rankings; the log path is covered by pytest instead.  Ties broken
+#    by term asc (integer-count ties are common).
+@query(
+    "q66_tfidf_topk",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE len(term) > 0 GROUP BY doc_id, term
+    ),
+    df_t AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df_t.doc_freq,
+             CAST(tf.tf AS DOUBLE) / df_t.doc_freq AS score
+      FROM tf JOIN df_t USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_fx
+    FROM ranked WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def q66(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    out = X.tfidf_topk(d, "doc_id", "text", k=5, idf="inv")
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        fx("score", 1_000_000).alias("score_fx"),
+    ).orderBy("doc_id", "rank")

@@ -204,3 +204,35 @@ def test_chunk_documents_boundaries(spark):
     # chunking is embarrassingly parallel: the plan must not shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_topk_log_and_inv(spark):
+    import math
+
+    from gcf_corima_parquet_converter_spark.operators.text import tfidf_topk
+
+    rows = [
+        (1, "apple apple apple banana common common"),
+        (2, "banana banana cherry common common"),
+        (3, "cherry date common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_topk(df, "doc_id", "text", k=2, idf="log").collect()
+    }
+    # doc 1: apple tf=3 df=1 beats common tf=2 df=3
+    top = out[(1, 1)]
+    assert top["term"] == "apple"
+    assert top["tf"] == 3 and top["doc_freq"] == 1
+    expected = 3 * (math.log((3 + 1) / (1 + 1)) + 1)
+    assert abs(top["score"] - expected) < 1e-9
+    # rank-2 ties broken by term asc
+    inv = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_topk(df, "doc_id", "text", k=3, idf="inv").collect()
+    }
+    assert inv[(1, 1)] == "apple"
+    # doc 3: common (3/3=1.0) ties date (1/1=1.0); term asc breaks the tie
+    assert inv[(3, 1)] == "common"
+    assert inv[(3, 2)] == "date"
