@@ -54,6 +54,7 @@ _ROWS_ONLY_TAIL = (
     "q55_ivf_refined_topk",
     "q41_lsh_near_dup",
     "q62_pack_sequences",
+    "q67_pq_topk",
     "q32_hsd_pipeline",
 )
 

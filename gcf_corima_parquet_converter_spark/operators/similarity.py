@@ -347,3 +347,169 @@ def batch_cosine_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization: the memory-bound ANN path.  IVF prunes WHICH
+# rows are scanned; PQ shrinks WHAT is scanned — a dim-dim float vector
+# (256 B at dim=64/float32) becomes m uint8 codes (m bytes, 32x
+# smaller), so a 100 TB embedding corpus re-ranks from a ~1 TB code
+# table that fits hot storage.  Train on a driver-side sample (standard
+# practice: FAISS trains PQ codebooks on ~100k sampled vectors
+# regardless of corpus size), encode distributed, score with ADC
+# (asymmetric distance: full-precision query vs quantized base).
+
+PQ_LITERAL_CODES_THRESHOLD = 256  # m * n_codes above which encode goes Arrow
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks on a deterministic sample.
+
+    Splits the embedding into ``m`` contiguous sub-vectors and runs
+    Lloyd k-means (numpy, driver-side) per subspace over the
+    ``sample_size`` rows with the smallest ``xxhash64(id)`` — the same
+    order-statistic sample as ``train_centroids_sample``: deterministic,
+    uniform-ish, and ONE TakeOrderedAndProject scan regardless of corpus
+    size.  Returns codebooks of shape ``(m, n_codes, dim//m)``.
+
+    The driver-side training is O(sample * dim * n_codes * iters) —
+    independent of corpus size, which is the point: only ``pq_encode``
+    touches all rows.
+    """
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        # hash-ordered sample -> first n_codes rows are a deterministic seed
+        C = Xj[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """Encode each vector as ``m`` uint8-range code ids (nearest code
+    per subspace, squared-L2, ties to the lowest id).
+
+    Output: (id, codes array<int> of length m) — the compressed base
+    table one would persist (bucketed or sorted by whatever serves the
+    probe pattern; it is ~dim*4/m times smaller than the raw vectors).
+
+    Small codebooks compile to pure JVM literal expressions (argmin per
+    subspace over an n_codes distance array — whole-stage-codegen,
+    bit-reproducible); above ``PQ_LITERAL_CODES_THRESHOLD`` total codes
+    the encode switches to one Arrow-batched numpy pass per record
+    batch against a broadcast codebook (plan O(1) in m*n_codes),
+    mirroring the IVF matmul path.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    if use_arrow is None:
+        use_arrow = m * n_codes > PQ_LITERAL_CODES_THRESHOLD
+    if use_arrow:
+        bc = _codebook_broadcast(
+            emb.sparkSession.sparkContext, np.ascontiguousarray(books)
+        )
+
+        @F.pandas_udf("array<int>")
+        def _encode(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_list()).astype(np.float64, copy=False)
+            bks = bc.value
+            mm, nc, sb = bks.shape
+            out = np.empty((mat.shape[0], mm), dtype=np.int32)
+            for j in range(mm):
+                Xj = mat[:, j * sb : (j + 1) * sb]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant in argmin
+                d = -2.0 * (Xj @ bks[j].T) + (bks[j] ** 2).sum(axis=1)[None, :]
+                out[:, j] = d.argmin(axis=1)
+            return pd.Series(list(out))
+
+        return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+
+    def _sub(j: int) -> Column:
+        # squared-L2 to each code of subspace j, as literal expressions
+        def dist(c: np.ndarray) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lit_vec(c),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        scores = F.array(*[dist(books[j, c]) for c in range(n_codes)])
+        return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+    codes = F.array(*[_sub(j) for j in range(m)])
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: the query stays full-precision; the
+    driver precomputes a lookup table ``lut[j][c] = dot(q_j, code_jc)``
+    and each row's approximate inner product is m table lookups summed
+    — no per-row float vector math at all, and the scan reads only the
+    m-byte code column.  ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge — no
+    global sort/shuffle).  Ties broken by id.
+
+    Standard recall recipe: PQ top-k with k' > k, then exact re-rank of
+    the k' survivors against the raw vectors (a k'-row lookup join) —
+    compose with ``cosine_topk`` on the filtered set for that.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.array(
+        [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+    )  # (m, n_codes)
+    lut_col = F.array(*[lit_vec(lut[j]) for j in range(m)])
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(lut_col, j + 1), F.col("codes")[j] + 1
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), id_col)
+        .limit(k)
+    )

@@ -2204,3 +2204,18 @@ def q66(spark, sf_dir):
         F.col("doc_freq").cast("bigint").alias("doc_freq"),
         fx("score", 1_000_000).alias("score_fx"),
     ).orderBy("doc_id", "rank")
+
+
+# ===================================== product quantization ANN
+# -- q67: PQ ADC top-k (operators/similarity.py:pq_train/encode/topk).
+#    Rows-only: codebook training is iterative k-means (not portable
+#    SQL); recall is pinned by test_pq_topk_recall_and_rerank.  The
+#    scan side reads only the m-byte code column — the 100 TB
+#    memory-bound ANN path complementing IVF's partition pruning.
+@query("q67_pq_topk")
+def q67(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 1).select("embedding").first()[0]
+    books = S.pq_train(e, m=16, n_codes=16)
+    enc = S.pq_encode(e, books)
+    return S.pq_topk(enc, books, qvec, k=10)

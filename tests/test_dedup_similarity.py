@@ -370,3 +370,45 @@ def test_line_dedup_min_docs_boundary(spark):
     # min_docs=2: dropped from both
     dropped = {r["doc_id"]: r["text"] for r in D.line_dedup(df, "doc_id", "text", min_docs=2).collect()}
     assert dropped[1] == "a" and dropped[2] == "b" and dropped[3] == "solo\nc"
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    books = S.pq_train(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    enc = S.pq_encode(emb, books).orderBy("vec_id")
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # arrow and literal paths agree exactly (integer argmin over exact FP)
+    arrow = S.pq_encode(emb, books, use_arrow=True).orderBy("vec_id").collect()
+    assert [r["codes"] for r in rows] == [r["codes"] for r in arrow]
+
+
+def test_pq_topk_recall_and_rerank(spark, emb):
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()}
+    books = S.pq_train(emb, m=16, n_codes=16)
+    enc = S.pq_encode(emb, books)
+    got = {r["vec_id"] for r in S.pq_topk(enc, books, qvec, k=10).collect()}
+    assert len(exact & got) / 10 >= 0.5, f"ADC recall {len(exact & got)/10}"
+    # standard recipe: 5x oversample + exact re-rank restores recall
+    cand = [r["vec_id"] for r in S.pq_topk(enc, books, qvec, k=50).collect()]
+    rr = {
+        r["vec_id"]
+        for r in S.cosine_topk(
+            emb.where(F.col("vec_id").isin(cand)), qvec, k=10
+        ).collect()
+    }
+    assert len(exact & rr) / 10 >= 0.9, f"rerank recall {len(exact & rr)/10}"
+
+
+def test_pq_literal_paths_are_jvm_only(spark, emb):
+    books = S.pq_train(emb, m=8, n_codes=16)
+    enc = S.pq_encode(emb, books)  # 128 codes <= threshold -> literal
+    qvec = [0.1] * 64
+    for df in (enc, S.pq_topk(enc, books, qvec, k=5)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in p
+    p = S.pq_topk(enc, books, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
