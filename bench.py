@@ -4,10 +4,20 @@
 
 Prints ONE JSON line:
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+   "queries": {"q01_...": sec, ...}, "queries_warm": {...}, "sf": 0.1}
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver-side collect of the result set, no sink I/O in the timing).
+
+Every query runs TWICE.  "queries"/"value" is the FIRST (cold) run —
+directly comparable to BENCH_r01/r02, which were single-shot — and
+includes one-time plan optimization + whole-stage-codegen compilation
+for that query shape.  "queries_warm"/"total_warm_wall_sec" is the
+second run: steady-state execution only, which is the honest proxy for
+at-scale throughput — on a 100 TB corpus codegen is microseconds
+against minutes of scan, so warm deltas are what plan changes actually
+move.  (Local cold numbers at sf0.1 are compile-dominated and noisy
+under host contention; warm numbers are stable.)
 """
 
 from __future__ import annotations
@@ -136,7 +146,8 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    total = 0.0
+    warm: dict[str, float] = {}
+    total = total_warm = 0.0
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()
@@ -144,7 +155,12 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dw = time.perf_counter() - t0
+        warm[name] = round(dw, 3)
+        total_warm += dw
+        print(f"# {name}: {dt:.3f}s cold / {dw:.3f}s warm", file=sys.stderr)
 
     streaming = bench_streaming(spark, sf_dir)
 
@@ -155,6 +171,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm_wall_sec": round(total_warm, 3),
                 "streaming": streaming,
                 "sf": sf,
             }
