@@ -44,6 +44,7 @@ _DEMOTED_REDUNDANT = (
     "q54_sql_exists_in",
     "q57_hopping_rms",
     "q11_top_parts",
+    "q09_event_gaps",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",
@@ -55,6 +56,7 @@ _ROWS_ONLY_TAIL = (
     "q41_lsh_near_dup",
     "q62_pack_sequences",
     "q67_pq_topk",
+    "q68_semantic_dedup",
     "q32_hsd_pipeline",
 )
 

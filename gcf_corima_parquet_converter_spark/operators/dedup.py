@@ -580,3 +580,55 @@ def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     id is dropped)."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove
+    semantically redundant documents by clustering embeddings and
+    deduplicating WITHIN clusters only.
+
+    Pipeline (every stage an existing scale-shaped operator):
+
+    1. spherical k-means codebook — hash-ordered seeding
+       (``train_centroids_sample``) + distributed Lloyd refinement
+       (``kmeans_refine``: K x dim stats to the driver per iteration,
+       never the data);
+    2. assign each vector to its cluster (``ivf_assign``: literal
+       argmax small K, Arrow matmul large K);
+    3. cosine near-dup pairs with the cluster id as the BLOCK — the
+       self-join is equi on ``centroid_id``, so all-pairs cost is
+       bounded by the largest cluster, not the corpus;
+    4. keep-lowest-id survivor resolution (``dedup_keep_first``).
+
+    Near-dups straddling a cluster boundary are missed by design —
+    the published recall/cost trade of SemDeDup; raise ``n_clusters``
+    for speed, lower it for recall.  Returns the surviving rows of
+    ``emb`` (original columns).
+    """
+    from .similarity import ivf_assign, kmeans_refine, train_centroids_sample
+
+    cents = train_centroids_sample(
+        emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    cents = kmeans_refine(
+        emb, cents, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col="centroid_id",
+    )
+    return dedup_keep_first(pairs, emb, id_col)

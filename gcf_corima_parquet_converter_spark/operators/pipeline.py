@@ -319,3 +319,63 @@ def pack_sequences(
     return scattered.mapInPandas(_pack, out_schema).drop(
         "_pk_order", "_pk_worker"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    fraction: float,
+    salt: str = "",
+    keep_col: str | None = None,
+    exact_mean: bool = False,
+) -> DataFrame:
+    """Deterministic weight-proportional downsampling: keep each row
+    with probability ``fraction * weight / mean(weight)`` (clamped at
+    1) — the standard quality-weighted mixing step when composing a
+    training corpus (upsample... keep more of... high-quality sources,
+    keep less of low-quality ones, expected output ~= fraction of
+    input rows when weights are well-scaled).
+
+    Determinism: the per-row uniform is ``md5(id || salt)``'s leading
+    32 bits / 2^32 — engine-portable and partitioning-independent
+    (``rand(seed)``'s stream is neither); re-deal with ``salt``.  The
+    mean weight is a 1-row aggregate broadcast back over the corpus
+    (same shape as quantile_threshold_filter — no driver collect).
+    The whole thing is IEEE *,/ and integer hashing — no libm — so an
+    engine-parity oracle can reproduce the exact keep set.
+
+    With ``keep_col`` set, rows are flagged instead of filtered
+    (audit/debug mode).  ``exact_mean=True`` computes the mean weight
+    through the fixed-point path (floor(w*1e6+0.5) int64 sum, exact;
+    the plain double ``avg`` is order-dependent in the last ulp, which
+    could flip a borderline keep decision between engines) — needed
+    for oracle parity, harmless in production up to ~2^53/1e6-scale
+    weight sums per the fsum contract.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.col(weight_col).cast("double")
+    if exact_mean:
+        mean_w = df.select(
+            (
+                F.sum(F.floor(w * F.lit(1e6) + F.lit(0.5))).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("_mean_w")
+        )
+    else:
+        mean_w = df.select(F.avg(w).alias("_mean_w"))
+    out = df.crossJoin(F.broadcast(mean_w))
+    keep = u < F.lit(float(fraction)) * w / F.col("_mean_w")
+    if keep_col is not None:
+        return out.withColumn(keep_col, keep).drop("_mean_w")
+    return out.where(keep).drop("_mean_w")

@@ -2219,3 +2219,64 @@ def q67(spark, sf_dir):
     books = S.pq_train(e, m=16, n_codes=16)
     enc = S.pq_encode(e, books)
     return S.pq_topk(enc, books, qvec, k=10)
+
+
+# ===================================== semantic dedup (SemDeDup)
+# -- q68: cluster-then-dedup over embeddings (operators/dedup.py:
+#    semantic_dedup — SemDeDup, arXiv:2303.09540).  Rows-only:
+#    k-means is iterative; recall pinned by
+#    test_semantic_dedup_removes_planted_copies.  Fixture plants
+#    near-identical copies of 1-in-5 vectors so the dedup observably
+#    removes them.
+@query("q68_semantic_dedup")
+def q68(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    near = e.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    kept = D.semantic_dedup(
+        e.unionByName(near), threshold=0.95, n_clusters=8, n_iter=2
+    )
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("vec_id") >= 100_000).cast("bigint")).alias("n_copies_kept"),
+    ).orderBy("label")
+
+
+# ===================================== weighted sampling
+# -- q69: deterministic quality-weighted downsampling (operators/
+#    pipeline.py:weighted_sample).  Keep probability fraction*w/mean(w),
+#    uniform = md5(id||salt) leading 32 bits / 2^32 — engine-portable,
+#    partitioning-independent.  exact_mean=True routes the mean through
+#    the fixed-point sum so the threshold is bit-identical in DuckDB
+#    (a plain double avg is summation-order-dependent in the last ulp,
+#    enough to flip a borderline keep).
+@query(
+    "q69_weighted_sample",
+    """
+    WITH mw AS (
+      SELECT CAST(SUM(CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*) AS mean_w
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d, mw
+    WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 's9'), 1, 8) AS BIGINT) AS DOUBLE)
+            / 4294967296.0
+          < 0.5 * CAST(d.n_chars AS DOUBLE) / mw.mean_w
+    ORDER BY d.doc_id
+    """,
+)
+def q69(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    kept = P.weighted_sample(
+        d, "doc_id", "n_chars", fraction=0.5, salt="s9", exact_mean=True
+    )
+    return kept.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")

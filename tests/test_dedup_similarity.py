@@ -412,3 +412,25 @@ def test_pq_literal_paths_are_jvm_only(spark, emb):
             assert marker not in p
     p = S.pq_topk(enc, books, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
+
+
+def test_semantic_dedup_removes_planted_copies(spark, emb):
+    sub = emb.where(F.col("vec_id") <= 200)
+    near = sub.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    both = sub.unionByName(near)
+    kept = D.semantic_dedup(both, threshold=0.95, n_clusters=8, n_iter=2)
+    n_orig, n_kept = sub.count(), kept.count()
+    planted = both.count() - n_orig
+    survivors_high = kept.where(F.col("vec_id") >= 10_000).count()
+    # most planted copies (cos ~1 to their original) die; copies only
+    # survive when k-means separates the pair across clusters
+    assert survivors_high <= 0.3 * planted, f"{survivors_high}/{planted} copies survived"
+    # originals always win the keep-lowest-id rule
+    assert kept.where(F.col("vec_id") <= 200).count() == n_orig

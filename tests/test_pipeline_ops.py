@@ -266,3 +266,30 @@ def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
     d = catalog.load(spark, sf_dir, "documents").select("doc_id")
     with pytest.raises(ValueError):
         P.pack_sequences(d.withColumn("t", F.lit(1)), 0, "doc_id", "t")
+
+
+def test_weighted_sample_determinism_and_bias(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators.pipeline import weighted_sample
+
+    d = catalog.load(spark, sf_dir, "documents")
+    a = weighted_sample(d, "doc_id", "n_chars", fraction=0.5, salt="x")
+    b = weighted_sample(d, "doc_id", "n_chars", fraction=0.5, salt="x")
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # same salt -> identical keep set
+    resalted = weighted_sample(d, "doc_id", "n_chars", fraction=0.5, salt="y")
+    ids_c = sorted(r["doc_id"] for r in resalted.select("doc_id").collect())
+    assert ids_a != ids_c  # salt re-deals
+    n = d.count()
+    assert 0.3 * n <= len(ids_a) <= 0.7 * n  # expected ~fraction of rows
+    # weight-proportional: kept rows skew long (higher n_chars)
+    import pyspark.sql.functions as F
+
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    mean_kept = a.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_kept > mean_all
+    # flag mode keeps every row, adds the boolean
+    flagged = weighted_sample(d, "doc_id", "n_chars", 0.5, salt="x", keep_col="keep")
+    assert flagged.count() == n
+    assert flagged.where("keep").count() == len(ids_a)
