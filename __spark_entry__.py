@@ -57,6 +57,7 @@ _ROWS_ONLY_TAIL = (
     "q62_pack_sequences",
     "q67_pq_topk",
     "q68_semantic_dedup",
+    "q70_unigram_logprob",
     "q32_hsd_pipeline",
 )
 

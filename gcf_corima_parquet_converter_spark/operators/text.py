@@ -330,3 +330,55 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "doc_freq", "score")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style
+    language-model quality proxy (real CCNet uses a KenLM 5-gram; the
+    unigram version keeps the same shape: score each doc by how
+    "expected" its tokens are under a corpus LM, then gate/bucket on
+    the score).  More negative = more surprising = likelier junk.
+
+    ``vocab``: optional (term, cnt) frequency table — pass a
+    precomputed one to score a stream/batch against a REFERENCE corpus
+    (the production pattern: the LM is trained on trusted text, not on
+    the batch being scored).  Defaults to the corpus itself.
+
+    Scale shape: the vocab is Heaps-law sublinear and broadcasts onto
+    the exploded (id, term) pairs; the per-doc mean is one aggregation
+    keyed by id.  Laplace-``smoothing`` keeps OOV tokens finite.
+    Returns (id, n_tokens, avg_logprob).
+
+    Not oracle-graded: ln is libm-dependent (repo convention — see
+    queries.py float-parity strategy); pinned by a Python-math pytest
+    instead.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).where(F.length("term") > 0)
+    if vocab is None:
+        vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total_vocab = vocab.select(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vsize")
+    )
+    scored = (
+        terms.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(total_vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(smoothing))
+                / (F.col("_total") + F.lit(smoothing) * F.col("_vsize"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("avg_logprob"),
+    )

@@ -2280,3 +2280,15 @@ def q69(spark, sf_dir):
     return kept.select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     ).orderBy("doc_id")
+
+
+# ===================================== unigram LM quality proxy
+# -- q70: per-doc mean unigram log-probability (operators/text.py:
+#    unigram_logprob — the CCNet LM-quality-proxy shape).  Rows-only:
+#    ln is libm-dependent (see the module float-parity docstring);
+#    pinned by test_unigram_logprob_matches_python_math.
+@query("q70_unigram_logprob")
+def q70(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    out = X.unigram_logprob(d, "doc_id", "text")
+    return out.orderBy("doc_id")

@@ -236,3 +236,44 @@ def test_tfidf_topk_log_and_inv(spark):
     # doc 3: common (3/3=1.0) ties date (1/1=1.0); term asc breaks the tie
     assert inv[(3, 1)] == "common"
     assert inv[(3, 2)] == "date"
+
+
+def test_unigram_logprob_matches_python_math(spark):
+    import math
+    from collections import Counter
+
+    from gcf_corima_parquet_converter_spark.operators.text import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "zzz a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    cnt = Counter("a a b b c zzz a".split())
+    total, vsize, sm = sum(cnt.values()), len(cnt), 0.5
+    def lp(t):
+        return math.log((cnt[t] + sm) / (total + sm * vsize))
+    exp1 = (lp("a") + lp("a") + lp("b")) / 3
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["avg_logprob"] - exp1) < 1e-9
+    # rarer tokens -> more negative score
+    assert got[1]["avg_logprob"] > got[3]["avg_logprob"]
+
+
+def test_unigram_logprob_reference_vocab_scores_oov(spark):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators.text import unigram_logprob
+
+    ref = spark.createDataFrame(
+        [("known", 100), ("common", 50)], ["term", "cnt"]
+    )
+    df = spark.createDataFrame(
+        [(1, "known common"), (2, "alien words only")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(df, "doc_id", "text", vocab=ref).collect()
+    }
+    # all-OOV doc scores strictly below the in-vocab doc, and stays finite
+    assert got[2] < got[1]
+    import math
+    assert math.isfinite(got[2])
