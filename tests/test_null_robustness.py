@@ -60,3 +60,53 @@ def test_quality_features_null_text(spark):
     assert by_id[3].n_tokens is None  # null propagates, no crash
     assert by_id[4].quality_keep is False
     assert bool(by_id[1].quality_keep) is False  # only 6 tokens, <20 chars
+
+
+def test_line_dedup_null_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["shared\nmine", "shared\nyours", None, ""],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(df, "doc_id", "text", min_docs=2).collect()}
+    assert out[1]["text"] == "mine" and out[2]["text"] == "yours"
+    # null/empty docs pass through untouched, never throw
+    assert out[3]["text"] is None
+    assert out[4]["text"] == ""
+    assert out[3]["n_dropped"] == 0 and out[4]["n_dropped"] == 0
+
+
+def test_tfidf_topk_null_and_empty_docs(spark):
+    from gcf_corima_parquet_converter_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["real words here", None, "  "]})
+    )
+    out = tfidf_topk(df, "doc_id", "text", k=3).collect()
+    # null/blank docs yield no terms -> no rows; no exceptions
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_weighted_sample_null_weight_drops_row(spark):
+    from gcf_corima_parquet_converter_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "w": [10.0, None, 5.0]})
+    )
+    kept = weighted_sample(df, "id", "w", fraction=10.0).collect()
+    assert all(r["id"] != 2 for r in kept)  # null weight -> never kept
+    # fraction high enough that every weighted row clears the bar
+    assert {r["id"] for r in kept} == {1, 3}
+
+
+def test_unigram_logprob_null_docs(spark):
+    from gcf_corima_parquet_converter_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", None]})
+    )
+    out = unigram_logprob(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}
