@@ -116,3 +116,66 @@ def test_asof_join_matches_pandas_property(spark, data):
     e = exp.sort_values("lv")["rv"].astype("float64").to_numpy()
     g = got["rv"].astype("float64").to_numpy()
     assert ((e == g) | (np.isnan(e) & np.isnan(g))).all(), (direction, exp, got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_line_dedup_matches_python_model(spark, data):
+    """line_dedup == the obvious per-corpus Python model: a content
+    line is dropped iff its trimmed text appears in >= min_docs
+    distinct docs; blank lines survive; order is preserved."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    pool = ["alpha", "beta", "gamma", "delta", "  ", ""]
+    n_docs = data.draw(st.integers(2, 5))
+    docs = {
+        i: data.draw(st.lists(st.sampled_from(pool), min_size=0, max_size=6))
+        for i in range(n_docs)
+    }
+    min_docs = data.draw(st.integers(2, 3))
+
+    from collections import defaultdict
+
+    appears: dict[str, set[int]] = defaultdict(set)
+    for i, lines in docs.items():
+        for ln in lines:
+            if ln.strip():
+                appears[ln.strip()].add(i)
+    dup = {k for k, v in appears.items() if len(v) >= min_docs}
+    expected = {
+        i: "\n".join(ln for ln in lines if not (ln.strip() and ln.strip() in dup))
+        for i, lines in docs.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in docs.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in D.line_dedup(df, "doc_id", "text", min_docs=min_docs).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    f1=st.floats(0.1, 0.9),
+    f2=st.floats(0.1, 0.9),
+    salt=st.sampled_from(["", "a", "b"]),
+)
+def test_weighted_sample_monotone_in_fraction(spark, f1, f2, salt):
+    """Raising the fraction only ADDS rows (the per-row uniform is
+    fixed by (id, salt), the threshold scales linearly) — so sample
+    sets are nested, which makes fraction sweeps reproducible."""
+    from gcf_corima_parquet_converter_spark.operators.pipeline import weighted_sample
+
+    lo, hi = sorted([f1, f2])
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    small = {
+        r["id"] for r in weighted_sample(df, "id", "w", lo, salt=salt).collect()
+    }
+    big = {
+        r["id"] for r in weighted_sample(df, "id", "w", hi, salt=salt).collect()
+    }
+    assert small <= big
