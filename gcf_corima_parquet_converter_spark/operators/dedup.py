@@ -203,8 +203,13 @@ def line_dedup(
     4. one join back to the original rows on ``id_col`` (AQE broadcasts
        it when few docs are affected) and an index-filter over
        split(text) — the text is re-derived in place, never shuffled.
+
+    ``sep`` is a LITERAL separator (it is re-joined verbatim), so the
+    split pattern is regex-quoted — a sep of ``|`` or ``.`` must not be
+    interpreted as a regex, which would split between every character
+    and dedup over garbage units.
     """
-    lines = F.split(F.col(text_col), sep)
+    lines = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     triples = (
         df.select(F.col(id_col), F.posexplode(lines).alias("_pos", "_line"))
         .where(F.length(F.trim("_line")) > 0)
@@ -352,11 +357,25 @@ def minhash_candidate_pairs(
     ``sigs`` carries either the array form ``(id, _sig)`` (the internal
     fast path: band hash = xxhash64 of an array SLICE, no k-column
     expansion in the plan) or the column form ``(id, mh_0..mh_{k-1})``
-    from :func:`minhash_signatures` (re-packed into an array here)."""
+    from :func:`minhash_signatures` (re-packed into an array here).
+
+    The array form is length-checked at runtime (``assert_true``): a
+    signature shorter than bands*rows_per_band would make the trailing
+    bands slice past the end, hashing the same EMPTY array for every
+    doc — all docs collide in those bands and the self-join silently
+    degrades toward a cartesian product.  (The column form fails fast
+    on the missing ``mh_*`` column at analysis time.)"""
+    k = bands * rows_per_band
     if "_sig" in sigs.columns:
-        sigs = sigs.select(F.col(id_col), "_sig")
+        checked = F.when(
+            F.assert_true(
+                F.size("_sig") >= k,
+                f"minhash signature shorter than bands*rows_per_band={k}",
+            ).isNull(),
+            F.col("_sig"),
+        )
+        sigs = sigs.select(F.col(id_col), checked.alias("_sig"))
     else:
-        k = bands * rows_per_band
         sigs = sigs.select(
             F.col(id_col),
             F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("_sig"),

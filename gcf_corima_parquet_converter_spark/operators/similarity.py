@@ -123,8 +123,11 @@ def _codebook_broadcast(sc, cents: np.ndarray):
     bc = _CODEBOOK_BROADCASTS.get(key)
     if bc is None:
         while len(_CODEBOOK_BROADCASTS) >= _CODEBOOK_BROADCASTS_MAX:
-            _, old = _CODEBOOK_BROADCASTS.popitem()
-            old.unpersist(blocking=False)
+            # evict the OLDEST insertion (dict preserves insertion order;
+            # popitem() would pop the NEWEST — LIFO — pinning every old
+            # broadcast forever while churning the most recent one)
+            oldest = next(iter(_CODEBOOK_BROADCASTS))
+            _CODEBOOK_BROADCASTS.pop(oldest).unpersist(blocking=False)
         bc = sc.broadcast(cents)
         _CODEBOOK_BROADCASTS[key] = bc
     return bc
@@ -385,11 +388,17 @@ def pq_train(
     touches all rows.
     """
     rows = (
-        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        emb.where(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_size)
         .select(vec_col)
         .collect()
     )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_train needs >= n_codes={n_codes} non-null vectors to seed "
+            f"the codebooks; got {len(rows)}"
+        )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     n, dim = X.shape
     if dim % m:
@@ -431,6 +440,14 @@ def pq_encode(
     the encode switches to one Arrow-batched numpy pass per record
     batch against a broadcast codebook (plan O(1) in m*n_codes),
     mirroring the IVF matmul path.
+
+    Null vectors encode to null codes on BOTH paths.  FP caveat
+    (same as ivf_assign's matmul path): the Arrow path expands
+    ||x-c||^2 as -2x.c+||c||^2 via blocked numpy matmul, which rounds
+    differently from the literal path's sequential squared-difference
+    fold — on an exact near-tie between two codes the argmin can
+    differ by one ulp's rounding.  Agreement is near-total on real
+    data but not guaranteed bit-for-bit.
     """
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
@@ -443,16 +460,26 @@ def pq_encode(
 
         @F.pandas_udf("array<int>")
         def _encode(v: pd.Series) -> pd.Series:
-            mat = np.stack(v.to_list()).astype(np.float64, copy=False)
-            bks = bc.value
-            mm, nc, sb = bks.shape
-            out = np.empty((mat.shape[0], mm), dtype=np.int32)
-            for j in range(mm):
-                Xj = mat[:, j * sb : (j + 1) * sb]
-                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant in argmin
-                d = -2.0 * (Xj @ bks[j].T) + (bks[j] ** 2).sum(axis=1)[None, :]
-                out[:, j] = d.argmin(axis=1)
-            return pd.Series(list(out))
+            vals = v.to_list()
+            # null-mask BEFORE np.stack: one null vector in a batch must
+            # yield a null code row, not kill the stage (the literal
+            # path null-propagates; the paths must agree)
+            mask = [x is not None for x in vals]
+            result: list = [None] * len(vals)
+            live = [x for x in vals if x is not None]
+            if live:
+                mat = np.stack(live).astype(np.float64, copy=False)
+                bks = bc.value
+                mm, nc, sb = bks.shape
+                out = np.empty((mat.shape[0], mm), dtype=np.int32)
+                for j in range(mm):
+                    Xj = mat[:, j * sb : (j + 1) * sb]
+                    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 const in argmin
+                    d = -2.0 * (Xj @ bks[j].T) + (bks[j] ** 2).sum(axis=1)[None, :]
+                    out[:, j] = d.argmin(axis=1)
+                it = iter(out)
+                result = [next(it).tolist() if ok else None for ok in mask]
+            return pd.Series(result)
 
         return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
 
@@ -472,7 +499,9 @@ def pq_encode(
         scores = F.array(*[dist(books[j, c]) for c in range(n_codes)])
         return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
 
-    codes = F.array(*[_sub(j) for j in range(m)])
+    codes = F.when(
+        F.col(vec_col).isNotNull(), F.array(*[_sub(j) for j in range(m)])
+    )  # null vector -> NULL codes (not an array of null ints) — matches Arrow path
     return emb.select(F.col(id_col), codes.alias("codes"))
 
 
@@ -501,12 +530,14 @@ def pq_topk(
     lut = np.array(
         [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
     )  # (m, n_codes)
-    lut_col = F.array(*[lit_vec(lut[j]) for j in range(m)])
+    # one per-subspace literal row per term — NOT one m x n_codes
+    # literal table referenced m times (Spark does not CSE literal
+    # trees, so that form duplicates the whole LUT per term: O(m^2 *
+    # n_codes) plan nodes, the exact blowup the literal/broadcast
+    # threshold exists to avoid)
     score = None
     for j in range(m):
-        term = F.element_at(
-            F.element_at(lut_col, j + 1), F.col("codes")[j] + 1
-        )
+        term = F.element_at(lit_vec(lut[j]), F.col("codes")[j] + 1)
         score = term if score is None else score + term
     return (
         encoded.select(F.col(id_col), score.alias("adc_score"))

@@ -134,12 +134,40 @@ def compact_partitions(
                         st.getPath(), depth - 1, rel + (name,)
                     )
 
+        # Swap each partition in with a rename-aside recovery path:
+        # Hadoop rename() reports failure as a FALSE RETURN, not an
+        # exception, so an unchecked rename after deleting the live
+        # directory would silently lose the partition.  Instead the old
+        # directory is renamed aside (under the staging prefix), the
+        # staged one renamed in, and only then is the old copy deleted;
+        # any failed step restores the aside copy and raises WITHOUT
+        # cleaning the staging prefix, so both the old data and the
+        # staged rewrite survive for recovery.
         for src, rel in _leaf_dirs(tmp, len(partition_cols)):
             dst = HPath(root_path, rel)
+            bak = None
             if fs.exists(dst):
-                fs.delete(dst, True)
+                bak = HPath(tmp, "_bak_" + rel.replace("/", "_"))
+                if not fs.rename(dst, bak):
+                    raise RuntimeError(
+                        f"compact_partitions: could not move {dst} aside; "
+                        f"table untouched, staged rewrite kept at {tmp}"
+                    )
             fs.mkdirs(dst.getParent())
-            fs.rename(src, dst)
-    finally:
+            if not fs.rename(src, dst):
+                if bak is not None:
+                    fs.rename(bak, dst)
+                raise RuntimeError(
+                    f"compact_partitions: rename {src} -> {dst} failed; "
+                    f"old partition restored, staged rewrite kept at {tmp}"
+                )
+            if bak is not None:
+                fs.delete(bak, True)
+    except BaseException:
+        # keep the staging prefix: it holds the rewrite (and any moved-
+        # aside originals) — the underscore prefix keeps readers blind
+        # to it, and a rerun stages under a fresh uuid.
+        raise
+    else:
         fs.delete(tmp, True)
     return n
