@@ -9,6 +9,7 @@ because at 100 TB a catalog must never materialize (callers opt into
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import apply_runtime_conf
@@ -31,12 +32,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one corpus table.
 
     Applies the runtime confs first (the correctness driver hands us a
-    session we didn't build; ``events`` is unreadable without
-    ``nanosAsLong`` — see session.apply_runtime_conf).  After that conf,
-    ``events.ts`` is epoch-nanoseconds int64.
+    session we didn't build — see session.apply_runtime_conf).  The
+    ``events.ts`` column is normalized to epoch-nanoseconds int64
+    regardless of how the generator wrote it: parquet TIMESTAMP(NANOS)
+    reads as int64 directly under ``nanosAsLong``; TIMESTAMP(MICROS)
+    (plain or NTZ — the session timezone is pinned UTC so the NTZ cast
+    is exact) is converted via ``unix_micros * 1000``.  Downstream
+    queries and the DuckDB oracles (``epoch_us(ts)``) both see the same
+    µs-exact values either way.
     """
     apply_runtime_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
+        ns = F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
+        df = df.withColumn("ts", ns.cast("long"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

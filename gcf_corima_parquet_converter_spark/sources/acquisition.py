@@ -136,10 +136,22 @@ def process_acquisition(
     enriched_out = enriched.withColumns({k: F.lit(v) for k, v in parts.items()})
     rms_out = rms.withColumns({k: F.lit(v) for k, v in parts.items()})
 
-    tm.write_hive_partitioned(enriched_out, f"{out_root}/{sensor}")
-    n_rms = rms_out.count()
-    if n_rms == 0:
-        # main.py:154-156: no full 1 s window -> RMS table not written
-        return {"rms_rows": 0, "rms_written": False, "meta": meta}
-    tm.write_hive_partitioned(rms_out, f"{out_root}/{sensor}_rms")
-    return {"rms_rows": n_rms, "rms_written": True, "meta": meta}
+    # Both sinks and the empty-check (main.py:154-156) consume the same
+    # decode->enrich lineage; without caching, the mapInPandas .dat
+    # decode would run 3x (enriched write, RMS count, RMS write).
+    # Persist the shared ancestor once (spills to disk if the
+    # acquisition exceeds executor memory) and the tiny RMS aggregate,
+    # so decode and the RMS agg each execute exactly once.
+    enriched.persist()
+    rms_out.persist()
+    try:
+        tm.write_hive_partitioned(enriched_out, f"{out_root}/{sensor}")
+        n_rms = rms_out.count()
+        if n_rms == 0:
+            # main.py:154-156: no full 1 s window -> RMS table not written
+            return {"rms_rows": 0, "rms_written": False, "meta": meta}
+        tm.write_hive_partitioned(rms_out, f"{out_root}/{sensor}_rms")
+        return {"rms_rows": n_rms, "rms_written": True, "meta": meta}
+    finally:
+        rms_out.unpersist()
+        enriched.unpersist()

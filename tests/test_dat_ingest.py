@@ -258,3 +258,31 @@ def test_decode_params_from_status():
     assert p.packet_data_len == 1000 * 3 * 2
     assert p.packet_len == p.packet_data_len + 8
     assert p.axis_names == ("A_x [g]", "A_y [g]", "A_z [g]")
+
+
+def test_process_acquisition_decodes_once(spark, tmp_path, monkeypatch):
+    """The flagship conversion path must execute the .dat decode exactly
+    once.  Three actions consume the decode lineage (enriched write, RMS
+    empty-check count, RMS write — main.py:121-156); without the persist
+    in process_acquisition the mapInPandas decode would run 3x.  An
+    accumulator ticks once per (partition, execution) of a stage grafted
+    directly above the decode; one pass == one tick per partition."""
+    write_acquisition(str(tmp_path / "G"))
+    acc = spark.sparkContext.accumulator(0)
+    real_decode = acq.decode_dat
+
+    def counting_decode(spark_, path, params):
+        df = real_decode(spark_, path, params)
+
+        def tick(it):
+            acc.add(1)
+            yield from it
+
+        return df.mapInPandas(tick, df.schema)
+
+    monkeypatch.setattr(acq, "decode_dat", counting_decode)
+    res = acq.process_acquisition(spark, str(tmp_path / "G"), str(tmp_path / "outG"))
+    assert res is not None and res["rms_written"]
+    # one .dat file -> binaryFile scan is a single partition; a second
+    # lineage execution would double the tick count
+    assert acc.value == 1
