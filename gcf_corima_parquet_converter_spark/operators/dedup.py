@@ -596,9 +596,134 @@ def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     """Resolve near-dup pairs into a keep-list: drop the higher id of
     every pair (union-find-free approximation standard in data pipelines;
     transitive chains collapse because every doc linked to any smaller
-    id is dropped)."""
+    id is dropped).
+
+    Caveat (why ``dedup_components`` exists): this keeps every LOCAL
+    minimum of the pair graph — a node smaller than all its neighbors
+    survives even when it is transitively linked to another survivor.
+    E.g. pairs (1,3),(2,3): 1 and 2 BOTH survive although they sit in
+    one duplicate cluster.  When the cluster semantics must be the
+    transitive closure (one survivor per connected component, the
+    SlimPajama/Dolma resolution), use ``dedup_keep_components``."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve a near-dup pair graph into connected components by
+    distributed union-find: iterative min-label propagation with
+    pointer jumping, the published MapReduce CC recipe (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — hash-to-min
+    family).  Returns ``(id, comp)`` for every node that appears in a
+    pair, where ``comp`` is the smallest id in the node's component.
+
+    Each round does (1) a neighbor-min pass — join labels onto the
+    symmetrized edge list, ``min(comp)`` per node — and (2) a pointer
+    jump — relabel through the label's own label — which halves chain
+    depth, so convergence is O(log diameter) rounds, not O(diameter).
+    Per-round cost is one edge-sized shuffle join + agg; the edge list
+    is persisted once and reused; labels are ``localCheckpoint``-ed per
+    round — caching alone is NOT enough for an iterative fixpoint,
+    because the LOGICAL plan still nests the whole history (the label
+    expression appears twice per round, so analysis cost is 2^rounds
+    and the driver heaps out; checkpointing truncates the lineage to
+    the materialized partitions).  Driver state per round is ONE scalar
+    (the changed-label count for the fixpoint test) — no edge or label
+    data ever reaches the driver, and AQE is free to re-plan each
+    round.  Near-dup graphs are sparse with tiny diameters, so at
+    100 TB this is a handful of rounds over an edge list that is orders
+    of magnitude smaller than the corpus.  (On a long-lived cluster
+    job, set a reliable ``sparkContext.setCheckpointDir`` and swap
+    ``localCheckpoint`` for ``checkpoint`` if executor loss during the
+    loop must be survivable.)
+    """
+    half = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("comp"))
+        )
+        cand = (
+            labels.unionByName(nbr_min).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- label(comp).  Labels only decrease, so
+        # label(comp) <= comp; least() is belt-and-braces.
+        jump = cand.select(F.col("id").alias("comp"), F.col("comp").alias("_jc"))
+        new = (
+            cand.join(jump, "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("_jc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "_prev"), "id")
+            .where(F.col("comp") != F.col("_prev"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_components(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep exactly ONE row per connected component of the pair graph
+    (plus every row that appears in no pair) — the transitive-closure
+    survivor policy real pipelines use (SlimPajama, Dolma).
+
+    Default survivor is the smallest id (an anti-join against non-root
+    component members — no wide shuffle of ``df``).  With ``order_col``
+    the survivor is the best-quality member (ties: lowest id) via one
+    row_number window partitioned by component."""
+    comp = dedup_components(pairs)
+    if order_col is None:
+        drop = comp.where(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    lab = comp.select(F.col("id").alias(id_col), "comp")
+    joined = df.join(lab, id_col, "left")
+    # unpaired rows (comp null) become singleton groups keyed by own id
+    grp = F.coalesce(F.col("comp"), F.col(id_col).cast("long"))
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(grp).orderBy(order, F.col(id_col))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "comp")
+    )
 
 
 # ------------------------------------------------------ semantic dedup

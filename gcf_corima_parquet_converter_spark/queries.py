@@ -2292,3 +2292,48 @@ def q70(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     out = X.unigram_logprob(d, "doc_id", "text")
     return out.orderBy("doc_id")
+
+
+# ===================================== connected-components dedup resolution
+# -- q71: union-find over the exact n-gram-Jaccard pair graph of q28
+#    (operators/dedup.py: dedup_components — distributed min-label
+#    propagation + pointer jumping).  The oracle resolves the same pair
+#    graph with a recursive-CTE transitive closure: comp = min id
+#    reachable, exactly the fixpoint the Spark loop converges to.
+@query(
+    "q71_dedup_components",
+    r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id <= 150),
+    sh_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ')))
+               AS shingle
+      FROM docs),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE length(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON c.id_a = sa.doc_id
+      JOIN sizes sb ON c.id_b = sb.doc_id
+      WHERE c.n_common >= 0.02 * (sa.n_sh + sb.n_sh - c.n_common)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def q71(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.02)
+    return D.dedup_components(pairs).orderBy("id")

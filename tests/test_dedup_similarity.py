@@ -469,3 +469,72 @@ def test_pq_encode_arrow_null_vector_yields_null_codes(spark, emb):
     assert all(v is not None for k, v in rows.items() if k != 1)
     lit = {r["vec_id"]: r["codes"] for r in S.pq_encode(withnull, books, use_arrow=False).collect()}
     assert lit[1] is None  # both paths null-propagate
+
+
+# --------------------------------------------- connected-components resolution
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_dedup_components_chain_star_cycle(spark):
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4)]            # chain
+        + [(10, 11), (10, 12), (10, 13)]    # star
+        + [(20, 21), (21, 22), (20, 22)]    # cycle
+        + [(30, 31)],                       # isolated pair
+    )
+    comp = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_dedup_components_orientation_agnostic(spark):
+    # pair miners emit id_a < id_b, but components must not depend on it
+    comp = {
+        r["id"]: r["comp"]
+        for r in D.dedup_components(_pairs(spark, [(2, 1), (2, 3), (4, 3)])).collect()
+    }
+    assert set(comp.values()) == {1} and len(comp) == 4
+
+
+def test_dedup_components_long_chain_pointer_jump(spark):
+    # 65-node chain: plain min-propagation needs 64 rounds; pointer
+    # jumping must converge within the 10-round budget (O(log diameter))
+    pairs = _pairs(spark, [(i, i + 1) for i in range(64)])
+    comp = D.dedup_components(pairs, max_iter=10)
+    assert {r["comp"] for r in comp.collect()} == {0}
+    assert comp.count() == 65
+
+
+def test_keep_components_vs_keep_first_v_graph(spark):
+    # V graph (1,3),(2,3): keep_first keeps BOTH local minima 1 and 2
+    # although they sit in one transitive cluster; components keeps one
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 3), (2, 3)])
+    kf = sorted(r["doc_id"] for r in D.dedup_keep_first(pairs, df, "doc_id").collect())
+    kc = sorted(
+        r["doc_id"] for r in D.dedup_keep_components(pairs, df, "doc_id").collect()
+    )
+    assert kf == [1, 2]  # the under-merge this operator family fixes
+    assert kc == [1]
+
+
+def test_keep_components_best_quality_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "b", 0.9), (3, "c", 0.5), (9, "z", 0.0)],
+        "doc_id long, text string, q double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    kept = D.dedup_keep_components(pairs, df, "doc_id", order_col="q")
+    # best-q member of the {1,2,3} component, plus the unpaired doc 9
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 9]
+    assert set(kept.columns) == {"doc_id", "text", "q"}
