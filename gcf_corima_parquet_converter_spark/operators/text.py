@@ -338,6 +338,7 @@ def unigram_logprob(
     text_col: str,
     vocab: DataFrame | None = None,
     smoothing: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the CCNet-style
     language-model quality proxy (real CCNet uses a KenLM 5-gram; the
@@ -352,23 +353,34 @@ def unigram_logprob(
 
     Scale shape: the vocab is Heaps-law sublinear and broadcasts onto
     the exploded (id, term) pairs; the per-doc mean is one aggregation
-    keyed by id.  Laplace-``smoothing`` keeps OOV tokens finite.
-    Returns (id, n_tokens, avg_logprob).
+    keyed by id.  In reference-vocab mode the broadcast is EXPLICIT —
+    an AQE fallback to sort-merge would shuffle the exploded term pairs
+    with classic stopword key skew — and ``min_count`` prunes the
+    hapax-legomena tail (standard CCNet vocab practice: Heaps' law puts
+    roughly half of distinct terms at cnt=1, so ``min_count=2`` halves
+    the broadcast while smoothing scores the pruned terms as OOV).
+    Laplace-``smoothing`` keeps OOV tokens finite.  Returns
+    (id, n_tokens, avg_logprob).
 
     Not oracle-graded: ln is libm-dependent (repo convention — see
     queries.py float-parity strategy); pinned by a Python-math pytest
     instead.
     """
+    reference_mode = vocab is not None
     terms = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).where(F.length("term") > 0)
     if vocab is None:
         vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        # prune BEFORE totals so the model stays a proper distribution
+        # over the pruned vocab (pruned terms fall into the OOV mass)
+        vocab = vocab.where(F.col("cnt") >= min_count)
     total_vocab = vocab.select(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vsize")
     )
     scored = (
-        terms.join(vocab, "term", "left")
+        terms.join(F.broadcast(vocab) if reference_mode else vocab, "term", "left")
         .crossJoin(F.broadcast(total_vocab))
         .select(
             F.col(id_col),

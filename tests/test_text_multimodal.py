@@ -277,3 +277,39 @@ def test_unigram_logprob_reference_vocab_scores_oov(spark):
     assert got[2] < got[1]
     import math
     assert math.isfinite(got[2])
+
+
+def test_unigram_logprob_reference_vocab_broadcasts(spark):
+    """Reference-vocab mode must pin a BroadcastHashJoin on the vocab
+    join — an AQE sort-merge fallback would shuffle the exploded term
+    pairs with stopword key skew (VERDICT r3 #5)."""
+    from gcf_corima_parquet_converter_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs run fast")], ["doc_id", "text"]
+    )
+    ref = spark.createDataFrame(
+        [("the", 100), ("cat", 10), ("sat", 5)], ["term", "cnt"]
+    )
+    out = unigram_logprob(df, "doc_id", "text", vocab=ref)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_min_count_prunes_to_oov(spark):
+    """min_count prunes rare vocab terms; pruned terms score as OOV and
+    totals are recomputed over the pruned vocab (proper distribution)."""
+    import math
+
+    from gcf_corima_parquet_converter_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "aa bb")], ["doc_id", "text"])
+    ref = spark.createDataFrame(
+        [("aa", 10), ("bb", 1), ("cc", 1)], ["term", "cnt"]
+    )
+    got = unigram_logprob(df, "doc_id", "text", vocab=ref, min_count=2).collect()[0]
+    # pruned vocab = {aa: 10}; total=10, vsize=1, smoothing=0.5
+    exp = (math.log((10 + 0.5) / 10.5) + math.log(0.5 / 10.5)) / 2
+    assert abs(got["avg_logprob"] - exp) < 1e-12
+    assert got["n_tokens"] == 2
