@@ -36,6 +36,33 @@ _PRIMITIVES: dict[str, DataType] = {
     "string": StringType(),
 }
 
+# DTDL semantic unit name -> display symbol (parity with the reference's
+# UnitMap, stdatalog_pnpl DTDL/dtdl_utils.py:23-39).  Values and schemas
+# never depend on this — it is display metadata, carried on StructField
+# metadata so sinks/UIs can format columns per the template's ``unit``
+# annotation.
+UNIT_DISPLAY: dict[str, str] = {
+    "gForce": "g",
+    "gauss": "G",
+    "decibel": "dB",
+    "degreePerSecond": "dps",
+    "mdps": "mdps",
+    "degreeCelsius": "°C",
+    "hertz": "Hz",
+    "second": "s",
+    "Waveform": "Waveform",
+    "percent": "%",
+    "millisecond": "ms",
+    "microsecond": "μs",
+}
+
+
+def unit_display(unit: str) -> str:
+    """Display symbol for a DTDL semantic unit name; unknown units pass
+    through unchanged (so already-symbolic strings like ``"g"`` are
+    stable under re-application)."""
+    return UNIT_DISPLAY.get(unit, unit)
+
 
 def dtdl_schema_to_spark(schema: Any) -> DataType:
     """Convert one DTDL schema node (primitive name, Enum, Object,
@@ -66,7 +93,12 @@ def dtdl_schema_to_spark(schema: Any) -> DataType:
 
 def interface_to_structtype(interface: dict) -> StructType:
     """DTDL Interface -> StructType over its Property contents (the
-    component-status document shape)."""
+    component-status document shape).
+
+    A content's ``unit``/``displayUnit`` semantic annotation (DTDL v2
+    semantic types) is surfaced as StructField metadata
+    ``{"unit": <dtdl name>, "unit_symbol": <display symbol>}`` — the
+    repo analogue of the reference's UnitMap display layer."""
     fields = []
     for c in interface.get("contents", []):
         ctype = c.get("@type")
@@ -76,7 +108,11 @@ def interface_to_structtype(interface: dict) -> StructType:
             is_prop = ctype == "Property"
         if not is_prop:
             continue
-        fields.append(StructField(c["name"], dtdl_schema_to_spark(c["schema"])))
+        unit = c.get("unit") or c.get("displayUnit")
+        meta = {"unit": unit, "unit_symbol": unit_display(unit)} if unit else None
+        fields.append(
+            StructField(c["name"], dtdl_schema_to_spark(c["schema"]), metadata=meta)
+        )
     return StructType(fields)
 
 
@@ -105,7 +141,10 @@ def decode_params_from_status(
     """Component-status dict -> DecodeParams (HSD_DataToolkit.py:45-51
     key set: dim, data_type, samples_per_ts; plus sensitivity/odr used
     by the converter).  Axis naming follows the reference's decoded
-    column style ``A_x [g]`` (sanitized downstream, main.py:87-96)."""
+    column style ``A_x [g]`` (sanitized downstream, main.py:87-96);
+    ``unit`` accepts either a display symbol or a DTDL semantic unit
+    name (``gForce`` -> ``g`` via ``unit_display``)."""
+    unit = unit_display(unit)
     dim = int(status.get("dim", 1))
     letters = ["x", "y", "z"] + [f"d{i}" for i in range(3, dim)]
     names = tuple(f"{axis_prefix}_{letters[i]} [{unit}]" for i in range(dim))
@@ -161,7 +200,8 @@ class DeviceTemplateCatalog:
     def builtin(cls) -> "DeviceTemplateCatalog":
         """The generated built-in catalog (``schema.templates``): the
         STWINBX1/FP-SNS-DATALOG2 pair the reference pipeline exercises
-        resolves out-of-the-box — no hand-seeded catalog required."""
+        plus the STWINKT1B and X-NUCLEO-IKS02A1 boards resolve
+        out-of-the-box — no hand-seeded catalog required."""
         from .templates import materialize
 
         return materialize()

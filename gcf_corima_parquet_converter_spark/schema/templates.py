@@ -3,12 +3,15 @@
 The reference ships ~40 appconfig device-template JSONs inside the
 stdatalog_pnpl wheel and resolves them by ``(board_id, fw_id)`` through
 its catalog index (device_template_manager.py:139-199).  Re-shipping
-ST's JSONs verbatim is out (they are the vendor's artifacts); but the
-ONE pair the reference pipeline actually exercises — the STEVAL-STWINBX1
-running FP-SNS-DATALOG2, whose acceleration stream is the
-``iis3dwb_acc;5`` interface — can be GENERATED from public facts: the
-DTDL v2 grammar (a Microsoft standard) plus the IIS3DWB datasheet
-envelope (26.667 kHz ODR; ±2/4/8/16 g full scale; 3 axes of int16).
+ST's JSONs verbatim is out (they are the vendor's artifacts); but
+templates can be GENERATED from public facts: the DTDL v2 grammar (a
+Microsoft standard) plus each sensor's datasheet envelope.  Three
+boards ship built-in — the pair the reference pipeline actually
+exercises (STEVAL-STWINBX1 / FP-SNS-DATALOG2, whose acceleration
+stream is the ``iis3dwb_acc;5`` interface; 26.667 kHz ODR, ±2/4/8/16 g,
+3 axes of int16), plus the STWINKT1B (ISM330DHCX acc+gyro + STTS22H
+temp) and X-NUCLEO-IKS02A1 (ISM330DHCX acc+gyro) built through the
+spec-driven ``sensor_interface``/``device_template`` builders.
 
 Everything here is emitted by builder functions — no JSON is copied;
 the builders are also the extension point for users to register their
@@ -205,6 +208,258 @@ def stwinbx1_datalog2_template(version: int = 5) -> list[dict]:
     return [root, acc]
 
 
+# ------------------------------------------- spec-driven board builders
+#
+# The iis3dwb builder above is the hand-written original; these
+# generalize it so ANY board is a handful of datasheet facts, proving
+# the generated catalog is a builder surface, not a one-off fixture.
+# Property @ids are namespaced per component interface (two components
+# on one board both have an ``odr`` property; DTDL @ids must be unique).
+
+
+def sensor_interface(
+    comp_name: str,
+    *,
+    ns: str,
+    odr_enum: list[tuple[str, int]],
+    measodr: float,
+    sensitivity: float,
+    fs_enum: list[tuple[str, int]] | None = None,
+    fs_unit: str | None = None,
+    dim: int = 3,
+    data_type: str = "int16",
+    samples_per_ts: int = 1000,
+    version: int = 1,
+    display: str | None = None,
+) -> dict:
+    """One sensor-component interface from datasheet facts, with the
+    same property set the reference's sensor interfaces expose (the
+    HSD_DataToolkit.py:45-51 status keys plus converter params)."""
+    ins = f"{ns}:sensors:{comp_name}"
+
+    def p(name, schema, **kw):
+        node = _prop(name, schema, **kw)
+        node["@id"] = f"{ins}:{name};1"
+        return node
+
+    def enum(name, values):
+        sch = _enum_schema(name, values)
+        sch["@id"] = f"{ins}:{name}:schema;1"
+        for v, row in zip(values, sch["enumValues"]):
+            row["@id"] = f"{ins}:{name}:schema:{v[0]};1"
+        return sch
+
+    contents = [
+        p("odr", enum("odr", odr_enum), unit="hertz", display="ODR"),
+    ]
+    if fs_enum is not None:
+        contents.append(p("fs", enum("fs", fs_enum), unit=fs_unit, display="FS"))
+    contents += [
+        p(
+            "enable",
+            "boolean",
+            ptype=["Property", "BooleanValue"],
+            display="Enabled",
+            initial=True,
+        ),
+        p(
+            "samples_per_ts",
+            "integer",
+            ptype=["Property", "Initialized", "NumberValue"],
+            display="Samples per Timestamp",
+            initial=samples_per_ts,
+            min_value=0,
+            max_value=samples_per_ts,
+        ),
+        p(
+            "dim",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=dim,
+        ),
+        p(
+            "ioffset",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0.0,
+        ),
+        p(
+            "measodr",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=measodr,
+        ),
+        p(
+            "usb_dps",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0,
+        ),
+        p(
+            "sd_dps",
+            "integer",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=0,
+        ),
+        p(
+            "sensitivity",
+            "double",
+            ptype=["Property", "NumberValue"],
+            writable=False,
+            initial=sensitivity,
+        ),
+        p(
+            "data_type",
+            "string",
+            ptype=["Property", "StringValue"],
+            writable=False,
+            initial=data_type,
+        ),
+    ]
+    return {
+        "@context": ["dtmi:iotcentral:context;2", "dtmi:dtdl:context;2"],
+        "@id": f"{ins};{version}",
+        "@type": "Interface",
+        "contents": contents,
+        "displayName": {"en": display or comp_name},
+    }
+
+
+def device_template(
+    ns: str, components: list[tuple[str, dict]], display: str
+) -> list[dict]:
+    """Root interface + component interfaces — the wheel's template
+    shape (a list of interfaces; the root's Component contents name
+    their interface by schema @id)."""
+    root = {
+        "@context": ["dtmi:iotcentral:context;2", "dtmi:dtdl:context;2"],
+        "@id": f"{ns};1",
+        "@type": "Interface",
+        "contents": [
+            {
+                "@id": f"{ns}:{name};1",
+                "@type": "Component",
+                "displayName": {"en": name},
+                "name": name,
+                "schema": iface["@id"],
+            }
+            for name, iface in components
+        ],
+        "displayName": {"en": display},
+    }
+    return [root] + [iface for _, iface in components]
+
+
+_NS_KT1B = "dtmi:gcfspark:steval_stwinkt1b:fp_sns_datalog2"
+_NS_IKS02A1 = "dtmi:gcfspark:x_nucleo_iks02a1:fp_sns_datalog2"
+
+#: Second catalog pair: STEVAL-STWINKT1B running FP-SNS-DATALOG2
+#: (wheel catalog rows board 0x9).  Components from public datasheets.
+STWINKT1B_BOARD_ID = "0x9"
+STWINKT1B_FW_ID = "0x4"
+
+#: Third pair: X-NUCLEO-IKS02A1 expansion board (wheel rows board 0x10).
+IKS02A1_BOARD_ID = "0x10"
+IKS02A1_FW_ID = "0x1"
+
+
+def _ism330dhcx_acc(ns: str) -> dict:
+    # ISM330DHCX datasheet: acc ODR to 6.667 kHz; FS ±2/4/8/16 g;
+    # 0.061 mg/LSB at ±2 g; 3 axes of int16
+    return sensor_interface(
+        "ism330dhcx_acc",
+        ns=ns,
+        odr_enum=[
+            ("hz104", 0),
+            ("hz833", 1),
+            ("hz1667", 2),
+            ("hz3333", 3),
+            ("hz6667", 4),
+        ],
+        measodr=6667.0,
+        fs_enum=[("g2", 0), ("g4", 1), ("g8", 2), ("g16", 3)],
+        fs_unit="gForce",
+        sensitivity=0.0000610,
+        display="ISM330DHCX Accelerometer",
+    )
+
+
+def _ism330dhcx_gyro(ns: str) -> dict:
+    # ISM330DHCX datasheet: gyro FS ±125..±4000 dps; 4.375 mdps/LSB
+    # at ±125 dps; 3 axes of int16
+    return sensor_interface(
+        "ism330dhcx_gyro",
+        ns=ns,
+        odr_enum=[
+            ("hz104", 0),
+            ("hz833", 1),
+            ("hz1667", 2),
+            ("hz3333", 3),
+            ("hz6667", 4),
+        ],
+        measodr=6667.0,
+        fs_enum=[
+            ("dps125", 0),
+            ("dps250", 1),
+            ("dps500", 2),
+            ("dps1000", 3),
+            ("dps2000", 4),
+            ("dps4000", 5),
+        ],
+        fs_unit="degreePerSecond",
+        sensitivity=0.004375,
+        display="ISM330DHCX Gyroscope",
+    )
+
+
+def _stts22h_temp(ns: str) -> dict:
+    # STTS22H datasheet: 1..200 Hz ODR; 0.01 °C/LSB; single channel
+    return sensor_interface(
+        "stts22h_temp",
+        ns=ns,
+        odr_enum=[("hz1", 0), ("hz25", 1), ("hz50", 2), ("hz100", 3), ("hz200", 4)],
+        measodr=200.0,
+        sensitivity=0.01,
+        dim=1,
+        samples_per_ts=200,
+        display="STTS22H Temperature",
+    )
+
+
+def stwinkt1b_datalog2_template() -> list[dict]:
+    """STWINKT1B: dual-sensor IMU (acc + gyro) plus temperature — the
+    multi-component board shape the single-sensor STWINBX1 template
+    does not exercise."""
+    ns = _NS_KT1B
+    return device_template(
+        ns,
+        [
+            ("ism330dhcx_acc", _ism330dhcx_acc(ns)),
+            ("ism330dhcx_gyro", _ism330dhcx_gyro(ns)),
+            ("stts22h_temp", _stts22h_temp(ns)),
+        ],
+        "FP-SNS-DATALOG2 on STWIN.box KT1B (generated)",
+    )
+
+
+def iks02a1_datalog2_template() -> list[dict]:
+    """X-NUCLEO-IKS02A1 expansion board: ISM330DHCX acc + gyro."""
+    ns = _NS_IKS02A1
+    return device_template(
+        ns,
+        [
+            ("ism330dhcx_acc", _ism330dhcx_acc(ns)),
+            ("ism330dhcx_gyro", _ism330dhcx_gyro(ns)),
+        ],
+        "FP-SNS-DATALOG2 on X-NUCLEO-IKS02A1 (generated)",
+    )
+
+
 def initial_status(interface: dict) -> dict:
     """``{property -> initialValue}`` for every Property carrying one —
     the decode-ready status of a freshly-booted component (feed to
@@ -217,13 +472,27 @@ def initial_status(interface: dict) -> dict:
 
 
 #: (board_id, fw_id, template_name, builder) rows materialized into the
-#: built-in catalog.  One row today — the pair the reference exercises.
+#: built-in catalog: the pair the reference CI exercises plus two more
+#: generated boards (dual-IMU + temp; expansion board), proving the
+#: catalog generalizes past a single hand-built fixture.
 BUILTIN_TEMPLATES: list[tuple[str, str, str, Any]] = [
     (
         STWINBX1_BOARD_ID,
         DATALOG2_FW_ID,
         "stwinbx1_fp_sns_datalog2-6",
         stwinbx1_datalog2_template,
+    ),
+    (
+        STWINKT1B_BOARD_ID,
+        STWINKT1B_FW_ID,
+        "stwinkt1b_fp_sns_datalog2-1",
+        stwinkt1b_datalog2_template,
+    ),
+    (
+        IKS02A1_BOARD_ID,
+        IKS02A1_FW_ID,
+        "x_nucleo_iks02a1_fp_sns_datalog2-1",
+        iks02a1_datalog2_template,
     ),
 ]
 

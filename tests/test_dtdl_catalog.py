@@ -292,3 +292,113 @@ def test_facade_resolves_with_builtin_catalog(spark, tmp_path):
     acq = Acquisition(spark, folder)
     tpl = acq.resolve_device_template(board_id=0x0E, fw_id=0x06)
     assert any(i["@id"].endswith("iis3dwb_acc;5") for i in tpl)
+
+
+def test_unit_display_reference_map():
+    """Reference UnitMap parity (stdatalog_pnpl DTDL/dtdl_utils.py:23-39)
+    plus pass-through for unknown/already-symbolic units."""
+    from gcf_corima_parquet_converter_spark.schema.dtdl import unit_display
+
+    assert unit_display("gForce") == "g"
+    assert unit_display("hertz") == "Hz"
+    assert unit_display("degreePerSecond") == "dps"
+    assert unit_display("degreeCelsius") == "°C"
+    assert unit_display("microsecond") == "μs"
+    assert unit_display("percent") == "%"
+    assert unit_display("g") == "g"          # idempotent on symbols
+    assert unit_display("parsec") == "parsec"  # unknown passes through
+
+
+def test_interface_unit_metadata_and_decode_unit():
+    from gcf_corima_parquet_converter_spark.schema.dtdl import (
+        decode_params_from_status,
+        interface_to_structtype,
+    )
+
+    iface = {
+        "@id": "dtmi:test:iface;1",
+        "@type": "Interface",
+        "contents": [
+            {
+                "@type": ["Property", "Acceleration"],
+                "name": "amax",
+                "schema": "double",
+                "unit": "gForce",
+            },
+            {"@type": "Property", "name": "odr", "schema": "double"},
+        ],
+    }
+    st = interface_to_structtype(iface)
+    assert st["amax"].metadata == {"unit": "gForce", "unit_symbol": "g"}
+    assert st["odr"].metadata == {}
+    # decode axis naming accepts the DTDL unit name and renders the symbol
+    p = decode_params_from_status({"dim": 3}, unit="gForce")
+    assert p.axis_names[0] == "A_x [g]"
+
+
+def test_builtin_catalog_resolves_second_and_third_pairs():
+    """The generated catalog is a builder surface, not a one-off
+    fixture: STWINKT1B (0x9/0x4, dual-IMU + temp) and X-NUCLEO-IKS02A1
+    (0x10/0x1) resolve with no hand-seeding (VERDICT r3 #8)."""
+    cat = DeviceTemplateCatalog.builtin()
+
+    types = cat.resolve_structtypes(0x9, 0x4)
+    assert set(types) == {"ism330dhcx_acc", "ism330dhcx_gyro", "stts22h_temp"}
+    # multi-component board: each interface has the full status shape
+    for st in types.values():
+        assert {"odr", "enable", "samples_per_ts", "dim", "sensitivity"} <= set(
+            st.fieldNames()
+        )
+    assert "fs" not in types["stts22h_temp"].fieldNames()  # temp has no FS
+
+    types2 = cat.resolve_structtypes("0x10", "0x1")
+    assert set(types2) == {"ism330dhcx_acc", "ism330dhcx_gyro"}
+
+    # fs carries the semantic unit through to StructField metadata
+    fs = types["ism330dhcx_gyro"]["fs"]
+    assert fs.metadata == {"unit": "degreePerSecond", "unit_symbol": "dps"}
+
+
+def test_second_board_initial_status_decode_ready():
+    """Template -> initial status -> DecodeParams for BOTH new sensor
+    kinds: the 3-axis gyro (dps axes) and the 1-channel temp (°C)."""
+    from gcf_corima_parquet_converter_spark.schema.dtdl import (
+        decode_params_from_status,
+    )
+    from gcf_corima_parquet_converter_spark.schema.templates import (
+        _NS_KT1B,
+        _ism330dhcx_gyro,
+        _stts22h_temp,
+        initial_status,
+    )
+
+    gyro = decode_params_from_status(
+        initial_status(_ism330dhcx_gyro(_NS_KT1B)),
+        axis_prefix="G",
+        unit="degreePerSecond",
+    )
+    assert gyro.dim == 3
+    assert gyro.axis_names == ("G_x [dps]", "G_y [dps]", "G_z [dps]")
+    assert gyro.sensitivity == 0.004375
+
+    temp = decode_params_from_status(
+        initial_status(_stts22h_temp(_NS_KT1B)),
+        axis_prefix="T",
+        unit="degreeCelsius",
+    )
+    assert temp.dim == 1
+    assert temp.axis_names == ("T_x [°C]",)
+    assert temp.samples_per_ts == 200
+
+
+def test_facade_resolves_second_pair_without_seeding(spark, tmp_path):
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        write_acquisition,
+    )
+
+    folder = str(tmp_path / "acq2")
+    write_acquisition(folder)
+    acq = Acquisition(spark, folder)
+    tpl = acq.resolve_device_template(board_id=0x9, fw_id=0x4)
+    assert any(i["@id"].endswith("ism330dhcx_gyro;1") for i in tpl)
