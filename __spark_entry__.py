@@ -46,6 +46,10 @@ _DEMOTED_REDUNDANT = (
     "q57_hopping_rms",
     "q11_top_parts",
     "q09_event_gaps",
+    # r4: demoted to open a graded slot for q71_dedup_components (new
+    # operator family); q56 is the batched variant of q25's cosine
+    # top-k — same similarity family, same TakeOrderedAndProject shape
+    "q56_batch_topk",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",
