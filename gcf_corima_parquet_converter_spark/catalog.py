@@ -2,12 +2,23 @@
 
 Tables (TESTDATA.md): region nation customer supplier part orders
 lineitem events documents embeddings — one parquet each under an
-``sf_dir``.  ``load()`` returns lazy DataFrames; nothing is cached here
-because at 100 TB a catalog must never materialize (callers opt into
-``.cache()`` per-query when re-use warrants it).
+``sf_dir``.  ``load()`` returns lazy DataFrames; no DATA is ever cached
+here because at 100 TB a catalog must never materialize (callers opt
+into ``.cache()`` per-query when re-use warrants it).  What IS cached is
+the analyzed RELATION (schema + file index) per (session, path): a bare
+``spark.read.parquet`` pays a driver-side file-listing job and a footer
+read on EVERY query invocation, which is exactly what a metastore
+catalog exists to amortize — on object storage at 100 TB, relisting a
+large prefix per query is seconds of driver latency and thousands of
+LIST calls.  The corpus directories are immutable per run, matching a
+metastore's snapshot semantics; anything that rewrites its own output
+(e.g. ``sinks.compact_partitions``) goes through ``spark.read``
+directly, not this catalog.
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +38,12 @@ TABLES = (
     "embeddings",
 )
 
+# (session id, sf_dir, table) -> analyzed DataFrame.  Keyed by the
+# JVM-side session so a new SparkSession (fresh driver, different confs)
+# never sees another session's relations.  Bounded: 10 tables x the
+# handful of sf dirs a process ever touches.
+_RELATIONS: dict[Tuple[int, str, str], DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one corpus table.
@@ -42,10 +59,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     µs-exact values either way.
     """
     apply_runtime_conf(spark)
+    key = (id(spark._jsparkSession), sf_dir, table)
+    cached = _RELATIONS.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
         ns = F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
         df = df.withColumn("ts", ns.cast("long"))
+    _RELATIONS[key] = df
     return df
 
 

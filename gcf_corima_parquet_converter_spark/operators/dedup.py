@@ -349,7 +349,11 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    _validate: bool = True,
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
     some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
@@ -364,17 +368,25 @@ def minhash_candidate_pairs(
     bands slice past the end, hashing the same EMPTY array for every
     doc — all docs collide in those bands and the self-join silently
     degrades toward a cartesian product.  (The column form fails fast
-    on the missing ``mh_*`` column at analysis time.)"""
+    on the missing ``mh_*`` column at analysis time.)
+
+    ``_validate=False`` is the internal fast path for callers that
+    construct the signature with the same ``k`` they band with
+    (``minhash_dedup_pairs``) — the check cannot fire there, and the
+    when(assert_true) wrapper otherwise gets CollapseProject-inlined
+    into every band's slice expression (bands x the tree, pure
+    plan-compile cost)."""
     k = bands * rows_per_band
     if "_sig" in sigs.columns:
-        checked = F.when(
-            F.assert_true(
-                F.size("_sig") >= k,
-                f"minhash signature shorter than bands*rows_per_band={k}",
-            ).isNull(),
-            F.col("_sig"),
-        )
-        sigs = sigs.select(F.col(id_col), checked.alias("_sig"))
+        if _validate:
+            checked = F.when(
+                F.assert_true(
+                    F.size("_sig") >= k,
+                    f"minhash signature shorter than bands*rows_per_band={k}",
+                ).isNull(),
+                F.col("_sig"),
+            )
+            sigs = sigs.select(F.col(id_col), checked.alias("_sig"))
     else:
         sigs = sigs.select(
             F.col(id_col),
@@ -425,7 +437,11 @@ def minhash_dedup_pairs(
     """
     sets = _shingle_sets(df, id_col, text_col, n)
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
-    cand = minhash_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=k // bands)
+    # _validate=False: _signature_array(k) always yields length k >=
+    # bands*(k//bands), so the length guard cannot fire here
+    cand = minhash_candidate_pairs(
+        sigs, id_col, bands=bands, rows_per_band=k // bands, _validate=False
+    )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
