@@ -63,6 +63,9 @@ _ROWS_ONLY_TAIL = (
     "q67_pq_topk",
     "q68_semantic_dedup",
     "q70_unigram_logprob",
+    "q72_near_dup_curation",
+    "q73_compression_quality",
+    "q74_dsir_weights",
     "q32_hsd_pipeline",
 )
 

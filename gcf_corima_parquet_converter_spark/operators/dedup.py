@@ -660,7 +660,7 @@ def dedup_components(
     """
     half = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     edges = (
         half.unionByName(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -2344,3 +2344,84 @@ def q71(spark, sf_dir):
     d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
     pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.02)
     return D.dedup_components(pairs).orderBy("id")
+
+
+# ===================================== near-dup curation capstone (r4)
+# -- q72: the SlimPajama-shaped near-dup resolution end-to-end:
+#    MinHash-LSH pairs (recall phase) -> exact-Jaccard verify ->
+#    connected components (transitive clusters) -> keep the BEST-quality
+#    member per cluster (longest doc, ties lowest id).  Rows-only:
+#    minhash permutations aren't portable SQL; the pieces are pinned by
+#    the q26 recall tests, the q71 oracle, and the keep_components
+#    fixture tests.
+@query("q72_near_dup_curation")
+def q72(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    mut = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(X.tokens("text"), 1, F.greatest(X.token_count("text") - 2, F.lit(1))),
+                " ",
+            ).alias("text"),
+            # mutated copies are 2 tokens shorter: the original wins
+            # the keep-best policy inside every planted cluster
+            (F.col("n_chars") - 8).alias("n_chars"),
+        )
+    )
+    corpus = d.unionByName(mut)
+    pairs = D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+    kept = D.dedup_keep_components(pairs, corpus, "doc_id", order_col="n_chars")
+    return (
+        kept.groupBy((F.col("doc_id") >= 1_000_000).alias("is_mutant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .sortWithinPartitions("is_mutant")
+    )
+
+
+# ===================================== compression-ratio quality (r4)
+# -- q73: zlib compression ratio per doc (operators/text.py:
+#    compression_ratio) bucketed into a quality histogram.  Rows-only:
+#    DEFLATE output length is not expressible in portable SQL; pinned
+#    by a zlib parity test.
+@query("q73_compression_quality")
+def q73(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    scored = X.compression_ratio(d, "doc_id", "text")
+    return (
+        scored.where(F.col("compression_ratio").isNotNull())
+        .groupBy(
+            F.least(
+                F.floor(F.col("compression_ratio") * 10).cast("int"), F.lit(10)
+            ).alias("ratio_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+        )
+        .sortWithinPartitions("ratio_decile")
+    )
+
+
+# ===================================== DSIR importance weights (r4)
+# -- q74: DSIR log importance weights (operators/text.py:
+#    dsir_logweight, arXiv:2302.03169) with src0+src1 documents as the
+#    "target" corpus and the whole pool as source — the select-like-
+#    the-target setup.  Rows-only (ln is libm-dependent); pinned by a
+#    Python-math parity test.
+@query("q74_dsir_weights")
+def q74(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = d.where(F.col("source").isin("src0", "src1")).select("text")
+    out = X.dsir_logweight(
+        d, "doc_id", "text", target, n_buckets=4096
+    )
+    return out.select("doc_id", "n_feats", "dsir_logweight").sortWithinPartitions(
+        "doc_id"
+    )

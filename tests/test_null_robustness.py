@@ -110,3 +110,41 @@ def test_unigram_logprob_null_docs(spark):
     )
     out = unigram_logprob(df, "doc_id", "text").collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_dedup_components_null_and_self_pairs(spark):
+    """Null ids and self-pairs in the pair stream must not corrupt the
+    labeling: null endpoints contribute no edges (SQL join semantics),
+    self-pairs are no-ops."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 5), (2, 6)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
+    # {1,2,6} one component; null-partner pairs are dropped entirely
+    # (no linkage information), so 3 and 4 never become nodes; the
+    # 5-5 self-pair yields a singleton with its own label
+    assert comp[1] == comp[2] == comp[6] == 1
+    assert comp.get(5, 5) == 5
+    assert 3 not in comp and 4 not in comp and None not in comp
+    for k, v in comp.items():
+        assert v is not None and v <= k
+
+
+def test_dsir_and_compression_null_docs(spark):
+    from gcf_corima_parquet_converter_spark.operators.text import (
+        compression_ratio,
+        dsir_logweight,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([("aa",)], ["text"])
+    cr = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert cr[1] is not None and cr[2] is None and cr[3] is None
+    # null/empty docs have no features -> absent from the weight table
+    dw = {r["doc_id"] for r in dsir_logweight(df, "doc_id", "text", target).collect()}
+    assert dw == {1}

@@ -179,3 +179,44 @@ def test_weighted_sample_monotone_in_fraction(spark, f1, f2, salt):
         r["id"] for r in weighted_sample(df, "id", "w", hi, salt=salt).collect()
     }
     assert small <= big
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_dedup_components_matches_python_union_find(spark, data):
+    """dedup_components vs a driver-side union-find on random pair
+    graphs: every node labeled, label == min id of its component."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    n_nodes = data.draw(st.integers(2, 30))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_nodes - 1), st.integers(0, n_nodes - 1)
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    # python model: union-find with path compression
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
+    assert got == expected

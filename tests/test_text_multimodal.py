@@ -313,3 +313,102 @@ def test_unigram_logprob_min_count_prunes_to_oov(spark):
     exp = (math.log((10 + 0.5) / 10.5) + math.log(0.5 / 10.5)) / 2
     assert abs(got["avg_logprob"] - exp) < 1e-12
     assert got["n_tokens"] == 2
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from gcf_corima_parquet_converter_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, "spam spam spam " * 40),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    for doc_id, text in rows:
+        if not text:
+            assert got[doc_id]["compression_ratio"] is None
+            continue
+        raw = text.encode("utf-8")
+        exp = len(zlib.compress(raw, 6)) / len(raw)
+        assert abs(got[doc_id]["compression_ratio"] - exp) < 1e-12
+        assert got[doc_id]["n_bytes"] == len(raw)
+    # the repetitive doc compresses far better than prose
+    assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
+
+
+def test_dsir_logweight_matches_python_math(spark):
+    """dsir_logweight vs the same math in plain Python over the same
+    hashed features (buckets read back from hashed_ngram_buckets so the
+    test pins the WEIGHT math, not xxhash internals)."""
+    import math
+    from collections import Counter
+
+    from gcf_corima_parquet_converter_spark.operators.text import (
+        dsir_logweight,
+        hashed_ngram_buckets,
+    )
+
+    pool = spark.createDataFrame(
+        [(1, "aa bb cc aa"), (2, "dd ee"), (3, "aa dd aa dd")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([("aa bb",), ("aa cc",)], ["text"])
+    B, sm = 64, 0.5
+
+    feats = {
+        doc: [r["bucket"] for r in rows]
+        for doc, rows in __import__("itertools").groupby(
+            sorted(
+                hashed_ngram_buckets(pool, "doc_id", "text", B).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    tcnt = Counter(
+        r["bucket"]
+        for r in hashed_ngram_buckets(
+            target.selectExpr("monotonically_increasing_id() as i", "text"),
+            "i", "text", B,
+        ).collect()
+    )
+    scnt = Counter(b for fs in feats.values() for b in fs)
+    t_tot, s_tot = sum(tcnt.values()), sum(scnt.values())
+
+    def logw(fs):
+        return sum(
+            math.log((tcnt.get(b, 0) + sm) / (t_tot + sm * B))
+            - math.log((scnt.get(b, 0) + sm) / (s_tot + sm * B))
+            for b in fs
+        )
+
+    got = {
+        r["doc_id"]: r
+        for r in dsir_logweight(
+            pool, "doc_id", "text", target, n_buckets=B
+        ).collect()
+    }
+    for doc, fs in feats.items():
+        assert got[doc]["n_feats"] == len(fs)
+        assert abs(got[doc]["dsir_logweight"] - logw(fs)) < 1e-9
+    # target-like doc outranks the unrelated one
+    assert got[1]["dsir_logweight"] > got[2]["dsir_logweight"]
+
+
+def test_dsir_distributions_broadcast(spark):
+    """Both feature-distribution joins must be explicit broadcasts
+    (stopword-bucket skew would wreck a sort-merge join at scale)."""
+    from gcf_corima_parquet_converter_spark.operators.text import dsir_logweight
+
+    pool = spark.createDataFrame([(1, "aa bb")], ["doc_id", "text"])
+    target = spark.createDataFrame([("aa",)], ["text"])
+    plan = (
+        dsir_logweight(pool, "doc_id", "text", target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
