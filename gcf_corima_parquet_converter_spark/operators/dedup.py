@@ -318,12 +318,38 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     projection gets predicate-pushed below it and re-evaluates the whole
     inline shingle expression once more per row (visible as 4 extra
     split() calls in the optimized plan).
+
+    Small-input spread: the tokenize+shingle+hash CPU is NARROW, so its
+    parallelism equals the source's input splits — a single small
+    parquet file (or one .gz) runs the whole corpus's hashing on 1-2
+    cores while the rest idle (measured: the q26 scan stage was 2 tasks
+    on 32 cores, ~1 s of the query).  When the scan exposes fewer than
+    half the cluster's cores, an extra raw-row exchange is inserted
+    BEFORE the compute; the text payload is the same order of bytes as
+    the hashed arrays, so the extra shuffle trades equal I/O for
+    cluster-wide CPU.  Large inputs (any real 100 TB scan has orders of
+    magnitude more splits than cores) skip it — the check is plan-time
+    and costs nothing at scale.
     """
     nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    spark = df.sparkSession
+    # Pinned partition count: repartition(col) alone lets AQE's
+    # coalescer shrink the read side to ~data_bytes/minPartitionSize
+    # partitions — a byte-proportional rule that is blind to per-row
+    # CPU, and the hashing here is CPU-bound (measured: coalesced to 2
+    # partitions at sf0.1, serializing ~1 s of hashing on a 32-core
+    # host).  Pinning to spark.sql.shuffle.partitions keeps the USER'S
+    # scale knob authoritative for the CPU stages.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        if df.rdd.getNumPartitions() * 2 < spark.sparkContext.defaultParallelism:
+            nonempty = nonempty.repartition(n_part, id_col)
+    except Exception:
+        pass  # plan-time probe only; never fail the query over it
     toked = _tokenized(nonempty, id_col, text_col)
     hashed = F.transform(_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s))
     sets = toked.select(F.col(id_col), hashed.alias("_sh"))
-    return sets.repartition(id_col)
+    return sets.repartition(n_part, id_col)
 
 
 def minhash_signatures(
