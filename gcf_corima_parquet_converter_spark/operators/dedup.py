@@ -331,24 +331,20 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     magnitude more splits than cores) skip it — the check is plan-time
     and costs nothing at scale.
     """
-    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
-    spark = df.sparkSession
-    # Pinned partition count: repartition(col) alone lets AQE's
-    # coalescer shrink the read side to ~data_bytes/minPartitionSize
-    # partitions — a byte-proportional rule that is blind to per-row
-    # CPU, and the hashing here is CPU-bound (measured: coalesced to 2
-    # partitions at sf0.1, serializing ~1 s of hashing on a 32-core
-    # host).  Pinning to spark.sql.shuffle.partitions keeps the USER'S
-    # scale knob authoritative for the CPU stages.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    try:
-        if df.rdd.getNumPartitions() * 2 < spark.sparkContext.defaultParallelism:
-            nonempty = nonempty.repartition(n_part, id_col)
-    except Exception:
-        pass  # plan-time probe only; never fail the query over it
+    from .scale import ensure_min_parallelism
+
+    nonempty = ensure_min_parallelism(
+        df.where(F.length(F.trim(F.col(text_col))) > 0), id_col
+    )
     toked = _tokenized(nonempty, id_col, text_col)
     hashed = F.transform(_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s))
     sets = toked.select(F.col(id_col), hashed.alias("_sh"))
+    # the barrier exchange is pinned too: AQE's byte-proportional
+    # coalescer would fold the CPU-bound signature/verify consumers
+    # back onto 1-2 tasks (see ensure_min_parallelism)
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     return sets.repartition(n_part, id_col)
 
 

@@ -148,6 +148,8 @@ def ngram_contamination(
     without a shuffle.  Downstream: anti-join corpus against the
     distinct corpus_ids to drop or quarantine.
     """
+    from .scale import ensure_min_parallelism
+
     def grams(df: DataFrame, out_id: str) -> DataFrame:
         toked = _tokenized(df, id_col, text_col)
         return toked.select(
@@ -155,7 +157,9 @@ def ngram_contamination(
             F.explode(_shingles(F.col("_toks"), n)).alias("gram"),
         ).where(F.length("gram") > 0)
 
-    c = grams(corpus, "corpus_id")
+    # the corpus-side gram explode is narrow CPU — spread a split-poor
+    # scan first (no-op on any real at-scale input; see scale.py)
+    c = grams(ensure_min_parallelism(corpus, id_col), "corpus_id")
     b = grams(benchmark, "bench_id")
     if broadcast_benchmark:
         b = F.broadcast(b)

@@ -85,3 +85,34 @@ def salted_join(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big_s.join(skew_s, [on, salt_col], how).drop(salt_col)
+
+
+def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a small scan across the cluster before CPU-heavy NARROW
+    work (tokenize/shingle/hash/explode chains).
+
+    Narrow compute inherits the SOURCE's parallelism — input splits.  A
+    single small parquet file (or one gzip) exposes 1-2 splits, so a
+    32-core host runs the whole corpus's per-row CPU on 2 cores
+    (measured: the q26 shingle stage and the q60 contamination scan
+    both serialized ~1 s this way).  When the scan exposes fewer than
+    half the cluster's cores, insert one raw-row exchange pinned to
+    ``spark.sql.shuffle.partitions``; pinning matters because AQE's
+    coalescer is byte-proportional (advisory/minPartitionSize) and
+    CPU-blind — it happily folds a tiny-but-expensive stage back to one
+    task.  Any real at-scale scan has orders of magnitude more splits
+    than cores, so the plan-time probe makes this a no-op there.
+    """
+    spark = df.sparkSession
+    try:
+        if (
+            df.rdd.getNumPartitions() * 2
+            >= spark.sparkContext.defaultParallelism
+        ):
+            return df
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        return df  # plan-time probe only; never fail the query over it
+    if key_cols:
+        return df.repartition(n_part, *key_cols)
+    return df.repartition(n_part)

@@ -68,3 +68,24 @@ def test_salted_join_spreads_hot_key(spark):
     n_salts = salted.select("_sg_salt").distinct().count()
     assert n_salts >= 6  # hot key really scatters over most salt values
     assert scale.salted_join(big, dim, "k", salt=8).count() == 1000
+
+
+def test_ensure_min_parallelism_spreads_small_scan(spark, tmp_path):
+    """A 1-split scan gets one pinned spread exchange; an input that
+    already exposes enough partitions passes through untouched."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators.scale import (
+        ensure_min_parallelism,
+    )
+
+    p = str(tmp_path / "one_file")
+    spark.range(100).coalesce(1).write.parquet(p)
+    small = spark.read.parquet(p)
+    out = ensure_min_parallelism(small, "id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert "Exchange hashpartitioning" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.rdd.getNumPartitions() == n_part
+
+    wide = spark.range(1000).repartition(n_part, "id")
+    assert ensure_min_parallelism(wide, "id") is wide  # no-op, same object
