@@ -140,6 +140,55 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_ann(spark, sf_dir: str) -> dict:
+    """ANN quality/speed probe: brute-force cosine top-k is ground
+    truth; IVF and PQ report recall@10 against it plus wall time.
+    Recall is the axis the headline timings can't show — a fast ANN
+    variant that returns the wrong neighbors is not an ANN.
+
+    Context for the absolute numbers: the synthetic embeddings are
+    ISOTROPIC RANDOM, so true neighbors have barely-above-noise
+    similarity and any partition-pruning ANN's recall is bounded by
+    its scan fraction (curse of dimensionality — with 4 of 16 IVF
+    lists probed, ~25% is the theoretical floor and ~0.4 is a normal
+    draw).  On clustered real-world embeddings the same index recalls
+    0.9+; the planted-structure recall tests in
+    tests/test_dedup_similarity.py pin that regime.  The probe's job
+    here is regression tracking: recall collapsing toward 0 or time
+    blowing up flags a broken index, not a bad corpus."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    k = 10
+
+    def timed_ids(df):
+        t0 = time.perf_counter()
+        ids = [r["vec_id"] for r in df.collect()]
+        return set(ids), time.perf_counter() - t0
+
+    brute, t_brute = timed_ids(S.cosine_topk(emb, qvec, k=k))
+    cents = S.train_centroids_sample(emb, n_centroids=16)
+    assigned = S.ivf_assign(emb, cents)
+    ivf, t_ivf = timed_ids(S.ivf_topk(assigned, cents, qvec, k=k, n_probe=4))
+    pq = S.pq_train(emb, m=8, n_codes=16)
+    encoded = S.pq_encode(emb, pq)
+    pqr, t_pq = timed_ids(S.pq_topk(encoded, pq, qvec, k=k))
+    return {
+        "k": k,
+        "corpus": "isotropic-random (recall ~ scan fraction; see docstring)",
+        "brute_sec": round(t_brute, 3),
+        "ivf_sec": round(t_ivf, 3),
+        "ivf_scan_fraction": 4 / 16,
+        "ivf_recall": round(len(ivf & brute) / k, 3),
+        "pq_sec": round(t_pq, 3),
+        "pq_recall": round(len(pqr & brute) / k, 3),
+    }
+
+
 def worker(sf_dir: str, with_streaming: bool) -> None:
     """One fresh-JVM sample: warmup, one cold pass, N_WARM_PER_RUN warm
     passes (+ optionally the streaming probe).  Emits one JSON line."""
@@ -191,6 +240,7 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
     out = {"cold": cold, "warm": warm}
     if with_streaming:
         out["streaming"] = bench_streaming(spark, sf_dir)
+        out["ann"] = bench_ann(spark, sf_dir)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
 
@@ -238,6 +288,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "total_warm_wall_sec": round(sum(warm.values()), 3),
                 "streaming": samples[-1].get("streaming"),
+                "ann": samples[-1].get("ann"),
                 "runs": N_RUNS,
                 "aggregation": "median",
                 "sf": sf,

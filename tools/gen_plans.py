@@ -70,6 +70,19 @@ QUERIES = [
         "(vocab-sized, broadcast back); per-doc top-k reuses the doc "
         "partitioning; stop-word skew absorbed by partial aggregation",
     ),
+    (
+        "q73_compression_quality",
+        "compression-ratio quality: the one pandas-UDF scorer — a single "
+        "ArrowEvalPython over the scan (narrow, batch-vectorized), then "
+        "an ordinary partial-agg histogram; no shuffle carries text",
+    ),
+    (
+        "q74_dsir_weights",
+        "DSIR importance weights: exploded hashed-ngram features join "
+        "two <=n_buckets-row distributions — BOTH explicitly broadcast "
+        "(stopword-bucket skew would wreck a sort-merge join); one "
+        "aggregation keyed by doc id",
+    ),
 ]
 
 
