@@ -289,3 +289,81 @@ def label_stream(
     return s.join(t, cond, "inner").drop(
         *[f"_tag_{k}" for k in keys], *drop_cols
     )
+
+
+def near_dup_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    window: str = "1 minute",
+) -> DataFrame:
+    """Streaming MinHash-LSH novelty gate: flag or drop documents that
+    are near-duplicates of anything seen within the watermark horizon —
+    the continuous twin of ``operators/dedup.py minhash_dedup_pairs``'s
+    recall phase, for continuously-fed training corpora where history
+    cannot be re-joined per batch.
+
+    Mechanics: each doc's k-permutation signature is banded exactly as
+    in batch (same hash kernels, so stream and batch agree bucket-for-
+    bucket); the (band, band_hash) rows pass through
+    ``dropDuplicatesWithinWatermark`` — the FIRST doc to claim a bucket
+    keeps it, later claims are dropped — and a windowed count per doc
+    then says how many of its ``bands`` buckets were novel.  Emitted
+    (append mode, once the watermark passes the doc's window):
+    ``(window, id, n_novel_bands, is_candidate_dup)`` where
+    ``is_candidate_dup`` = at least one bucket collided with an
+    earlier doc (the LSH candidate rule).  A FULLY duplicate doc — all
+    bands already claimed — emits nothing at all: the gate swallows it.
+
+    Semantics and bounds, stated honestly:
+
+    * This is the LSH CANDIDATE filter only.  Batch near-dup follows
+      candidates with an exact-Jaccard verify; a stream cannot re-read
+      history's shingle sets, so precision here is the banding's
+      1-(1-J^r)^b curve, not exact.  Run the batch verify over the
+      flagged pairs periodically (lambda-style) where precision
+      matters.
+    * State is bucket-count x watermark-horizon bounded (8-byte hashes
+      + timestamps), NOT corpus-bounded: the months-running-stream
+      property, same trade as ``dedup_stream``.  A duplicate arriving
+      later than the watermark re-claims its buckets — by design.
+    * Two near-dup docs in ONE micro-batch: one wins each contested
+      bucket (arbitrary but deterministic winner); both may emit with
+      reduced ``n_novel_bands`` — the conservative direction for a
+      dedup gate.
+    """
+    from ..operators.dedup import _shingles, _signature_array
+
+    rpb = k // bands
+    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    toked = nonempty.select(
+        F.col(id_col), F.col(ts_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    hashed = toked.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.transform(_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)).alias("_sh"),
+    )
+    sigs = hashed.select(
+        F.col(id_col), F.col(ts_col), _signature_array(k).alias("_sig")
+    )
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.xxhash64(F.slice("_sig", bi * rpb + 1, rpb)),
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col(ts_col), F.posexplode(band_hashes).alias("band", "bh")
+    )
+    survived = exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bh"]
+    )
+    return (
+        survived.groupBy(F.window(ts_col, window), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_novel_bands"))
+        .withColumn("is_candidate_dup", F.col("n_novel_bands") < F.lit(bands))
+    )

@@ -358,3 +358,78 @@ def test_curation_ops_compose_with_streams(spark, tmp_path):
     assert (got.n_email == 1).all()
     assert got.text.str.contains(r"\[EMAIL\]", regex=True).all()
     assert not got.text.str.contains("example.com").any()
+
+
+def test_near_dup_stream_gates_duplicates(spark, tmp_path):
+    """Streaming LSH novelty gate vs the batch LSH on the same corpus:
+    exact copies vanish entirely; distinct docs emit fully novel; a
+    mutated copy's verdict agrees with whether the BATCH banding
+    collides it with its original (same hash kernels both sides)."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+    from gcf_corima_parquet_converter_spark.streaming.ingest import near_dup_stream
+
+    base = pd.Timestamp("2025-07-11T16:00:00Z")
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions at midnight under a pale cold moon"
+    )
+    other = (
+        "completely different subject matter entirely about spark adaptive "
+        "query execution exchange reuse and broadcast hash join planning"
+    )
+    mutated = " ".join(prose.split()[:-2])  # near-copy: last 2 tokens cut
+    batches = [
+        [(1, prose), (2, other)],
+        [(3, prose), (4, mutated)],  # 3 = exact copy, 4 = near copy
+        [(99, "watermark sentinel advancing event time far ahead")],
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    for f, rows in enumerate(batches):
+        ts = base + pd.Timedelta(minutes=30 if f == 2 else 0, seconds=f * 5)
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [ts] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us, UTC]"}).to_parquet(f"{src}/b{f}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        near_dup_stream(stream, "doc_id", "text", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        int(r["doc_id"]): (int(r["n_novel_bands"]), bool(r["is_candidate_dup"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    # originals fully novel; exact copy swallowed entirely
+    assert got[1] == (4, False)
+    assert got[2] == (4, False)
+    assert 3 not in got
+    # mutated copy: same verdict as the batch banding on the same corpus
+    corpus = spark.createDataFrame(
+        [(1, prose), (2, other), (4, mutated)], ["doc_id", "text"]
+    )
+    batch_cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            D.minhash_signatures(corpus, "doc_id", "text", k=16),
+            "doc_id", bands=4, rows_per_band=4,
+        ).collect()
+    }
+    if (1, 4) in batch_cand:
+        assert 4 not in got or got[4][1], "batch collides (1,4) but stream saw all bands novel"
+    else:
+        assert got[4] == (4, False)
