@@ -46,10 +46,13 @@ _DEMOTED_REDUNDANT = (
     "q57_hopping_rms",
     "q11_top_parts",
     "q09_event_gaps",
-    # r4: demoted to open a graded slot for q71_dedup_components (new
-    # operator family); q56 is the batched variant of q25's cosine
-    # top-k — same similarity family, same TakeOrderedAndProject shape
+    # r4: demoted to open graded slots for the new operator families
+    # q71_dedup_components and q75_duplicate_spans; q56 is the batched
+    # variant of q25's cosine top-k (same similarity family, same
+    # TakeOrderedAndProject shape), q59 the keep-best survivor variant
+    # of q21/q22's exact-dedup family (same digest-groupBy shape)
     "q56_batch_topk",
+    "q59_dedup_keep_best",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

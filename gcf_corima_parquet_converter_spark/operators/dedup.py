@@ -774,6 +774,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_clusters: int = 16,
     n_iter: int = 2,
+    resolution: str = "keep_first",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove
     semantically redundant documents by clustering embeddings and
@@ -796,9 +797,17 @@ def semantic_dedup(
     the published recall/cost trade of SemDeDup; raise ``n_clusters``
     for speed, lower it for recall.  Returns the surviving rows of
     ``emb`` (original columns).
+
+    ``resolution``: ``"keep_first"`` (default — drop the higher id of
+    every pair; keeps every local minimum) or ``"components"`` (one
+    survivor per TRANSITIVE similarity cluster via ``dedup_components``
+    — the paper's duplicate-group semantics exactly, at the cost of
+    the iterative union-find rounds).
     """
     from .similarity import ivf_assign, kmeans_refine, train_centroids_sample
 
+    if resolution not in ("keep_first", "components"):
+        raise ValueError(f"unknown resolution {resolution!r}")
     cents = train_centroids_sample(
         emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
     )
@@ -813,4 +822,115 @@ def semantic_dedup(
         threshold=threshold,
         block_col="centroid_id",
     )
+    if resolution == "components":
+        return dedup_keep_components(pairs, emb, id_col)
     return dedup_keep_first(pairs, emb, id_col)
+
+
+# --------------------------------------------- duplicate-span dedup
+
+
+def _window_structs(toks: Column, width: int) -> Column:
+    """Array of (pos, whash) for every width-token sliding window of a
+    BOUND token-array column (pos is 0-based; empty when the doc is
+    shorter than ``width``).  md5 of the space-joined window keeps the
+    hash portable to the SQL oracle."""
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - width + 1)
+    return F.when(
+        n >= width,
+        F.transform(
+            seq,
+            lambda s: F.struct(
+                (s - 1).cast("long").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, s, width), " ")).alias("whash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,whash:string>>"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection — the distributed shape of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), which removes exact >=50-token
+    substrings shared across a corpus.  Their single-machine suffix
+    array becomes sliding ``width``-token window hashes: a window
+    appearing in >= ``min_docs`` distinct docs marks every position it
+    covers, and runs of marked positions merge into maximal spans
+    (gaps-and-islands: consecutive positions share ``pos - row_number``).
+
+    Returns ``(id, span_start, span_end)`` — token indices, end
+    exclusive, end = last duplicated window start + width.
+
+    100 TB shape: only (id, pos, 16-byte hash) triples ever shuffle —
+    once keyed by window hash for the document-frequency semi-join,
+    once keyed by doc for the island merge; the text column rides no
+    exchange (same scale argument as ``line_dedup``).  Work is
+    O(total tokens), the same asymptotic as the suffix array, traded
+    for full distribution; stride-1 windows make detection exact for
+    any shared run >= ``width`` tokens.
+    """
+    from .scale import ensure_min_parallelism
+
+    nonempty = ensure_min_parallelism(
+        df.where(F.length(F.trim(F.col(text_col))) > 0), id_col
+    )
+    toked = _tokenized(nonempty, id_col, text_col)
+    wins = toked.select(
+        F.col(id_col), F.explode(_window_structs(F.col("_toks"), width)).alias("w")
+    ).select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash"))
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("whash")
+    )
+    dup = wins.join(dup_hashes, "whash", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w)
+    return (
+        dup.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(width)).cast("long").alias("span_end"),
+        )
+        .drop("_g")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every duplicated span (see ``duplicate_spans``) from the
+    text — the Lee et al. dedup applied as a rewrite.  Tokens covered
+    by any span are dropped and the remainder re-joined with single
+    spaces (whitespace runs are normalized, the same documented trade
+    as ``line_dedup``'s separator rewrite).  Docs shorter than
+    ``width`` tokens pass through untouched; the span list per doc is
+    tiny and arrives via one small aggregate join — the heavy text
+    column again never rides an exchange."""
+    spans = duplicate_spans(df, id_col, text_col, width=width, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = tokens(text_col)
+    covered = lambda t, i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (s["span_start"] <= i.cast("long")) & (i.cast("long") < s["span_end"]),
+    )
+    rewritten = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(F.filter(toks, lambda t, i: ~covered(t, i)), " ")
+    )
+    return joined.withColumn(text_col, rewritten).drop("_spans")

@@ -2425,3 +2425,60 @@ def q74(spark, sf_dir):
     return out.select("doc_id", "n_feats", "dsir_logweight").sortWithinPartitions(
         "doc_id"
     )
+
+
+# ===================================== duplicate-span dedup (r4)
+# -- q75: exact duplicated-substring spans (operators/dedup.py:
+#    duplicate_spans — the Lee et al. 2021 substring-dedup family as
+#    sliding window hashes + gaps-and-islands merge).  Corpus = docs
+#    plus mutants sharing a 12-token prefix, so every mutant pair
+#    carries a known [0,12) span; md5 window hashes keep the oracle
+#    bit-portable.
+@query(
+    "q75_duplicate_spans",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id <= 200),
+    mut AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             list_concat(toks[1:12], ['zz' || CAST(doc_id AS VARCHAR)]) AS toks
+      FROM docs WHERE doc_id % 5 = 0),
+    corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
+    wins_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+                    i -> struct_pack(pos := i-1,
+                                     whash := md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' ')))))
+               AS w
+      FROM corpus),
+    wins AS (SELECT doc_id, w.pos AS pos, w.whash AS whash FROM wins_raw),
+    duph AS (SELECT whash FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT * FROM wins WHERE whash IN (SELECT whash FROM duph)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM dup)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+)
+def q75(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200).select(
+        "doc_id", "text"
+    )
+    toks = X.tokens("text")
+    mut = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.slice(toks, 1, 12),
+                F.array(F.concat(F.lit("zz"), F.col("doc_id").cast("string"))),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    return (
+        D.duplicate_spans(corpus, "doc_id", "text", width=8, min_docs=2)
+        .orderBy("doc_id", "span_start")
+    )

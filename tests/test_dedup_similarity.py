@@ -560,3 +560,91 @@ def test_near_dup_curation_capstone_keeps_best(spark, sf_dir):
     # pairs at sf0.01 vs 50 planted); their non-best members drop too,
     # so the bound is loose-but-meaningful: most originals survive
     assert rows[False]["n_docs"] >= 450
+
+
+def test_semantic_dedup_components_resolution(spark, emb):
+    """resolution='components' removes planted copies at least as well
+    as keep_first (components only merges clusters further), and never
+    keeps both endpoints of a transitive chain."""
+    sub = emb.where(F.col("vec_id") <= 120)
+    near = sub.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    both = sub.unionByName(near)
+    kf = D.semantic_dedup(both, threshold=0.95, n_clusters=8, n_iter=2)
+    cc = D.semantic_dedup(
+        both, threshold=0.95, n_clusters=8, n_iter=2, resolution="components"
+    )
+    kf_ids = {r["vec_id"] for r in kf.select("vec_id").collect()}
+    cc_ids = {r["vec_id"] for r in cc.select("vec_id").collect()}
+    assert cc_ids <= kf_ids  # components keeps a subset (global minima)
+    assert sub.count() <= len(cc_ids)  # originals survive (lowest ids)
+    with pytest.raises(ValueError):
+        D.semantic_dedup(both, resolution="bogus")
+
+
+# ----------------------------------------------- duplicate-span dedup
+
+
+def test_duplicate_spans_and_strip_match_python_model(spark):
+    """duplicate_spans + strip vs a plain-Python sliding-window model
+    (exact semantics: window hashes, >=min_docs distinct docs, maximal
+    merged spans, covered tokens removed)."""
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "x y z a b c d e f g h i j q r s"),
+        (3, "one two three a b c d e f g h i j four"),
+        (4, "short doc"),
+        (5, None),
+        (6, "a b c d e f g h repeated nowhere else at all truly"),
+    ]
+    W, MIN = 8, 2
+    docs = {i: t.split() for i, t in rows if t}
+    wins = {
+        i: {p: " ".join(t[p : p + W]) for p in range(len(t) - W + 1)}
+        for i, t in docs.items()
+    }
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for i, ws in wins.items():
+        for p, w in ws.items():
+            owners[w].add(i)
+    exp_spans = {}
+    exp_text = {}
+    for i, t in docs.items():
+        dup_pos = sorted(p for p, w in wins[i].items() if len(owners[w]) >= MIN)
+        spans = []
+        for p in dup_pos:
+            if spans and p == spans[-1][1] - W + 1:
+                spans[-1] = (spans[-1][0], p + W)
+            elif spans and p <= spans[-1][1] - W:
+                pass
+            else:
+                spans.append((p, p + W))
+        if spans:
+            exp_spans[i] = spans
+        covered = {k for s, e in spans for k in range(s, e)}
+        exp_text[i] = " ".join(tok for k, tok in enumerate(t) if k not in covered)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spans = defaultdict(list)
+    for r in D.duplicate_spans(df, "doc_id", "text", width=W).orderBy(
+        "doc_id", "span_start"
+    ).collect():
+        got_spans[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert dict(got_spans) == exp_spans
+
+    got_text = {
+        r["doc_id"]: r["text"]
+        for r in D.strip_duplicate_spans(df, "doc_id", "text", width=W).collect()
+    }
+    for i in docs:
+        assert got_text[i] == exp_text[i], f"doc {i}"
+    assert got_text[5] is None          # null text passes through
+    assert got_text[4] == "short doc"   # shorter than width: untouched
