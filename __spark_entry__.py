@@ -53,6 +53,9 @@ _DEMOTED_REDUNDANT = (
     # of q21/q22's exact-dedup family (same digest-groupBy shape)
     "q56_batch_topk",
     "q59_dedup_keep_best",
+    # new in r4 with the window already full: oracle-verified every
+    # round by tests/test_queries_oracle.py like the rows above
+    "q76_length_buckets",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

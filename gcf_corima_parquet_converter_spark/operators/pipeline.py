@@ -383,3 +383,45 @@ def weighted_sample(
     if keep_col is not None:
         return out.withColumn(keep_col, keep).drop("_mean_w")
     return out.where(keep).drop("_mean_w")
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_size: int = 32,
+    max_buckets: int = 16,
+) -> DataFrame:
+    """Token-length bucketing for padded batch inference/training: docs
+    grouped into ``bucket_size``-token bins (last bin open-ended) with
+    the per-bin padding bill — ``padding_waste = n_docs * bucket_max -
+    sum_tokens``, the tokens a batcher would burn padding every doc in
+    the bin to the bin's longest member.  Sequence packing
+    (``pack_sequences``) ELIMINATES padding; bucketing only bounds it,
+    but is the standard choice when sample boundaries must survive
+    (inference, preference pairs).  One partial-aggregable groupBy on a
+    derived int key — nothing else moves.
+
+    Returns (bucket, n_docs, sum_tokens, bucket_max, padding_waste),
+    null-text docs excluded (no length to bucket).
+    """
+    from .text import token_count
+
+    n_tok = token_count(text_col)
+    bucket = F.least(
+        F.floor(n_tok / F.lit(bucket_size)), F.lit(max_buckets - 1)
+    ).cast("long")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(bucket.alias("bucket"), n_tok.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+            F.max("_n").cast("long").alias("bucket_max"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_docs") * F.col("bucket_max") - F.col("sum_tokens")).cast("long"),
+        )
+    )

@@ -2482,3 +2482,30 @@ def q75(spark, sf_dir):
         D.duplicate_spans(corpus, "doc_id", "text", width=8, min_docs=2)
         .orderBy("doc_id", "span_start")
     )
+
+
+# ===================================== length bucketing (r4)
+# -- q76: token-length buckets + the per-bin padding bill
+#    (operators/pipeline.py: length_buckets).  Oracle-backed; graded
+#    locally by tests/test_queries_oracle.py (driver window is full —
+#    see __spark_entry__ demotion note).
+@query(
+    "q76_length_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT least(CAST(floor(n / 32) AS BIGINT), 15) AS bucket, n FROM toks)
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(max(n) AS BIGINT) AS bucket_max,
+           CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q76(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return P.length_buckets(d, "doc_id", "text", bucket_size=32, max_buckets=16).orderBy(
+        "bucket"
+    )

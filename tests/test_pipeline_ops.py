@@ -293,3 +293,22 @@ def test_weighted_sample_determinism_and_bias(spark, sf_dir):
     flagged = weighted_sample(d, "doc_id", "n_chars", 0.5, salt="x", keep_col="keep")
     assert flagged.count() == n
     assert flagged.where("keep").count() == len(ids_a)
+
+
+def test_length_buckets_padding_math(spark):
+    from gcf_corima_parquet_converter_spark.operators.pipeline import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, " ".join(["t"] * 40)), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["bucket"]: r
+        for r in length_buckets(df, "doc_id", "text", bucket_size=32).collect()
+    }
+    # docs 1 (3 tok) and 2 (5 tok) share bucket 0: max 5, waste 2*5-8=2
+    assert got[0]["n_docs"] == 2 and got[0]["bucket_max"] == 5
+    assert got[0]["padding_waste"] == 2
+    # doc 3 (40 tok) -> bucket 1, waste 0; null doc excluded
+    assert got[1]["n_docs"] == 1 and got[1]["padding_waste"] == 0
+    assert sum(r["n_docs"] for r in got.values()) == 3
