@@ -56,6 +56,7 @@ _DEMOTED_REDUNDANT = (
     # new in r4 with the window already full: oracle-verified every
     # round by tests/test_queries_oracle.py like the rows above
     "q76_length_buckets",
+    "q77_stratified_sample",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

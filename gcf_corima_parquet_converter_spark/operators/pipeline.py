@@ -425,3 +425,31 @@ def length_buckets(
             (F.col("n_docs") * F.col("bucket_max") - F.col("sum_tokens")).cast("long"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``n_per_group`` rows
+    per group (fewer if the group is smaller), chosen by md5 rank — the
+    balanced-subset op (per-language eval slices, per-source probes)
+    where ``weighted_sample``'s independent coin flips can't promise
+    exact counts.
+
+    md5(id||salt) ordering makes the draw uniform-random-like yet
+    partitioning-independent and reproducible (same engine-portability
+    argument as ``hash_split``); ``salt`` re-deals.  Cost: one window
+    rank keyed by group — same shuffle shape as ``source_quota``, and
+    the same ``pre_rank`` trick applies upstream if a group is hot.
+    """
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .where(F.col("_srk") <= n_per_group)
+        .drop("_srk")
+    )

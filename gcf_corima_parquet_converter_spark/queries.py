@@ -2509,3 +2509,30 @@ def q76(spark, sf_dir):
     return P.length_buckets(d, "doc_id", "text", bucket_size=32, max_buckets=16).orderBy(
         "bucket"
     )
+
+
+# ===================================== stratified sampling (r4)
+# -- q77: exact n-per-language stratified sample
+#    (operators/pipeline.py: stratified_sample; md5 rank is portable
+#    SQL).  Oracle-backed; graded locally (window full).
+@query(
+    "q77_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'q77'), doc_id
+             ) AS rk
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def q77(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        P.stratified_sample(d, "lang", 5, "doc_id", salt="q77")
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )

@@ -312,3 +312,35 @@ def test_length_buckets_padding_math(spark):
     # doc 3 (40 tok) -> bucket 1, waste 0; null doc excluded
     assert got[1]["n_docs"] == 1 and got[1]["padding_waste"] == 0
     assert sum(r["n_docs"] for r in got.values()) == 3
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from gcf_corima_parquet_converter_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(df, "lang", 7, "doc_id", salt="s")
+    from collections import Counter
+
+    counts = Counter(r["lang"] for r in s1.collect())
+    assert counts == {"en": 7, "de": 7}
+    # deterministic under re-evaluation and repartitioning
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "lang", 7, "doc_id", salt="s"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # small groups yield all their rows
+    tiny = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
+    assert stratified_sample(tiny, "lang", 7, "doc_id").count() == 2
+    # salt re-deals
+    ids3 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", 7, "doc_id", salt="t").collect()
+    )
+    assert ids1 != ids3

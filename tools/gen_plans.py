@@ -83,6 +83,13 @@ QUERIES = [
         "(stopword-bucket skew would wreck a sort-merge join); one "
         "aggregation keyed by doc id",
     ),
+    (
+        "q75_duplicate_spans",
+        "duplicate-span dedup: sliding window hashes — only (id, pos, "
+        "16-byte hash) triples shuffle (once by hash for the doc-"
+        "frequency semi-join, once by doc for the island merge); the "
+        "text column rides no exchange",
+    ),
 ]
 
 
