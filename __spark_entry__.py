@@ -57,6 +57,7 @@ _DEMOTED_REDUNDANT = (
     # round by tests/test_queries_oracle.py like the rows above
     "q76_length_buckets",
     "q77_stratified_sample",
+    "q78_strip_duplicate_spans",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -862,11 +862,16 @@ def duplicate_spans(
     substrings shared across a corpus.  Their single-machine suffix
     array becomes sliding ``width``-token window hashes: a window
     appearing in >= ``min_docs`` distinct docs marks every position it
-    covers, and runs of marked positions merge into maximal spans
+    covers, and runs of marked positions merge into spans
     (gaps-and-islands: consecutive positions share ``pos - row_number``).
 
     Returns ``(id, span_start, span_end)`` — token indices, end
-    exclusive, end = last duplicated window start + width.
+    exclusive, end = last duplicated window start + width.  CONSECUTIVE
+    duplicated positions merge into one span; two distinct duplicated
+    runs that overlap in this doc (position gap >= 2 but < width) emit
+    two OVERLAPPING spans — the covered-token UNION is identical, so
+    ``strip_duplicate_spans`` is unaffected; consumers needing disjoint
+    intervals should merge-by-overlap first.
 
     100 TB shape: only (id, pos, 16-byte hash) triples ever shuffle —
     once keyed by window hash for the document-frequency semi-join,

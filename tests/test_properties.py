@@ -220,3 +220,53 @@ def test_dedup_components_matches_python_union_find(spark, data):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_duplicate_spans_matches_python_model(spark, data):
+    """duplicate_spans vs a plain-Python sliding-window model on random
+    small-alphabet corpora (duplicated runs arise naturally)."""
+    from collections import defaultdict
+
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    W = data.draw(st.integers(2, 4))
+    n_docs = data.draw(st.integers(2, 5))
+    docs = {
+        i: data.draw(st.lists(st.sampled_from("abc"), min_size=0, max_size=14))
+        for i in range(1, n_docs + 1)
+    }
+
+    owners = defaultdict(set)
+    wins = {
+        i: {p: " ".join(t[p : p + W]) for p in range(len(t) - W + 1)}
+        for i, t in docs.items()
+    }
+    for i, ws in wins.items():
+        for w in ws.values():
+            owners[w].add(i)
+    expected = {}
+    for i, t in docs.items():
+        pos = sorted(p for p, w in wins[i].items() if len(owners[w]) >= 2)
+        spans, last = [], None
+        for p in pos:
+            if last is not None and p == last + 1:
+                spans[-1] = (spans[-1][0], p + W)
+            else:
+                spans.append((p, p + W))
+            last = p
+        if spans:
+            expected[i] = spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = defaultdict(list)
+    for r in (
+        D.duplicate_spans(df, "doc_id", "text", width=W)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    ):
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert dict(got) == expected
