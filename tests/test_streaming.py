@@ -433,3 +433,61 @@ def test_near_dup_stream_gates_duplicates(spark, tmp_path):
         assert 4 not in got or got[4][1], "batch collides (1,4) but stream saw all bands novel"
     else:
         assert got[4] == (4, False)
+
+
+def test_near_dup_stream_state_survives_restart(spark, tmp_path):
+    """The novelty gate's bucket state must recover from the checkpoint
+    across query RESTARTS: an exact copy arriving in a later RUN (same
+    checkpoint, within the watermark) is still swallowed."""
+    from gcf_corima_parquet_converter_spark.streaming.ingest import near_dup_stream
+
+    base = pd.Timestamp("2025-07-11T16:00:00Z")
+    prose = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def write_batch(fname, rows, minutes):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [base + pd.Timedelta(minutes=minutes)] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us, UTC]"}).to_parquet(f"{src}/{fname}.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            near_dup_stream(stream, "doc_id", "text", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_batch("a", [(1, prose)], 0)
+    run_once()  # run 1: doc 1 claims its buckets; query STOPS
+
+    # run 2, same checkpoint: an exact copy within the watermark, plus a
+    # sentinel far ahead so doc windows finalize
+    write_batch("b", [(2, prose)], 5)
+    write_batch("c", [(99, "sentinel text advancing the watermark clock")], 60)
+    run_once()
+
+    got = {
+        int(r["doc_id"]): int(r["n_novel_bands"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(1) == 4     # original fully novel
+    assert 2 not in got        # copy swallowed by state recovered from ckpt
