@@ -41,8 +41,23 @@ TABLES = (
 # (session id, sf_dir, table) -> analyzed DataFrame.  Keyed by the
 # JVM-side session so a new SparkSession (fresh driver, different confs)
 # never sees another session's relations.  Bounded: 10 tables x the
-# handful of sf dirs a process ever touches.
+# handful of sf dirs a process ever touches, and entries belonging to
+# STOPPED sessions are purged on the next load (a stop/recreate loop —
+# test harnesses, in-process notebook restarts — must not pin dead
+# sessions forever).
 _RELATIONS: dict[Tuple[int, str, str], DataFrame] = {}
+
+
+def _purge_stopped() -> None:
+    dead = []
+    for key, df in _RELATIONS.items():
+        try:
+            if df.sparkSession.sparkContext._jsc.sc().isStopped():
+                dead.append(key)
+        except Exception:
+            dead.append(key)  # unreachable session context: drop it
+    for key in dead:
+        _RELATIONS.pop(key, None)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -59,6 +74,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     µs-exact values either way.
     """
     apply_runtime_conf(spark)
+    _purge_stopped()
     key = (id(spark._jsparkSession), sf_dir, table)
     cached = _RELATIONS.get(key)
     if cached is not None:

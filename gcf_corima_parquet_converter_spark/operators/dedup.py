@@ -341,11 +341,16 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     sets = toked.select(F.col(id_col), hashed.alias("_sh"))
     # the barrier exchange is pinned too: AQE's byte-proportional
     # coalescer would fold the CPU-bound signature/verify consumers
-    # back onto 1-2 tasks (see ensure_min_parallelism)
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    return sets.repartition(n_part, id_col)
+    # back onto 1-2 tasks (see ensure_min_parallelism).  Guarded: the
+    # conf can be non-numeric (e.g. Databricks "auto") — fall back to
+    # the unpinned repartition rather than fail the plan.
+    try:
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return sets.repartition(n_part, id_col)
+    except (ValueError, TypeError):
+        return sets.repartition(id_col)
 
 
 def minhash_signatures(
@@ -680,8 +685,11 @@ def dedup_components(
     ``localCheckpoint`` for ``checkpoint`` if executor loss during the
     loop must be survivable.)
     """
+    # ids keep their NATIVE type — a long cast would null out string
+    # ids (pair miners accept them) and silently destroy the labeling;
+    # "min" is simply the type's ordering (lexicographic for strings)
     half = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     edges = (
         half.unionByName(
@@ -754,7 +762,8 @@ def dedup_keep_components(
     lab = comp.select(F.col("id").alias(id_col), "comp")
     joined = df.join(lab, id_col, "left")
     # unpaired rows (comp null) become singleton groups keyed by own id
-    grp = F.coalesce(F.col("comp"), F.col(id_col).cast("long"))
+    # (comp carries the id's native type, so no cast is needed or safe)
+    grp = F.coalesce(F.col("comp"), F.col(id_col))
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
     w = Window.partitionBy(grp).orderBy(order, F.col(id_col))
     return (

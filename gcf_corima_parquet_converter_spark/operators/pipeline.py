@@ -448,8 +448,12 @@ def stratified_sample(
     """
     rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    # null ids have no sampling identity: their md5 rank is NULL (sorts
+    # first, crowding out real rows) and ties between them would break
+    # nondeterministically — exclude them rather than sample garbage
     return (
-        df.withColumn("_srk", F.row_number().over(w))
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("_srk", F.row_number().over(w))
         .where(F.col("_srk") <= n_per_group)
         .drop("_srk")
     )

@@ -496,6 +496,7 @@ def dsir_logweight(
     target: DataFrame,
     source: DataFrame | None = None,
     target_text_col: str = "text",
+    source_text_col: str | None = None,
     n_buckets: int = 10_000,
     smoothing: float = 0.5,
     bigrams: bool = True,
@@ -509,7 +510,9 @@ def dsir_logweight(
     subset.
 
     ``source`` defaults to ``df`` itself (the standard setup: weight the
-    raw pool against itself vs the target).  Scale shape: both feature
+    raw pool against itself vs the target); an explicit ``source``
+    frame's text column is ``source_text_col`` (defaults to
+    ``target_text_col``).  Scale shape: both feature
     distributions are <= ``n_buckets`` rows and EXPLICITLY broadcast
     onto the exploded (id, bucket) stream — same skew argument as
     ``unigram_logprob``: hot buckets (stopword features) would wreck a
@@ -523,7 +526,9 @@ def dsir_logweight(
     feats = hashed_ngram_buckets(df, id_col, text_col, n_buckets, bigrams)
     tdist = _bucket_distribution(target, target_text_col, n_buckets, bigrams)
     sdist = (
-        _bucket_distribution(source, target_text_col, n_buckets, bigrams)
+        _bucket_distribution(
+            source, source_text_col or target_text_col, n_buckets, bigrams
+        )
         if source is not None
         else _bucket_distribution(df.select(F.col(text_col).alias("text")), "text", n_buckets, bigrams)
     )

@@ -338,11 +338,14 @@ def near_dup_stream(
       dedup gate.
     """
     from ..operators.dedup import _shingles, _signature_array
+    from ..operators.text import tokens
 
     rpb = k // bands
     nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    # tokens() is the SAME kernel the batch _tokenized uses — the
+    # bucket-for-bucket batch/stream agreement depends on it
     toked = nonempty.select(
-        F.col(id_col), F.col(ts_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        F.col(id_col), F.col(ts_col), tokens(text_col).alias("_toks")
     )
     hashed = toked.select(
         F.col(id_col),

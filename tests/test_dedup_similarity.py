@@ -648,3 +648,24 @@ def test_duplicate_spans_and_strip_match_python_model(spark):
         assert got_text[i] == exp_text[i], f"doc {i}"
     assert got_text[5] is None          # null text passes through
     assert got_text[4] == "short doc"   # shorter than width: untouched
+
+
+def test_dedup_components_string_ids(spark):
+    """Non-numeric ids (pair miners accept them) must label correctly —
+    a long cast would null every edge and silently destroy the dedup."""
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
+    assert comp == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }
+    df = spark.createDataFrame(
+        [(i, f"t{i}", float(n)) for i, n in
+         [("doc-a", 1), ("doc-b", 9), ("doc-c", 5), ("doc-z", 0)]],
+        "doc_id string, text string, q double",
+    )
+    kept = D.dedup_keep_components(pairs, df, "doc_id", order_col="q")
+    assert sorted(r["doc_id"] for r in kept.collect()) == ["doc-b", "doc-z"]
