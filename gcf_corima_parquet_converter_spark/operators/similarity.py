@@ -544,3 +544,34 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), id_col)
         .limit(k)
     )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard two-stage PQ recipe as one operator: ADC top-
+    ``shortlist`` over the compressed codes (default ``4*k`` — the
+    FAISS-style refinement factor), then EXACT cosine re-rank of the
+    shortlist against the raw vectors.  Recovers most of the recall the
+    lossy codes give up while the full-precision scan stays bounded by
+    the shortlist size, not the corpus.
+
+    100 TB shape: stage 1 reads ONLY the m-byte code column (per-
+    partition TakeOrdered, no global sort); stage 2 pulls raw vectors
+    for ``shortlist`` ids via a semi-join — the raw-vector table is
+    touched for a constant number of rows however large the corpus is.
+    Returns (id, cos_sim) exactly like ``cosine_topk``.
+    """
+    shortlist = shortlist or 4 * k
+    short_ids = pq_topk(
+        encoded, codebooks, query_vec, k=shortlist, id_col=id_col
+    ).select(id_col)
+    candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)

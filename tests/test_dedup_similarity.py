@@ -669,3 +669,27 @@ def test_dedup_components_string_ids(spark):
     )
     kept = D.dedup_keep_components(pairs, df, "doc_id", order_col="q")
     assert sorted(r["doc_id"] for r in kept.collect()) == ["doc-b", "doc-z"]
+
+
+def test_pq_topk_rerank_recovers_recall(spark, emb):
+    """ADC shortlist + exact re-rank must recall at least as much of
+    the true top-k as raw ADC, and with a full-corpus shortlist must
+    equal exact brute force bit-for-bit."""
+    books = S.pq_train(emb, m=8, n_codes=16)
+    enc = S.pq_encode(emb, books)
+    qvec = emb.where(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    truth = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    adc = {r["vec_id"] for r in S.pq_topk(enc, books, qvec, k=10).collect()}
+    rr = {
+        r["vec_id"]
+        for r in S.pq_topk_rerank(enc, emb, books, qvec, k=10).collect()
+    }
+    assert len(rr & set(truth)) >= len(adc & set(truth))
+    # shortlist = whole corpus -> identical to exact brute force
+    full = [
+        r["vec_id"]
+        for r in S.pq_topk_rerank(
+            enc, emb, books, qvec, k=10, shortlist=emb.count()
+        ).collect()
+    ]
+    assert full == truth
