@@ -183,6 +183,7 @@ def bench_ann(spark, sf_dir: str) -> dict:
     try:
         ivf, t_ivf = timed_ids(S.ivf_topk(assigned, cents, qvec, k=k, n_probe=4))
         pqr, t_pq = timed_ids(S.pq_topk(encoded, pq, qvec, k=k))
+        rr, t_rr = timed_ids(S.pq_topk_rerank(encoded, emb, pq, qvec, k=k))
     finally:
         assigned.unpersist()
         encoded.unpersist()
@@ -195,6 +196,8 @@ def bench_ann(spark, sf_dir: str) -> dict:
         "ivf_recall": round(len(ivf & brute) / k, 3),
         "pq_sec": round(t_pq, 3),
         "pq_recall": round(len(pqr & brute) / k, 3),
+        "pq_rerank_sec": round(t_rr, 3),
+        "pq_rerank_recall": round(len(rr & brute) / k, 3),
     }
 
 

@@ -74,11 +74,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     µs-exact values either way.
     """
     apply_runtime_conf(spark)
-    _purge_stopped()
     key = (id(spark._jsparkSession), sf_dir, table)
     cached = _RELATIONS.get(key)
     if cached is not None:
         return cached
+    # purge on the MISS path only: isStopped() is a py4j round-trip per
+    # entry, far too slow for the per-query hit path; misses are rare
+    # (first touch of a table, or a fresh session — exactly when dead
+    # entries can exist)
+    _purge_stopped()
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
         ns = F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
