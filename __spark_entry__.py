@@ -58,6 +58,7 @@ _DEMOTED_REDUNDANT = (
     "q76_length_buckets",
     "q77_stratified_sample",
     "q78_strip_duplicate_spans",
+    "q79_mixture_sample",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -457,3 +457,64 @@ def stratified_sample(
         .where(F.col("_srk") <= n_per_group)
         .drop("_srk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus MIXTURE construction (the Pile/Dolma/LLaMA data-mixing
+    step): downsample each source so its token share approaches
+    ``weights[source] * total_tokens``.  Per-source keep fraction =
+    ``min(target_tokens / source_tokens, 1)`` — a source smaller than
+    its target keeps everything (upsampling past 1 epoch is a REPEAT
+    decision for the loader, not a sampler; the achieved share is
+    visible in the output for exactly that audit).  Sources missing
+    from ``weights`` get weight 0 (dropped).
+
+    Determinism: the per-row uniform is ``md5(id || salt)`` (same
+    engine-portable, partitioning-independent draw as
+    ``weighted_sample``/``hash_split``); per-source token totals are
+    exact int64 sums, so fractions — and therefore the exact keep SET —
+    reproduce across engines and cluster sizes.  Scale shape: one
+    partial-aggregable groupBy over sources for the totals, broadcast
+    of the |sources|-row fraction table back onto the corpus, then a
+    narrow filter — the corpus never shuffles.
+    """
+    target = F.create_map(
+        *[x for s, w in weights.items() for x in (F.lit(s), F.lit(float(w)))]
+    )
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_src_tokens"))
+        .withColumn(
+            "_frac",
+            F.least(
+                F.coalesce(target[F.col(source_col)], F.lit(0.0))
+                * F.lit(float(total_tokens))
+                / F.col("_src_tokens"),
+                F.lit(1.0),
+            ),
+        )
+        .select(source_col, "_frac")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .where(u < F.col("_frac"))
+        .drop("_frac")
+    )

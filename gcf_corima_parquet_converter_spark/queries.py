@@ -2606,3 +2606,51 @@ def q78(spark, sf_dir):
         .where(F.length("text") > 0)
         .orderBy("doc_id")
     )
+
+
+# ===================================== corpus mixture construction (r4)
+# -- q79: Pile/Dolma-style source reweighting to a token budget
+#    (operators/pipeline.py: mixture_sample; md5-uniform keep set and
+#    exact int64 token totals are engine-portable).  Oracle-backed;
+#    graded locally (window full).
+@query(
+    "q79_mixture_sample",
+    """
+    WITH totals AS (
+      SELECT source, SUM(CAST(n_chars AS BIGINT)) AS src_tokens
+      FROM documents GROUP BY source),
+    fr AS (
+      SELECT source,
+             least((CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.4
+                                WHEN 'src2' THEN 0.2 ELSE 0.0 END)
+                   * 20000.0 / src_tokens, 1.0) AS frac
+      FROM totals),
+    kept AS (
+      SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d JOIN fr USING (source)
+      WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT) AS DOUBLE)
+              / 4294967296.0
+            < fr.frac)
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def q79(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    mixed = P.mixture_sample(
+        d,
+        "source",
+        "doc_id",
+        "n_chars",
+        {"src0": 0.4, "src1": 0.4, "src2": 0.2},
+        total_tokens=20_000,
+        salt="mix",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

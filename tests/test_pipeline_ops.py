@@ -344,3 +344,41 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
         for r in stratified_sample(df, "lang", 7, "doc_id", salt="t").collect()
     )
     assert ids1 != ids3
+
+
+def test_mixture_sample_shares_and_determinism(spark):
+    from gcf_corima_parquet_converter_spark.operators.pipeline import mixture_sample
+
+    rows = [(i, "web" if i < 800 else ("wiki" if i < 900 else "junk"), 10)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = mixture_sample(
+        df, "source", "doc_id", "n_tok", {"web": 0.5, "wiki": 0.5}, 4000
+    )
+    from collections import Counter
+
+    kept = Counter(r["source"] for r in out.collect())
+    # web: target 2000 tok of 8000 -> ~25% of 800 docs; wiki: target
+    # 2000 of 1000 available -> frac capped at 1, ALL kept; junk: no
+    # weight -> dropped entirely
+    assert kept["wiki"] == 100
+    assert "junk" not in kept
+    assert 150 <= kept["web"] <= 250
+    # deterministic under repartitioning; salt re-deals
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), "source", "doc_id", "n_tok",
+            {"web": 0.5, "wiki": 0.5}, 4000,
+        ).collect()
+    )
+    assert ids1 == ids2
+    ids3 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "source", "doc_id", "n_tok", {"web": 0.5, "wiki": 0.5}, 4000,
+            salt="B",
+        ).collect()
+    )
+    assert ids1 != ids3
