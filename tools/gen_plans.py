@@ -90,6 +90,12 @@ QUERIES = [
         "frequency semi-join, once by doc for the island merge); the "
         "text column rides no exchange",
     ),
+    (
+        "q79_mixture_sample",
+        "corpus mixture: |sources|-row fraction table broadcast back "
+        "over the corpus, md5-uniform narrow filter — the corpus never "
+        "shuffles pre-audit; only the tiny per-source audit aggregates",
+    ),
 ]
 
 
