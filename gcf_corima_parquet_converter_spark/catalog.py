@@ -49,13 +49,23 @@ _RELATIONS: dict[Tuple[int, str, str], DataFrame] = {}
 
 
 def _purge_stopped() -> None:
+    # snapshot first (a concurrent load() may insert mid-iteration) and
+    # memoize the py4j isStopped() round-trip per SESSION, not per
+    # entry — a fresh session's 10 table misses would otherwise pay
+    # O(tables^2) JVM calls
+    stopped_by_session: dict[int, bool] = {}
     dead = []
-    for key, df in _RELATIONS.items():
-        try:
-            if df.sparkSession.sparkContext._jsc.sc().isStopped():
-                dead.append(key)
-        except Exception:
-            dead.append(key)  # unreachable session context: drop it
+    for key, df in list(_RELATIONS.items()):
+        sid = key[0]
+        if sid not in stopped_by_session:
+            try:
+                stopped_by_session[sid] = (
+                    df.sparkSession.sparkContext._jsc.sc().isStopped()
+                )
+            except Exception:
+                stopped_by_session[sid] = True  # unreachable: drop it
+        if stopped_by_session[sid]:
+            dead.append(key)
     for key in dead:
         _RELATIONS.pop(key, None)
 

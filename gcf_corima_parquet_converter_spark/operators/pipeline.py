@@ -35,6 +35,26 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _md5_uniform(id_col: str, salt: str):
+    """Per-row uniform in [0,1): md5(id||salt)'s leading 32 bits /
+    2^32 — THE engine-portable, partitioning-independent draw every
+    sampling operator here shares (weighted_sample, mixture_sample;
+    hash_split's bucket and stratified_sample's rank key are the same
+    hash with different reductions).  One definition so a change to
+    the hashing contract cannot silently break oracle parity for a
+    single operator."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
 def source_quota(
     df: DataFrame,
     key_col: str,
@@ -357,16 +377,7 @@ def weighted_sample(
     for oracle parity, harmless in production up to ~2^53/1e6-scale
     weight sums per the fsum contract.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    u = _md5_uniform(id_col, salt)
     w = F.col(weight_col).cast("double")
     if exact_mean:
         mean_w = df.select(
@@ -484,7 +495,10 @@ def mixture_sample(
     reproduce across engines and cluster sizes.  Scale shape: one
     partial-aggregable groupBy over sources for the totals, broadcast
     of the |sources|-row fraction table back onto the corpus, then a
-    narrow filter — the corpus never shuffles.
+    narrow filter — the corpus never shuffles.  Rows with a null id
+    drop (null has no sampling identity — same contract as
+    ``stratified_sample``; the SQL oracle agrees since NULL < frac is
+    NULL).
     """
     target = F.create_map(
         *[x for s, w in weights.items() for x in (F.lit(s), F.lit(float(w)))]
@@ -494,25 +508,24 @@ def mixture_sample(
         .agg(F.sum(F.col(token_col).cast("long")).alias("_src_tokens"))
         .withColumn(
             "_frac",
+            # a source with token total 0/NULL must drop, not keep-all:
+            # ANSI division would THROW on /0 and F.least SKIPS nulls
+            # (NULL ratio would collapse to 1.0) — try_divide + coalesce
             F.least(
-                F.coalesce(target[F.col(source_col)], F.lit(0.0))
-                * F.lit(float(total_tokens))
-                / F.col("_src_tokens"),
+                F.coalesce(
+                    F.try_divide(
+                        F.coalesce(target[F.col(source_col)], F.lit(0.0))
+                        * F.lit(float(total_tokens)),
+                        F.col("_src_tokens"),
+                    ),
+                    F.lit(0.0),
+                ),
                 F.lit(1.0),
             ),
         )
         .select(source_col, "_frac")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    u = _md5_uniform(id_col, salt)
     return (
         df.join(F.broadcast(totals), source_col)
         .where(u < F.col("_frac"))

@@ -2524,7 +2524,7 @@ def q76(spark, sf_dir):
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'q77'), doc_id
              ) AS rk
-      FROM documents)
+      FROM documents WHERE doc_id IS NOT NULL)
     SELECT doc_id, lang, source FROM ranked WHERE rk <= 5
     ORDER BY lang, doc_id
     """,

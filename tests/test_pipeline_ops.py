@@ -382,3 +382,18 @@ def test_mixture_sample_shares_and_determinism(spark):
         ).collect()
     )
     assert ids1 != ids3
+
+
+def test_mixture_sample_zero_token_and_unweighted_sources_drop(spark):
+    """A source with 0/NULL token totals must not collapse its fraction
+    to 1.0 through least()'s null-skipping — it and unweighted sources
+    drop entirely."""
+    from gcf_corima_parquet_converter_spark.operators.pipeline import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "web", 10), (2, "empty", 0), (3, "empty", 0), (4, "nul", None)],
+        "doc_id long, source string, n_tok long",
+    )
+    kept = {r["source"] for r in
+            mixture_sample(df, "source", "doc_id", "n_tok", {"web": 1.0, "empty": 0.0}, 100).collect()}
+    assert kept == {"web"}
