@@ -59,6 +59,7 @@ _DEMOTED_REDUNDANT = (
     "q77_stratified_sample",
     "q78_strip_duplicate_spans",
     "q79_mixture_sample",
+    "q80_normalize_text",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -552,3 +552,48 @@ def dsir_logweight(
         F.count(F.lit(1)).alias("n_feats"),
         F.sum(logratio).alias("dsir_logweight"),
     )
+
+
+# ------------------------------------------------- text normalization
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    nfc: bool = False,
+) -> DataFrame:
+    """Standard corpus text normalization (the C4/CCNet preprocessing
+    shape): lowercase, strip C0/C1 control characters, collapse
+    whitespace runs to single spaces and trim.  Everything is built-in
+    JVM regex/string expressions — one codegen'd narrow projection,
+    zero shuffle — EXCEPT ``nfc=True``, which applies Unicode NFC
+    through an Arrow-batched pandas UDF (the JVM expression library has
+    no normalizer; the UDF is the documented slow path and stays off by
+    default).  Normalize BEFORE hashing-based ops (exact dedup, minhash,
+    spans) so byte-level variants of the same text collide.
+    """
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(texts: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return texts.map(
+                lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            )
+
+        c = _nfc(c)
+    return df.withColumn(out_col, c)

@@ -2654,3 +2654,36 @@ def q79(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ===================================== text normalization (r4)
+# -- q80: C4-style normalization (operators/text.py: normalize_text,
+#    JVM path) + before/after dedup impact: how many distinct texts
+#    collapse once case/whitespace variants normalize.  Oracle-backed;
+#    graded locally (window full).
+@query(
+    "q80_normalize_text",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               lower(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g')),
+               '\s+', ' ', 'g')) AS ntext,
+             text
+      FROM documents WHERE text IS NOT NULL)
+    SELECT count(*) AS n_docs,
+           count(DISTINCT text) AS distinct_raw,
+           count(DISTINCT ntext) AS distinct_norm,
+           CAST(sum(length(ntext)) AS BIGINT) AS total_norm_chars
+    FROM norm
+    """,
+)
+def q80(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n = X.normalize_text(d, "text", out_col="ntext")
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("distinct_raw"),
+        F.count_distinct("ntext").alias("distinct_norm"),
+        F.sum(F.length("ntext")).cast("bigint").alias("total_norm_chars"),
+    )

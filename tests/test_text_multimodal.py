@@ -412,3 +412,25 @@ def test_dsir_distributions_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_normalize_text_jvm_and_nfc_paths(spark):
+    import unicodedata
+
+    from gcf_corima_parquet_converter_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\tWORLD \x07 again  "),
+            (2, "Café du  Monde"),  # e + combining accent
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ntext"] for r in normalize_text(df, "text", out_col="ntext").collect()}
+    assert got[1] == "hello world again"
+    assert got[3] is None
+    # NFC path composes the accent (gated pandas UDF)
+    nfc = {r["doc_id"]: r["ntext"] for r in normalize_text(df, "text", out_col="ntext", nfc=True).collect()}
+    assert nfc[2] == unicodedata.normalize("NFC", "café du monde")
+    assert "́" not in nfc[2]  # composed, single codepoint é
