@@ -341,16 +341,13 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     sets = toked.select(F.col(id_col), hashed.alias("_sh"))
     # the barrier exchange is pinned too: AQE's byte-proportional
     # coalescer would fold the CPU-bound signature/verify consumers
-    # back onto 1-2 tasks (see ensure_min_parallelism).  Guarded: the
-    # conf can be non-numeric (e.g. Databricks "auto") — fall back to
-    # the unpinned repartition rather than fail the plan.
-    try:
-        n_part = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-        return sets.repartition(n_part, id_col)
-    except (ValueError, TypeError):
+    # back onto 1-2 tasks (see ensure_min_parallelism)
+    from .scale import pinned_shuffle_partitions
+
+    n_part = pinned_shuffle_partitions(df.sparkSession)
+    if n_part is None:  # non-numeric conf (e.g. "auto"): unpinned
         return sets.repartition(id_col)
+    return sets.repartition(n_part, id_col)
 
 
 def minhash_signatures(
@@ -372,6 +369,18 @@ def minhash_signatures(
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
     return sigs.select(
         F.col(id_col), *[F.col("_sig")[i].alias(f"mh_{i}") for i in range(k)]
+    )
+
+
+def _band_hashes(bands: int, rows_per_band: int):
+    """Array of per-band hashes of the ``_sig`` signature column — ONE
+    definition shared by the batch LSH (minhash_candidate_pairs) and
+    the streaming novelty gate (streaming.ingest.near_dup_stream),
+    whose bucket-for-bucket agreement depends on the kernels being
+    literally the same expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.xxhash64(F.slice("_sig", bi * rows_per_band + 1, rows_per_band)),
     )
 
 
@@ -419,10 +428,7 @@ def minhash_candidate_pairs(
             F.col(id_col),
             F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("_sig"),
         )
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.xxhash64(F.slice("_sig", bi * rows_per_band + 1, rows_per_band)),
-    )
+    band_hashes = _band_hashes(bands, rows_per_band)
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
@@ -734,6 +740,14 @@ def dedup_components(
         labels = new
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — partial labels "
+            "would silently split components; raise max_iter "
+            "(O(log diameter) rounds suffice)"
+        )
     edges.unpersist()
     return labels
 
@@ -759,17 +773,19 @@ def dedup_keep_components(
             F.col("id").alias(id_col)
         )
         return df.join(drop, id_col, "left_anti")
-    lab = comp.select(F.col("id").alias(id_col), "comp")
+    # underscore-prefix the helper column so a caller's own "comp"
+    # column neither collides at analysis time nor gets dropped
+    lab = comp.select(F.col("id").alias(id_col), F.col("comp").alias("_comp"))
     joined = df.join(lab, id_col, "left")
     # unpaired rows (comp null) become singleton groups keyed by own id
     # (comp carries the id's native type, so no cast is needed or safe)
-    grp = F.coalesce(F.col("comp"), F.col(id_col))
+    grp = F.coalesce(F.col("_comp"), F.col(id_col))
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
     w = Window.partitionBy(grp).orderBy(order, F.col(id_col))
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "comp")
+        .drop("_rn", "_comp")
     )
 
 

@@ -498,7 +498,9 @@ def mixture_sample(
     narrow filter — the corpus never shuffles.  Rows with a null id
     drop (null has no sampling identity — same contract as
     ``stratified_sample``; the SQL oracle agrees since NULL < frac is
-    NULL).
+    NULL), and so do rows with a null ``source_col`` (no source, no
+    weight: the inner join with the per-source table excludes them —
+    assign a sentinel source upstream if that mass must be kept).
     """
     target = F.create_map(
         *[x for s, w in weights.items() for x in (F.lit(s), F.lit(float(w)))]

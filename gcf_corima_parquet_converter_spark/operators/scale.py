@@ -87,6 +87,17 @@ def salted_join(
     return big_s.join(skew_s, [on, salt_col], how).drop(salt_col)
 
 
+def pinned_shuffle_partitions(spark: SparkSession) -> int | None:
+    """``spark.sql.shuffle.partitions`` as an int, or None when the
+    conf is non-numeric (e.g. Databricks "auto") — the single source of
+    the fallback policy for every operator that pins an exchange
+    against AQE's CPU-blind coalescer."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        return None
+
+
 def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread a small scan across the cluster before CPU-heavy NARROW
     work (tokenize/shingle/hash/explode chains).
@@ -110,9 +121,11 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
             >= spark.sparkContext.defaultParallelism
         ):
             return df
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except Exception:
         return df  # plan-time probe only; never fail the query over it
+    n_part = pinned_shuffle_partitions(spark)
+    if n_part is None:
+        return df
     if key_cols:
         return df.repartition(n_part, *key_cols)
     return df.repartition(n_part)

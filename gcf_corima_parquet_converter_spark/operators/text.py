@@ -525,12 +525,16 @@ def dsir_logweight(
     """
     feats = hashed_ngram_buckets(df, id_col, text_col, n_buckets, bigrams)
     tdist = _bucket_distribution(target, target_text_col, n_buckets, bigrams)
+    # default source = df itself: its bucket distribution is BY
+    # CONSTRUCTION the multiset of feats — aggregate feats instead of
+    # re-tokenizing+re-hashing the whole corpus a second time (at the
+    # operator's design point that second scan doubles the dominant cost)
     sdist = (
         _bucket_distribution(
             source, source_text_col or target_text_col, n_buckets, bigrams
         )
         if source is not None
-        else _bucket_distribution(df.select(F.col(text_col).alias("text")), "text", n_buckets, bigrams)
+        else feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     )
     t_tot = tdist.select(F.sum("cnt").alias("_t_total"))
     s_tot = sdist.select(F.sum("cnt").alias("_s_total"))

@@ -2427,19 +2427,15 @@ def q74(spark, sf_dir):
     )
 
 
-# ===================================== duplicate-span dedup (r4)
-# -- q75: exact duplicated-substring spans (operators/dedup.py:
-#    duplicate_spans — the Lee et al. 2021 substring-dedup family as
-#    sliding window hashes + gaps-and-islands merge).  Corpus = docs
-#    plus mutants sharing a 12-token prefix, so every mutant pair
-#    carries a known [0,12) span; md5 window hashes keep the oracle
-#    bit-portable.
-@query(
-    "q75_duplicate_spans",
-    r"""
-    WITH docs AS (
+# Shared fixture for the duplicate-span queries (q75/q78): docs plus
+# mutants sharing a 12-token prefix, so every mutant pair carries a
+# known [0,12) span.  ONE definition each for the Spark corpus and the
+# oracle CTE chain — a fixture tweak cannot silently diverge the two
+# queries.
+_SPAN_FIXTURE_CTES = r"""WITH docs AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents WHERE doc_id <= 200),
+      FROM documents
+      WHERE doc_id <= 200 AND text IS NOT NULL AND length(trim(text)) > 0),
     mut AS (
       SELECT doc_id + 1000000 AS doc_id,
              list_concat(toks[1:12], ['zz' || CAST(doc_id AS VARCHAR)]) AS toks
@@ -2457,14 +2453,18 @@ def q74(spark, sf_dir):
     dup AS (SELECT * FROM wins WHERE whash IN (SELECT whash FROM duph)),
     isl AS (SELECT doc_id, pos,
                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-            FROM dup)
-    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
-    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
-    """,
-)
-def q75(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200).select(
-        "doc_id", "text"
+            FROM dup)"""
+
+
+def _span_mutant_corpus(spark, sf_dir):
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") <= 200)
+            & F.col("text").isNotNull()
+            & (F.length(F.trim("text")) > 0)
+        )
+        .select("doc_id", "text")
     )
     toks = X.tokens("text")
     mut = d.where(F.col("doc_id") % 5 == 0).select(
@@ -2477,10 +2477,63 @@ def q75(spark, sf_dir):
             " ",
         ).alias("text"),
     )
-    corpus = d.unionByName(mut)
+    return d.unionByName(mut)
+
+
+# ===================================== duplicate-span dedup (r4)
+# -- q75: exact duplicated-substring spans (operators/dedup.py:
+#    duplicate_spans — the Lee et al. 2021 substring-dedup family as
+#    sliding window hashes + gaps-and-islands merge) on the shared
+#    mutant fixture; md5 window hashes keep the oracle bit-portable.
+@query(
+    "q75_duplicate_spans",
+    _SPAN_FIXTURE_CTES
+    + """
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+)
+def q75(spark, sf_dir):
+    corpus = _span_mutant_corpus(spark, sf_dir)
     return (
         D.duplicate_spans(corpus, "doc_id", "text", width=8, min_docs=2)
         .orderBy("doc_id", "span_start")
+    )
+
+
+# -- q78: the strip REWRITE of q75's span detection, value-compared:
+#    per-doc text with duplicated spans removed (dedup.py:
+#    strip_duplicate_spans).  The oracle rebuilds each doc from its
+#    kept (pos, token) pairs; the Spark side re-joins tokens with
+#    single spaces for the same normalization, and fully-stripped /
+#    null / empty docs drop on both sides.
+@query(
+    "q78_strip_duplicate_spans",
+    _SPAN_FIXTURE_CTES
+    + """,
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, g),
+    tok_pos AS (
+      SELECT c.doc_id, unnest(range(1, len(c.toks)+1)) AS i, c.toks AS toks
+      FROM corpus c),
+    toks AS (SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok FROM tok_pos),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e))
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q78(spark, sf_dir):
+    corpus = _span_mutant_corpus(spark, sf_dir)
+    stripped = D.strip_duplicate_spans(corpus, "doc_id", "text", width=8, min_docs=2)
+    # normalize untouched docs the same way the rewrite normalizes
+    # touched ones (single-space joins), so both sides compare equal
+    norm = F.array_join(X.tokens("text"), " ")
+    return (
+        stripped.select("doc_id", norm.alias("text"))
+        .where(F.length("text") > 0)
+        .orderBy("doc_id")
     )
 
 
@@ -2535,76 +2588,6 @@ def q77(spark, sf_dir):
         P.stratified_sample(d, "lang", 5, "doc_id", salt="q77")
         .select("doc_id", "lang", "source")
         .orderBy("lang", "doc_id")
-    )
-
-
-# -- q78: the strip REWRITE of q75's span detection, value-compared:
-#    per-doc text with duplicated spans removed (dedup.py:
-#    strip_duplicate_spans).  The oracle rebuilds each doc from its
-#    kept (pos, token) pairs; the Spark side re-joins tokens with
-#    single spaces for the same normalization, and fully-stripped /
-#    null docs drop on both sides.
-@query(
-    "q78_strip_duplicate_spans",
-    r"""
-    WITH docs AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents WHERE doc_id <= 200),
-    mut AS (
-      SELECT doc_id + 1000000 AS doc_id,
-             list_concat(toks[1:12], ['zz' || CAST(doc_id AS VARCHAR)]) AS toks
-      FROM docs WHERE doc_id % 5 = 0),
-    corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
-    wins_raw AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
-                    i -> struct_pack(pos := i-1,
-                                     whash := md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' ')))))
-               AS w
-      FROM corpus),
-    wins AS (SELECT doc_id, w.pos AS pos, w.whash AS whash FROM wins_raw),
-    duph AS (SELECT whash FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) >= 2),
-    dup AS (SELECT * FROM wins WHERE whash IN (SELECT whash FROM duph)),
-    isl AS (SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-            FROM dup),
-    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, g),
-    tok_pos AS (
-      SELECT c.doc_id, unnest(range(1, len(c.toks)+1)) AS i, c.toks AS toks
-      FROM corpus c),
-    toks AS (SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok FROM tok_pos),
-    kept AS (
-      SELECT t.doc_id, t.pos, t.tok FROM toks t
-      WHERE NOT EXISTS (SELECT 1 FROM spans s
-                        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e))
-    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
-    FROM kept GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def q78(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200).select(
-        "doc_id", "text"
-    )
-    toks = X.tokens("text")
-    mut = d.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.array_join(
-            F.concat(
-                F.slice(toks, 1, 12),
-                F.array(F.concat(F.lit("zz"), F.col("doc_id").cast("string"))),
-            ),
-            " ",
-        ).alias("text"),
-    )
-    corpus = d.unionByName(mut)
-    stripped = D.strip_duplicate_spans(corpus, "doc_id", "text", width=8, min_docs=2)
-    # normalize untouched docs the same way the rewrite normalizes
-    # touched ones (single-space joins), so both sides compare equal
-    norm = F.array_join(X.tokens("text"), " ")
-    return (
-        stripped.select("doc_id", norm.alias("text"))
-        .where(F.length("text") > 0)
-        .orderBy("doc_id")
     )
 
 

@@ -337,7 +337,7 @@ def near_dup_stream(
       reduced ``n_novel_bands`` — the conservative direction for a
       dedup gate.
     """
-    from ..operators.dedup import _shingles, _signature_array
+    from ..operators.dedup import _band_hashes, _shingles, _signature_array
     from ..operators.text import tokens
 
     rpb = k // bands
@@ -355,10 +355,7 @@ def near_dup_stream(
     sigs = hashed.select(
         F.col(id_col), F.col(ts_col), _signature_array(k).alias("_sig")
     )
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.xxhash64(F.slice("_sig", bi * rpb + 1, rpb)),
-    )
+    band_hashes = _band_hashes(bands, rpb)
     exploded = sigs.select(
         F.col(id_col), F.col(ts_col), F.posexplode(band_hashes).alias("band", "bh")
     )
