@@ -70,8 +70,28 @@ def _purge_stopped() -> None:
         _RELATIONS.pop(key, None)
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def invalidate(sf_dir: str | None = None, table: str | None = None) -> None:
+    """Drop cached relations — all of them, everything under one
+    ``sf_dir``, or one (sf_dir, table).  The in-API escape hatch for a
+    caller that rewrites a table path mid-session (the cache otherwise
+    serves the stale file index/schema until the session ends, by the
+    same snapshot semantics a metastore has until you REFRESH TABLE)."""
+    for key in [
+        k
+        for k in _RELATIONS
+        if (sf_dir is None or k[1] == sf_dir) and (table is None or k[2] == table)
+    ]:
+        _RELATIONS.pop(key, None)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, table: str, refresh: bool = False
+) -> DataFrame:
     """Load one corpus table.
+
+    ``refresh=True`` bypasses and replaces this (session, path)'s cached
+    relation — use after rewriting the table in place (see
+    :func:`invalidate` for the bulk form).
 
     Applies the runtime confs first (the correctness driver hands us a
     session we didn't build — see session.apply_runtime_conf).  The
@@ -85,6 +105,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     apply_runtime_conf(spark)
     key = (id(spark._jsparkSession), sf_dir, table)
+    if refresh:
+        _RELATIONS.pop(key, None)
     cached = _RELATIONS.get(key)
     if cached is not None:
         return cached

@@ -691,6 +691,8 @@ def dedup_components(
     ``localCheckpoint`` for ``checkpoint`` if executor loss during the
     loop must be survivable.)
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # ids keep their NATIVE type — a long cast would null out string
     # ids (pair miners accept them) and silently destroy the labeling;
     # "min" is simply the type's ordering (lexicographic for strings)

@@ -113,13 +113,24 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     CPU-blind — it happily folds a tiny-but-expensive stage back to one
     task.  Any real at-scale scan has orders of magnitude more splits
     than cores, so the plan-time probe makes this a no-op there.
+
+    Probe cost is tiered so the at-scale no-op stays cheap: input
+    splits >= input FILES, so a leaf file count (read off the already-
+    built FileIndex — no physical planning) settles the common at-scale
+    case first; only a file-poor scan pays the precise
+    ``df.rdd.getNumPartitions()`` probe, whose analysis+planning pass
+    is then amortized against a query that was about to serialize on
+    1-2 cores anyway.
     """
     spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        if (
-            df.rdd.getNumPartitions() * 2
-            >= spark.sparkContext.defaultParallelism
-        ):
+        if len(df.inputFiles()) * 2 >= target:
+            return df
+    except Exception:
+        pass  # non-file source / connect-mode quirk: precise probe below
+    try:
+        if df.rdd.getNumPartitions() * 2 >= target:
             return df
     except Exception:
         return df  # plan-time probe only; never fail the query over it

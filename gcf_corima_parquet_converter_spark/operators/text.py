@@ -526,16 +526,21 @@ def dsir_logweight(
     feats = hashed_ngram_buckets(df, id_col, text_col, n_buckets, bigrams)
     tdist = _bucket_distribution(target, target_text_col, n_buckets, bigrams)
     # default source = df itself: its bucket distribution is BY
-    # CONSTRUCTION the multiset of feats — aggregate feats instead of
-    # re-tokenizing+re-hashing the whole corpus a second time (at the
-    # operator's design point that second scan doubles the dominant cost)
-    sdist = (
-        _bucket_distribution(
+    # CONSTRUCTION the multiset of feats — aggregate feats and PERSIST
+    # the feature stream so the corpus is tokenized+hashed once, not
+    # once for the sdist broadcast job and again for the scoring join
+    # (lazy re-use alone does NOT elide the second scan: the broadcast
+    # side executes as its own job with its own lineage).  Same
+    # cache-without-unpersist trade as ngram_jaccard_pairs' shingle
+    # cache: the entry lives until the session drops it; MEMORY_AND_DISK
+    # spills rather than OOMs at scale.
+    if source is not None:
+        sdist = _bucket_distribution(
             source, source_text_col or target_text_col, n_buckets, bigrams
         )
-        if source is not None
-        else feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    else:
+        feats = feats.persist()
+        sdist = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     t_tot = tdist.select(F.sum("cnt").alias("_t_total"))
     s_tot = sdist.select(F.sum("cnt").alias("_s_total"))
     joined = (

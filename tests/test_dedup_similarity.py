@@ -504,6 +504,14 @@ def test_dedup_components_orientation_agnostic(spark):
     assert set(comp.values()) == {1} and len(comp) == 4
 
 
+def test_dedup_components_rejects_nonpositive_max_iter(spark):
+    # ADVICE r4: max_iter<=0 used to fall through the loop and NameError
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iter"):
+        D.dedup_components(_pairs(spark, [(1, 2)]), max_iter=0)
+
+
 def test_dedup_components_long_chain_pointer_jump(spark):
     # 65-node chain: plain min-propagation needs 64 rounds; pointer
     # jumping must converge within the 10-round budget (O(log diameter))

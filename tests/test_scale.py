@@ -89,3 +89,11 @@ def test_ensure_min_parallelism_spreads_small_scan(spark, tmp_path):
 
     wide = spark.range(1000).repartition(n_part, "id")
     assert ensure_min_parallelism(wide, "id") is wide  # no-op, same object
+
+    # file-rich scan: the cheap leaf-file probe settles it (the at-scale
+    # case pays no physical-planning pass — ADVICE r4)
+    many = str(tmp_path / "many_files")
+    spark.range(1000).repartition(n_part).write.parquet(many)
+    rich = spark.read.parquet(many)
+    assert len(rich.inputFiles()) * 2 >= spark.sparkContext.defaultParallelism
+    assert ensure_min_parallelism(rich, "id") is rich
