@@ -60,6 +60,8 @@ _DEMOTED_REDUNDANT = (
     "q78_strip_duplicate_spans",
     "q79_mixture_sample",
     "q80_normalize_text",
+    # r5: the mixture epochs audit (extends q79) — window still full
+    "q81_mixture_audit",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

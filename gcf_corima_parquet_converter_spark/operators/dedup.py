@@ -475,11 +475,22 @@ def minhash_dedup_pairs(
     cand = minhash_candidate_pairs(
         sigs, id_col, bands=bands, rows_per_band=k // bands, _validate=False
     )
+    return _verify_exact_jaccard(sets, cand, id_col, threshold)
+
+
+def _verify_exact_jaccard(
+    sets: DataFrame, cand: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The exact-Jaccard precision phase shared by the batch dedup
+    (``minhash_dedup_pairs``) and the streaming gate's lambda companion
+    (``verify_flagged_pairs``): equi-join candidate (id_a, id_b) pairs
+    onto the per-doc hashed shingle sets and keep pairs whose exact
+    Jaccard clears ``threshold``.  O(candidates), arrays of 64-bit
+    hashes — never strings, never all-pairs."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
     n_a, n_b = F.size("_sh_a"), F.size("_sh_b")
-    uni = n_a + n_b - n_common
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -492,6 +503,52 @@ def minhash_dedup_pairs(
         )
         .where(F.col("n_common") >= F.lit(float(threshold)) * (F.col("n_a") + F.col("n_b") - F.col("n_common")))
     )
+
+
+def verify_flagged_pairs(
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Lambda-architecture precision companion to
+    ``streaming.ingest.near_dup_stream``: re-run the batch LSH + exact-
+    Jaccard verify over a persisted corpus slice, restricted to pairs
+    that TOUCH a gate-flagged id.  Returns the same (id_a, id_b,
+    n_common, n_a, n_b) frame as ``minhash_dedup_pairs``.
+
+    ``df`` is the corpus slice covering the gate's horizon (the docs the
+    stream persisted — e.g. one day's window); ``flagged`` carries
+    ``id_col`` holding the suspect ids: every emitted row with
+    ``is_candidate_dup`` PLUS every input doc the gate swallowed
+    (absent from the gate's output — all of its buckets were already
+    claimed).  Defaults mirror ``near_dup_stream``'s (k=16, bands=4).
+
+    Completeness: any LSH band collision flags the LATER-arriving doc
+    (the earlier one claimed the bucket), so every batch candidate pair
+    has at least one flagged endpoint — restricting the verify to
+    flagged-touching pairs loses nothing vs the full batch
+    (``minhash_dedup_pairs`` parity is test-pinned).  Cost: the slice
+    is re-shingled once (the same one pinned exchange as batch); the
+    candidate join then shrinks by the flagged semi-join, so the verify
+    phase is O(pairs touching suspects), not O(all candidate pairs).
+    """
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
+    cand = minhash_candidate_pairs(
+        sigs, id_col, bands=bands, rows_per_band=k // bands, _validate=False
+    )
+    fl = flagged.select(F.col(id_col)).distinct()
+    touches = cand.join(
+        fl.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+    ).unionByName(
+        cand.join(fl.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+    ).distinct()
+    return _verify_exact_jaccard(sets, touches, id_col, threshold)
 
 
 # ---------------------------------------------------------------- simhash
@@ -898,7 +955,7 @@ def duplicate_spans(
     runs that overlap in this doc (position gap >= 2 but < width) emit
     two OVERLAPPING spans — the covered-token UNION is identical, so
     ``strip_duplicate_spans`` is unaffected; consumers needing disjoint
-    intervals should merge-by-overlap first.
+    intervals compose with :func:`merge_spans`.
 
     100 TB shape: only (id, pos, 16-byte hash) triples ever shuffle —
     once keyed by window hash for the document-frequency semi-join,
@@ -934,6 +991,47 @@ def duplicate_spans(
             (F.max("pos") + F.lit(width)).cast("long").alias("span_end"),
         )
         .drop("_g")
+    )
+
+
+def merge_spans(
+    spans: DataFrame,
+    id_col: str,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Collapse overlapping or touching spans into DISJOINT intervals
+    per ``id_col`` — the consumer-side companion ``duplicate_spans``
+    documents: two duplicated runs closer than ``width`` emit
+    overlapping spans whose covered-token union is what matters.
+
+    Gaps-and-islands again, this time over intervals: order spans by
+    start, a span opens a NEW island iff its start lies beyond the
+    running ``max(end)`` of everything before it (the running max — not
+    the previous row's end — because an earlier long span can swallow a
+    later short one entirely); islands then aggregate to (min start,
+    max end).  Ends are exclusive, so ``start == prev_end`` means
+    adjacent coverage and merges.  Cost: one window + one groupBy, both
+    keyed by doc — the same shuffle key ``duplicate_spans`` already
+    ends on, so AQE plans the merge without an extra exchange.  Output:
+    ``(id, span_start, span_end)`` disjoint, per-doc non-adjacent.
+    """
+    w = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spans.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .drop("_isl")
     )
 
 

@@ -444,6 +444,7 @@ def stratified_sample(
     n_per_group: int,
     id_col: str,
     salt: str = "",
+    pre_rank: bool = False,
 ) -> DataFrame:
     """Deterministic stratified sampling: exactly ``n_per_group`` rows
     per group (fewer if the group is smaller), chosen by md5 rank — the
@@ -454,17 +455,32 @@ def stratified_sample(
     md5(id||salt) ordering makes the draw uniform-random-like yet
     partitioning-independent and reproducible (same engine-portability
     argument as ``hash_split``); ``salt`` re-deals.  Cost: one window
-    rank keyed by group — same shuffle shape as ``source_quota``, and
-    the same ``pre_rank`` trick applies upstream if a group is hot.
+    rank keyed by group — same shuffle shape as ``source_quota``, with
+    the same ``pre_rank=True`` map-side cap for hot groups: each input
+    partition keeps only its local top-``n_per_group`` by the SAME md5
+    key before the global rank, so a group holding half the corpus
+    ships at most n_per_group x n_partitions rows into the one-reducer
+    window instead of all of them.  Exact by the subset argument —
+    local rank >= global rank, so a row outside its partition's top-n
+    can never be in the group's global top-n.
     """
     rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
     # null ids have no sampling identity: their md5 rank is NULL (sorts
     # first, crowding out real rows) and ties between them would break
     # nondeterministically — exclude them rather than sample garbage
+    df = df.where(F.col(id_col).isNotNull())
+    if pre_rank:
+        local = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(
+            rank_key, F.col(id_col)
+        )
+        df = (
+            df.withColumn("_lsrk", F.row_number().over(local))
+            .where(F.col("_lsrk") <= n_per_group)
+            .drop("_lsrk")
+        )
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
     return (
-        df.where(F.col(id_col).isNotNull())
-        .withColumn("_srk", F.row_number().over(w))
+        df.withColumn("_srk", F.row_number().over(w))
         .where(F.col("_srk") <= n_per_group)
         .drop("_srk")
     )
@@ -532,4 +548,59 @@ def mixture_sample(
         df.join(F.broadcast(totals), source_col)
         .where(u < F.col("_frac"))
         .drop("_frac")
+    )
+
+
+def mixture_audit(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+) -> DataFrame:
+    """The audit frame for :func:`mixture_sample` — the Pile/Dolma
+    "epochs" table: per source, what the mixture DESIGN achieves and
+    what it leaves to the loader.  ``mixture_sample`` caps keep
+    fractions at 1 (upsampling past one epoch is a REPEAT decision for
+    the loader, not a sampler); this computes that decision instead of
+    leaving it hand-derived.
+
+    Per source present in ``df``: ``src_tokens`` (exact int64
+    availability), ``target_share``/``target_tokens`` (the requested
+    mix; 0 for sources missing from ``weights`` — mixture_sample drops
+    them), ``keep_frac`` (the fraction mixture_sample applies),
+    ``achieved_tokens`` = min(src, target) — the expected kept volume
+    under the md5-uniform draw, which is also the exact large-N share —
+    ``achieved_share`` of ``total_tokens``, and ``implied_repeat`` =
+    max(target/src, 1): how many epochs of the kept set the loader must
+    run to hit the target (an UNDERSIZED source keeps everything and
+    repeats >1x; an oversized one subsamples and repeats exactly 1).
+
+    Same scale shape as the sampler's totals pass: one partial-
+    aggregable groupBy over sources, |sources| rows out — run it
+    alongside ``mixture_sample`` with the same arguments.  All derived
+    columns are single IEEE ops on exact int64 sums, so the frame is
+    engine-reproducible (oracle-backed).
+    """
+    target = F.create_map(
+        *[x for s, w in weights.items() for x in (F.lit(s), F.lit(float(w)))]
+    )
+    tot = F.lit(float(total_tokens))
+    ratio = F.coalesce(
+        F.try_divide(F.col("target_tokens"), F.col("src_tokens")), F.lit(0.0)
+    )
+    return (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("src_tokens"))
+        .withColumn(
+            "target_share", F.coalesce(target[F.col(source_col)], F.lit(0.0))
+        )
+        .withColumn("target_tokens", F.col("target_share") * tot)
+        .withColumn("keep_frac", F.least(ratio, F.lit(1.0)))
+        .withColumn(
+            "achieved_tokens",
+            F.least(F.col("src_tokens").cast("double"), F.col("target_tokens")),
+        )
+        .withColumn("achieved_share", F.col("achieved_tokens") / tot)
+        .withColumn("implied_repeat", F.greatest(ratio, F.lit(1.0)))
     )

@@ -2670,3 +2670,49 @@ def q80(spark, sf_dir):
         F.count_distinct("ntext").alias("distinct_norm"),
         F.sum(F.length("ntext")).cast("bigint").alias("total_norm_chars"),
     )
+
+
+# ===================================== mixture audit (r5)
+# -- q81: the loader-side epochs table for q79's mixture (operators/
+#    pipeline.py: mixture_audit) with a PLANTED UNDERSIZED source:
+#    src0's 60% share of 30k tokens (~18k) exceeds its availability at
+#    small sf, so keep_frac pins at 1.0 and implied_repeat > 1 — the
+#    Pile/Dolma epochs column, computed instead of hand-derived.  All
+#    derived columns are single IEEE ops on exact int64 sums (engine-
+#    parity safe).  Oracle-backed; graded locally (window full).
+@query(
+    "q81_mixture_audit",
+    """
+    WITH totals AS (
+      SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source),
+    aud AS (
+      SELECT source, src_tokens,
+             CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.1 ELSE 0.0 END AS DOUBLE)
+               AS target_share
+      FROM totals)
+    SELECT source, src_tokens, target_share,
+           target_share * 30000.0 AS target_tokens,
+           least(CASE WHEN src_tokens = 0 THEN 0.0
+                      ELSE target_share * 30000.0 / src_tokens END,
+                 1.0) AS keep_frac,
+           least(CAST(src_tokens AS DOUBLE), target_share * 30000.0)
+             AS achieved_tokens,
+           least(CAST(src_tokens AS DOUBLE), target_share * 30000.0) / 30000.0
+             AS achieved_share,
+           greatest(CASE WHEN src_tokens = 0 THEN 0.0
+                         ELSE target_share * 30000.0 / src_tokens END,
+                    1.0) AS implied_repeat
+    FROM aud ORDER BY source
+    """,
+)
+def q81(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return P.mixture_audit(
+        d,
+        "source",
+        "n_chars",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        total_tokens=30_000,
+    ).orderBy("source")

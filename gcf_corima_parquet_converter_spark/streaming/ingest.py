@@ -325,9 +325,12 @@ def near_dup_stream(
     * This is the LSH CANDIDATE filter only.  Batch near-dup follows
       candidates with an exact-Jaccard verify; a stream cannot re-read
       history's shingle sets, so precision here is the banding's
-      1-(1-J^r)^b curve, not exact.  Run the batch verify over the
-      flagged pairs periodically (lambda-style) where precision
-      matters.
+      1-(1-J^r)^b curve, not exact.  Where precision matters, run
+      ``operators.dedup.verify_flagged_pairs`` periodically
+      (lambda-style) over the flagged ids — emitted candidates plus
+      swallowed docs — against the persisted corpus slice; it
+      reproduces exactly the pairs ``minhash_dedup_pairs`` would find
+      on that slice (parity test-pinned).
     * State is bucket-count x watermark-horizon bounded (8-byte hashes
       + timestamps), NOT corpus-bounded: the months-running-stream
       property, same trade as ``dedup_stream``.  A duplicate arriving

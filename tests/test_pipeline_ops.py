@@ -346,6 +346,73 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert ids1 != ids3
 
 
+def test_stratified_sample_pre_rank_parity_and_plan(spark):
+    """pre_rank's map-side cap must not change the sample (subset
+    argument: local top-n >= global top-n), only insert the local
+    Window before the per-group shuffle."""
+    from gcf_corima_parquet_converter_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", 9, "doc_id", salt="s").collect()
+    )
+    pre = stratified_sample(
+        df.repartition(8), "lang", 9, "doc_id", salt="s", pre_rank=True
+    )
+    assert a == sorted(r["doc_id"] for r in pre.collect())
+    # the local cap is a Window keyed by spark_partition_id BEFORE the
+    # group exchange — visible in the physical plan; absent by default
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    base = stratified_sample(df, "lang", 9, "doc_id", salt="s")
+    assert "SPARK_PARTITION_ID" not in (
+        base._jdf.queryExecution().executedPlan().toString().upper()
+    )
+
+
+def test_mixture_audit_epochs_table(spark):
+    """The audit frame computes the loader's repeat decision: an
+    undersized source keeps everything (frac 1) and repeats >1x; an
+    oversized one subsamples and repeats exactly 1; an unweighted one
+    drops (target 0)."""
+    from gcf_corima_parquet_converter_spark.operators.pipeline import (
+        mixture_audit,
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "small", 10) for i in range(10)]          # 100 tokens
+        + [(100 + i, "big", 100) for i in range(20)]   # 2000 tokens
+        + [(900 + i, "unlisted", 50) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    weights = {"small": 0.5, "big": 0.5}
+    aud = {
+        r["source"]: r
+        for r in mixture_audit(df, "source", "n_tok", weights, 1000).collect()
+    }
+    small, big, un = aud["small"], aud["big"], aud["unlisted"]
+    # small: target 500 > available 100 -> keep all, repeat 5x
+    assert small["src_tokens"] == 100 and small["target_tokens"] == 500.0
+    assert small["keep_frac"] == 1.0 and small["implied_repeat"] == 5.0
+    assert small["achieved_tokens"] == 100.0 and small["achieved_share"] == 0.1
+    # big: target 500 < available 2000 -> subsample 1/4, one epoch
+    assert big["keep_frac"] == 0.25 and big["implied_repeat"] == 1.0
+    assert big["achieved_tokens"] == 500.0
+    # unlisted: target 0, dropped by the sampler
+    assert un["target_share"] == 0.0 and un["keep_frac"] == 0.0
+    assert un["achieved_tokens"] == 0.0
+    # the audit's keep_frac is exactly what mixture_sample applies:
+    # an undersized source keeps every row
+    kept = mixture_sample(df, "source", "doc_id", "n_tok", weights, 1000)
+    assert kept.where(F.col("source") == "small").count() == 10
+    assert kept.where(F.col("source") == "unlisted").count() == 0
+
+
 def test_mixture_sample_shares_and_determinism(spark):
     from gcf_corima_parquet_converter_spark.operators.pipeline import mixture_sample
 

@@ -270,3 +270,54 @@ def test_duplicate_spans_matches_python_model(spark, data):
     ):
         got[r["doc_id"]].append((r["span_start"], r["span_end"]))
     assert dict(got) == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_merge_spans_matches_python_interval_model(spark, data):
+    """merge_spans vs a plain-Python sweep: disjoint, non-adjacent
+    output covering exactly the union of the inputs (ends exclusive;
+    touching spans merge; nested/duplicate spans collapse)."""
+    from collections import defaultdict
+
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    n_docs = data.draw(st.integers(1, 4))
+    spans = {
+        i: data.draw(
+            st.lists(
+                st.tuples(st.integers(0, 20), st.integers(1, 10)).map(
+                    lambda t: (t[0], t[0] + t[1])
+                ),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        for i in range(1, n_docs + 1)
+    }
+
+    def model(ivals):
+        out = []
+        for s, e in sorted(ivals):
+            if out and s <= out[-1][1]:  # overlap or touch: extend
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    expected = {i: model(v) for i, v in spans.items()}
+    df = spark.createDataFrame(
+        [(i, s, e) for i, v in spans.items() for s, e in v],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = defaultdict(list)
+    for r in (
+        D.merge_spans(df, "doc_id")
+        .orderBy("doc_id", "span_start")
+        .collect()
+    ):
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert dict(got) == expected
+    # structural invariants: strictly increasing, disjoint, non-adjacent
+    for v in got.values():
+        assert all(b[0] > a[1] for a, b in zip(v, v[1:]))

@@ -435,6 +435,92 @@ def test_near_dup_stream_gates_duplicates(spark, tmp_path):
         assert got[4] == (4, False)
 
 
+def test_verify_flagged_pairs_matches_batch(spark, tmp_path):
+    """Lambda companion parity: gate flags + verify_flagged_pairs over
+    the replayed window == batch minhash_dedup_pairs on the same slice
+    (every batch candidate pair touches >=1 flagged endpoint, so the
+    flagged restriction loses nothing)."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+    from gcf_corima_parquet_converter_spark.streaming.ingest import near_dup_stream
+
+    base = pd.Timestamp("2025-07-11T16:00:00Z")
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions at midnight under a pale cold moon"
+    )
+    other = (
+        "completely different subject matter entirely about spark adaptive "
+        "query execution exchange reuse and broadcast hash join planning"
+    )
+    mutated = " ".join(prose.split()[:-2])       # near copy of 1
+    docs = [
+        (1, prose), (2, other),                  # batch 0: originals
+        (3, prose), (4, mutated),                # batch 1: exact + near copy
+        (5, other + " with a small trailing addition here"),  # near copy of 2
+    ]
+    batches = [docs[:2], docs[2:]]
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    for f, rows in enumerate(batches):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [base + pd.Timedelta(seconds=f * 5)] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us, UTC]"}).to_parquet(f"{src}/b{f}.parquet")
+    # sentinel batch far ahead so every doc window finalizes
+    pd.DataFrame(
+        {"doc_id": [99], "text": ["sentinel advancing the watermark clock"],
+         "ts": [base + pd.Timedelta(minutes=30)]}
+    ).astype({"ts": "datetime64[us, UTC]"}).to_parquet(f"{src}/b9.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        near_dup_stream(stream, "doc_id", "text", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_vf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.read.parquet(out).collect()
+    flagged_ids = {int(r["doc_id"]) for r in emitted if r["is_candidate_dup"]}
+    # swallowed docs (all buckets claimed) never emit: they are flagged too
+    input_ids = {d[0] for d in docs}
+    flagged_ids |= input_ids - {int(r["doc_id"]) for r in emitted}
+    assert flagged_ids, "fixture must flag at least the exact copy"
+
+    slice_df = spark.createDataFrame(docs, ["doc_id", "text"])
+    flagged = spark.createDataFrame(
+        [(i,) for i in sorted(flagged_ids)], ["doc_id"]
+    )
+    lam = {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+        for r in D.verify_flagged_pairs(
+            slice_df, flagged, "doc_id", "text", k=16, bands=4
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+        for r in D.minhash_dedup_pairs(
+            slice_df, "doc_id", "text", k=16, bands=4
+        ).collect()
+    }
+    # same banding geometry both sides (k=16, bands=4 — the gate's):
+    # candidates then agree bucket-for-bucket and the exact verify makes
+    # the PAIR sets identical
+    assert lam == batch
+    # the exact copy collides in every band — guaranteed present
+    assert (1, 3) in {(a, b) for a, b, *_ in lam}
+
+
 def test_near_dup_stream_state_survives_restart(spark, tmp_path):
     """The novelty gate's bucket state must recover from the checkpoint
     across query RESTARTS: an exact copy arriving in a later RUN (same
