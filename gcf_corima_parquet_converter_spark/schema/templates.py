@@ -5,13 +5,15 @@ stdatalog_pnpl wheel and resolves them by ``(board_id, fw_id)`` through
 its catalog index (device_template_manager.py:139-199).  Re-shipping
 ST's JSONs verbatim is out (they are the vendor's artifacts); but
 templates can be GENERATED from public facts: the DTDL v2 grammar (a
-Microsoft standard) plus each sensor's datasheet envelope.  Three
+Microsoft standard) plus each sensor's datasheet envelope.  Four
 boards ship built-in — the pair the reference pipeline actually
 exercises (STEVAL-STWINBX1 / FP-SNS-DATALOG2, whose acceleration
 stream is the ``iis3dwb_acc;5`` interface; 26.667 kHz ODR, ±2/4/8/16 g,
 3 axes of int16), plus the STWINKT1B (ISM330DHCX acc+gyro + STTS22H
-temp) and X-NUCLEO-IKS02A1 (ISM330DHCX acc+gyro) built through the
-spec-driven ``sensor_interface``/``device_template`` builders.
+temp), X-NUCLEO-IKS02A1 (ISM330DHCX acc+gyro), and SensorTile.box PRO
+(IMP34DT05 digital microphone — the dim=1 high-rate audio shape) built
+through the spec-driven ``sensor_interface``/``device_template``
+builders.
 
 Everything here is emitted by builder functions — no JSON is copied;
 the builders are also the extension point for users to register their
@@ -357,6 +359,7 @@ def device_template(
 
 _NS_KT1B = "dtmi:gcfspark:steval_stwinkt1b:fp_sns_datalog2"
 _NS_IKS02A1 = "dtmi:gcfspark:x_nucleo_iks02a1:fp_sns_datalog2"
+_NS_MKBOXPRO = "dtmi:gcfspark:steval_mkboxpro:fp_sns_datalog2"
 
 #: Second catalog pair: STEVAL-STWINKT1B running FP-SNS-DATALOG2
 #: (wheel catalog rows board 0x9).  Components from public datasheets.
@@ -366,6 +369,11 @@ STWINKT1B_FW_ID = "0x4"
 #: Third pair: X-NUCLEO-IKS02A1 expansion board (wheel rows board 0x10).
 IKS02A1_BOARD_ID = "0x10"
 IKS02A1_FW_ID = "0x1"
+
+#: Fourth pair: SensorTile.box PRO — the 1-D high-rate AUDIO stream
+#: shape (digital MEMS microphone) the other three boards don't cover.
+MKBOXPRO_BOARD_ID = "0xb"
+MKBOXPRO_FW_ID = "0x1"
 
 
 def _ism330dhcx_acc(ns: str) -> dict:
@@ -431,6 +439,40 @@ def _stts22h_temp(ns: str) -> dict:
     )
 
 
+def _imp34dt05_mic(ns: str) -> dict:
+    # IMP34DT05-TR datasheet: digital PDM MEMS microphone; the datalog
+    # firmware decimates to PCM at 16/32/48 kHz — one channel of int16
+    # waveform.  "sensitivity" here is the decode-path normalization
+    # int16 -> [-1, 1) full-scale (1/32768); the acoustic sensitivity
+    # (-26 dBFS @ 94 dB SPL) lives in the analog domain, not the
+    # converter.  dim=1 at 48 kHz is the structural shape that stresses
+    # the timestamp framing: samples_per_ts batches thousands of samples
+    # per 8-byte stamp, exactly the spts-heavy packet layout of S4.
+    return sensor_interface(
+        "imp34dt05_mic",
+        ns=ns,
+        odr_enum=[("hz16000", 0), ("hz32000", 1), ("hz48000", 2)],
+        measodr=48000.0,
+        sensitivity=1.0 / 32768,
+        dim=1,
+        data_type="int16",
+        samples_per_ts=1000,
+        display="IMP34DT05 Microphone",
+    )
+
+
+def mkboxpro_datalog2_template() -> list[dict]:
+    """SensorTile.box PRO: digital microphone — the dim=1 high-rate
+    audio board (the IMU shapes are already proven by the other
+    boards; this template isolates the audio stream)."""
+    ns = _NS_MKBOXPRO
+    return device_template(
+        ns,
+        [("imp34dt05_mic", _imp34dt05_mic(ns))],
+        "FP-SNS-DATALOG2 on SensorTile.box PRO (generated)",
+    )
+
+
 def stwinkt1b_datalog2_template() -> list[dict]:
     """STWINKT1B: dual-sensor IMU (acc + gyro) plus temperature — the
     multi-component board shape the single-sensor STWINBX1 template
@@ -493,6 +535,12 @@ BUILTIN_TEMPLATES: list[tuple[str, str, str, Any]] = [
         IKS02A1_FW_ID,
         "x_nucleo_iks02a1_fp_sns_datalog2-1",
         iks02a1_datalog2_template,
+    ),
+    (
+        MKBOXPRO_BOARD_ID,
+        MKBOXPRO_FW_ID,
+        "steval_mkboxpro_fp_sns_datalog2-1",
+        mkboxpro_datalog2_template,
     ),
 ]
 

@@ -359,6 +359,57 @@ def test_builtin_catalog_resolves_second_and_third_pairs():
     assert fs.metadata == {"unit": "degreePerSecond", "unit_symbol": "dps"}
 
 
+def test_builtin_catalog_resolves_mic_board_and_decodes(spark, tmp_path):
+    """Fourth builtin pair (VERDICT r4 #7): SensorTile.box PRO's
+    IMP34DT05 microphone — the dim=1 high-rate audio shape.  The full
+    chain: catalog pair -> interface -> initial status -> DecodeParams
+    -> real .dat decode of a 16 kHz single-channel fixture."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.schema.dtdl import (
+        decode_params_from_status,
+    )
+    from gcf_corima_parquet_converter_spark.schema.templates import (
+        _imp34dt05_mic,
+        _NS_MKBOXPRO,
+        initial_status,
+    )
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        add_sensor,
+        write_acquisition,
+    )
+
+    cat = DeviceTemplateCatalog.builtin()
+    types = cat.resolve_structtypes(0xB, 0x1)
+    assert set(types) == {"imp34dt05_mic"}
+    st = types["imp34dt05_mic"]
+    assert "fs" not in st.fieldNames()  # a mic has no full-scale enum
+
+    # template initial status is decode-ready for a 1-channel stream
+    params = decode_params_from_status(
+        initial_status(_imp34dt05_mic(_NS_MKBOXPRO)), axis_prefix="MIC",
+        unit="waveform",
+    )
+    assert params.dim == 1 and params.data_type == "int16"
+    assert params.sensitivity == 1.0 / 32768
+    assert params.axis_names == ("MIC_x [waveform]",)
+
+    # end-to-end: a mic-rate acquisition decodes through the facade
+    folder = str(tmp_path / "acq_mic")
+    write_acquisition(folder)
+    sens = 1.0 / 32768
+    in_wave = add_sensor(
+        folder, "imp34dt05_mic", odr=16000.0, spts=256, dim=1,
+        sensitivity=sens, n_seconds=0.25,
+    )
+    df = Acquisition(spark, folder).load("imp34dt05_mic")["imp34dt05_mic"]
+    rows = df.orderBy("Time").collect()
+    assert len(rows) == len(in_wave)
+    got = np.array([r[1] for r in rows])
+    np.testing.assert_allclose(got, in_wave[:, 0], rtol=0, atol=1e-12)
+
+
 def test_second_board_initial_status_decode_ready():
     """Template -> initial status -> DecodeParams for BOTH new sensor
     kinds: the 3-axis gyro (dps axes) and the 1-channel temp (°C)."""
