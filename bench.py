@@ -142,27 +142,45 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
 def bench_ann(spark, sf_dir: str) -> dict:
     """ANN quality/speed probe: brute-force cosine top-k is ground
-    truth; IVF and PQ report recall@10 against it plus wall time.
-    Recall is the axis the headline timings can't show — a fast ANN
-    variant that returns the wrong neighbors is not an ANN.
+    truth; IVF and PQ(+rerank) report recall@10 against it plus wall
+    time.  Recall is the axis the headline timings can't show — a fast
+    ANN variant that returns the wrong neighbors is not an ANN.
 
-    Context for the absolute numbers: the synthetic embeddings are
-    ISOTROPIC RANDOM, so true neighbors have barely-above-noise
-    similarity and any partition-pruning ANN's recall is bounded by
-    its scan fraction (curse of dimensionality — with 4 of 16 IVF
-    lists probed, ~25% is the theoretical floor and ~0.4 is a normal
-    draw).  On clustered real-world embeddings the same index recalls
-    0.9+; the planted-structure recall tests in
-    tests/test_dedup_similarity.py pin that regime.  The probe's job
-    here is regression tracking: recall collapsing toward 0 or time
-    blowing up flags a broken index, not a bad corpus."""
-    import pyspark.sql.functions as F
+    The probe corpus is CLUSTERED — the sf embeddings table's (n, dim)
+    but regenerated as 16 planted unit centroids + Gaussian noise
+    (sigma=0.08), renormalized.  r4's probe used the table directly,
+    but those vectors are isotropic-random, where any partition-
+    pruning ANN's recall is bounded by its scan fraction BY
+    CONSTRUCTION (curse of dimensionality) — the reported 0.2-0.4
+    "recall" measured the corpus, not the index.  Clustered data is
+    the regime ANN indexes exist for (real embedding spaces are
+    strongly clustered), and there the numbers are meaningful:
+    a query's true neighbors are its cluster-mates, which co-locate
+    in the probed IVF lists and survive ADC + exact re-rank.  The
+    floors below are asserted so an index regression fails the bench
+    loudly instead of shading a number the reader has to interpret.
+    Everything is seeded/deterministic — no flaky draws."""
+    import numpy as np
 
     from gcf_corima_parquet_converter_spark import catalog
     from gcf_corima_parquet_converter_spark.operators import similarity as S
 
-    emb = catalog.load(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    table = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(table.select("embedding").first()[0])
+    n = table.count()
+    rng = np.random.default_rng(7)
+    n_clusters = 16
+    planted = rng.normal(size=(n_clusters, dim))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    member_of = rng.integers(0, n_clusters, size=n)
+    pts = planted[member_of] + rng.normal(0.0, 0.08, size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), pts[i].astype(float).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    emb.count()
+    qvec = pts[0].tolist()  # a member: its cluster-mates are the neighbors
     k = 10
 
     def timed_ids(df):
@@ -174,31 +192,141 @@ def bench_ann(spark, sf_dir: str) -> dict:
     # standard ANN methodology: index build (train/assign/encode) is a
     # one-time cost amortized over every query — persist the index
     # tables and time SEARCH only, as a deployed index would run
-    cents = S.train_centroids_sample(emb, n_centroids=16)
+    cents = S.kmeans_refine(emb, S.train_centroids_sample(emb, n_centroids=16), n_iter=2)
     assigned = S.ivf_assign(emb, cents).persist()
     assigned.count()
     pq = S.pq_train(emb, m=8, n_codes=16)
     encoded = S.pq_encode(emb, pq, use_arrow=True).persist()
     encoded.count()
+    # shortlist covers the query's whole planted cluster (~n/16 rows):
+    # 8x16 codes quantize cluster members to near-identical codes, so
+    # ADC cannot rank WITHIN-cluster noise — its job is getting the
+    # cluster into the shortlist (pq_shortlist_recall), the exact
+    # re-rank then orders it.  The shortlist is an absolute constant:
+    # at corpus scale its scan fraction goes to zero.
+    shortlist = 20 * k
     try:
         ivf, t_ivf = timed_ids(S.ivf_topk(assigned, cents, qvec, k=k, n_probe=4))
-        pqr, t_pq = timed_ids(S.pq_topk(encoded, pq, qvec, k=k))
-        rr, t_rr = timed_ids(S.pq_topk_rerank(encoded, emb, pq, qvec, k=k))
+        adc, t_pq = timed_ids(S.pq_topk(encoded, pq, qvec, k=shortlist))
+        rr, t_rr = timed_ids(
+            S.pq_topk_rerank(encoded, emb, pq, qvec, k=k, shortlist=shortlist)
+        )
     finally:
         assigned.unpersist()
         encoded.unpersist()
-    return {
+        emb.unpersist()
+    out = {
         "k": k,
-        "corpus": "isotropic-random (recall ~ scan fraction; see docstring)",
+        "corpus": f"clustered: {n_clusters} planted unit centroids + N(0, 0.08) "
+                  f"noise, n={n} dim={dim} (the regime ANN indexes exist for)",
         "brute_sec": round(t_brute, 3),
         "ivf_sec": round(t_ivf, 3),
         "ivf_scan_fraction": 4 / 16,
         "ivf_recall": round(len(ivf & brute) / k, 3),
         "pq_sec": round(t_pq, 3),
-        "pq_recall": round(len(pqr & brute) / k, 3),
+        "pq_shortlist": shortlist,
+        "pq_shortlist_recall": round(len(adc & brute) / k, 3),
         "pq_rerank_sec": round(t_rr, 3),
         "pq_rerank_recall": round(len(rr & brute) / k, 3),
+        "recall_floor_asserted": 0.8,
     }
+    if out["ivf_recall"] < 0.8 or out["pq_rerank_recall"] < 0.8:
+        raise RuntimeError(f"ANN recall regression on clustered corpus: {out}")
+    return out
+
+
+# The empirical twin of the plan audit's "survives 100x" claim: the 5
+# most expensive queries run at sf0.1 AND a locally-generated sf1 (10x
+# rows, same distributional shapes — tools/gen_sf.py); a per-query
+# wall-time ratio ~<= the 10x data ratio says the plan scales linearly
+# in this decade, a superlinear outlier is a real finding.
+SCALING_QUERIES = [
+    "q00_flagship_daily_rms",
+    "q03_region_revenue",
+    "q26_minhash_near_dup",
+    "q60_curation_pipeline",
+    "q75_duplicate_spans",
+]
+
+
+def bench_scaling(spark, sf_dir: str) -> dict:
+    """Per-query sf0.1 vs sf1 wall-time ratios.  Both scales are timed
+    in THIS (already-warm) JVM, best-of-2 each, so the ratio measures
+    data-volume response, not codegen compilation.  The sf1 corpus is
+    generated once into .scratch/ and reused across rounds (seeded —
+    byte-identical every time)."""
+    from gcf_corima_parquet_converter_spark import queries as Q
+    from tools.gen_sf import generate
+
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or generate(
+        1.0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1.0"),
+    )
+    out: dict = {
+        "data_ratio": 10.0,
+        "sf1_dir": sf1_dir,
+        "note": "ratio <= data_ratio = linear-or-better in this decade; "
+                "ratio ~1 means the query is still fixed-overhead-bound at "
+                "sf1 on local[32] (scheduling/plan time dominates, the extra "
+                "compute vanishes into idle cores)",
+    }
+    for name in SCALING_QUERIES:
+        fn = Q.QUERIES[name]
+
+        def best(d: str) -> float:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_small, t_big = best(sf_dir), best(sf1_dir)
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(f"# scaling {name}: {t_small:.3f}s -> {t_big:.3f}s "
+              f"({t_big / t_small:.1f}x)", file=sys.stderr)
+    return out
+
+
+def bench_facade(spark) -> dict:
+    """The reference's actual E2E: one synthetic HSDatalog2 acquisition
+    (60 s at 26.667 kHz-shaped framing scaled to 2 kHz x 3 axes, the
+    fixture rate) through process_acquisition — .dat decode, enrich,
+    1 s completeness-gated RMS, two Hive-partitioned parquet sinks.
+    This is the flagship ETL the r4 persist fix (decode runs once)
+    landed on; a regression floor belongs in the bench like every
+    other query.  Fixture generation is OUTSIDE the timing."""
+    import shutil
+    import tempfile
+
+    from gcf_corima_parquet_converter_spark.sources.acquisition import (
+        process_acquisition,
+    )
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        write_acquisition,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_facade_")
+    try:
+        acq = os.path.join(work, "acq")
+        write_acquisition(acq, n_seconds=60.0, odr=2000.0, spts=64)
+        walls = []
+        for i in range(2):  # first touch pays decode-UDF/codegen compile
+            t0 = time.perf_counter()
+            res = process_acquisition(spark, acq, os.path.join(work, f"out{i}"))
+            walls.append(time.perf_counter() - t0)
+            assert res is not None and res["rms_written"], "facade wrote no RMS"
+        return {
+            "facade_e2e_sec": round(min(walls), 3),
+            "facade_first_sec": round(walls[0], 3),
+            "rms_rows": res["rms_rows"],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def worker(sf_dir: str, with_streaming: bool) -> None:
@@ -253,6 +381,8 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
     if with_streaming:
         out["streaming"] = bench_streaming(spark, sf_dir)
         out["ann"] = bench_ann(spark, sf_dir)
+        out["scaling"] = bench_scaling(spark, sf_dir)
+        out["facade"] = bench_facade(spark)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
 
@@ -301,6 +431,8 @@ def main() -> None:
                 "total_warm_wall_sec": round(sum(warm.values()), 3),
                 "streaming": samples[-1].get("streaming"),
                 "ann": samples[-1].get("ann"),
+                "scaling": samples[-1].get("scaling"),
+                "facade": samples[-1].get("facade"),
                 "runs": N_RUNS,
                 "aggregation": "median",
                 "sf": sf,
