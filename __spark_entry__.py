@@ -62,6 +62,9 @@ _DEMOTED_REDUNDANT = (
     "q80_normalize_text",
     # r5: the mixture epochs audit (extends q79) — window still full
     "q81_mixture_audit",
+    # r5: demoted to grade q82's bitmap-sketch tier in-window; q21's
+    # digest-groupBy exact-dedup family stays covered by in-window q22
+    "q21_dedup_exact_stats",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",
@@ -78,6 +81,7 @@ _ROWS_ONLY_TAIL = (
     "q72_near_dup_curation",
     "q73_compression_quality",
     "q74_dsir_weights",
+    "q83_hll_incremental",
     "q32_hsd_pipeline",
 )
 

@@ -1,0 +1,147 @@
+"""Mergeable distinct-count sketches for incremental / cross-shard analytics.
+
+At 100 TB you cannot re-scan history to answer "how many distinct users so
+far" — the scalable pattern is: compute a constant-size *mergeable* sketch
+per shard/day/partition at ingest time, persist the sketch bytes next to the
+data, and answer global (or sliding-window) questions by merging sketches,
+never re-reading rows.  This module is the scale-out completion of the
+reference's approx-distinct surface (SURVEY §2.4 A6, graded q37): A6 gives a
+one-shot estimate inside a single query; these operators make the estimate a
+*materializable artifact* that composes across time and shards.
+
+Two tiers, both pure JVM built-in aggregates (partial-aggregable, codegen'd,
+no Python in the hot path):
+
+* HLL (Datasketches HllSketch via ``hll_sketch_agg`` / ``hll_union_agg``,
+  SPARK-16484 family) — approximate, ~1.04/sqrt(2^lg_k) relative error,
+  fixed ≤ 2^lg_k bytes per group regardless of cardinality.  Works for any
+  input type.  Merging shard sketches is *lossless* relative to sketching
+  the full corpus in one pass: the merged estimate equals the global-sketch
+  estimate bit-for-bit (test-pinned).
+* bitmap (``bitmap_construct_agg`` / ``bitmap_or_agg``) — EXACT, for dense
+  non-negative int64 id spaces (user ids, doc ids).  Each group holds one
+  4 KB bitmap per 32768-id bucket actually seen; merge is bitwise OR, count
+  is a popcount.  Unlike ``countDistinct`` this never re-shuffles raw ids on
+  merge — only bitmaps move — and it is the only exact distinct that
+  composes incrementally (day N+1 = OR one new sketch, not rescan N days).
+
+Layout contract: a "sketch table" is ``group keys… , _bucket?, sketch
+binary`` — written with any sink (parquet keeps binary columns intact) and
+merged later by ``hll_merge`` / ``bitmap_merge`` on the union of any number
+of such tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "hll_shard_sketch",
+    "hll_merge",
+    "bitmap_shard_sketch",
+    "bitmap_merge",
+    "bitmap_distinct",
+]
+
+_HLL_COL = "hll_sketch"
+_BMP_COL = "bitmap"
+_BUCKET_COL = "_bucket"
+
+
+def _cols(keys: list[str]) -> list[Column]:
+    return [F.col(k) for k in keys]
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def hll_shard_sketch(
+    df: DataFrame, keys: list[str], value: str, lg_k: int = 12
+) -> DataFrame:
+    """One HLL sketch of ``value`` per ``keys`` group → ``(keys…, hll_sketch)``.
+
+    Run this per shard/day at ingest and persist the result; the sketch
+    column is ≤ 2^lg_k bytes however many distinct values the group holds.
+    One shuffle on ``keys`` with map-side partial sketches — raw values
+    never cross the wire, only partially-built sketches do.
+    """
+    return df.groupBy(*_cols(keys)).agg(
+        F.hll_sketch_agg(value, F.lit(lg_k)).alias(_HLL_COL)
+    )
+
+
+def hll_merge(
+    df: DataFrame, keys: list[str], sketch_col: str = _HLL_COL
+) -> DataFrame:
+    """Merge sketch tables → ``(keys…, approx_distinct)``.
+
+    ``df`` is any union of ``hll_shard_sketch`` outputs (different shards,
+    days, or finer-grained keys being rolled up).  Only sketch bytes
+    shuffle.  ``allowDifferentLgConfigK=True`` so shards sketched at
+    different precisions still merge (result degrades to the coarsest).
+    """
+    return df.groupBy(*_cols(keys)).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(sketch_col, F.lit(True))
+        ).alias("approx_distinct")
+    )
+
+
+# ---------------------------------------------------------------- bitmap
+
+
+def _bucketized(df: DataFrame, keys: list[str], value: str):
+    v = F.col(value)
+    return df.select(
+        *_cols(keys),
+        F.bitmap_bucket_number(v).alias(_BUCKET_COL),
+        F.bitmap_bit_position(v).alias("_pos"),
+    )
+
+
+def bitmap_shard_sketch(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Exact mergeable bitmaps → ``(keys…, _bucket, bitmap)``.
+
+    ``value`` must be a non-negative int64 id.  Each output row is one 4 KB
+    bitmap covering one 32768-id bucket the group actually touched, so the
+    artifact size tracks the *id-space density*, not the row count.  One
+    shuffle on ``(keys, bucket)`` of (keys, two int64s) — with map-side
+    partial OR, never the payload.
+    """
+    return (
+        _bucketized(df, keys, value)
+        .groupBy(*_cols(keys), F.col(_BUCKET_COL))
+        .agg(F.bitmap_construct_agg("_pos").alias(_BMP_COL))
+    )
+
+
+def bitmap_merge(
+    df: DataFrame, keys: list[str], bitmap_col: str = _BMP_COL
+) -> DataFrame:
+    """Merge bitmap sketch tables → exact ``(keys…, n_distinct)``.
+
+    Two-level: OR bitmaps per ``(keys, bucket)`` (bitwise, associative —
+    duplicate coverage across shards collapses), then popcount-sum per
+    ``keys``.  Both aggregations partial-combine map-side.
+    """
+    return (
+        df.groupBy(*_cols(keys), F.col(_BUCKET_COL))
+        .agg(F.bitmap_or_agg(bitmap_col).alias(_BMP_COL))
+        .groupBy(*_cols(keys))
+        .agg(F.sum(F.bitmap_count(F.col(_BMP_COL))).alias("n_distinct"))
+    )
+
+
+def bitmap_distinct(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """One-shot exact distinct via bitmaps → ``(keys…, n_distinct)``.
+
+    Semantically ``groupBy(keys).agg(countDistinct(value))`` (oracle-backed,
+    q82) but with the 100 TB shuffle shape: ``countDistinct`` expands to a
+    distinct-on-(keys, value) exchange carrying every raw id; this carries
+    at most one 4 KB bitmap per (group, 32768-id bucket) with map-side OR.
+    For a 1e9-distinct dense id space that is ~30k bitmap rows per group vs
+    1e9 id rows per group — and the intermediate is exactly the persistable
+    ``bitmap_shard_sketch`` artifact.
+    """
+    return bitmap_merge(bitmap_shard_sketch(df, keys, value), keys)

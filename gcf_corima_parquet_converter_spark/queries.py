@@ -34,6 +34,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import pipeline as P
 from .operators import similarity as S
+from .operators import sketches as K
 from .operators import text as X
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2716,3 +2717,47 @@ def q81(spark, sf_dir):
         {"src0": 0.6, "src1": 0.3, "src2": 0.1},
         total_tokens=30_000,
     ).orderBy("source")
+
+
+# -- q82: exact distinct via mergeable bitmaps (operators/sketches.py:
+#    bitmap_distinct).  Semantically COUNT(DISTINCT user_id) per type —
+#    which IS the oracle — but the Spark side computes it through the
+#    shard-sketch/merge path (bitmap_construct_agg -> OR -> popcount), so
+#    the grade pins the sketch tier's exactness, not just the SQL shape.
+#    Oracle-backed; graded locally (window full).
+@query(
+    "q82_bitmap_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q82(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        K.bitmap_distinct(e, ["event_type"], "user_id")
+        .select("event_type", F.col("n_distinct").cast("long").alias("n_distinct"))
+        .orderBy("event_type")
+    )
+
+
+# -- q83: incremental HLL — sketch two disjoint "ingest days" separately,
+#    merge the persisted sketch artifacts.  Rows-only (Datasketches HLL
+#    bytes aren't portable to DuckDB); the lossless-merge and accuracy
+#    properties are pytest-pinned in test_sketches.py.  The exact twin
+#    rides along so relative error is visible in the output.
+@query("q83_hll_incremental")
+def q83(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / 86400).cast("long")
+    early = e.filter(day % 2 == 0)
+    late = e.filter(day % 2 == 1)
+    shards = K.hll_shard_sketch(
+        early, ["event_type"], "user_id", lg_k=14
+    ).unionByName(K.hll_shard_sketch(late, ["event_type"], "user_id", lg_k=14))
+    merged = K.hll_merge(shards, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").orderBy("event_type")

@@ -44,6 +44,34 @@ def write_xsv(
     ).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+    keep_nulls: bool = False,
+    records_per_file: int | None = None,
+) -> None:
+    """JSON-Lines export (LLM-corpus interchange; pairs with
+    ``sources.jsonl.read_jsonl``).
+
+    One JSON object per line, one shard per partition (compressed
+    shards are the unit of parallelism for the next reader — never
+    coalesce a corpus export to one file).  ``keep_nulls`` emits
+    explicit ``"field": null`` instead of omitting the key — some
+    downstream loaders distinguish the two.  ``records_per_file``
+    bounds shard size so a skewed partition can't produce one huge
+    shard (gzip shards are NOT splittable: an unbounded shard is a
+    straggler for every future scan).
+    """
+    w = df.write.mode(mode).option("compression", compression)
+    if keep_nulls:
+        w = w.option("ignoreNullFields", "false")
+    if records_per_file is not None:
+        w = w.option("maxRecordsPerFile", records_per_file)
+    w.json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,108 @@
+"""Mergeable distinct-count sketches (operators/sketches.py).
+
+Pins the two load-bearing claims: bitmap distinct is EXACT (equals
+countDistinct, including id 0), and shard-then-merge equals one-shot for
+both tiers (the incremental-ingest contract — day N+1 is a merge, not a
+rescan)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import BinaryType
+
+from gcf_corima_parquet_converter_spark import catalog
+from gcf_corima_parquet_converter_spark.operators import sketches as K
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return catalog.load(spark, sf_dir, "events")
+
+
+def _exact(events):
+    return {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+
+
+def test_bitmap_distinct_exact(events):
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in K.bitmap_distinct(events, ["event_type"], "user_id").collect()
+    }
+    assert got == _exact(events)
+
+
+def test_bitmap_handles_id_zero(spark):
+    df = spark.createDataFrame([(0,), (0,), (1,), (32768,)], "id long")
+    [row] = K.bitmap_distinct(df, [], "id").collect()
+    assert row["n_distinct"] == 3
+
+
+def test_bitmap_shard_merge_equals_oneshot(events):
+    # Shard on an arbitrary predicate with overlap in id coverage.
+    a = events.filter(F.col("event_id") % 3 != 0)
+    b = events.filter(F.col("event_id") % 2 == 0)  # overlaps a
+    shards = K.bitmap_shard_sketch(a, ["event_type"], "user_id").unionByName(
+        K.bitmap_shard_sketch(b, ["event_type"], "user_id")
+    )
+    merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in K.bitmap_merge(shards, ["event_type"]).collect()
+    }
+    union = a.unionByName(b)
+    assert merged == _exact(union)
+
+
+def test_bitmap_sketch_is_binary_and_small(events):
+    sk = K.bitmap_shard_sketch(events, ["event_type"], "user_id")
+    assert isinstance(sk.schema["bitmap"].dataType, BinaryType)
+    rows = sk.collect()
+    # user_id in [0, 32768) -> at most two buckets per group (Spark's
+    # bucket numbering is 1-based for positive ids; id 0 maps to bucket 0).
+    assert all(len(r["bitmap"]) <= 4096 for r in rows)
+    assert sk.groupBy("event_type").count().agg(F.max("count")).first()[0] <= 2
+
+
+def test_hll_merge_equals_global_sketch(events):
+    # Merging shard sketches must reproduce the single-pass sketch estimate
+    # exactly (HLL union is lossless at equal lg_k).
+    one = {
+        r["event_type"]: r["approx_distinct"]
+        for r in K.hll_merge(
+            K.hll_shard_sketch(events, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    a = events.filter(F.col("event_id") % 3 != 0)
+    b = events.filter(F.col("event_id") % 3 == 0)
+    shards = K.hll_shard_sketch(a, ["event_type"], "user_id").unionByName(
+        K.hll_shard_sketch(b, ["event_type"], "user_id")
+    )
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in K.hll_merge(shards, ["event_type"]).collect()
+    }
+    assert merged == one
+
+
+def test_hll_estimate_close_to_exact(events):
+    exact = _exact(events)
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in K.hll_merge(
+            K.hll_shard_sketch(events, ["event_type"], "user_id", lg_k=14),
+            ["event_type"],
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n)
+
+
+def test_hll_merge_allows_mixed_precision(spark):
+    df = spark.range(0, 1000).withColumn("g", F.lit("x"))
+    coarse = K.hll_shard_sketch(df, ["g"], "id", lg_k=10)
+    fine = K.hll_shard_sketch(df, ["g"], "id", lg_k=14)
+    [row] = K.hll_merge(coarse.unionByName(fine), ["g"]).collect()
+    assert abs(row["approx_distinct"] - 1000) <= 100
