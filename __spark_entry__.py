@@ -82,6 +82,7 @@ _ROWS_ONLY_TAIL = (
     "q73_compression_quality",
     "q74_dsir_weights",
     "q83_hll_incremental",
+    "q84_sq_topk_rerank",
     "q32_hsd_pipeline",
 )
 

@@ -76,6 +76,37 @@ def exact_dedup_keep_best(
     return df.join(winners, id_col, "left_semi")
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    seen: DataFrame | None = None,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against all history using only a
+    persisted digest index — never rescanning historical text.
+
+    The incremental twin of ``exact_dedup``: at 100 TB the corpus grows
+    by daily batches, and re-deduplicating the union from scratch is an
+    O(history) job per day.  Instead the caller persists a one-column
+    digest index; each batch is (1) deduped within itself (keep lowest
+    id) and (2) anti-joined against ``seen`` on the digest.  Returns
+    the surviving rows WITH ``digest_col`` attached — append exactly
+    ``result.select(digest_col)`` to the index to make it current.
+
+    Scale shape: the index side of the anti-join carries only 32-byte
+    digests (broadcast when small; shuffled hash anti-join on the
+    digest — never the payload — when not), and the streaming twin of
+    this contract is ``streaming.ingest.dedup_stream`` (watermark-
+    bounded state instead of a persisted index).
+    """
+    dig = F.md5(F.concat_ws("\x1f", *content_cols))
+    fresh = exact_dedup(df, content_cols, id_col).withColumn(digest_col, dig)
+    if seen is not None:
+        fresh = fresh.join(seen.select(digest_col), digest_col, "left_anti")
+    return fresh
+
+
 # --------------------------------------------------------------- shingles
 
 

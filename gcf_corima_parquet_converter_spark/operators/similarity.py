@@ -575,3 +575,141 @@ def pq_topk_rerank(
     ).select(id_col)
     candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------- scalar quantization
+
+
+def sq_train(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-dimension (min, max) for SQ8 scalar quantization.
+
+    One distributed pass: posexplode to (dim_index, value) pairs, then
+    a partial-aggregable groupBy(dim) min/max — only ``dim`` rows reach
+    the driver however large the corpus is.  Unlike PQ's sampled
+    codebooks the quantization grid is exact, so encode never clips.
+    """
+    rows = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train needs at least one non-null vector")
+    dim = max(r["_d"] for r in rows) + 1
+    lo = np.zeros(dim)
+    hi = np.zeros(dim)
+    for r in rows:
+        lo[r["_d"]], hi[r["_d"]] = r["lo"], r["hi"]
+    return lo, hi
+
+
+def sq_encode(
+    emb: DataFrame,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization: each float becomes
+    ``round((x - lo_d) * 255 / (hi_d - lo_d))`` in [0, 255] — a 4x
+    storage/scan shrink at much lower distortion than PQ (256 levels
+    PER DIMENSION vs per subspace).  Output (id, codes array<int>).
+
+    Pure JVM ``transform`` over the vector with the grid as literal
+    arrays — whole-stage-codegen, no Python, null vectors -> null
+    codes.  Constant dimensions (hi == lo) encode to 0 and decode back
+    to ``lo`` exactly.
+    """
+    lo = np.asarray(lo, dtype=np.float64)
+    span = np.asarray(hi, dtype=np.float64) - lo
+    inv = np.divide(255.0, span, out=np.zeros_like(span), where=span > 0)
+    lo_l, inv_l = lit_vec(lo), lit_vec(inv)
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.round(
+            (x.cast("double") - F.element_at(lo_l, i + 1))
+            * F.element_at(inv_l, i + 1)
+        ).cast("int"),
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def _sq_terms(lo: np.ndarray, hi: np.ndarray, query_vec):
+    lo = np.asarray(lo, dtype=np.float64)
+    s = (np.asarray(hi, dtype=np.float64) - lo) / 255.0
+    q = np.asarray(query_vec, dtype=np.float64)
+    return lo, s, q
+
+
+def sq_topk(
+    encoded: DataFrame,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes (ADC: the query stays
+    full precision, rows stay quantized).
+
+    The dequantized vector is affine in the codes (x̂_d = lo_d + c_d*s_d),
+    so both dot(x̂, q) and ||x̂||² decompose into driver-precomputed
+    constants plus per-row sums of c_d (and c_d²) against literal weight
+    arrays — two zip_with/aggregate folds per row, pure JVM codegen, the
+    scan reads only the code column.  TakeOrderedAndProject top-k (per-
+    partition k, driver merge).  Ties broken by id.
+    """
+    lo, s, q = _sq_terms(lo, hi, query_vec)
+    qn = float(np.sqrt(q @ q))
+    dot_const = float(lo @ q)
+    norm_const = float(lo @ lo)
+    w_dot = lit_vec(s * q)  # Σ c_d * (s_d q_d)
+    w_cross = lit_vec(2.0 * lo * s)  # Σ c_d * (2 lo_d s_d)
+    w_sq = lit_vec(s * s)  # Σ c_d² * s_d²
+    c = F.col("codes")
+
+    def fold(weights, square=False):
+        term = (
+            (lambda x, w: x * x * w) if square else (lambda x, w: x * w)
+        )
+        return F.aggregate(
+            F.zip_with(c.cast("array<double>"), weights, term),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dot_q = F.lit(dot_const) + fold(w_dot)
+    norm2 = F.lit(norm_const) + fold(w_cross) + fold(w_sq, square=True)
+    sim = dot_q / (F.sqrt(norm2) * F.lit(qn))
+    return (
+        encoded.select(F.col(id_col), sim.alias("sq_sim"))
+        .orderBy(F.desc("sq_sim"), id_col)
+        .limit(k)
+    )
+
+
+def sq_topk_rerank(
+    encoded: DataFrame,
+    emb: DataFrame,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    query_vec,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 shortlist + exact cosine re-rank (the ``pq_topk_rerank``
+    recipe at 8-bit distortion: shortlist scan reads only the code
+    column; raw vectors are touched for ``shortlist`` rows via a
+    broadcast semi-join).  Returns (id, cos_sim) like ``cosine_topk``.
+    """
+    shortlist = shortlist or 4 * k
+    short_ids = sq_topk(
+        encoded, lo, hi, query_vec, k=shortlist, id_col=id_col
+    ).select(id_col)
+    candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)

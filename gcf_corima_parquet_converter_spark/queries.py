@@ -2761,3 +2761,19 @@ def q83(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return merged.join(exact, "event_type").orderBy("event_type")
+
+
+# -- q84: SQ8 scalar-quantized ANN (operators/similarity.py: sq_train/
+#    sq_encode/sq_topk_rerank) — the third compressed-index tier next
+#    to IVF (q40/q55) and PQ (q67): exact per-dimension 8-bit grid, ADC
+#    shortlist over the 4x-smaller code column, exact cosine re-rank of
+#    the shortlist only.  Rows-only (quantized scores aren't portable
+#    SQL); reconstruction bound, recall and JVM-only plan are pinned in
+#    test_dedup_similarity.py.
+@query("q84_sq_topk_rerank")
+def q84(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    lo, hi = S.sq_train(e)
+    enc = S.sq_encode(e, lo, hi)
+    return S.sq_topk_rerank(enc, e, lo, hi, qvec, k=10)

@@ -701,3 +701,109 @@ def test_pq_topk_rerank_recovers_recall(spark, emb):
         ).collect()
     ]
     assert full == truth
+
+
+# ------------------------------------------------- SQ8 scalar quantization
+
+
+def test_sq_encode_reconstruction_bound(spark, emb):
+    lo, hi = S.sq_train(emb)
+    enc = S.sq_encode(emb, lo, hi)
+    rows = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import numpy as np
+
+    s = (hi - lo) / 255.0
+    for vid, codes in list(rows.items())[:50]:
+        x = np.asarray(orig[vid], dtype=np.float64)
+        c = np.asarray(codes, dtype=np.float64)
+        assert c.min() >= 0 and c.max() <= 255
+        # half-step quantization error bound per dimension (+1 ulp slack)
+        assert np.all(np.abs((lo + c * s) - x) <= s / 2 + 1e-9)
+
+
+def test_sq_constant_dim_and_null_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    lo, hi = S.sq_train(df)
+    assert lo[0] == hi[0] == 1.0
+    rows = {r["vec_id"]: r["codes"] for r in S.sq_encode(df, lo, hi).collect()}
+    assert rows[0][0] == 0 and rows[1][0] == 0  # constant dim -> code 0
+    assert rows[2] is None  # null vector -> null codes
+
+
+def test_sq_topk_recall_and_rerank(spark, emb):
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    lo, hi = S.sq_train(emb)
+    enc = S.sq_encode(emb, lo, hi)
+    got = [r["vec_id"] for r in S.sq_topk(enc, lo, hi, qvec, k=10).collect()]
+    # 8-bit per-dimension distortion is tiny: ADC alone should nearly
+    # reproduce the exact ranking
+    assert len(set(exact) & set(got)) / 10 >= 0.8
+    rr = [
+        r["vec_id"]
+        for r in S.sq_topk_rerank(enc, emb, lo, hi, qvec, k=10).collect()
+    ]
+    assert len(set(exact) & set(rr)) / 10 >= 0.9
+    # full-corpus shortlist == brute force exactly (same tiebreak)
+    n = emb.count()
+    full = [
+        r["vec_id"]
+        for r in S.sq_topk_rerank(
+            enc, emb, lo, hi, qvec, k=10, shortlist=n
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_sq_paths_are_jvm_only(spark, emb):
+    lo, hi = S.sq_train(emb)
+    enc = S.sq_encode(emb, lo, hi)
+    qvec = [0.1] * 64
+    for df in (enc, S.sq_topk(enc, lo, hi, qvec, k=5)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in p
+    p = (
+        S.sq_topk(enc, lo, hi, qvec, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p
+
+
+# ------------------------------------------------- incremental exact dedup
+
+
+def test_exact_dedup_incremental_batches(spark):
+    batch1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    day1 = D.exact_dedup_incremental(batch1, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in day1.collect()) == [1, 2]
+    index = day1.select("digest")
+
+    # day 2: one dup of history, one internal dup pair, one genuinely new
+    batch2 = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc"), (12, "ccc"), (13, "ddd")],
+        "doc_id long, text string",
+    )
+    day2 = D.exact_dedup_incremental(batch2, ["text"], "doc_id", seen=index)
+    assert sorted(r["doc_id"] for r in day2.collect()) == [11, 13]
+
+    # appending day2's digests makes the index current for day 3
+    index = index.unionByName(day2.select("digest"))
+    batch3 = spark.createDataFrame([(20, "ddd")], "doc_id long, text string")
+    assert (
+        D.exact_dedup_incremental(batch3, ["text"], "doc_id", seen=index).count()
+        == 0
+    )
+
+    # incremental result == from-scratch dedup of the union (same survivor
+    # ids modulo history precedence: every kept digest appears exactly once)
+    all_kept = day1.unionByName(day2)
+    assert all_kept.select("digest").distinct().count() == all_kept.count() == 4
