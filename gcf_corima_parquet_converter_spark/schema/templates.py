@@ -375,6 +375,16 @@ IKS02A1_FW_ID = "0x1"
 MKBOXPRO_BOARD_ID = "0xb"
 MKBOXPRO_FW_ID = "0x1"
 
+#: Fifth pair: B-U585I-IOT02A discovery kit — FLOAT-native low-ODR
+#: environmental sensors (pressure + humidity), the only board shape
+#: whose wire samples are float32, not int16 (exercises the float
+#: branch of the S4 decode chain end-to-end through the template).
+#: Pairing ids are in our namespace (catalog lookup needs uniqueness,
+#: not ST's registry values).
+U585I_BOARD_ID = "0x7"
+U585I_FW_ID = "0x1"
+_NS_U585I = "dtmi:gcfspark:b_u585i_iot02a:fp_sns_datalog2"
+
 
 def _ism330dhcx_acc(ns: str) -> dict:
     # ISM330DHCX datasheet: acc ODR to 6.667 kHz; FS ±2/4/8/16 g;
@@ -461,6 +471,61 @@ def _imp34dt05_mic(ns: str) -> dict:
     )
 
 
+def _lps22hh_press(ns: str) -> dict:
+    # LPS22HH datasheet: barometer, ODR one-shot..200 Hz; the datalog
+    # firmware emits float32 hPa directly (24-bit ADC scaling happens
+    # on-sensor), so sensitivity is the identity and data_type="float".
+    return sensor_interface(
+        "lps22hh_press",
+        ns=ns,
+        odr_enum=[
+            ("hz1", 0),
+            ("hz10", 1),
+            ("hz25", 2),
+            ("hz50", 3),
+            ("hz75", 4),
+            ("hz100", 5),
+            ("hz200", 6),
+        ],
+        measodr=200.0,
+        sensitivity=1.0,
+        dim=1,
+        data_type="float",
+        samples_per_ts=200,
+        display="LPS22HH Pressure",
+    )
+
+
+def _hts221_hum(ns: str) -> dict:
+    # HTS221 datasheet: relative humidity, ODR 1/7/12.5 Hz; float32 %RH
+    # out of the firmware, identity sensitivity.
+    return sensor_interface(
+        "hts221_hum",
+        ns=ns,
+        odr_enum=[("hz1", 0), ("hz7", 1), ("hz12_5", 2)],
+        measodr=12.5,
+        sensitivity=1.0,
+        dim=1,
+        data_type="float",
+        samples_per_ts=12,
+        display="HTS221 Humidity",
+    )
+
+
+def u585i_datalog2_template() -> list[dict]:
+    """B-U585I-IOT02A: pressure + humidity — the float32-wire low-ODR
+    environmental board (every other builtin board samples int16)."""
+    ns = _NS_U585I
+    return device_template(
+        ns,
+        [
+            ("lps22hh_press", _lps22hh_press(ns)),
+            ("hts221_hum", _hts221_hum(ns)),
+        ],
+        "FP-SNS-DATALOG2 on B-U585I-IOT02A (generated)",
+    )
+
+
 def mkboxpro_datalog2_template() -> list[dict]:
     """SensorTile.box PRO: digital microphone — the dim=1 high-rate
     audio board (the IMU shapes are already proven by the other
@@ -541,6 +606,12 @@ BUILTIN_TEMPLATES: list[tuple[str, str, str, Any]] = [
         MKBOXPRO_FW_ID,
         "steval_mkboxpro_fp_sns_datalog2-1",
         mkboxpro_datalog2_template,
+    ),
+    (
+        U585I_BOARD_ID,
+        U585I_FW_ID,
+        "b_u585i_iot02a_fp_sns_datalog2-1",
+        u585i_datalog2_template,
     ),
 ]
 

@@ -37,7 +37,14 @@ def make_dat_bytes(
         ],
         axis=1,
     )[:, :dim] + rng.normal(0, 0.05, (n, dim))
-    raw = np.clip(np.rint(sig / sensitivity), -32768, 32767).astype(np.int16)
+    if data_type == "int16":
+        raw = np.clip(np.rint(sig / sensitivity), -32768, 32767).astype(np.int16)
+    elif data_type in ("float", "float32"):
+        # float-wire sensors (pressure/humidity boards) ship engineering
+        # units directly; sensitivity is usually 1.0
+        raw = (sig / sensitivity).astype(np.float32)
+    else:
+        raise ValueError(f"make_dat_bytes: unsupported data_type {data_type!r}")
     in_g = raw.astype(np.float64) * sensitivity
     out = bytearray()
     for p in range(n_packets):
@@ -116,13 +123,14 @@ def add_sensor(
     sensitivity: float = 0.001,
     seed: int = 23,
     n_seconds: float = 2.0,
+    data_type: str = "int16",
 ) -> np.ndarray:
     """Add a second component to an existing acquisition: write
     ``<name>.dat`` and register its decode params in
     device_config.json (acquisitions hold one .dat per component)."""
     data, in_g, _t = make_dat_bytes(
         n_seconds=n_seconds, odr=odr, spts=spts, dim=dim,
-        sensitivity=sensitivity, seed=seed,
+        sensitivity=sensitivity, seed=seed, data_type=data_type,
     )
     with open(os.path.join(folder, f"{name}.dat"), "wb") as f:
         f.write(data)
@@ -137,7 +145,7 @@ def add_sensor(
                 "samples_per_ts": spts,
                 "dim": dim,
                 "sensitivity": sensitivity,
-                "data_type": "int16",
+                "data_type": data_type,
             }
         }
     )

@@ -453,3 +453,57 @@ def test_facade_resolves_second_pair_without_seeding(spark, tmp_path):
     acq = Acquisition(spark, folder)
     tpl = acq.resolve_device_template(board_id=0x9, fw_id=0x4)
     assert any(i["@id"].endswith("ism330dhcx_gyro;1") for i in tpl)
+
+
+def test_builtin_catalog_resolves_env_board_and_decodes_float(spark, tmp_path):
+    """Fifth builtin pair: B-U585I-IOT02A pressure + humidity — the
+    float32-wire environmental shape (every other board is int16).
+    Full chain: catalog pair -> interfaces -> initial status ->
+    DecodeParams -> real float .dat decode through the facade."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.schema.dtdl import (
+        decode_params_from_status,
+    )
+    from gcf_corima_parquet_converter_spark.schema.templates import (
+        _hts221_hum,
+        _lps22hh_press,
+        _NS_U585I,
+        initial_status,
+    )
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        add_sensor,
+        write_acquisition,
+    )
+
+    cat = DeviceTemplateCatalog.builtin()
+    types = cat.resolve_structtypes(0x7, 0x1)
+    assert set(types) == {"lps22hh_press", "hts221_hum"}
+    for st in types.values():
+        assert "fs" not in st.fieldNames()  # env sensors have no FS enum
+
+    params = decode_params_from_status(
+        initial_status(_lps22hh_press(_NS_U585I)), axis_prefix="PRESS",
+        unit="hPa",
+    )
+    assert params.dim == 1 and params.data_type == "float"
+    assert params.sensitivity == 1.0
+
+    hparams = decode_params_from_status(
+        initial_status(_hts221_hum(_NS_U585I)), axis_prefix="HUM", unit="%RH"
+    )
+    assert hparams.data_type == "float" and hparams.samples_per_ts == 12
+
+    # end-to-end: a float32-wire acquisition decodes bit-exactly
+    folder = str(tmp_path / "acq_env")
+    write_acquisition(folder)
+    in_vals = add_sensor(
+        folder, "lps22hh_press", odr=200.0, spts=50, dim=1,
+        sensitivity=1.0, n_seconds=2.0, data_type="float",
+    )
+    df = Acquisition(spark, folder).load("lps22hh_press")["lps22hh_press"]
+    rows = df.orderBy("Time").collect()
+    assert len(rows) == len(in_vals)
+    got = np.array([r[1] for r in rows])
+    np.testing.assert_allclose(got, in_vals[:, 0], rtol=0, atol=1e-12)
