@@ -1,0 +1,176 @@
+"""WebDataset tar-shard export/ingest (LLM multimodal training format;
+no reference twin).
+
+WebDataset (github.com/webdataset/webdataset) stores a training corpus
+as numbered ``.tar`` shards; each sample is a run of adjacent tar
+members sharing a key stem — ``000123.jpg`` + ``000123.txt`` +
+``000123.json`` is one sample.  Loaders stream shards sequentially, so
+the shard is BOTH the unit of parallelism and the unit of sequential
+I/O; what matters at scale is deterministic shard assignment (resumable,
+re-runnable) and bounded shard size (no straggler shards).
+
+* ``write_webdataset`` rides :func:`..operators.pipeline.shuffle_shards`
+  for the md5-deterministic global shuffle + assignment (same seed ->
+  byte-identical shards on any cluster size), then writes each shard as
+  one tar via a per-group Arrow batch — one writer task per shard, no
+  coordination.  Tars are staged under a ``_tmp`` name and renamed into
+  place so a killed job never leaves a half-written shard with a live
+  name (object-store note: rename is per-shard, not transactional
+  across shards; re-running overwrites deterministically).
+* ``read_webdataset`` scans ``*.tar`` with the binaryFile source — one
+  task per shard, WebDataset's own parallelism model — and unpacks
+  members with the stdlib ``tarfile`` inside ``mapInPandas`` (Arrow-
+  batched; the only Python in the path, unavoidable since Spark has no
+  tar codec).
+
+The executor-side ``open()`` requires ``path`` to be a POSIX-visible
+filesystem (local, NFS, FUSE-mounted object store) — the standard
+WebDataset deployment; for raw ``gs://``/``s3://`` targets write
+locally and distcp, or mount.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import tarfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.pipeline import shuffle_shards
+
+
+def _to_bytes(val) -> bytes:
+    if val is None:
+        return b""
+    if isinstance(val, (bytes, bytearray)):
+        return bytes(val)
+    return str(val).encode("utf-8")
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    files: dict[str, str],
+    n_shards: int,
+    seed: str = "",
+) -> list[dict]:
+    """Export ``df`` as ``path/shard-%05d.tar`` WebDataset shards.
+
+    ``files`` maps tar member extension -> source column: binary columns
+    are written raw, everything else utf-8 text (``{"txt": "text",
+    "cls": "label"}`` gives members ``<key>.txt`` + ``<key>.cls``).
+    Samples land in md5-shuffled order (trainer-ready — no source-order
+    correlation), contiguous per key.  Returns the shard manifest
+    (shard, n_samples, tar_bytes) — persist it next to the shards; it is
+    the loader's index and the re-run's verification artifact.
+
+    One task per shard; memory is bounded by the largest single shard
+    (size shards so samples*bytes fits an executor — the same knob as
+    any WebDataset writer).
+    """
+    os.makedirs(path, exist_ok=True)
+    cols = [key_col, *files.values()]
+    sharded = shuffle_shards(
+        df.select(*cols), n_shards, key_col, seed=seed, keep_order_col=True
+    )
+    exts = dict(files)  # capture for the closure
+
+    def _write(pdfs):
+        # concat the partition's Arrow batches first: a shard lives
+        # entirely in one partition (hash on shard), but may span
+        # batches — writing per batch would truncate it to the last one
+        batches = list(pdfs)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        for shard, grp in pdf.groupby("shard", sort=True):
+            grp = grp.sort_values(["_shuffle_order", key_col])
+            final = os.path.join(path, f"shard-{int(shard):05d}.tar")
+            tmp = final + "._tmp"
+            with tarfile.open(tmp, "w") as tar:
+                for row in grp.to_dict("records"):
+                    key = str(row[key_col])
+                    for ext, col in exts.items():
+                        blob = _to_bytes(row[col])
+                        info = tarfile.TarInfo(f"{key}.{ext}")
+                        info.size = len(blob)
+                        tar.addfile(info, io.BytesIO(blob))
+            os.replace(tmp, final)
+            yield pd.DataFrame(
+                {
+                    "shard": [int(shard)],
+                    "n_samples": [len(grp)],
+                    "tar_bytes": [os.path.getsize(final)],
+                }
+            )
+
+    manifest = sharded.mapInPandas(
+        _write, "shard int, n_samples long, tar_bytes long"
+    ).collect()
+    return sorted(
+        (r.asDict() for r in manifest), key=lambda d: d["shard"]
+    )
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    exts: list[str],
+    binary_exts: set[str] | frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Scan WebDataset shards back to (key, shard, <ext columns>).
+
+    One input task per tar (binaryFile source; shards are the split
+    unit — tars are not splittable, which is why shard size is bounded
+    at write time).  Members with extensions outside ``exts`` are
+    skipped; ``binary_exts`` stay ``binary`` columns, the rest decode
+    utf-8 to ``string``.
+    """
+    fields = ", ".join(
+        f"`{e}` {'binary' if e in binary_exts else 'string'}" for e in exts
+    )
+    schema = f"key string, shard string, {fields}"
+
+    def _read(pdfs):
+        for pdf in pdfs:
+            out: dict[str, list] = {c: [] for c in ["key", "shard", *exts]}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                samples: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                    for m in tar.getmembers():
+                        stem, dot, ext = m.name.rpartition(".")
+                        if not dot or ext not in exts:
+                            continue
+                        samples.setdefault(stem, {})[ext] = tar.extractfile(
+                            m
+                        ).read()
+                shard = os.path.basename(fpath)
+                for key in sorted(samples):
+                    out["key"].append(key)
+                    out["shard"].append(shard)
+                    for e in exts:
+                        raw = samples[key].get(e)
+                        if raw is None:
+                            out[e].append(None)
+                        elif e in binary_exts:
+                            out[e].append(raw)
+                        else:
+                            out[e].append(raw.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "shard-*.tar"))
+        .select("path", "content")
+        .mapInPandas(_read, schema)
+    )
+
+
+def webdataset_shards(path: str) -> list[str]:
+    """The shard files currently present (loader-side helper)."""
+    return sorted(glob.glob(os.path.join(path, "shard-*.tar")))

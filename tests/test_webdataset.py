@@ -1,0 +1,97 @@
+"""WebDataset tar-shard export/ingest (sources/webdataset.py)."""
+
+import tarfile
+
+import pyspark.sql.functions as F
+
+from gcf_corima_parquet_converter_spark import catalog
+from gcf_corima_parquet_converter_spark.sources import webdataset as W
+
+
+def _corpus(spark, sf_dir, n=60):
+    # text + a deterministic binary payload per doc (fake image bytes)
+    return (
+        catalog.load(spark, sf_dir, "documents")
+        .limit(n)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.sha2(F.col("doc_id").cast("string"), 256)
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+
+
+def test_webdataset_roundtrip(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir)
+    out = str(tmp_path / "wds")
+    manifest = W.write_webdataset(
+        docs, out, "doc_id", {"txt": "text", "cls": "lang", "bin": "payload"},
+        n_shards=4,
+    )
+    assert [m["shard"] for m in manifest] == [0, 1, 2, 3]
+    assert sum(m["n_samples"] for m in manifest) == 60
+    assert len(W.webdataset_shards(out)) == 4
+
+    back = W.read_webdataset(
+        spark, out, ["txt", "cls", "bin"], binary_exts={"bin"}
+    )
+    rows = {r["key"]: r for r in back.collect()}
+    orig = {str(r["doc_id"]): r for r in docs.collect()}
+    assert rows.keys() == orig.keys()
+    for k, r in rows.items():
+        assert r["txt"] == orig[k]["text"]
+        assert r["cls"] == orig[k]["lang"]
+        assert bytes(r["bin"]) == bytes(orig[k]["payload"])
+
+
+def test_webdataset_sample_members_are_adjacent(spark, sf_dir, tmp_path):
+    """WebDataset loaders group a sample by ADJACENCY in the tar — all
+    of a key's members must be contiguous."""
+    docs = _corpus(spark, sf_dir, n=30)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(docs, out, "doc_id", {"txt": "text", "cls": "lang"},
+                       n_shards=2)
+    for shard in W.webdataset_shards(out):
+        with tarfile.open(shard) as tar:
+            stems = [m.name.rpartition(".")[0] for m in tar.getmembers()]
+        seen = set()
+        prev = None
+        for s in stems:
+            if s != prev:
+                assert s not in seen, f"sample {s} split in {shard}"
+                seen.add(s)
+                prev = s
+
+
+def test_webdataset_deterministic_and_seed_redeal(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir, n=40)
+    a, b, c = (str(tmp_path / d) for d in ("a", "b", "c"))
+    W.write_webdataset(docs, a, "doc_id", {"txt": "text"}, n_shards=3)
+    W.write_webdataset(docs.repartition(7), b, "doc_id", {"txt": "text"},
+                       n_shards=3)
+    W.write_webdataset(docs, c, "doc_id", {"txt": "text"}, n_shards=3,
+                       seed="v2")
+
+    def order(d):
+        out = []
+        for shard in W.webdataset_shards(d):
+            with tarfile.open(shard) as tar:
+                out.append(tuple(m.name for m in tar.getmembers()))
+        return tuple(out)
+
+    # same seed -> byte-identical layout regardless of input partitioning
+    assert order(a) == order(b)
+    # new seed -> a genuinely different deal
+    assert order(a) != order(c)
+
+
+def test_webdataset_null_text_roundtrips_empty(spark, tmp_path):
+    df = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    out = str(tmp_path / "wds")
+    W.write_webdataset(df, out, "doc_id", {"txt": "text"}, n_shards=1)
+    rows = {r["key"]: r["txt"] for r in
+            W.read_webdataset(spark, out, ["txt"]).collect()}
+    assert rows == {"1": "", "2": "x"}
