@@ -97,3 +97,80 @@ def test_ensure_min_parallelism_spreads_small_scan(spark, tmp_path):
     rich = spark.read.parquet(many)
     assert len(rich.inputFiles()) * 2 >= spark.sparkContext.defaultParallelism
     assert ensure_min_parallelism(rich, "id") is rich
+
+
+# -------------------------------------------------------------- Z-order
+
+
+def _zorder_python_model(xb: int, yb: int, bits: int = 8) -> int:
+    key = 0
+    for bit in range(bits):
+        key |= ((xb >> bit) & 1) << (bit * 2)
+        key |= ((yb >> bit) & 1) << (bit * 2 + 1)
+    return key
+
+
+def test_zorder_key_matches_python_model(spark):
+    # explicit boundaries -> bin rank is exact and the model is checkable
+    bits = 2  # 4 bins per dim, boundaries at 1,2,3
+    bounds = {"x": [1.0, 2.0, 3.0], "y": [1.0, 2.0, 3.0]}
+    rows = [(float(x), float(y)) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", scale.zorder_key(df, ["x", "y"], bounds, bits=bits)
+        ).collect()
+    }
+    for x, y in rows:
+        xb = sum(1 for b in bounds["x"] if b <= x)
+        yb = sum(1 for b in bounds["y"] if b <= y)
+        assert got[(x, y)] == _zorder_python_model(xb, yb, bits=bits), (x, y)
+
+
+def test_zorder_by_tiles_both_dimensions(spark):
+    """After Z-ordering, EVERY partition covers a small range of BOTH
+    columns — the property min/max pruning monetizes.  A plain sort on
+    (x, y) would leave y's per-partition range ~= the global range."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.random(), rng.random()) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    z = scale.zorder_by(df, ["x", "y"], n_partitions=16, bits=4)
+    spans = (
+        z.groupBy(F.spark_partition_id().alias("p"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    # ideal 4x4 tiling gives 0.25 per dim; allow slack for bin edges
+    avg_dx = sum(r["dx"] for r in spans) / len(spans)
+    avg_dy = sum(r["dy"] for r in spans) / len(spans)
+    assert avg_dx < 0.45 and avg_dy < 0.45, (avg_dx, avg_dy)
+
+    # the plain-sort contrast: y's spans stay ~global
+    plain = df.repartitionByRange(16, "x", "y")
+    pspans = (
+        plain.groupBy(F.spark_partition_id().alias("p"))
+        .agg((F.max("y") - F.min("y")).alias("dy"))
+        .collect()
+    )
+    assert sum(r["dy"] for r in pspans) / len(pspans) > 0.9
+
+
+def test_zorder_plan_is_jvm_only_single_range_exchange(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 89).cast("double").alias("y"),
+    )
+    z = scale.zorder_by(df, ["x", "y"], n_partitions=4, bits=4)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
+    assert plan.count("rangepartitioning") == 1

@@ -96,6 +96,14 @@ QUERIES = [
         "over the corpus, md5-uniform narrow filter — the corpus never "
         "shuffles pre-audit; only the tiny per-source audit aggregates",
     ),
+    (
+        "q82_bitmap_distinct",
+        "exact distinct via mergeable bitmaps: raw ids fold into 4 KB "
+        "per-(group, 32768-id-bucket) bitmaps MAP-SIDE (partial "
+        "bitmap_construct_agg), so the exchanges carry bitmaps, not "
+        "ids — countDistinct's expand-and-reshuffle of every raw id "
+        "is the shape this replaces at 100 TB",
+    ),
 ]
 
 
