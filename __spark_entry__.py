@@ -65,6 +65,10 @@ _DEMOTED_REDUNDANT = (
     # r5: demoted to grade q82's bitmap-sketch tier in-window; q21's
     # digest-groupBy exact-dedup family stays covered by in-window q22
     "q21_dedup_exact_stats",
+    # r5: demoted to grade q85's scale-safe global running sum
+    # in-window; q04's P5/J1 left_semi shape stays covered by q22
+    # (dedup keep-list semi-join) and the SQL twins q53/q54
+    "q04_customers_with_orders",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

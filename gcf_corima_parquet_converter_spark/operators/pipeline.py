@@ -604,3 +604,86 @@ def mixture_audit(
         .withColumn("achieved_share", F.col("achieved_tokens") / tot)
         .withColumn("implied_repeat", F.greatest(ratio, F.lit(1.0)))
     )
+
+
+# ------------------------------------------------- global running sum
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative sum over a GLOBAL ordering without the single-reducer
+    trap.
+
+    ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY is the textbook
+    scale bug: Spark plans it as one window partition, i.e. every row
+    through ONE reducer.  This decomposes it exactly: (1) range-
+    partition on the ordering (the same exchange a global sort pays);
+    (2) per-range local cumsum (window keyed by the captured range id);
+    (3) per-range totals -> driver prefix sum (``n_partitions`` scalars
+    — one tiny collect); (4) broadcast the offsets back.  Identical
+    result, every stage parallel.
+
+    ``order_cols`` must be a TOTAL order (add an id tiebreaker) or the
+    cumsum is not well-defined; items may be ``Column`` (e.g.
+    ``F.col("score").desc()``) or names.  Exact for int64 values.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_range_id", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_range_id").orderBy(*cols)
+    # persist: the totals collect is its own job with its own lineage —
+    # without this the scan + range exchange + window run twice (same
+    # cache-without-unpersist trade as dsir_logweight's feature stream;
+    # MEMORY_AND_DISK spills rather than OOMs at scale)
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w)).persist()
+    totals = (
+        local.groupBy("_range_id")
+        .agg(F.max("_local_cum").alias("_total"))
+        .collect()
+    )
+    offset = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_range_id"]):
+        offset[r["_range_id"]] = acc
+        acc += r["_total"] or 0
+    off = df.sparkSession.createDataFrame(
+        [(k, v) for k, v in offset.items()], "_range_id int, _offset bigint"
+    )
+    return (
+        local.join(F.broadcast(off), "_range_id")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_range_id", "_local_cum", "_offset")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy token-budget selection: take documents best-score-first
+    until the budget is spent (the deterministic "best N tokens" cut a
+    training run starts from, where quality is ranked but the budget is
+    counted in tokens, not documents).
+
+    Keeps every document whose INCLUSIVE running token total (in
+    ``score_col`` desc, ``id_col`` asc order) is <= ``budget`` — the
+    maximal prefix of the quality ordering that fits.  Built on
+    :func:`global_running_sum`, so the global ordering never funnels
+    through one reducer.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    cum = global_running_sum(df, order, token_col, out_col=out_col)
+    return cum.filter(F.col(out_col) <= budget)

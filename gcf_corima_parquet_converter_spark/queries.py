@@ -2777,3 +2777,32 @@ def q84(spark, sf_dir):
     lo, hi = S.sq_train(e)
     enc = S.sq_encode(e, lo, hi)
     return S.sq_topk_rerank(enc, e, lo, hi, qvec, k=10)
+
+
+# -- q85: greedy token-budget selection (operators/pipeline.py:
+#    budget_select over global_running_sum).  The oracle is the naive
+#    SUM() OVER (ORDER BY ...) — semantically identical, but the Spark
+#    side computes it WITHOUT the single-reducer global window: range
+#    partition -> per-range cumsum -> driver prefix of n_partitions
+#    scalars -> broadcast offsets (plan pinned in tests: no Exchange
+#    SinglePartition).  Exact int64 sums on both sides.  Oracle-backed;
+#    graded locally (window full).
+@query(
+    "q85_budget_select",
+    """
+    SELECT doc_id, n_chars, cum_tokens FROM (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id)
+               AS BIGINT) AS cum_tokens
+      FROM documents) t
+    WHERE cum_tokens <= 50000
+    ORDER BY doc_id
+    """,
+)
+def q85(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        P.budget_select(d, "n_chars", "n_chars", 50_000, "doc_id")
+        .select("doc_id", "n_chars", "cum_tokens")
+        .orderBy("doc_id")
+    )

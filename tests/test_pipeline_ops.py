@@ -464,3 +464,53 @@ def test_mixture_sample_zero_token_and_unweighted_sources_drop(spark):
     kept = {r["source"] for r in
             mixture_sample(df, "source", "doc_id", "n_tok", {"web": 1.0, "empty": 0.0}, 100).collect()}
     assert kept == {"web"}
+
+
+# ------------------------------------------- global running sum / budget
+
+
+def test_global_running_sum_matches_single_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 500)) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    got = {
+        r["id"]: r["running_sum"]
+        for r in P.global_running_sum(
+            df.repartition(13), [F.col("tok").desc(), F.col("id")], "tok",
+            n_partitions=8,
+        ).collect()
+    }
+    # naive single-reducer reference
+    w = Window.orderBy(F.col("tok").desc(), F.col("id"))
+    ref = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("tok").over(w)).collect()
+    }
+    assert got == ref
+
+
+def test_global_running_sum_no_single_partition_exchange(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 37).alias("tok")
+    )
+    out = P.global_running_sum(df, [F.col("tok").desc(), F.col("id")], "tok",
+                               n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # the per-range window is keyed, not global
+    assert "_range_id" in plan
+
+
+def test_budget_select_maximal_prefix(spark):
+    rows = [(1, 10, 100), (2, 9, 100), (3, 8, 100), (4, 7, 100), (5, 6, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, tok long")
+    kept = P.budget_select(df, "score", "tok", 250, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]  # 300 would exceed
+    assert all(r["cum_tokens"] <= 250 for r in kept)
+    # budget below the best doc -> empty; huge budget -> everything
+    assert P.budget_select(df, "score", "tok", 50, "doc_id").count() == 0
+    assert P.budget_select(df, "score", "tok", 10_000, "doc_id").count() == 5
