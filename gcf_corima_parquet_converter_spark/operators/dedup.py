@@ -1095,3 +1095,100 @@ def strip_duplicate_spans(
         F.array_join(F.filter(toks, lambda t, i: ~covered(t, i)), " ")
     )
     return joined.withColumn(text_col, rewritten).drop("_spans")
+
+
+# ----------------------------------------------- incremental MinHash-LSH
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Persistable LSH band-bucket index of a corpus slice:
+    ``(band, bh, id)`` — the near-dup twin of
+    ``exact_dedup_incremental``'s digest index.
+
+    Append each ingested batch's rows to the index table (partition by
+    ``band`` for bucket-pruned joins); future batches join THIS, so
+    history text is never re-shingled.  bands x one 16-byte row per doc
+    — ~128 bytes/doc at the defaults, independent of document size.
+    """
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(_band_hashes(bands, k // bands)).alias("band", "bh"),
+    ).select("band", "bh", id_col)
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    history: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection of a NEW batch against all history via the
+    persisted :func:`minhash_index` — the batch-incremental member of
+    the MinHash family (batch: ``minhash_dedup_pairs``; streaming:
+    ``streaming.ingest.near_dup_stream``).
+
+    Returns ``(flagged, new_index)``:
+
+    * ``flagged`` — ``(new_id, old_id)`` pairs whose signatures collide
+      in some band.  With ``history`` (an ``(id, text)`` frame covering
+      the index ids — e.g. the corpus table) the pairs are verified
+      with EXACT Jaccard >= ``threshold``; only candidate-touching
+      history docs are re-shingled (semi-join pullback, O(candidates)
+      text reads however big history is), and the output gains
+      (n_common, n_a, n_b).  Without ``history`` the pairs are LSH
+      candidates only (the streaming gate's honesty contract).
+    * ``new_index`` — this batch's ``(band, bh, id)`` rows; append them
+      to the index to make it current.  Compose within-batch dedup
+      separately with ``minhash_dedup_pairs(new_df, ...)``.
+
+    ``k``/``bands``/``n`` MUST match the values the index was built
+    with — a mismatch silently yields disjoint bucket spaces (zero
+    recall), so pin them in the index table's metadata.
+    """
+    new_index = minhash_index(new_df, id_col, text_col, k=k, bands=bands, n=n)
+    pairs = (
+        new_index.withColumnRenamed(id_col, "new_id")
+        .join(index.withColumnRenamed(id_col, "old_id"), ["band", "bh"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    if history is None:
+        return pairs, new_index
+    old_ids = pairs.select(F.col("old_id").alias(id_col)).distinct()
+    suspects = history.join(F.broadcast(old_ids), id_col, "left_semi")
+    sets = _shingle_sets(
+        new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+            suspects.select(F.col(id_col), F.col(text_col))
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    cand = pairs.select(
+        F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+    )
+    verified = _verify_exact_jaccard(sets, cand, id_col, threshold)
+    return (
+        verified.select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            "n_common",
+            "n_a",
+            "n_b",
+        ),
+        new_index,
+    )

@@ -645,9 +645,11 @@ def global_running_sum(
     # cache-without-unpersist trade as dsir_logweight's feature stream;
     # MEMORY_AND_DISK spills rather than OOMs at scale)
     local = ranged.withColumn("_local_cum", F.sum(value_col).over(w)).persist()
+    # partition total = sum of values, NOT max(local cumsum): the two
+    # agree only when values are non-negative
     totals = (
         local.groupBy("_range_id")
-        .agg(F.max("_local_cum").alias("_total"))
+        .agg(F.sum(value_col).alias("_total"))
         .collect()
     )
     offset = {}

@@ -19,7 +19,8 @@ no Python in the hot path):
   the full corpus in one pass: the merged estimate equals the global-sketch
   estimate bit-for-bit (test-pinned).
 * bitmap (``bitmap_construct_agg`` / ``bitmap_or_agg``) — EXACT, for dense
-  non-negative int64 id spaces (user ids, doc ids).  Each group holds one
+  int64 id spaces (user ids, doc ids; any sign — bucket numbering covers
+  negatives; nulls are ignored, matching COUNT(DISTINCT)).  Each group holds one
   4 KB bitmap per 32768-id bucket actually seen; merge is bitwise OR, count
   is a popcount.  Unlike ``countDistinct`` this never re-shuffles raw ids on
   merge — only bitmaps move — and it is the only exact distinct that
@@ -103,7 +104,7 @@ def _bucketized(df: DataFrame, keys: list[str], value: str):
 def bitmap_shard_sketch(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Exact mergeable bitmaps → ``(keys…, _bucket, bitmap)``.
 
-    ``value`` must be a non-negative int64 id.  Each output row is one 4 KB
+    ``value`` is an int64 id (any sign; nulls ignored).  Each output row is one 4 KB
     bitmap covering one 32768-id bucket the group actually touched, so the
     artifact size tracks the *id-space density*, not the row count.  One
     shuffle on ``(keys, bucket)`` of (keys, two int64s) — with map-side

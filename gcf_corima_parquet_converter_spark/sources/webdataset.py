@@ -71,9 +71,19 @@ def write_webdataset(
 
     One task per shard; memory is bounded by the largest single shard
     (size shards so samples*bytes fits an executor — the same knob as
-    any WebDataset writer).
+    any WebDataset writer).  ``key_col`` values must be unique — two
+    rows with one key would emit colliding member names inside a shard.
+
+    Re-runs overwrite deterministically; stale shards from a previous
+    run with a LARGER ``n_shards`` are removed first (otherwise a
+    shrink would leave orphan ``shard-00007.tar`` files that
+    ``read_webdataset``'s glob happily ingests).
     """
     os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, "shard-*.tar")) + glob.glob(
+        os.path.join(path, "shard-*.tar._tmp")
+    ):
+        os.remove(stale)
     cols = [key_col, *files.values()]
     sharded = shuffle_shards(
         df.select(*cols), n_shards, key_col, seed=seed, keep_order_col=True

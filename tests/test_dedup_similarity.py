@@ -807,3 +807,85 @@ def test_exact_dedup_incremental_batches(spark):
     # ids modulo history precedence: every kept digest appears exactly once)
     all_kept = day1.unionByName(day2)
     assert all_kept.select("digest").distinct().count() == all_kept.count() == 4
+
+
+# --------------------------------------------- incremental MinHash-LSH
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _distinct_text(seed, n=40):
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(10_000)}" for _ in range(n))
+
+
+def test_minhash_incremental_flags_history_dups(spark):
+    day1 = _mk_docs(spark, [(i, _distinct_text(i)) for i in range(1, 6)])
+    index = D.minhash_index(day1, "doc_id", "text")
+    assert index.columns == ["band", "bh", "doc_id"]
+    assert index.count() == 5 * 8  # bands rows per doc
+
+    near = _distinct_text(2).split()
+    near[3], near[17] = "changed", "words"  # ~95% shingle overlap with doc 2
+    day2 = _mk_docs(
+        spark, [(10, " ".join(near)), (11, _distinct_text(999))]
+    )
+    flagged, new_idx = D.minhash_dedup_incremental(
+        day2, index, "doc_id", "text"
+    )
+    pairs = {(r["new_id"], r["old_id"]) for r in flagged.collect()}
+    assert (10, 2) in pairs
+    assert not any(n == 11 for n, _ in pairs)
+
+    # exact-verify path: history supplies texts only for suspects
+    verified, _ = D.minhash_dedup_incremental(
+        day2, index, "doc_id", "text", history=day1
+    )
+    vrows = {(r["new_id"], r["old_id"]) for r in verified.collect()}
+    assert (10, 2) in vrows
+    jac = {
+        (r["new_id"], r["old_id"]): r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+        for r in verified.collect()
+    }
+    assert jac[(10, 2)] >= 0.5
+
+    # appending day2's index rows makes day 3 see day-2 docs
+    index2 = index.unionByName(new_idx)
+    near11 = _distinct_text(999).split()
+    near11[5] = "tweak"
+    day3 = _mk_docs(spark, [(20, " ".join(near11))])
+    flagged3, _ = D.minhash_dedup_incremental(day3, index2, "doc_id", "text")
+    assert {(r["new_id"], r["old_id"]) for r in flagged3.collect()} >= {(20, 11)}
+
+
+def test_minhash_incremental_matches_full_batch_across_split(spark):
+    """Every full-batch candidate pair that crosses the day boundary
+    must be found by the incremental path (same k/bands/n)."""
+    docs = [(i, _distinct_text(i)) for i in range(1, 9)]
+    near = _distinct_text(4).split()
+    near[0] = "x"
+    docs.append((30, " ".join(near)))  # cross-boundary near-dup of doc 4
+    day1 = _mk_docs(spark, docs[:6])
+    day2 = _mk_docs(spark, docs[6:])
+    full = D.minhash_dedup_pairs(
+        _mk_docs(spark, docs), "doc_id", "text", threshold=0.5
+    )
+    crossing = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if (r["id_a"] <= 6) != (r["id_b"] <= 6)
+    }
+    verified, _ = D.minhash_dedup_incremental(
+        day2,
+        D.minhash_index(day1, "doc_id", "text"),
+        "doc_id",
+        "text",
+        history=day1,
+        threshold=0.5,
+    )
+    inc = {(r["new_id"], r["old_id"]) for r in verified.collect()}
+    assert crossing <= inc

@@ -514,3 +514,26 @@ def test_budget_select_maximal_prefix(spark):
     # budget below the best doc -> empty; huge budget -> everything
     assert P.budget_select(df, "score", "tok", 50, "doc_id").count() == 0
     assert P.budget_select(df, "score", "tok", 10_000, "doc_id").count() == 5
+
+
+def test_global_running_sum_negative_values(spark):
+    # partition totals must be sum(value), not max(cumsum) — negatives
+    # make the two differ
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(-200, 200)) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["running_sum"]
+        for r in P.global_running_sum(
+            df, [F.col("id")], "v", n_partitions=6
+        ).collect()
+    }
+    w = Window.orderBy("id")
+    ref = {
+        r["id"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == ref

@@ -1,0 +1,64 @@
+"""Corpus-wide physical-plan regression gate.
+
+Every graded query's executed plan is checked against the scale
+antipatterns that silently creep in during refactors:
+
+* ``CartesianProduct`` — an unkeyed join anywhere is a 100 TB outage.
+* ``BatchEvalPython`` — row-at-a-time Python; the repo's contract is
+  JVM built-ins everywhere, Arrow-batched Python only where a kernel
+  genuinely cannot be expressed (allow-listed below).
+* ``Exchange SinglePartition`` — a global funnel.  Benign ONLY as the
+  final reduce of a scalar aggregate (the input is already map-side
+  partially aggregated, so one row per task reaches the single
+  partition); a global window/sort would show the same marker over
+  full-width data, which is the single-reducer trap
+  ``pipeline.global_running_sum`` exists to avoid.  Pinned per query
+  with today's counts so any NEW funnel fails this test.
+
+Plans are built (not executed) at sf0.001; queries whose BUILD step
+runs driver-side training actions (PQ/IVF codebooks, quantiles) just
+make this test do a little real work.
+"""
+
+import pytest
+
+from gcf_corima_parquet_converter_spark import queries as Q
+
+# ext -> why Python is unavoidable there
+PYTHON_ALLOWED = {
+    "q31_media_decode": "Pillow decode kernel (mapInPandas)",
+    "q42_frame_sample": "frame-sampling kernel (mapInPandas)",
+    "q32_hsd_pipeline": ".dat packet framing (mapInPandas)",
+    "q62_pack_sequences": "greedy per-worker packing scan (mapInPandas)",
+    "q73_compression_quality": "zlib has no JVM twin (ArrowEvalPython)",
+}
+
+# query -> max benign scalar-reduce SinglePartition exchanges
+SINGLE_PARTITION_ALLOWED = {
+    "q58_quality_percentile_filter": 1,  # percentile threshold row
+    "q69_weighted_sample": 1,  # exact-mean scalar
+    "q70_unigram_logprob": 1,  # vocab total scalar
+    "q74_dsir_weights": 2,  # two distribution totals
+    "q80_normalize_text": 1,  # count-distinct audit scalar
+}
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_plan_invariants(spark, sf_dir, name):
+    plan = (
+        Q.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: unkeyed join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+    if name not in PYTHON_ALLOWED:
+        for marker in ("ArrowEvalPython", "InPandas"):
+            assert marker not in plan, f"{name}: unexpected Python stage"
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= SINGLE_PARTITION_ALLOWED.get(name, 0), (
+        f"{name}: {n_single} SinglePartition exchange(s) — a new global "
+        "funnel (if this is a scalar-aggregate reduce, extend the "
+        "allowlist with a why-benign comment)"
+    )

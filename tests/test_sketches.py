@@ -106,3 +106,11 @@ def test_hll_merge_allows_mixed_precision(spark):
     fine = K.hll_shard_sketch(df, ["g"], "id", lg_k=14)
     [row] = K.hll_merge(coarse.unionByName(fine), ["g"]).collect()
     assert abs(row["approx_distinct"] - 1000) <= 100
+
+
+def test_bitmap_negative_and_null_ids_match_count_distinct(spark):
+    vals = [(-3,), (3,), (-1,), (1,), (0,), (None,), (-32769,), (32768,)]
+    df = spark.createDataFrame(vals, "id long")
+    [row] = K.bitmap_distinct(df, [], "id").collect()
+    exact = df.agg(F.countDistinct("id")).first()[0]
+    assert row["n_distinct"] == exact == 7  # null ignored, signs distinct

@@ -95,3 +95,13 @@ def test_webdataset_null_text_roundtrips_empty(spark, tmp_path):
     rows = {r["key"]: r["txt"] for r in
             W.read_webdataset(spark, out, ["txt"]).collect()}
     assert rows == {"1": "", "2": "x"}
+
+
+def test_webdataset_rerun_with_fewer_shards_removes_stale(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir, n=30)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=6)
+    assert len(W.webdataset_shards(out)) == 6
+    W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=2)
+    assert len(W.webdataset_shards(out)) == 2  # no orphan shard-0000[2-5]
+    assert W.read_webdataset(spark, out, ["txt"]).count() == 30
