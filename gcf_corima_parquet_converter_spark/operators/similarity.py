@@ -713,3 +713,66 @@ def sq_topk_rerank(
     ).select(id_col)
     candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk_batch(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF search for a BATCH of queries in one pass — ``ivf_topk``'s
+    probe pruning composed with ``batch_cosine_topk``'s serving shape.
+
+    The query batch is driver-sized by contract (it broadcasts whole),
+    so per-query probe lists are computed driver-side against the
+    codebook; their (q_id, centroid_id, q_vec) rows broadcast-join the
+    assigned corpus on ``centroid_id``.  Each corpus row is therefore
+    scored ONLY against the queries probing its centroid — the scan is
+    pruned to the union of probed partitions AND the scoring fan-out is
+    per-centroid, not corpus x batch.  Ranking reuses the two-phase
+    local-then-global top-k (no q_id funnel).  Returns (q_id, id,
+    sim_fx) like ``batch_cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[q_vec_col], dtype=np.float64)
+        for cid in np.argsort(-(cents @ q))[:n_probe].tolist():
+            probe_rows.append((r[q_id_col], cid, [float(x) for x in q]))
+    spark = emb_assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{q_id_col} long, centroid_id int, {q_vec_col} array<double>"
+    )
+    probed_cids = sorted({cid for _, cid, _ in probe_rows})
+    sim_fx = F.floor(
+        dot(F.col(vec_col), F.col(q_vec_col)) * F.lit(float(scale)) + F.lit(0.5)
+    )
+    scored = (
+        emb_assigned.where(F.col("centroid_id").isin(probed_cids))
+        .join(F.broadcast(probes), "centroid_id")
+        .select(F.col(q_id_col), F.col(id_col), sim_fx.alias("sim_fx"))
+    )
+    local = Window.partitionBy(F.spark_partition_id(), q_id_col).orderBy(
+        F.desc("sim_fx"), id_col
+    )
+    pre = (
+        scored.withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim_fx"), id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

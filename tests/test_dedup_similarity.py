@@ -889,3 +889,48 @@ def test_minhash_incremental_matches_full_batch_across_split(spark):
     )
     inc = {(r["new_id"], r["old_id"]) for r in verified.collect()}
     assert crossing <= inc
+
+
+# --------------------------------------------------------- batched IVF
+
+
+def test_ivf_topk_batch_matches_brute_at_full_probe(spark, emb):
+    cents = S.train_centroids_sample(emb, n_centroids=8)
+    assigned = S.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id").isin([1, 5, 9])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = {
+        (r["q_id"], r["vec_id"])
+        for r in S.batch_cosine_topk(emb, queries, k=5).collect()
+    }
+    # probing every centroid == brute force, same fixed-point tiebreak
+    full = {
+        (r["q_id"], r["vec_id"])
+        for r in S.ivf_topk_batch(
+            assigned, cents, queries, k=5, n_probe=8
+        ).collect()
+    }
+    assert full == brute
+    # a partial probe keeps most of the recall at a fraction of the scan
+    part = {
+        (r["q_id"], r["vec_id"])
+        for r in S.ivf_topk_batch(
+            assigned, cents, queries, k=5, n_probe=3
+        ).collect()
+    }
+    assert len(part & brute) / len(brute) >= 0.6
+
+
+def test_ivf_topk_batch_prunes_scan_and_stays_jvm(spark, emb):
+    cents = S.train_centroids_sample(emb, n_centroids=8)
+    assigned = S.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.ivf_topk_batch(assigned, cents, queries, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan and "isin" in plan.lower() or "IN (" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
