@@ -114,3 +114,32 @@ def test_bitmap_negative_and_null_ids_match_count_distinct(spark):
     [row] = K.bitmap_distinct(df, [], "id").collect()
     exact = df.agg(F.countDistinct("id")).first()[0]
     assert row["n_distinct"] == exact == 7  # null ignored, signs distinct
+
+
+def test_sketch_tables_roundtrip_parquet_and_merge(spark, events, tmp_path):
+    """The artifact contract: shard sketch tables persist to parquet
+    (binary columns intact) and later sessions merge the FILES, never
+    the raw data."""
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    for i, part in enumerate((a, b)):
+        K.hll_shard_sketch(part, ["event_type"], "user_id").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"hll_day{i}"))
+        K.bitmap_shard_sketch(part, ["event_type"], "user_id").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"bmp_day{i}"))
+    hll = spark.read.parquet(str(tmp_path / "hll_day0"), str(tmp_path / "hll_day1"))
+    bmp = spark.read.parquet(str(tmp_path / "bmp_day0"), str(tmp_path / "bmp_day1"))
+    exact = _exact(events)
+    got_exact = {
+        r["event_type"]: r["n_distinct"]
+        for r in K.bitmap_merge(bmp, ["event_type"]).collect()
+    }
+    assert got_exact == exact
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in K.hll_merge(hll, ["event_type"]).collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n)
