@@ -198,6 +198,9 @@ def bench_ann(spark, sf_dir: str) -> dict:
     pq = S.pq_train(emb, m=8, n_codes=16)
     encoded = S.pq_encode(emb, pq, use_arrow=True).persist()
     encoded.count()
+    lo, hi = S.sq_train(emb)
+    sq_codes = S.sq_encode(emb, lo, hi).persist()
+    sq_codes.count()
     # shortlist covers the query's whole planted cluster (~n/16 rows):
     # 8x16 codes quantize cluster members to near-identical codes, so
     # ADC cannot rank WITHIN-cluster noise — its job is getting the
@@ -211,9 +214,13 @@ def bench_ann(spark, sf_dir: str) -> dict:
         rr, t_rr = timed_ids(
             S.pq_topk_rerank(encoded, emb, pq, qvec, k=k, shortlist=shortlist)
         )
+        sq, t_sq = timed_ids(
+            S.sq_topk_rerank(sq_codes, emb, lo, hi, qvec, k=k, shortlist=4 * k)
+        )
     finally:
         assigned.unpersist()
         encoded.unpersist()
+        sq_codes.unpersist()
         emb.unpersist()
     out = {
         "k": k,
@@ -228,9 +235,18 @@ def bench_ann(spark, sf_dir: str) -> dict:
         "pq_shortlist_recall": round(len(adc & brute) / k, 3),
         "pq_rerank_sec": round(t_rr, 3),
         "pq_rerank_recall": round(len(rr & brute) / k, 3),
+        # SQ8: 256 levels PER DIMENSION (vs PQ's per-subspace) — a 4x
+        # shrink at near-lossless distortion, so a small 4k shortlist
+        # + exact re-rank suffices
+        "sq_rerank_sec": round(t_sq, 3),
+        "sq_rerank_recall": round(len(sq & brute) / k, 3),
         "recall_floor_asserted": 0.8,
     }
-    if out["ivf_recall"] < 0.8 or out["pq_rerank_recall"] < 0.8:
+    if (
+        out["ivf_recall"] < 0.8
+        or out["pq_rerank_recall"] < 0.8
+        or out["sq_rerank_recall"] < 0.8
+    ):
         raise RuntimeError(f"ANN recall regression on clustered corpus: {out}")
     return out
 
