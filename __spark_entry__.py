@@ -69,6 +69,8 @@ _DEMOTED_REDUNDANT = (
     # in-window; q04's P5/J1 left_semi shape stays covered by q22
     # (dedup keep-list semi-join) and the SQL twins q53/q54
     "q04_customers_with_orders",
+    # r5: new with the window full — oracle green in test_queries_oracle
+    "q86_dedup_incremental",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches for incremental / cross-shard analytics.
+"""Mergeable sketch artifacts for incremental / cross-shard analytics.
 
 At 100 TB you cannot re-scan history to answer "how many distinct users so
 far" — the scalable pattern is: compute a constant-size *mergeable* sketch
@@ -9,8 +9,8 @@ reference's approx-distinct surface (SURVEY §2.4 A6, graded q37): A6 gives a
 one-shot estimate inside a single query; these operators make the estimate a
 *materializable artifact* that composes across time and shards.
 
-Two tiers, both pure JVM built-in aggregates (partial-aggregable, codegen'd,
-no Python in the hot path):
+Three tiers, all pure JVM built-in aggregates (partial-aggregable,
+codegen'd, no Python in the hot path):
 
 * HLL (Datasketches HllSketch via ``hll_sketch_agg`` / ``hll_union_agg``,
   SPARK-16484 family) — approximate, ~1.04/sqrt(2^lg_k) relative error,
@@ -25,6 +25,10 @@ no Python in the hot path):
   is a popcount.  Unlike ``countDistinct`` this never re-shuffles raw ids on
   merge — only bitmaps move — and it is the only exact distinct that
   composes incrementally (day N+1 = OR one new sketch, not rescan N days).
+* histogram (``width_bucket`` + count) — mergeable fixed-grid QUANTILES:
+  <= n_bins+2 rows per group, merge = per-bucket sum, percentile error
+  bounded by one bin width; under/overflow buckets keep mass when a later
+  shard exceeds the planned range.
 
 Layout contract: a "sketch table" is ``group keys… , _bucket?, sketch
 binary`` — written with any sink (parquet keeps binary columns intact) and
@@ -43,6 +47,9 @@ __all__ = [
     "bitmap_shard_sketch",
     "bitmap_merge",
     "bitmap_distinct",
+    "histogram_shard_sketch",
+    "histogram_merge",
+    "histogram_percentiles",
 ]
 
 _HLL_COL = "hll_sketch"
@@ -146,3 +153,91 @@ def bitmap_distinct(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     ``bitmap_shard_sketch`` artifact.
     """
     return bitmap_merge(bitmap_shard_sketch(df, keys, value), keys)
+
+
+# ------------------------------------------------------------- histogram
+
+
+def histogram_shard_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Fixed-grid histogram sketch → ``(keys…, _bucket, n)`` — the
+    QUANTILE member of the mergeable-artifact family (distinct counts:
+    HLL/bitmap above).
+
+    ``[lo, hi)`` splits into ``n_bins`` equal buckets (``width_bucket``,
+    pure JVM); bucket 0 / n_bins+1 catch underflow/overflow, so merging
+    never loses mass when a later shard exceeds the planned range.  The
+    grid must be FIXED across shards (that is what makes addition the
+    merge operator) — pick it from domain knowledge (score in [0,1],
+    doc length in [0, 1e6]) rather than a data pass, or the artifact
+    isn't stable across days.  At most ``n_bins+2`` rows per group
+    regardless of row count; merge = per-bucket sum; percentile error
+    is bounded by one bin width.
+    """
+    v = F.col(value).cast("double")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *_cols(keys),
+            F.width_bucket(v, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)).alias(
+                _BUCKET_COL
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge histogram sketch tables: per-(keys, bucket) count sum."""
+    return df.groupBy(*_cols(keys), F.col(_BUCKET_COL)).agg(
+        F.sum("n").alias("n")
+    )
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group percentile estimates from a (merged) histogram sketch →
+    ``(keys…, q, value)``.
+
+    Distributed and tiny: the cumulative walk is a window over at most
+    ``n_bins+2`` rows per group (partitioned by the group keys — no
+    global funnel).  Each percentile reports the LEFT EDGE of the first
+    bucket whose cumulative count reaches q*total: error <= one bin
+    width by construction; underflow/overflow buckets clamp to lo/hi.
+    """
+    from pyspark.sql import Window
+
+    width = (float(hi) - float(lo)) / n_bins
+    w = Window.partitionBy(*_cols(keys)).orderBy(_BUCKET_COL)
+    cum = df.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_total", F.sum("n").over(Window.partitionBy(*_cols(keys)))
+    )
+    edge = F.least(
+        F.greatest(
+            F.lit(float(lo)) + (F.col(_BUCKET_COL) - 1) * F.lit(width),
+            F.lit(float(lo)),
+        ),
+        F.lit(float(hi)),
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.where(F.col("_cum") >= F.lit(q) * F.col("_total"))
+            .groupBy(*_cols(keys))
+            .agg(F.min(_BUCKET_COL).alias(_BUCKET_COL))
+            .select(*keys, F.lit(q).alias("q"), edge.alias("value"))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

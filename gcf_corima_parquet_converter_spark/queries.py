@@ -2806,3 +2806,39 @@ def q85(spark, sf_dir):
         .select("doc_id", "n_chars", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+# -- q86: incremental exact dedup vs a persisted digest index
+#    (operators/dedup.py: exact_dedup_incremental).  Day-1 docs (even
+#    ids) seed the index; day-2 (odd ids) dedups within itself
+#    (keep-first) then anti-joins the index — history text never
+#    rescanned.  The oracle mirrors the digest math exactly
+#    (md5(concat_ws(chr(31), text)) — concat_ws skips NULLs
+#    identically in both engines).  Oracle-backed; graded locally
+#    (window full).
+@query(
+    "q86_dedup_incremental",
+    """
+    WITH b1 AS (
+      SELECT md5(concat_ws(chr(31), text)) AS digest
+      FROM documents WHERE doc_id % 2 = 0),
+    b2 AS (
+      SELECT doc_id, md5(concat_ws(chr(31), text)) AS digest
+      FROM documents WHERE doc_id % 2 = 1),
+    survivors AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM b2 GROUP BY digest)
+    SELECT b2.doc_id, b2.digest
+    FROM b2 JOIN survivors USING (doc_id)
+    WHERE b2.digest NOT IN (SELECT digest FROM b1)
+    ORDER BY b2.doc_id
+    """,
+)
+def q86(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    day1 = d.filter(F.col("doc_id") % 2 == 0)
+    day2 = d.filter(F.col("doc_id") % 2 == 1)
+    index = day1.select(
+        F.md5(F.concat_ws("\x1f", "text")).alias("digest")
+    )
+    fresh = D.exact_dedup_incremental(day2, ["text"], "doc_id", seen=index)
+    return fresh.select("doc_id", "digest").orderBy("doc_id")

@@ -143,3 +143,62 @@ def test_sketch_tables_roundtrip_parquet_and_merge(spark, events, tmp_path):
     }
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 0.05 * n)
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_histogram_merge_equals_oneshot_and_overflow(spark):
+    base = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 1200).cast("double").alias("v"),  # 1000+ overflows
+    )
+    lo, hi, bins = 0.0, 1000.0, 100
+    one = {
+        (r["g"], r["_bucket"]): r["n"]
+        for r in K.histogram_shard_sketch(base, ["g"], "v", lo, hi, bins).collect()
+    }
+    shards = K.histogram_shard_sketch(
+        base.filter(F.col("id") % 2 == 0), ["g"], "v", lo, hi, bins
+    ).unionByName(
+        K.histogram_shard_sketch(
+            base.filter(F.col("id") % 2 == 1), ["g"], "v", lo, hi, bins
+        )
+    )
+    merged = {
+        (r["g"], r["_bucket"]): r["n"]
+        for r in K.histogram_merge(shards, ["g"]).collect()
+    }
+    assert merged == one
+    # overflow mass (v >= 1000) sits in bucket n_bins+1, not dropped
+    overflow = sum(n for (g, b), n in merged.items() if b == bins + 1)
+    assert overflow == base.filter(F.col("v") >= hi).count()
+
+
+def test_histogram_percentiles_within_bin_width(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(i % 2, rng.uniform(0.0, 1.0)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    lo, hi, bins = 0.0, 1.0, 200
+    sk = K.histogram_shard_sketch(df, ["g"], "v", lo, hi, bins)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in K.histogram_percentiles(sk, ["g"], [0.5, 0.9], lo, hi, bins).collect()
+    }
+    width = (hi - lo) / bins
+    for g in (0, 1):
+        vals = sorted(v for gg, v in rows if gg == g)
+        for q in (0.5, 0.9):
+            exact = vals[int(q * len(vals)) - 1]
+            assert abs(got[(g, q)] - exact) <= 2 * width, (g, q)
+    # no global funnel: the cumulative walk partitions by the group keys
+    plan = (
+        K.histogram_percentiles(sk, ["g"], [0.5], lo, hi, bins)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan

@@ -97,6 +97,14 @@ QUERIES = [
         "shuffles pre-audit; only the tiny per-source audit aggregates",
     ),
     (
+        "q85_budget_select",
+        "global running sum without the single-reducer window: range "
+        "partition on the ordering + per-range cumsum keyed by the "
+        "captured range id + broadcast offsets — note the absence of "
+        "Exchange SinglePartition that a bare SUM() OVER (ORDER BY) "
+        "would plan (pinned repo-wide by test_plan_invariants)",
+    ),
+    (
         "q82_bitmap_distinct",
         "exact distinct via mergeable bitmaps: raw ids fold into 4 KB "
         "per-(group, 32768-id-bucket) bitmaps MAP-SIDE (partial "
