@@ -89,6 +89,7 @@ _ROWS_ONLY_TAIL = (
     "q74_dsir_weights",
     "q83_hll_incremental",
     "q84_sq_topk_rerank",
+    "q87_bpe_tokenize",
     "q32_hsd_pipeline",
 )
 

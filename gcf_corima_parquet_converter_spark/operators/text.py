@@ -606,3 +606,145 @@ def normalize_text(
 
         c = _nfc(c)
     return df.withColumn(out_col, c)
+
+
+# ------------------------------------------------------------ BPE train
+
+
+def word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, n) frequency table — one explode + partial-aggregable
+    groupBy.  ``min_count`` prunes the hapax tail (at web scale most
+    word TYPES occur once and carry no merge signal); ``max_words``
+    keeps the top types by (count desc, word) — deterministic."""
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("n"), "word").limit(max_words)
+    return wc
+
+
+_EOW = "</w>"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from a corpus (Sennrich et al. 2016,
+    arXiv:1508.07909) — EXACT, because the word-frequency table is a
+    sufficient statistic for BPE: this is precisely how SentencePiece /
+    HuggingFace trainers work (corpus pass -> word counts -> merge loop
+    on the counts), not an approximation.
+
+    Scale split: the ONLY corpus-scale step is :func:`word_counts`
+    (one shuffle of (word, partial count) pairs); the merge loop runs
+    driver-side over word TYPES (vocabulary-sized — prune with
+    ``min_count``/``max_words`` exactly as the reference trainers do).
+    Deterministic: pair ties break lexicographically, so the same
+    corpus yields the same merges on any partitioning.
+
+    Returns the ordered merge list; feed it to :func:`bpe_tokenize` /
+    :func:`bpe_vocab`.
+    """
+    rows = word_counts(df, text_col, min_count, max_words).collect()
+    words: dict[tuple[str, ...], int] = {
+        (*r["word"], _EOW): r["n"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        pair, n_best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n_best < 2:
+            break  # nothing left that repeats: further merges are noise
+        merged = pair[0] + pair[1]
+        new_words = {}
+        for sym, n in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+        merges.append(pair)
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The subword vocabulary a merge list induces (merge outputs, in
+    learning order)."""
+    return [a + b for a, b in merges]
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = [*word, _EOW]
+    while len(sym) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+        pairs = [(r, i) for r, i in pairs if r is not None]
+        if not pairs:
+            break
+        _, i = min(pairs)
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list → subword array column (lossless:
+    concatenating a word's pieces reproduces the word + end marker).
+
+    Arrow-batched pandas UDF — applying ranked merges is an inherently
+    sequential per-word loop with no JVM expression twin (same honesty
+    contract as ``compression_ratio``); a per-batch word memo collapses
+    the Zipf head, so the loop runs ~once per word TYPE per batch, not
+    per token.  The heuristic JVM-side estimator (``bpe_ish_tokens``)
+    remains the hot-path choice when only counts are needed.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _bpe_encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -2842,3 +2842,26 @@ def q86(spark, sf_dir):
     )
     fresh = D.exact_dedup_incremental(day2, ["text"], "doc_id", seen=index)
     return fresh.select("doc_id", "digest").orderBy("doc_id")
+
+
+# -- q87: learned-BPE subword tokenization (operators/text.py:
+#    bpe_train/bpe_tokenize, Sennrich et al. 2016).  Trains a real
+#    merge list from the corpus word-frequency table (the distributed
+#    step; the merge loop is driver-side on word TYPES, capped), then
+#    reports per-language piece/char compression.  Rows-only: the merge
+#    loop is iterative and not SQL-expressible; determinism, the
+#    classic-example merges, and losslessness are pytest-pinned.
+@query("q87_bpe_tokenize")
+def q87(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    merges = X.bpe_train(d, n_merges=120, min_count=2, max_words=5_000)
+    toked = X.bpe_tokenize(d, merges)
+    return (
+        toked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("pieces"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang")
+    )

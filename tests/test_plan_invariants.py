@@ -31,6 +31,7 @@ PYTHON_ALLOWED = {
     "q32_hsd_pipeline": ".dat packet framing (mapInPandas)",
     "q62_pack_sequences": "greedy per-worker packing scan (mapInPandas)",
     "q73_compression_quality": "zlib has no JVM twin (ArrowEvalPython)",
+    "q87_bpe_tokenize": "ranked-merge loop has no JVM twin (ArrowEvalPython)",
 }
 
 # query -> max benign scalar-reduce SinglePartition exchanges

@@ -535,3 +535,62 @@ def test_real_dhash_bit_math_with_stub_codec(monkeypatch):
             val = (val << 1) | int(b)
     expect = val - (1 << 64) if val >= 1 << 63 else val
     assert got == expect
+
+
+# ------------------------------------------------------------ BPE train
+
+
+def test_bpe_train_classic_example_and_determinism(spark):
+    from gcf_corima_parquet_converter_spark.operators import text as X
+
+    # the Sennrich et al. running example: 'est</w>' should emerge early
+    corpus = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = X.bpe_train(corpus, n_merges=10)
+    vocab = X.bpe_vocab(merges)
+    assert "est" in vocab and "est</w>" in vocab
+    assert "low" in vocab
+    # deterministic + partitioning-independent (exact counts, lex ties)
+    again = X.bpe_train(corpus.repartition(7), n_merges=10)
+    assert merges == again
+
+
+def test_bpe_tokenize_lossless_and_compresses(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark import catalog
+    from gcf_corima_parquet_converter_spark.operators import text as X
+
+    docs = catalog.load(spark, sf_dir, "documents").limit(80)
+    merges = X.bpe_train(docs, n_merges=150, min_count=2)
+    toked = X.bpe_tokenize(docs, merges)
+    rows = toked.select("text", "bpe_tokens").collect()
+    for r in rows[:20]:
+        # lossless: pieces concatenate back to words + end markers
+        rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(r["text"].split())
+    # learned merges actually compress vs character count
+    stats = toked.select(
+        F.sum(F.size("bpe_tokens")).alias("pieces"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    assert stats["pieces"] < stats["chars"] * 0.7
+
+    # null text -> null tokens
+    nulldf = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert X.bpe_tokenize(nulldf, merges).first()["bpe_tokens"] is None
+
+
+def test_bpe_word_counts_prune_and_cap(spark):
+    from gcf_corima_parquet_converter_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["n"] for r in X.word_counts(df, min_count=2).collect()}
+    assert wc == {"aa": 3, "bb": 2}
+    top = X.word_counts(df, max_words=1).collect()
+    assert [(r["word"], r["n"]) for r in top] == [("aa", 3)]
