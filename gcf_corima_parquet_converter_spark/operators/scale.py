@@ -209,14 +209,13 @@ def zorder_by(
     ``sinks.write_parquet``: one file per partition, row groups in
     Z-order.
     """
-    qs = {
-        c: df.stat.approxQuantile(
-            c,
-            [i / (1 << bits) for i in range(1, 1 << bits)],
-            relative_error,
-        )
-        for c in cols
-    }
+    # one pass for ALL columns (approxQuantile accepts a column list)
+    per_col = df.stat.approxQuantile(
+        list(cols),
+        [i / (1 << bits) for i in range(1, 1 << bits)],
+        relative_error,
+    )
+    qs = dict(zip(cols, per_col))
     keyed = df.withColumn(key_col, zorder_key(df, cols, qs, bits=bits))
     out = keyed.repartitionByRange(n_partitions, key_col).sortWithinPartitions(
         key_col

@@ -750,8 +750,25 @@ def ivf_topk_batch(
         for cid in np.argsort(-(cents @ q))[:n_probe].tolist():
             probe_rows.append((r[q_id_col], cid, [float(x) for x in q]))
     spark = emb_assigned.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # q_id keeps the caller's type (string ids are common) — only the
+    # vector is normalized to double
     probes = spark.createDataFrame(
-        probe_rows, f"{q_id_col} long, centroid_id int, {q_vec_col} array<double>"
+        probe_rows,
+        StructType(
+            [
+                queries.schema[q_id_col],
+                StructField("centroid_id", IntegerType()),
+                StructField(q_vec_col, ArrayType(DoubleType())),
+            ]
+        ),
     )
     probed_cids = sorted({cid for _, cid, _ in probe_rows})
     sim_fx = F.floor(

@@ -934,3 +934,19 @@ def test_ivf_topk_batch_prunes_scan_and_stays_jvm(spark, emb):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_topk_batch_preserves_string_query_ids(spark, emb):
+    cents = S.train_centroids_sample(emb, n_centroids=8)
+    assigned = S.ivf_assign(emb, cents)
+    queries = (
+        emb.where(F.col("vec_id").isin([1, 5]))
+        .select(
+            F.concat(F.lit("query-"), F.col("vec_id")).alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    out = S.ivf_topk_batch(assigned, cents, queries, k=3, n_probe=8)
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == {"query-1", "query-5"}
+    assert out.schema["q_id"].dataType.simpleString() == "string"
