@@ -71,6 +71,7 @@ _DEMOTED_REDUNDANT = (
     "q04_customers_with_orders",
     # r5: new with the window full — oracle green in test_queries_oracle
     "q86_dedup_incremental",
+    "q88_histogram_percentiles",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -2865,3 +2865,53 @@ def q87(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# -- q88: histogram-sketch percentiles (operators/sketches.py:
+#    histogram_shard_sketch + histogram_percentiles).  p50/p90 of order
+#    totals per priority from a 256-bin fixed-grid sketch; the oracle
+#    reproduces the estimator exactly (width_bucket + per-group
+#    cumulative walk + left-edge formula — integer counts and exact
+#    binary grid constants, so the doubles agree bit-for-bit).  The
+#    bin-width error bound vs TRUE percentiles is pinned in
+#    test_sketches.py.  Oracle-backed; graded locally (window full).
+@query(
+    "q88_histogram_percentiles",
+    """
+    WITH h AS (
+      -- DuckDB has no width_bucket; this CASE is Spark's exact formula
+      -- (floor((v - lo) / ((hi - lo) / n)) + 1, 0/n+1 under/overflow)
+      SELECT o_orderpriority,
+             CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 257
+                  ELSE CAST(FLOOR(o_totalprice / (600000.0 / 256)) AS BIGINT) + 1
+             END AS b,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT o_orderpriority, b,
+             SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY b) AS cum,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+      FROM h),
+    p AS (
+      SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q, MIN(b) AS b
+      FROM c WHERE cum >= 0.5 * total GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, CAST(0.9 AS DOUBLE), MIN(b)
+      FROM c WHERE cum >= 0.9 * total GROUP BY o_orderpriority)
+    SELECT o_orderpriority, q,
+           LEAST(GREATEST(0.0 + (b - 1) * (600000.0 / 256), 0.0), 600000.0)
+             AS value
+    FROM p ORDER BY o_orderpriority, q
+    """,
+)
+def q88(spark, sf_dir):
+    from .operators import sketches as K
+
+    o = T(spark, sf_dir, "orders")
+    sk = K.histogram_shard_sketch(
+        o, ["o_orderpriority"], "o_totalprice", 0.0, 600_000.0, 256
+    )
+    return K.histogram_percentiles(
+        sk, ["o_orderpriority"], [0.5, 0.9], 0.0, 600_000.0, 256
+    ).orderBy("o_orderpriority", "q")
