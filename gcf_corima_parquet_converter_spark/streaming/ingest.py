@@ -370,3 +370,44 @@ def near_dup_stream(
         .agg(F.count(F.lit(1)).alias("n_novel_bands"))
         .withColumn("is_candidate_dup", F.col("n_novel_bands") < F.lit(bands))
     )
+
+
+def windowed_distinct(
+    stream: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Streaming windowed approx-distinct — the live twin of
+    ``operators.sketches.hll_shard_sketch``/``hll_merge`` ("distinct
+    users per minute", the canonical streaming-analytics ask).
+
+    The same Datasketches ``hll_sketch_agg`` the batch tier uses runs
+    as the streaming aggregate: per-micro-batch partial sketches merge
+    into watermark-bounded window state — state per (keys, window) is
+    one <= 2^lg_k-byte sketch however many distinct values arrive,
+    which is the property that makes per-window distinct FEASIBLE in a
+    stream (exact distinct state would grow with cardinality).  Append
+    mode: a window emits once its watermark passes.  Batch parity is
+    structural (same aggregate, same estimator) and test-pinned.
+    """
+    keys = key_cols or []
+    win = F.window(ts_col, window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys], win.alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(value_col, F.lit(lg_k))
+            ).alias("approx_distinct")
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_distinct",
+        )
+    )

@@ -577,3 +577,80 @@ def test_near_dup_stream_state_survives_restart(spark, tmp_path):
     }
     assert got.get(1) == 4     # original fully novel
     assert 2 not in got        # copy swallowed by state recovered from ckpt
+
+
+def test_windowed_distinct_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL windowed distinct (live twin of the sketch tier):
+    every emitted window's estimate equals the batch hll estimate on
+    the same rows (same aggregate, same lg_k -> bit-equal)."""
+    import os
+    import time as _time
+
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        windowed_distinct,
+    )
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    base = 1_700_000_000  # epoch seconds
+    early = [(i % 37, base + (i % 100)) for i in range(400)]  # windows 0-1
+    late = [(i % 11, base + 600 + i % 30) for i in range(100)]  # 10 min later
+    sch = "user_id long, epoch long"
+
+    def write_file(rows, name, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_file(early, "a", now - 60)
+    write_file(late, "b", now)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+    )
+    out = windowed_distinct(stream, "user_id", window="1 minute",
+                            watermark="2 minutes", lg_k=12)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wd_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["approx_distinct"]
+        for r in spark.table("wd_stream_t").collect()
+    }
+    # the late file's watermark (base+600+29 - 2min) passes the early
+    # windows, so they must have been emitted
+    assert len(got) >= 1
+    batch = spark.createDataFrame(early + late, sch).withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    )
+    exp = {
+        r["window_start"]: r["approx_distinct"]
+        for r in batch.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_distinct")
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_distinct")
+        .collect()
+    }
+    for w, n in got.items():
+        assert exp[w] == n, (w, n, exp.get(w))
