@@ -72,6 +72,7 @@ _DEMOTED_REDUNDANT = (
     # r5: new with the window full — oracle green in test_queries_oracle
     "q86_dedup_incremental",
     "q88_histogram_percentiles",
+    "q89_corpus_diff",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -14,11 +14,16 @@ Layout:
     session      SparkSession factory (AQE, Arrow, ns-parquet handling)
     catalog      testdata table loader with parity-safe schemas
     schema/      DTDL -> StructType registry + column-name sanitizer
-    sources/     binary .dat packet decode, acquisition loader
-    operators/   telemetry (enrich+RMS), dedup, similarity, text, multimodal
-    plans/       plan-inspection helpers (pushed filters, codegen spans)
+    sources/     binary .dat decode, acquisition loader + facade, JSONL,
+                 WebDataset tar shards
+    operators/   telemetry (enrich+RMS), dedup, similarity, text,
+                 multimodal, pipeline, sketches, scale
+    sinks        CSV/TSV/JSONL export, parquet writer posture, compaction
     streaming/   Structured Streaming twin of the ingest path
     queries      the t2 corpus: named DataFrame queries + DuckDB oracle SQL
+
+Plan evidence lives in PLANS.md (regenerate: tools/gen_plans.py); the
+plan regression gate is tests/test_plan_invariants.py.
 """
 
 __version__ = "0.1.0"

@@ -689,3 +689,44 @@ def budget_select(
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     cum = global_running_sum(df, order, token_col, out_col=out_col)
     return cum.filter(F.col(out_col) <= budget)
+
+
+# ------------------------------------------------------- corpus diff
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots →
+    ``(digest, status added|removed|retained, old_id, new_id)`` — the
+    audit every dataset release ships ("what changed since v1?").
+
+    Both sides reduce to (digest, min id) BEFORE the full-outer join,
+    so only 32-byte digests + ids ride the exchanges — document text
+    never moves, and the join keys are pre-aggregated (no skew: digests
+    are uniform by construction).  Status is content-based: a doc that
+    changed text shows as one `removed` + one `added` digest, which is
+    the honest semantics for training-data provenance (the old content
+    is gone, new content arrived).
+    """
+    dig = F.md5(F.concat_ws("\x1f", *content_cols))
+
+    def side(df, out):
+        return (
+            df.select(dig.alias("digest"), F.col(id_col))
+            .groupBy("digest")
+            .agg(F.min(id_col).alias(out))
+        )
+
+    o, n = side(old, "old_id"), side(new, "new_id")
+    status = (
+        F.when(F.col("old_id").isNull(), F.lit("added"))
+        .when(F.col("new_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    return o.join(n, "digest", "full_outer").select(
+        "digest", status.alias("status"), "old_id", "new_id"
+    )

@@ -2915,3 +2915,35 @@ def q88(spark, sf_dir):
     return K.histogram_percentiles(
         sk, ["o_orderpriority"], [0.5, 0.9], 0.0, 600_000.0, 256
     ).orderBy("o_orderpriority", "q")
+
+
+# -- q89: corpus snapshot diff (operators/pipeline.py: corpus_diff) —
+#    the release audit: which content digests were added / removed /
+#    retained between two snapshots.  Digest-only full-outer join
+#    (pre-aggregated to (digest, min id) per side — text never rides
+#    an exchange).  Oracle-backed; graded locally (window full).
+@query(
+    "q89_corpus_diff",
+    """
+    WITH o AS (
+      SELECT md5(concat_ws(chr(31), text)) AS digest,
+             CAST(MIN(doc_id) AS BIGINT) AS old_id
+      FROM documents WHERE doc_id % 3 != 0 GROUP BY 1),
+    n AS (
+      SELECT md5(concat_ws(chr(31), text)) AS digest,
+             CAST(MIN(doc_id) AS BIGINT) AS new_id
+      FROM documents WHERE doc_id % 2 != 0 GROUP BY 1)
+    SELECT COALESCE(o.digest, n.digest) AS digest,
+           CASE WHEN o.digest IS NULL THEN 'added'
+                WHEN n.digest IS NULL THEN 'removed'
+                ELSE 'retained' END AS status,
+           o.old_id, n.new_id
+    FROM o FULL OUTER JOIN n ON o.digest = n.digest
+    ORDER BY digest
+    """,
+)
+def q89(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 3 != 0)
+    v2 = d.filter(F.col("doc_id") % 2 != 0)
+    return P.corpus_diff(v1, v2, ["text"], "doc_id").orderBy("digest")

@@ -537,3 +537,24 @@ def test_global_running_sum_negative_values(spark):
         r["id"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()
     }
     assert got == ref
+
+
+def test_corpus_diff_statuses(spark):
+    v1 = spark.createDataFrame(
+        [(1, "keep"), (2, "drop-me"), (3, "keep2")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(10, "keep"), (11, "keep2"), (12, "brand new")],
+        "doc_id long, text string",
+    )
+    by_status = {}
+    for r in P.corpus_diff(v1, v2, ["text"], "doc_id").collect():
+        by_status.setdefault(r["status"], []).append(r)
+    assert len(by_status["retained"]) == 2
+    [rm] = by_status["removed"]
+    assert rm["old_id"] == 2 and rm["new_id"] is None
+    [ad] = by_status["added"]
+    assert ad["new_id"] == 12 and ad["old_id"] is None
+    # retained rows carry both sides' ids
+    assert all(r["old_id"] is not None and r["new_id"] is not None
+               for r in by_status["retained"])
