@@ -385,6 +385,13 @@ U585I_BOARD_ID = "0x7"
 U585I_FW_ID = "0x1"
 _NS_U585I = "dtmi:gcfspark:b_u585i_iot02a:fp_sns_datalog2"
 
+#: Sixth pair: X-NUCLEO-IKS01A3 expansion board — adds the
+#: MAGNETOMETER semantic (3-axis, gauss full-scale) no other builtin
+#: board carries.  Pairing ids in our namespace.
+IKS01A3_BOARD_ID = "0x8"
+IKS01A3_FW_ID = "0x1"
+_NS_IKS01A3 = "dtmi:gcfspark:x_nucleo_iks01a3:fp_sns_datalog2"
+
 
 def _ism330dhcx_acc(ns: str) -> dict:
     # ISM330DHCX datasheet: acc ODR to 6.667 kHz; FS ±2/4/8/16 g;
@@ -512,6 +519,53 @@ def _hts221_hum(ns: str) -> dict:
     )
 
 
+def _lis2mdl_mag(ns: str) -> dict:
+    # LIS2MDL datasheet: 3-axis magnetometer, ODR 10/20/50/100 Hz,
+    # fixed ±50 gauss range, 1.5 mgauss/LSB — the only sensor class
+    # with a gauss-denominated full scale.
+    return sensor_interface(
+        "lis2mdl_mag",
+        ns=ns,
+        odr_enum=[("hz10", 0), ("hz20", 1), ("hz50", 2), ("hz100", 3)],
+        measodr=100.0,
+        fs_enum=[("g50", 0)],
+        fs_unit="gauss",
+        sensitivity=0.0015,
+        samples_per_ts=100,
+        display="LIS2MDL Magnetometer",
+    )
+
+
+def iks01a3_datalog2_template() -> list[dict]:
+    """X-NUCLEO-IKS01A3: magnetometer + temperature — the gauss-unit
+    sensor class plus a cross-board reuse of the STTS22H-style temp
+    shape (component interfaces are per-namespace, so reuse is by
+    construction, not by reference)."""
+    ns = _NS_IKS01A3
+    return device_template(
+        ns,
+        [
+            ("lis2mdl_mag", _lis2mdl_mag(ns)),
+            ("stts751_temp", _stts751_temp(ns)),
+        ],
+        "FP-SNS-DATALOG2 on X-NUCLEO-IKS01A3 (generated)",
+    )
+
+
+def _stts751_temp(ns: str) -> dict:
+    # STTS751 datasheet: digital temp sensor, conversion rates to 8 Hz
+    return sensor_interface(
+        "stts751_temp",
+        ns=ns,
+        odr_enum=[("hz1", 0), ("hz4", 1), ("hz8", 2)],
+        measodr=8.0,
+        sensitivity=0.0625,
+        dim=1,
+        samples_per_ts=8,
+        display="STTS751 Temperature",
+    )
+
+
 def u585i_datalog2_template() -> list[dict]:
     """B-U585I-IOT02A: pressure + humidity — the float32-wire low-ODR
     environmental board (every other builtin board samples int16)."""
@@ -612,6 +666,12 @@ BUILTIN_TEMPLATES: list[tuple[str, str, str, Any]] = [
         U585I_FW_ID,
         "b_u585i_iot02a_fp_sns_datalog2-1",
         u585i_datalog2_template,
+    ),
+    (
+        IKS01A3_BOARD_ID,
+        IKS01A3_FW_ID,
+        "x_nucleo_iks01a3_fp_sns_datalog2-1",
+        iks01a3_datalog2_template,
     ),
 ]
 

@@ -507,3 +507,34 @@ def test_builtin_catalog_resolves_env_board_and_decodes_float(spark, tmp_path):
     assert len(rows) == len(in_vals)
     got = np.array([r[1] for r in rows])
     np.testing.assert_allclose(got, in_vals[:, 0], rtol=0, atol=1e-12)
+
+
+def test_builtin_catalog_resolves_mag_board(spark, tmp_path):
+    """Sixth builtin pair: X-NUCLEO-IKS01A3's LIS2MDL — the gauss-unit
+    magnetometer class, decoded end-to-end."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.sources.facade import Acquisition
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        add_sensor,
+        write_acquisition,
+    )
+
+    cat = DeviceTemplateCatalog.builtin()
+    types = cat.resolve_structtypes(0x8, 0x1)
+    assert set(types) == {"lis2mdl_mag", "stts751_temp"}
+    fs = types["lis2mdl_mag"]["fs"]
+    assert fs.metadata["unit"] == "gauss"
+    assert "fs" not in types["stts751_temp"].fieldNames()
+
+    folder = str(tmp_path / "acq_mag")
+    write_acquisition(folder)
+    in_g = add_sensor(
+        folder, "lis2mdl_mag", odr=100.0, spts=20, dim=3,
+        sensitivity=0.0015, n_seconds=1.0,
+    )
+    df = Acquisition(spark, folder).load("lis2mdl_mag")["lis2mdl_mag"]
+    rows = df.orderBy("Time").collect()
+    assert len(rows) == len(in_g)
+    got = np.array([[r[1], r[2], r[3]] for r in rows])
+    np.testing.assert_allclose(got, in_g, rtol=0, atol=1e-12)
