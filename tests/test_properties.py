@@ -321,3 +321,73 @@ def test_merge_spans_matches_python_interval_model(spark, data):
     # structural invariants: strictly increasing, disjoint, non-adjacent
     for v in got.values():
         assert all(b[0] > a[1] for a, b in zip(v, v[1:]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_zorder_key_matches_model_random(spark, data):
+    """Morton key == python interleave model for ANY boundary lists
+    (including duplicate boundaries from skewed quantiles)."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale
+
+    bits = 3
+    nb = (1 << bits) - 1
+    bx = sorted(data.draw(st.lists(
+        st.integers(-50, 50), min_size=nb, max_size=nb)))
+    by = sorted(data.draw(st.lists(
+        st.integers(-50, 50), min_size=nb, max_size=nb)))
+    rows = data.draw(st.lists(
+        st.tuples(st.integers(-60, 60), st.integers(-60, 60)),
+        min_size=1, max_size=30))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in rows], "x double, y double"
+    )
+    collected = df.withColumn(
+        "z",
+        scale.zorder_key(
+            df, ["x", "y"],
+            {"x": [float(b) for b in bx], "y": [float(b) for b in by]},
+            bits=bits,
+        ),
+    ).collect()
+
+    def model(x, y):
+        rx = sum(1 for b in bx if b <= x)
+        ry = sum(1 for b in by if b <= y)
+        key = 0
+        for bit in range(bits):
+            key |= ((rx >> bit) & 1) << (bit * 2)
+            key |= ((ry >> bit) & 1) << (bit * 2 + 1)
+        return key
+
+    # each collected row carries its own inputs — no ordering assumption
+    for r in collected:
+        assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_global_running_sum_matches_python_model(spark, data):
+    """Exact prefix sums for ANY int values (negatives included) under
+    ANY partition count."""
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+    import pyspark.sql.functions as F
+
+    vals = data.draw(st.lists(
+        st.integers(-1000, 1000), min_size=1, max_size=60))
+    n_parts = data.draw(st.integers(1, 5))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(7)
+    got = {
+        r["id"]: r["running_sum"]
+        for r in P.global_running_sum(
+            df, [F.col("id")], "v", n_partitions=n_parts
+        ).collect()
+    }
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        assert got[i] == acc, (i, v)
