@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import io
+import json
 import os
 import tarfile
 
@@ -66,8 +67,9 @@ def write_webdataset(
     "cls": "label"}`` gives members ``<key>.txt`` + ``<key>.cls``).
     Samples land in md5-shuffled order (trainer-ready — no source-order
     correlation), contiguous per key.  Returns the shard manifest
-    (shard, n_samples, tar_bytes) — persist it next to the shards; it is
-    the loader's index and the re-run's verification artifact.
+    (shard, n_samples, tar_bytes) and also writes it atomically to
+    ``path/manifest.json`` — the loader's index and the re-run's
+    verification artifact.
 
     One task per shard; memory is bounded by the largest single shard
     (size shards so samples*bytes fits an executor — the same knob as
@@ -122,9 +124,18 @@ def write_webdataset(
     manifest = sharded.mapInPandas(
         _write, "shard int, n_samples long, tar_bytes long"
     ).collect()
-    return sorted(
-        (r.asDict() for r in manifest), key=lambda d: d["shard"]
-    )
+    rows = sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])
+    # persist the loader's index atomically next to the shards
+    tmp = os.path.join(path, "manifest.json._tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_shards": n_shards, "seed": seed, "files": dict(files),
+             "shards": rows},
+            fh,
+            indent=1,
+        )
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return rows
 
 
 def read_webdataset(

@@ -105,3 +105,17 @@ def test_webdataset_rerun_with_fewer_shards_removes_stale(spark, sf_dir, tmp_pat
     W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=2)
     assert len(W.webdataset_shards(out)) == 2  # no orphan shard-0000[2-5]
     assert W.read_webdataset(spark, out, ["txt"]).count() == 30
+
+
+def test_webdataset_manifest_persisted(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    docs = _corpus(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    rows = W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=2)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["n_shards"] == 2 and m["files"] == {"txt": "text"}
+    assert m["shards"] == rows
+    assert sum(s["n_samples"] for s in m["shards"]) == 20
