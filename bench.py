@@ -251,6 +251,142 @@ def bench_ann(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_ann_scale(spark) -> dict:
+    """ANN probe at a scale where the index WINS on wall time.
+
+    The n=2000 probe (bench_ann) shows brute beating every index — at
+    toy scale fixed plan/scheduling overhead dominates and the index's
+    pruning buys nothing (r5 verdict #5).  This probe times the
+    brute-vs-IVF crossover at n=50k, dim=64, 64 planted clusters: with
+    K=64 lists and n_probe=4 the IVF scan touches ~1/16 of the corpus,
+    which at 50k rows is finally more than the fixed overhead it costs.
+    Timings are best-of-2 (same JVM, so codegen is amortized like a
+    deployed index server).  Both the single-query shape (cosine_topk
+    vs ivf_topk) and the serving shape (batch_cosine_topk vs
+    ivf_topk_batch, 16 queries/batch) are recorded; recall@10 against
+    the exact result is asserted >= 0.8 for both.
+
+    The corpus is generated ONCE into .scratch/ (seeded — byte-
+    identical across rounds) and read back as parquet, so the probe
+    times a scan of an on-disk index like production would."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+
+    n, dim, n_clusters, k = 50_000, 64, 64, 10
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"ann_n{n}_d{dim}"
+    )
+    if not os.path.isdir(path):
+        rng = np.random.default_rng(11)
+        planted = rng.normal(size=(n_clusters, dim))
+        planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+        member_of = rng.integers(0, n_clusters, size=n)
+        pts = planted[member_of] + rng.normal(0.0, 0.08, size=(n, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64),
+             "embedding": [row.astype(np.float32) for row in pts]}
+        )
+        spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
+            .repartition(8).write.mode("overwrite").parquet(path)
+
+    emb = spark.read.parquet(path).persist()
+    emb.count()
+    qrows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "q_id long, q_vec array<double>",
+    )
+
+    def timed(fn):
+        """best-of-2 wall clock + the result rows."""
+        walls, rows = [], None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = fn().collect()
+            walls.append(time.perf_counter() - t0)
+        return rows, min(walls)
+
+    assigned = None
+    try:
+        brute_rows, t_brute = timed(lambda: S.cosine_topk(emb, qvec, k=k))
+        brute = {r["vec_id"] for r in brute_rows}
+
+        # Index build is one-time (outside search timings, like any
+        # deployed index); persist it to .scratch so later rounds pay
+        # only the scan.  build_sec is recorded from the round that
+        # actually built it.
+        idx_path, meta_path = path + "_ivf", path + "_ivf_meta.json"
+        if os.path.isdir(idx_path) and os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            cents = np.asarray(meta["centroids"], dtype=np.float64)
+            t_build = meta["build_sec"]
+            assigned = spark.read.parquet(idx_path).persist()
+            assigned.count()
+        else:
+            t0 = time.perf_counter()
+            cents = S.kmeans_refine(
+                emb, S.train_centroids_sample(emb, n_centroids=n_clusters), n_iter=1
+            )
+            S.ivf_assign(emb, cents).repartition(8).write.mode(
+                "overwrite"
+            ).parquet(idx_path)
+            t_build = round(time.perf_counter() - t0, 3)
+            with open(meta_path, "w") as f:
+                json.dump({"centroids": cents.tolist(), "build_sec": t_build}, f)
+            assigned = spark.read.parquet(idx_path).persist()
+            assigned.count()
+
+        ivf_rows, t_ivf = timed(
+            lambda: S.ivf_topk(assigned, cents, qvec, k=k, n_probe=4)
+        )
+        ivf = {r["vec_id"] for r in ivf_rows}
+
+        bb_rows, t_bb = timed(lambda: S.batch_cosine_topk(emb, queries, k=k))
+        bi_rows, t_bi = timed(
+            lambda: S.ivf_topk_batch(assigned, cents, queries, k=k, n_probe=4)
+        )
+        truth: dict[int, set] = {}
+        for r in bb_rows:
+            truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+        got: dict[int, set] = {}
+        for r in bi_rows:
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        batch_recall = sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+    finally:
+        if assigned is not None:
+            assigned.unpersist()
+        emb.unpersist()
+
+    out = {
+        "n": n,
+        "dim": dim,
+        "k": k,
+        "n_lists": n_clusters,
+        "n_probe": 4,
+        "index_build_sec": round(t_build, 3),
+        "brute_sec": round(t_brute, 3),
+        "ivf_sec": round(t_ivf, 3),
+        "ivf_speedup": round(t_brute / t_ivf, 2),
+        "ivf_recall": round(len(ivf & brute) / k, 3),
+        "batch16_brute_sec": round(t_bb, 3),
+        "batch16_ivf_sec": round(t_bi, 3),
+        "batch16_ivf_speedup": round(t_bb / t_bi, 2),
+        "batch16_ivf_recall": round(batch_recall, 3),
+        "recall_floor_asserted": 0.8,
+    }
+    if out["ivf_recall"] < 0.8 or out["batch16_ivf_recall"] < 0.8:
+        raise RuntimeError(f"ANN@50k recall regression: {out}")
+    return out
+
+
 # The empirical twin of the plan audit's "survives 100x" claim: the 5
 # most expensive queries run at sf0.1 AND a locally-generated sf1 (10x
 # rows, same distributional shapes — tools/gen_sf.py); a per-query
@@ -394,9 +530,14 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
         )
 
     out = {"cold": cold, "warm": warm}
+    # The streaming probe runs in EVERY worker (median-of-3 across fresh
+    # JVMs, r5 verdict: a single sample read 30% lower on unchanged code
+    # and was indistinguishable from a regression); the heavier one-shot
+    # probes (ann/scaling/facade) stay in the last worker only.
+    out["streaming"] = bench_streaming(spark, sf_dir)
     if with_streaming:
-        out["streaming"] = bench_streaming(spark, sf_dir)
         out["ann"] = bench_ann(spark, sf_dir)
+        out["ann_scale"] = bench_ann_scale(spark)
         out["scaling"] = bench_scaling(spark, sf_dir)
         out["facade"] = bench_facade(spark)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
@@ -436,25 +577,48 @@ def main() -> None:
             statistics.median(w for s in samples for w in s["warm"][name]), 3
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "total_warm_wall_sec": round(sum(warm.values()), 3),
-                "streaming": samples[-1].get("streaming"),
-                "ann": samples[-1].get("ann"),
-                "scaling": samples[-1].get("scaling"),
-                "facade": samples[-1].get("facade"),
-                "runs": N_RUNS,
-                "aggregation": "median",
-                "sf": sf,
-            }
-        )
+    # Streaming probe: per-field median across the N fresh-JVM samples
+    # (r5's single sample was 30% off on unchanged code — noise).
+    stream_samples = [s["streaming"] for s in samples if s.get("streaming")]
+    streaming = None
+    if stream_samples:
+        streaming = {
+            k: (
+                round(statistics.median(s[k] for s in stream_samples), 3)
+                if isinstance(stream_samples[0][k], float)
+                else round(statistics.median(s[k] for s in stream_samples))
+            )
+            for k in stream_samples[0]
+        }
+        streaming["samples"] = len(stream_samples)
+
+    result = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "total_warm_wall_sec": round(sum(warm.values()), 3),
+        "streaming": streaming,
+        "ann": samples[-1].get("ann"),
+        "ann_scale": samples[-1].get("ann_scale"),
+        "scaling": samples[-1].get("scaling"),
+        "facade": samples[-1].get("facade"),
+        "runs": N_RUNS,
+        "aggregation": "median",
+        "sf": sf,
+    }
+    # Durability (r5 verdict "What's wrong" #1): the driver captures only a
+    # log tail, which truncated r5's cold block.  Persist the full object
+    # next to the repo so the round's headline metric never depends on a
+    # log tail; committed per-round as BENCH_LOCAL.json.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
