@@ -510,16 +510,27 @@ def minhash_dedup_pairs(
 
 
 def _verify_exact_jaccard(
-    sets: DataFrame, cand: DataFrame, id_col: str, threshold: float
+    sets: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """The exact-Jaccard precision phase shared by the batch dedup
     (``minhash_dedup_pairs``) and the streaming gate's lambda companion
     (``verify_flagged_pairs``): equi-join candidate (id_a, id_b) pairs
     onto the per-doc hashed shingle sets and keep pairs whose exact
     Jaccard clears ``threshold``.  O(candidates), arrays of 64-bit
-    hashes — never strings, never all-pairs."""
+    hashes — never strings, never all-pairs.
+
+    ``sets_b`` binds the id_b side to a DIFFERENT sets frame — the
+    cross-batch callers (``minhash_dedup_incremental``) pass the new
+    batch as ``sets`` and history as ``sets_b`` so an id that appears
+    in both populations cannot conflate the two documents."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    b = (sets_b if sets_b is not None else sets).select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
     n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
     n_a, n_b = F.size("_sh_a"), F.size("_sh_b")
     return (
@@ -1170,18 +1181,22 @@ def minhash_dedup_incremental(
         return pairs, new_index
     old_ids = pairs.select(F.col("old_id").alias(id_col)).distinct()
     suspects = history.join(F.broadcast(old_ids), id_col, "left_semi")
-    sets = _shingle_sets(
-        new_df.select(F.col(id_col), F.col(text_col)).unionByName(
-            suspects.select(F.col(id_col), F.col(text_col))
-        ),
-        id_col,
-        text_col,
-        n,
+    # Sides are kept SEPARATE (id_a binds only new-batch sets, id_b only
+    # history sets): ids need not be unique across batches and history —
+    # a colliding id would otherwise conflate the two documents in the
+    # verify equi-join.
+    sets_new = _shingle_sets(
+        new_df.select(F.col(id_col), F.col(text_col)), id_col, text_col, n
+    )
+    sets_old = _shingle_sets(
+        suspects.select(F.col(id_col), F.col(text_col)), id_col, text_col, n
     )
     cand = pairs.select(
         F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
     )
-    verified = _verify_exact_jaccard(sets, cand, id_col, threshold)
+    verified = _verify_exact_jaccard(
+        sets_new, cand, id_col, threshold, sets_b=sets_old
+    )
     return (
         verified.select(
             F.col("id_a").alias("new_id"),

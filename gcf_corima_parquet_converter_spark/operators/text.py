@@ -727,8 +727,16 @@ def bpe_tokenize(
     the Zipf head, so the loop runs ~once per word TYPE per batch, not
     per token.  The heuristic JVM-side estimator (``bpe_ish_tokens``)
     remains the hot-path choice when only counts are needed.
+
+    Word splitting matches :func:`bpe_train`'s ``tokens()`` (Java regex
+    ``\\s+``, ASCII whitespace) exactly — Python's ``str.split()`` also
+    breaks on Unicode whitespace like U+00A0, which would tokenize a
+    different word population than the one the merges were learned on.
     """
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s == Python ASCII \s
 
     @F.pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
@@ -738,7 +746,9 @@ def bpe_tokenize(
             if t is None:
                 return None
             out = []
-            for w in t.split():
+            for w in ws.split(t):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _bpe_encode_word(w, ranks)

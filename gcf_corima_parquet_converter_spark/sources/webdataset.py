@@ -76,16 +76,20 @@ def write_webdataset(
     any WebDataset writer).  ``key_col`` values must be unique — two
     rows with one key would emit colliding member names inside a shard.
 
-    Re-runs overwrite deterministically; stale shards from a previous
-    run with a LARGER ``n_shards`` are removed first (otherwise a
-    shrink would leave orphan ``shard-00007.tar`` files that
-    ``read_webdataset``'s glob happily ingests).
+    Re-runs overwrite deterministically.  Crash-safety ordering: the
+    previous ``manifest.json`` is removed FIRST (a half-updated
+    directory is never paired with a valid-looking index), existing
+    shards are left in place until the write job has succeeded (each
+    new shard lands by atomic rename, so a killed job preserves every
+    old shard it didn't finish replacing), and only then are stale
+    shards — indexes not produced by this run, e.g. after an
+    ``n_shards`` shrink or an empty shard group — deleted and the new
+    manifest written.
     """
     os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "shard-*.tar")) + glob.glob(
-        os.path.join(path, "shard-*.tar._tmp")
-    ):
-        os.remove(stale)
+    manifest_path = os.path.join(path, "manifest.json")
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
     cols = [key_col, *files.values()]
     sharded = shuffle_shards(
         df.select(*cols), n_shards, key_col, seed=seed, keep_order_col=True
@@ -100,10 +104,17 @@ def write_webdataset(
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True)
+        # Stage under an attempt-unique name: with speculative execution
+        # or a zombie retry, two attempts of one shard must not share a
+        # tmp file, or os.replace could promote an interleaved tar.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         for shard, grp in pdf.groupby("shard", sort=True):
             grp = grp.sort_values(["_shuffle_order", key_col])
             final = os.path.join(path, f"shard-{int(shard):05d}.tar")
-            tmp = final + "._tmp"
+            tmp = f"{final}.{attempt}._tmp"
             with tarfile.open(tmp, "w") as tar:
                 for row in grp.to_dict("records"):
                     key = str(row[key_col])
@@ -125,6 +136,15 @@ def write_webdataset(
         _write, "shard int, n_samples long, tar_bytes long"
     ).collect()
     rows = sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])
+    # The job succeeded: now drop shards this run did not produce
+    # (n_shards shrink, empty shard groups) plus any orphaned staging
+    # files from failed attempts, THEN publish the manifest.
+    produced = {os.path.join(path, f"shard-{d['shard']:05d}.tar") for d in rows}
+    for f in glob.glob(os.path.join(path, "shard-*.tar")):
+        if f not in produced:
+            os.remove(f)
+    for f in glob.glob(os.path.join(path, "shard-*.tar.*_tmp")):
+        os.remove(f)
     # persist the loader's index atomically next to the shards
     tmp = os.path.join(path, "manifest.json._tmp")
     with open(tmp, "w") as fh:

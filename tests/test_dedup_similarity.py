@@ -862,6 +862,36 @@ def test_minhash_incremental_flags_history_dups(spark):
     assert {(r["new_id"], r["old_id"]) for r in flagged3.collect()} >= {(20, 11)}
 
 
+def test_minhash_incremental_id_collision_across_batches(spark):
+    """An id reused across history and a new batch must not conflate the
+    two documents in the exact-Jaccard verify: id_a binds only new-batch
+    sets, id_b only history sets."""
+    hist = _mk_docs(
+        spark, [(2, _distinct_text(2)), (5, _distinct_text(5))]
+    )
+    index = D.minhash_index(hist, "doc_id", "text")
+
+    near5 = _distinct_text(5).split()
+    near5[1] = "tweak"
+    near2 = _distinct_text(2).split()
+    near2[4] = "other"
+    # new doc reUSES id 2 but its text is a near-dup of HISTORY doc 5;
+    # new doc 77 is a near-dup of history doc 2, making history's id 2 a
+    # suspect — the exact collision the unioned-sets join conflated
+    day2 = _mk_docs(spark, [(2, " ".join(near5)), (77, " ".join(near2))])
+    verified, _ = D.minhash_dedup_incremental(
+        day2, index, "doc_id", "text", history=hist, threshold=0.5
+    )
+    rows = verified.collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in rows}
+    assert pairs == {(2, 5), (77, 2)}
+    assert len(rows) == len(pairs)  # no duplicated/conflated rows
+    by_pair = {(r["new_id"], r["old_id"]): r for r in rows}
+    # (2, 5): n_b must be HISTORY doc 5's shingle count, not new doc 2's
+    n_hist5 = len(set(zip(*[_distinct_text(5).split()[i:] for i in range(3)])))
+    assert by_pair[(2, 5)]["n_b"] == n_hist5
+
+
 def test_minhash_incremental_matches_full_batch_across_split(spark):
     """Every full-batch candidate pair that crosses the day boundary
     must be found by the incremental path (same k/bands/n)."""

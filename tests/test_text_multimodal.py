@@ -584,6 +584,25 @@ def test_bpe_tokenize_lossless_and_compresses(spark, sf_dir):
     assert X.bpe_tokenize(nulldf, merges).first()["bpe_tokens"] is None
 
 
+def test_bpe_tokenize_splitter_matches_train_on_nbsp(spark):
+    """Train and apply must split words identically for non-ASCII
+    whitespace: ``tokens()`` is Java ``\\s+`` (ASCII-only), so
+    "foo\\u00a0bar" is ONE word on both sides — Python's str.split()
+    would have broken it into two at apply time, tokenizing a different
+    word population than the merges were learned on."""
+    from gcf_corima_parquet_converter_spark.operators import text as X
+
+    nbsp_word = "foo\u00a0bar"
+    corpus = spark.createDataFrame(
+        [(1, " ".join([nbsp_word] * 6))], "doc_id long, text string"
+    )
+    merges = X.bpe_train(corpus, n_merges=20)
+    # the whole NBSP-joined word (+ end marker) merges into one piece
+    assert nbsp_word + "</w>" in X.bpe_vocab(merges)
+    toks = X.bpe_tokenize(corpus, merges).first()["bpe_tokens"]
+    assert toks == [nbsp_word + "</w>"] * 6  # applied as ONE word, fully merged
+
+
 def test_bpe_word_counts_prune_and_cap(spark):
     from gcf_corima_parquet_converter_spark.operators import text as X
 

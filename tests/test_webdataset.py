@@ -107,6 +107,39 @@ def test_webdataset_rerun_with_fewer_shards_removes_stale(spark, sf_dir, tmp_pat
     assert W.read_webdataset(spark, out, ["txt"]).count() == 30
 
 
+def test_webdataset_failed_rerun_preserves_old_shards(spark, sf_dir, tmp_path):
+    """Crash-safety ordering: a write that fails mid-job must leave the
+    previous run's shards intact (new shards land by atomic rename,
+    old ones are only deleted after success) and must NOT leave a
+    valid-looking manifest.json pointing at a half-updated directory."""
+    import os
+
+    import pytest
+
+    docs = _corpus(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=3)
+    before = {s: os.path.getsize(s) for s in W.webdataset_shards(out)}
+    assert len(before) == 3
+
+    with pytest.raises(Exception):
+        # the analysis error fires after the manifest-removal step,
+        # standing in for any mid-job failure
+        W.write_webdataset(docs, out, "doc_id", {"txt": "no_such_col"},
+                           n_shards=3)
+    after = {s: os.path.getsize(s) for s in W.webdataset_shards(out)}
+    assert after == before  # every old shard survived, byte-identical size
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+    # a successful re-run restores the manifest and sweeps stale staging
+    # files left by dead attempts
+    open(os.path.join(out, "shard-00000.tar.999._tmp"), "wb").close()
+    W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=3)
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    assert not [f for f in os.listdir(out) if f.endswith("_tmp")]
+    assert W.read_webdataset(spark, out, ["txt"]).count() == 20
+
+
 def test_webdataset_manifest_persisted(spark, sf_dir, tmp_path):
     import json
     import os
