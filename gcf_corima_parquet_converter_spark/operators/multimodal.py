@@ -12,10 +12,13 @@ Decode kernels come in three modes:
 * ``decode="auto"`` — real when Pillow imports, fake otherwise (the
   graceful-fallback mode for heterogeneous clusters / CI).
 
-Audio/video codecs (librosa/ffmpeg) stay honest NotImplementedError
-seams — ``sample_frames`` documents where ffmpeg slots in.  Everything
-around the kernels — the schema contract, Arrow batching, partition
-sizing — is real Spark either way.
+Audio is REAL with no extra dependency: ``decode_audio`` parses WAV
+via the stdlib ``wave`` module and raw PCM16 directly (the IMP34DT05
+microphone wire format), ``resample_pcm``/``encode_pcm`` complete the
+decode -> resample -> features path.  Video codecs (ffmpeg) stay an
+honest NotImplementedError seam — ``sample_frames`` documents where
+ffmpeg slots in.  Everything around the kernels — the schema contract,
+Arrow batching, partition sizing — is real Spark either way.
 """
 
 from __future__ import annotations
@@ -308,6 +311,252 @@ def decode_media(
     return df.select(
         F.col(id_col), F.col(type_col), F.col(bin_col)
     ).mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
+
+
+# -------------------------------------------------------------- audio
+# PCM/WAV decode needs only the stdlib (``wave`` + numpy), so unlike the
+# Pillow image kernels the REAL audio path is always available; "fake"
+# remains for pure-plumbing tests.  The producing end of this column is
+# the IMP34DT05 microphone board (schema/templates.py: dim=1 int16 PCM
+# at 16/32/48 kHz, sensitivity 1/32768): decode its .dat stream with the
+# telemetry path, then ``encode_pcm`` packs the per-acquisition waveform
+# into one payload per id — the multimodal audio column end-to-end.
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _pcm16_to_float(raw: bytes, n_channels: int) -> np.ndarray:
+    """int16 LE bytes -> mono float32 in [-1, 1) (channels averaged —
+    the level/feature convention; keep channels upstream if you need
+    them separately)."""
+    raw = raw[: (len(raw) // 2) * 2]  # tolerate a trailing odd byte
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        x = x[: (len(x) // n_channels) * n_channels].reshape(
+            -1, n_channels
+        ).mean(axis=1)
+    return x
+
+
+def _windowed_rms(x: np.ndarray, n_features: int) -> np.ndarray:
+    """RMS level per window, n_features windows spanning the waveform —
+    the audio twin of the image thumbnail features (values in [0, 1])."""
+    if len(x) == 0:
+        return np.zeros(n_features, dtype=np.float32)
+    feats = np.array(
+        [
+            np.sqrt(np.mean(np.square(w))) if len(w) else 0.0
+            for w in np.array_split(x, n_features)
+        ],
+        dtype=np.float32,
+    )
+    return np.clip(feats, 0.0, 1.0)
+
+
+def _real_audio_decode(
+    payload: bytes, n_features: int, default_rate: int, default_channels: int
+) -> tuple[int, int, int, np.ndarray]:
+    """stdlib-``wave`` kernel: RIFF/WAVE payloads are parsed by the
+    container (rate/channels/width from the header); anything else is
+    treated as headerless PCM16 LE at the caller's defaults — the wire
+    format the IMP34DT05 datalog firmware emits."""
+    import io
+    import wave
+
+    if payload[:4] == b"RIFF":
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            if width != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV is supported (got {8 * width}-bit)"
+                )
+            raw = w.readframes(w.getnframes())
+    else:
+        rate, nch, raw = int(default_rate), int(default_channels), payload
+    x = _pcm16_to_float(raw, nch)
+    return rate, nch, len(x), _windowed_rms(x, n_features)
+
+
+def _fake_audio_decode(
+    payload: bytes, n_features: int, default_rate: int, default_channels: int
+) -> tuple[int, int, int, np.ndarray]:
+    """Deterministic pseudo-decoder keyed by the bytes (plumbing tests
+    with no waveform semantics)."""
+    h = hashlib.sha256(payload).digest()
+    rate = (8, 16, 32, 48)[h[0] % 4] * 1000
+    n_samples = 1000 + int.from_bytes(h[1:3], "little") % 64_000
+    _, _, feats = _fake_decode(payload, n_features)
+    return rate, 1, n_samples, feats
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    type_col: str = "media_type",
+    n_features: int = 16,
+    sample_rate: int = 16_000,
+    n_channels: int = 1,
+    decode: str = "real",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Decode audio payloads (WAV or raw PCM16) to typed metadata +
+    windowed-RMS features via ``mapInPandas`` — the audio member of
+    :func:`decode_media`'s family.
+
+    ``sample_rate``/``n_channels`` describe HEADERLESS payloads only
+    (WAV headers win).  The real kernel is stdlib-only, so unlike the
+    image path there is no optional-import fallback: ``decode`` is
+    "real" (default) or "fake".
+    """
+    if decode not in ("real", "fake"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+    kernel = _real_audio_decode if decode == "real" else _fake_audio_decode
+    nf, rate0, nch0 = int(n_features), int(sample_rate), int(n_channels)
+
+    def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, mtype, payload in zip(
+                    chunk[id_col], chunk[type_col], chunk[bin_col]
+                ):
+                    data = bytes(payload)
+                    rate, nch, n, feats = kernel(data, nf, rate0, nch0)
+                    rows.append(
+                        (
+                            int(mid),
+                            str(mtype),
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                            rate,
+                            nch,
+                            n,
+                            float(n) / rate if rate else 0.0,
+                            feats,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+                )
+
+    return df.select(
+        F.col(id_col), F.col(type_col), F.col(bin_col)
+    ).mapInPandas(_decode_batches, AUDIO_META_SCHEMA)
+
+
+RESAMPLED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resample_pcm(
+    df: DataFrame,
+    src_rate: int,
+    dst_rate: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Linear-interpolation resample of raw PCM16-mono payloads (1:1
+    rows, payload replaced) — e.g. 48 kHz microphone capture down to a
+    16 kHz model rate.  Plain linear interp (no anti-alias filter):
+    adequate for downsampling speech-band content and dependency-free;
+    swap a polyphase kernel in here when scipy is available.
+    """
+    src, dst = int(src_rate), int(dst_rate)
+    if src <= 0 or dst <= 0:
+        raise ValueError("rates must be positive")
+
+    def _resample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, payloads = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[bin_col]):
+                x = np.frombuffer(bytes(p), dtype="<i2").astype(np.float64)
+                n_out = int(round(len(x) * dst / src))
+                if len(x) == 0 or n_out == 0:
+                    out = b""
+                    n_out = 0
+                else:
+                    pos = np.arange(n_out) * (src / dst)
+                    y = np.interp(pos, np.arange(len(x)), x)
+                    out = (
+                        np.clip(np.rint(y), -32768, 32767)
+                        .astype("<i2")
+                        .tobytes()
+                    )
+                ids.append(int(mid))
+                ns.append(n_out)
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": np.int32(dst),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _resample, RESAMPLED_AUDIO_SCHEMA
+    )
+
+
+def encode_pcm(
+    df: DataFrame,
+    id_col: str = "acq_id",
+    time_col: str = "Time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pack per-id sample ROWS (float in [-1, 1), the telemetry decode
+    convention) into one PCM16 payload per id, ordered by ``time_col``
+    — the bridge from the IMP34DT05 .dat stream to the audio column.
+
+    ``applyInPandas`` over groupBy(id): one shuffle keyed by id; each
+    payload materializes on ONE task, so ids must be acquisition-sized
+    (a 60 s 48 kHz capture is ~5.8 MB — fine; don't key by day).
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(time_col)[value_col].to_numpy(dtype=np.float64)
+        pcm = (
+            np.clip(np.rint(x * 32768.0), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
+        return pd.DataFrame(
+            {"media_id": [int(key[0])], "n_samples": [len(x)], "payload": [pcm]}
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(time_col), F.col(value_col))
+        .groupBy(id_col)
+        .applyInPandas(_pack, out_schema)
+    )
 
 
 # ------------------------------------------------------ perceptual hash

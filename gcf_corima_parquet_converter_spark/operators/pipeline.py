@@ -615,6 +615,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     n_partitions: int | None = None,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Cumulative sum over a GLOBAL ordering without the single-reducer
     trap.
@@ -631,7 +632,27 @@ def global_running_sum(
     ``order_cols`` must be a TOTAL order (add an id tiebreaker) or the
     cumsum is not well-defined; items may be ``Column`` (e.g.
     ``F.col("score").desc()``) or names.  Exact for int64 values.
+
+    The intermediate cache is CORRECTNESS-critical, not a speedup:
+    range-exchange bounds come from seeded sampling keyed by RDD id, so
+    re-running the lineage in a second job could shift a row's
+    ``_range_id`` and misapply the offsets.  ``materialize`` picks how
+    its lifetime is managed:
+
+    * ``"checkpoint"`` (default) — the result is eagerly
+      ``localCheckpoint``-ed (one extra materialization, peak 2x the
+      result while it lands) and the intermediate cache is dropped
+      before returning; the checkpoint's storage is scoped to the
+      returned DataFrame's lifetime (the context cleaner reclaims it on
+      GC), so nothing persists session-wide.
+    * ``"cache"`` — legacy: the intermediate stays persisted
+      (MEMORY_AND_DISK) until the caller clears it
+      (``spark.catalog.clearCache()`` or session end); cheapest when
+      the caller consumes the result exactly once right away and
+      manages cache scope itself.
     """
+    if materialize not in ("checkpoint", "cache"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -640,10 +661,9 @@ def global_running_sum(
         .withColumn("_range_id", F.spark_partition_id())
     )
     w = Window.partitionBy("_range_id").orderBy(*cols)
-    # persist: the totals collect is its own job with its own lineage —
-    # without this the scan + range exchange + window run twice (same
-    # cache-without-unpersist trade as dsir_logweight's feature stream;
-    # MEMORY_AND_DISK spills rather than OOMs at scale)
+    # persist: pins ONE evaluation of the range exchange for both the
+    # totals collect and the result join (see docstring — lineage
+    # re-execution could re-sample different range bounds)
     local = ranged.withColumn("_local_cum", F.sum(value_col).over(w)).persist()
     # partition total = sum of values, NOT max(local cumsum): the two
     # agree only when values are non-negative
@@ -660,11 +680,15 @@ def global_running_sum(
     off = df.sparkSession.createDataFrame(
         [(k, v) for k, v in offset.items()], "_range_id int, _offset bigint"
     )
-    return (
+    out = (
         local.join(F.broadcast(off), "_range_id")
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_range_id", "_local_cum", "_offset")
     )
+    if materialize == "checkpoint":
+        out = out.localCheckpoint(eager=True)
+        local.unpersist(blocking=True)
+    return out
 
 
 def budget_select(
@@ -674,6 +698,7 @@ def budget_select(
     budget: int,
     id_col: str,
     out_col: str = "cum_tokens",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Greedy token-budget selection: take documents best-score-first
     until the budget is spent (the deterministic "best N tokens" cut a
@@ -687,7 +712,9 @@ def budget_select(
     through one reducer.
     """
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    cum = global_running_sum(df, order, token_col, out_col=out_col)
+    cum = global_running_sum(
+        df, order, token_col, out_col=out_col, materialize=materialize
+    )
     return cum.filter(F.col(out_col) <= budget)
 
 

@@ -2947,3 +2947,27 @@ def q89(spark, sf_dir):
     v1 = d.filter(F.col("doc_id") % 3 != 0)
     v2 = d.filter(F.col("doc_id") % 2 != 0)
     return P.corpus_diff(v1, v2, ["text"], "doc_id").orderBy("digest")
+
+
+# -- q90: audio decode (operators/multimodal.py: decode_audio) — the
+#    documents payload read as headerless PCM16 @16 kHz through the real
+#    stdlib kernel: container metadata + windowed-RMS features.  Rows-
+#    only for the driver (int16-LE byte reinterpretation + uneven-window
+#    RMS has no tractable SQL twin); feature values are pinned EXACTLY
+#    against a pure-numpy oracle in test_text_multimodal.py.
+@query("q90_audio_features")
+def q90(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    audio = M.decode_audio(
+        M.attach_payload(d), sample_rate=16_000, n_features=8
+    )
+    mean_rms = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x
+    ) / F.size("features")
+    return audio.select(
+        "media_id",
+        "n_bytes",
+        "n_samples",
+        fx(F.col("duration_s"), 1_000_000).alias("duration_fx"),
+        fx(mean_rms, 1_000_000).alias("mean_rms_fx"),
+    ).orderBy("media_id")

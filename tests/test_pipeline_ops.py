@@ -497,12 +497,47 @@ def test_global_running_sum_no_single_partition_exchange(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 37).alias("tok")
     )
+    # materialize="cache" exposes the raw decomposition plan (default
+    # "checkpoint" truncates lineage to an ExistingRDD scan)
     out = P.global_running_sum(df, [F.col("tok").desc(), F.col("id")], "tok",
-                               n_partitions=4)
+                               n_partitions=4, materialize="cache")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     # the per-range window is keyed, not global
     assert "_range_id" in plan
+    spark.catalog.clearCache()  # the documented "cache"-mode contract
+
+
+def test_global_running_sum_checkpoint_mode_leaves_no_session_cache(spark):
+    """Default materialize="checkpoint": the correctness-critical
+    intermediate cache must NOT outlive the call — only the returned
+    DataFrame's own (GC-scoped) checkpoint storage may remain."""
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("tok")
+    )
+    out = P.global_running_sum(df, [F.col("id")], "tok", n_partitions=4)
+    after = jsc.getPersistentRDDs().size()
+    # at most the checkpoint RDD itself — the intermediate is gone
+    assert after - base <= 1
+    # the eager checkpoint already ran the pipeline; results are exact
+    rows = out.orderBy("id").limit(3).collect()
+    assert [r["running_sum"] for r in rows] == [1, 3, 6]
+    # caller-visible storage is released with the DataFrame (context
+    # cleaner, GC-driven — poll briefly)
+    import gc
+    import time as _t
+
+    del out, rows
+    for _ in range(60):
+        gc.collect()  # release the py4j handle...
+        spark.sparkContext._jvm.System.gc()  # ...then let the cleaner see it
+        if jsc.getPersistentRDDs().size() <= base:
+            break
+        _t.sleep(0.5)
+    assert jsc.getPersistentRDDs().size() <= base
 
 
 def test_budget_select_maximal_prefix(spark):

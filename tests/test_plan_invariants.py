@@ -32,6 +32,7 @@ PYTHON_ALLOWED = {
     "q62_pack_sequences": "greedy per-worker packing scan (mapInPandas)",
     "q73_compression_quality": "zlib has no JVM twin (ArrowEvalPython)",
     "q87_bpe_tokenize": "ranked-merge loop has no JVM twin (ArrowEvalPython)",
+    "q90_audio_features": "PCM16/WAV audio codec (mapInPandas)",
 }
 
 # query -> max benign scalar-reduce SinglePartition exchanges

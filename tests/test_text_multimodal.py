@@ -613,3 +613,169 @@ def test_bpe_word_counts_prune_and_cap(spark):
     assert wc == {"aa": 3, "bb": 2}
     top = X.word_counts(df, max_words=1).collect()
     assert [(r["word"], r["n"]) for r in top] == [("aa", 3)]
+
+
+# --------------------------------------------------------------- audio
+
+
+def _wav_bytes(samples, rate=16_000, channels=1):
+    """Build a 16-bit PCM WAV via stdlib wave (the test's ground truth
+    for the container-parsing path)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (
+        np.clip(np.rint(np.asarray(samples) * 32768.0), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_decode_audio_wav_matches_numpy_oracle(spark):
+    import numpy as np
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = _wav_bytes(sine, rate=8000)
+    df = spark.createDataFrame(
+        [(1, wav, "audio/wav")], "doc_id long, payload binary, media_type string"
+    )
+    r = M.decode_audio(df, n_features=4).first()
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 1, 8000)
+    assert r["duration_s"] == pytest.approx(1.0)
+    assert r["n_bytes"] == len(wav)
+    # windowed RMS vs the same computation in pure numpy (exact: both
+    # sides quantize through int16 then float32)
+    x = np.frombuffer(wav[-16000:], dtype="<i2").astype(np.float32) / 32768.0
+    want = [
+        float(np.float32(np.sqrt(np.mean(np.square(w)))))
+        for w in np.array_split(x, 4)
+    ]
+    assert list(r["features"]) == pytest.approx(want, abs=1e-7)
+    # a 440 Hz sine at 0.5 FS has RMS ~0.3536 everywhere
+    assert all(abs(f - 0.3536) < 0.01 for f in r["features"])
+
+
+def test_decode_audio_raw_pcm_and_stereo_wav(spark):
+    import numpy as np
+
+    # headerless PCM16 uses the caller's defaults
+    raw = (np.full(1000, 8192, dtype="<i2")).tobytes()
+    df = spark.createDataFrame(
+        [(7, raw, "audio/pcm")], "doc_id long, payload binary, media_type string"
+    )
+    r = M.decode_audio(df, sample_rate=32_000, n_features=2).first()
+    assert (r["sample_rate"], r["n_samples"]) == (32_000, 1000)
+    assert r["duration_s"] == pytest.approx(1000 / 32_000)
+    assert list(r["features"]) == pytest.approx([0.25, 0.25], abs=1e-6)
+
+    # stereo WAV: channels averaged for the mono feature path
+    left, right = np.full(100, 0.5), np.full(100, -0.5)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    wav = _wav_bytes(inter, rate=16_000, channels=2)
+    df2 = spark.createDataFrame(
+        [(8, wav, "audio/wav")], "doc_id long, payload binary, media_type string"
+    )
+    r2 = M.decode_audio(df2, n_features=2).first()
+    assert (r2["n_channels"], r2["n_samples"]) == (2, 100)
+    assert list(r2["features"]) == pytest.approx([0.0, 0.0], abs=1e-4)
+
+
+def test_resample_pcm_rate_and_content(spark):
+    import numpy as np
+
+    const = np.full(4800, 0.25)
+    raw = (
+        np.clip(np.rint(const * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    )
+    df = spark.createDataFrame([(1, raw)], "doc_id long, payload binary")
+    out = M.resample_pcm(df, src_rate=48_000, dst_rate=16_000).first()
+    assert out["sample_rate"] == 16_000
+    assert out["n_samples"] == 1600  # 4800 / 3
+    y = np.frombuffer(bytes(out["payload"]), dtype="<i2")
+    assert len(y) == 1600
+    # constant signal survives linear interp exactly
+    assert set(y.tolist()) == {8192}
+
+    empty = spark.createDataFrame([(2, b"")], "doc_id long, payload binary")
+    e = M.resample_pcm(empty, 48_000, 16_000).first()
+    assert e["n_samples"] == 0 and bytes(e["payload"]) == b""
+
+
+def test_encode_pcm_roundtrips_through_decode(spark):
+    """The microphone bridge end-to-end: per-sample telemetry rows
+    (float in [-1,1), the .dat decode convention) -> one PCM payload per
+    acquisition -> decode_audio recovers count/duration/levels."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = (rng.uniform(-0.9, 0.9, size=2000)).round(4)
+    rows = [
+        (int(acq), i / 16_000.0, float(vals[i]) if acq == 1 else float(-vals[i]))
+        for acq in (1, 2)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "acq_id long, Time double, value double")
+    packed = M.encode_pcm(df.repartition(8))
+    got = {r["media_id"]: r for r in packed.collect()}
+    assert got.keys() == {1, 2}
+    assert got[1]["n_samples"] == 2000
+
+    # time-ordering is preserved through the shuffle
+    x = np.frombuffer(bytes(got[1]["payload"]), dtype="<i2")
+    want = np.clip(np.rint(vals * 32768.0), -32768, 32767).astype("<i2")
+    assert np.array_equal(x, want)
+
+    audio = M.decode_audio(
+        packed.withColumn("media_type", F.lit("audio/pcm")),
+        id_col="media_id",
+        sample_rate=16_000,
+        n_features=4,
+    )
+    meta = {r["media_id"]: r for r in audio.collect()}
+    assert meta[1]["n_samples"] == 2000
+    assert meta[1]["duration_s"] == pytest.approx(0.125)
+    # mirrored signals have identical RMS features
+    assert list(meta[1]["features"]) == pytest.approx(
+        list(meta[2]["features"]), abs=1e-6
+    )
+
+
+def test_decode_audio_plan_is_arrow_batched(spark, sf_dir):
+    d = M.attach_payload(catalog.load(spark, sf_dir, "documents").limit(10))
+    plan = (
+        M.decode_audio(d, sample_rate=16_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan          # Arrow-batched
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_decode_audio_rejects_24bit_wav(spark):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00" * 10)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue(), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        M.decode_audio(df).collect()
