@@ -50,6 +50,10 @@ __all__ = [
     "histogram_shard_sketch",
     "histogram_merge",
     "histogram_percentiles",
+    "topk_shard_sketch",
+    "topk_merge",
+    "topk_estimate",
+    "heavy_hitters",
 ]
 
 _HLL_COL = "hll_sketch"
@@ -241,3 +245,83 @@ def histogram_percentiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------- heavy hitters
+# The FREQUENCY member of the mergeable-artifact family (distinct counts:
+# HLL/bitmap; quantiles: histogram): "which items dominate" — top domains
+# per language, hottest tokens per source, the skew probe every corpus
+# audit runs.  Spark 4's approx_top_k_accumulate / _combine / _estimate
+# aggregate family (SPARK-49979) is the engine-native sketch: bounded
+# state (maxItemsTracked entries per group), partial-aggregable, and the
+# accumulate output is a plain STRUCT column that writes to parquet —
+# the persistable shard artifact, same contract as the other tiers.
+# EXACT whenever a group's distinct-item count <= max_items (the sketch
+# degenerates to a complete counting map), which is what makes an
+# oracle-backed query possible (q91); above that it is the approximate
+# top-k with the usual frequent-items guarantees.
+#
+# The three expressions are SQL-registered but not yet wrapped in
+# pyspark.sql.functions in 4.1, hence F.expr.
+
+_TOPK_COL = "topk_sketch"
+
+
+def topk_shard_sketch(
+    df: DataFrame, keys: list[str], value: str, max_items: int = 1024
+) -> DataFrame:
+    """One frequency sketch of ``value`` per ``keys`` group →
+    ``(keys…, topk_sketch)``.  Persist per shard/day; ``max_items``
+    MUST match across shards you intend to merge (it is carried inside
+    the sketch and ``approx_top_k_combine`` rejects mismatches)."""
+    agg = F.expr(
+        f"approx_top_k_accumulate(`{value}`, {int(max_items)})"
+    ).alias(_TOPK_COL)
+    return df.groupBy(*_cols(keys)).agg(agg)
+
+
+def topk_merge(
+    df: DataFrame, keys: list[str], max_items: int = 1024,
+    sketch_col: str = _TOPK_COL,
+) -> DataFrame:
+    """Merge frequency-sketch tables → ``(keys…, topk_sketch)``;
+    partial-aggregable, only sketches ride the exchange."""
+    agg = F.expr(
+        f"approx_top_k_combine(`{sketch_col}`, {int(max_items)})"
+    ).alias(_TOPK_COL)
+    return df.groupBy(*_cols(keys)).agg(agg)
+
+
+def topk_estimate(
+    df: DataFrame, keys: list[str], k: int = 10, sketch_col: str = _TOPK_COL
+) -> DataFrame:
+    """Extract the top-``k`` items per group from (merged) sketches →
+    ``(keys…, item, est_count)``, deterministically re-sorted
+    (est_count desc, item) so tie order never depends on sketch
+    internals."""
+    est = F.expr(f"approx_top_k_estimate(`{sketch_col}`, {int(k)})")
+    return (
+        df.select(*_cols(keys), F.explode(est).alias("_e"))
+        .select(*_cols(keys), F.col("_e.item").alias("item"),
+                F.col("_e.count").alias("est_count"))
+        .orderBy(*_cols(keys), F.desc("est_count"), "item")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, keys: list[str], value: str, k: int = 10,
+    max_items: int = 1024,
+) -> DataFrame:
+    """One-shot per-group top-k items → ``(keys…, item, est_count)``.
+
+    Semantically ``groupBy(keys, value).count() -> rank <= k`` but with
+    the 100 TB shuffle shape: the raw (keys, value) pairs never ride an
+    exchange — map-side partial sketches (<= ``max_items`` entries
+    each) merge per group.  Exact when distinct values per group fit
+    ``max_items`` (oracle-backed q91).  Caveat shared with every top-k:
+    if the count at the k-boundary is TIED, which of the tied items
+    make the cut is arbitrary (the estimate truncates before our
+    deterministic re-sort); counts themselves are still exact."""
+    return topk_estimate(
+        topk_shard_sketch(df, keys, value, max_items), keys, k
+    )

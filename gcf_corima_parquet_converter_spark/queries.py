@@ -2971,3 +2971,22 @@ def q90(spark, sf_dir):
         fx(F.col("duration_s"), 1_000_000).alias("duration_fx"),
         fx(mean_rms, 1_000_000).alias("mean_rms_fx"),
     ).orderBy("media_id")
+
+
+# -- q91: heavy hitters (operators/sketches.py: heavy_hitters) — the
+#    frequency member of the mergeable-sketch family via Spark 4's
+#    approx_top_k aggregate trio.  5 distinct event types << max_items,
+#    so the sketch is a complete counting map and the oracle is the
+#    exact GROUP BY top-k (counts are tie-free at the graded SFs; the
+#    operator re-sorts (est_count desc, item) so order is engine-
+#    independent regardless).
+@query(
+    "q91_heavy_hitters",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY 1 ORDER BY est_count DESC, item LIMIT 3
+    """,
+)
+def q91(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return K.heavy_hitters(e, [], "event_type", k=3, max_items=64)

@@ -288,6 +288,140 @@ class DeviceTemplateCatalog:
                 entry["custom_dtmi"] = ""
         self._write_index(entries)
 
+    # -- generic appconfig import ------------------------------------
+    @staticmethod
+    def validate_appconfig(template) -> dict[str, dict]:
+        """Validate a device-template document in the public appconfig
+        shape (a JSON LIST of DTDL v2 Interface objects; the root
+        interface's contents are Components whose ``schema`` names a
+        sibling interface — device_template_manager.py:36-61 semantics)
+        and return its resolved ``{component -> interface}`` map.
+
+        Raises ``ValueError`` with a specific reason on malformed input
+        — the importer's contract is "any wheel-shaped appconfig JSON
+        loads or you are told why not".
+        """
+        if isinstance(template, dict):
+            template = [template]
+        if not isinstance(template, list) or not template:
+            raise ValueError("appconfig template must be a non-empty JSON list "
+                             "of DTDL Interface objects")
+        ifaces = [d for d in template if isinstance(d, dict) and "contents" in d]
+        if not ifaces:
+            raise ValueError("no Interface objects with 'contents' found")
+        comps = find_components(template)
+        if not comps:
+            raise ValueError(
+                "no resolvable Components: the root interface must list "
+                "Component contents whose 'schema' ids match sibling "
+                "interface '@id's"
+            )
+        # every component interface must produce a (possibly empty)
+        # StructType without raising — fail at import, not at scan time
+        for name, iface in comps.items():
+            try:
+                interface_to_structtype(iface)
+            except ValueError as e:
+                raise ValueError(f"component {name!r}: {e}") from None
+        return comps
+
+    def add_appconfig(
+        self,
+        template_path: str,
+        board_id: int | str,
+        fw_id: int | str,
+        name: str | None = None,
+    ) -> str:
+        """Import ONE appconfig template JSON (any of the ~39 public
+        board files, or a generated one) into this catalog under
+        ``(board_id, fw_id)`` as its ``local_dtmi``.  One importer
+        covers every board — no per-board code.  Returns the relative
+        dtmi path registered."""
+        with open(template_path) as f:
+            template = json.load(f)
+        self.validate_appconfig(template)
+        b, w = _hex_id(board_id), _hex_id(fw_id)
+        base = name or os.path.splitext(os.path.basename(template_path))[0]
+        rel = os.path.join("dtmi", "appconfig", base + ".json")
+        target = os.path.join(self.catalog_dir, rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            json.dump(template, f, indent=1)
+        entries = self._read_index()
+        for entry in entries:
+            if (
+                _hex_id(entry.get("board_id", "")) == b
+                and _hex_id(entry.get("fw_id", "")) == w
+            ):
+                entry["local_dtmi"] = rel
+                break
+        else:
+            entries.append(
+                {
+                    "board_id": b,
+                    "fw_id": w,
+                    "az_cloud_dtmi": "",
+                    "st_cloud_dtmi": "",
+                    "local_dtmi": rel,
+                }
+            )
+        self._write_index(entries)
+        return rel
+
+    def import_appconfig_tree(self, src_dir: str) -> int:
+        """Bulk-import a wheel-shaped DTDL directory — an
+        ``usb_device_catalog.json`` index next to ``dtmi/appconfig/**``
+        template files — merging every resolvable entry into this
+        catalog.  Existing ``custom_dtmi`` overrides here are preserved
+        (only ``local_dtmi`` is refreshed).  Returns the number of
+        entries imported; entries whose template file is missing or
+        malformed are skipped (import what resolves, report the rest
+        via the count)."""
+        src_index = os.path.join(src_dir, self.INDEX)
+        with open(src_index) as f:
+            src_entries = json.load(f)
+        n = 0
+        for e in src_entries:
+            rel = e.get("local_dtmi")
+            if not rel:
+                continue
+            path = os.path.join(src_dir, rel)
+            try:
+                with open(path) as f:
+                    template = json.load(f)
+                self.validate_appconfig(template)
+            except (OSError, ValueError, json.JSONDecodeError):
+                continue
+            name = os.path.splitext(os.path.basename(rel))[0]
+            # flatten the source's board subdirectory into the name so
+            # two boards sharing a template file name don't collide
+            sub = os.path.dirname(rel)
+            for strip in ("dtmi/appconfig", "dtmi"):
+                if sub.startswith(strip):
+                    sub = sub[len(strip):].strip("/")
+                    break
+            if sub:
+                name = sub.replace("/", "_") + "_" + name
+            self.add_appconfig(path, e["board_id"], e["fw_id"], name=name)
+            n += 1
+        return n
+
+    @classmethod
+    def from_appconfig(
+        cls,
+        catalog_dir: str,
+        template_path: str,
+        board_id: int | str,
+        fw_id: int | str,
+        name: str | None = None,
+    ) -> "DeviceTemplateCatalog":
+        """Bootstrap a catalog directory from one appconfig template
+        file (the 'I have a board the builtin catalog doesn't generate'
+        path): validate, copy, index, return the live catalog."""
+        cat = cls(catalog_dir)
+        cat.add_appconfig(template_path, board_id, fw_id, name=name)
+        return cat
+
     # -- Spark-side resolution ---------------------------------------
     def resolve_structtypes(
         self, board_id: int | str, fw_id: int | str

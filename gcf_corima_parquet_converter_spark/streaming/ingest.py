@@ -411,3 +411,52 @@ def windowed_distinct(
             "approx_distinct",
         )
     )
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming windowed histogram sketch — the live twin of
+    ``operators.sketches.histogram_shard_sketch`` (the quantile member;
+    ``windowed_distinct`` above is the HLL member).
+
+    Emits the SKETCH rows ``(keys…, window_start, window_end, _bucket,
+    n)`` in append mode once each window's watermark passes: the same
+    fixed ``[lo, hi)/n_bins`` ``width_bucket`` grid as the batch tier,
+    so a window's rows ARE a ``histogram_shard_sketch`` table keyed by
+    the window columns — feed the sink's accumulated rows straight to
+    ``sketches.histogram_percentiles(keys=[…, "window_start"])`` for
+    per-window p50/p90, or ``histogram_merge`` across windows/streams.
+    Percentile extraction stays batch-side by design: the cumulative
+    walk is a window function (unsupported over streaming state), and
+    emitting the mergeable artifact — not a digest of it — is what
+    keeps the stream's state bounded at <= n_bins+2 counters per
+    (keys, window) while preserving every downstream question.
+    """
+    v = F.col(value_col).cast("double")
+    keys = key_cols or []
+    win = F.window(ts_col, window)
+    bucket = F.width_bucket(
+        v, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)
+    ).alias("_bucket")
+    return (
+        stream.where(v.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys], win.alias("w"), bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "_bucket",
+            "n",
+        )
+    )

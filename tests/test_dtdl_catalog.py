@@ -538,3 +538,170 @@ def test_builtin_catalog_resolves_mag_board(spark, tmp_path):
     assert len(rows) == len(in_g)
     got = np.array([[r[1], r[2], r[3]] for r in rows])
     np.testing.assert_allclose(got, in_g, rtol=0, atol=1e-12)
+
+
+# ----------------------------------------------- generic appconfig import
+
+
+def test_from_appconfig_roundtrips_builtin_board(tmp_path):
+    """A generated board's template JSON -> importer -> IDENTICAL
+    StructTypes under a fresh catalog (the round-trip the importer's
+    contract is defined by)."""
+    from gcf_corima_parquet_converter_spark.schema import templates as T
+
+    src = T.materialize(str(tmp_path / "src"))
+    entry = src._read_index()[0]
+    tpl_path = os.path.join(src.catalog_dir, entry["local_dtmi"])
+
+    cat = DeviceTemplateCatalog.from_appconfig(
+        str(tmp_path / "dst"), tpl_path, entry["board_id"], entry["fw_id"]
+    )
+    want = src.resolve_structtypes(entry["board_id"], entry["fw_id"])
+    got = cat.resolve_structtypes(entry["board_id"], entry["fw_id"])
+    assert want is not None and got == want
+
+
+def test_add_appconfig_handwritten_wheel_shape_fixture(tmp_path):
+    """A hand-written fixture in the public appconfig shape (a JSON
+    list of DTDL v2 Interfaces; root lists Components by schema id)
+    imports through the same one generic path — no per-board code."""
+    fixture = [
+        {
+            "@context": ["dtmi:dtdl:context;2"],
+            "@id": "dtmi:fixture:myboard:fw;1",
+            "@type": "Interface",
+            "displayName": {"en": "fixture_fw-1"},
+            "contents": [
+                {
+                    "@type": "Component",
+                    "name": "mysensor_acc",
+                    "schema": "dtmi:fixture:myboard:fw:sensors:mysensor_acc;1",
+                },
+                {
+                    "@type": "Component",
+                    "name": "log_controller",
+                    "schema": "dtmi:fixture:myboard:fw:other:log_controller;1",
+                },
+            ],
+        },
+        {
+            "@context": ["dtmi:dtdl:context;2"],
+            "@id": "dtmi:fixture:myboard:fw:sensors:mysensor_acc;1",
+            "@type": "Interface",
+            "contents": [
+                {
+                    "@type": ["Property", "Frequency"],
+                    "name": "odr",
+                    "schema": {
+                        "@type": "Enum",
+                        "valueSchema": "integer",
+                        "enumValues": [
+                            {"name": "hz100", "displayName": {"en": "100"},
+                             "enumValue": 0},
+                            {"name": "hz200", "displayName": {"en": "200"},
+                             "enumValue": 1},
+                        ],
+                    },
+                    "unit": "hertz",
+                },
+                {"@type": "Property", "name": "enable", "schema": "boolean"},
+                {"@type": "Property", "name": "dim", "schema": "integer"},
+                {"@type": "Property", "name": "samples_per_ts",
+                 "schema": "integer"},
+            ],
+        },
+        {
+            "@context": ["dtmi:dtdl:context;2"],
+            "@id": "dtmi:fixture:myboard:fw:other:log_controller;1",
+            "@type": "Interface",
+            "contents": [
+                {"@type": "Property", "name": "log_status", "schema": "string"},
+                {"@type": "Command", "name": "start_log"},
+            ],
+        },
+    ]
+    p = tmp_path / "fixture_fw-1.json"
+    with open(p, "w") as f:
+        json.dump(fixture, f)
+
+    cat = DeviceTemplateCatalog(str(tmp_path / "cat"))
+    rel = cat.add_appconfig(str(p), 0x42, 0x1)
+    assert rel == os.path.join("dtmi", "appconfig", "fixture_fw-1.json")
+
+    st = cat.resolve_structtypes(0x42, 0x1)
+    assert set(st) == {"mysensor_acc", "log_controller"}
+    acc = st["mysensor_acc"]
+    assert [f.name for f in acc.fields] == ["odr", "enable", "dim",
+                                            "samples_per_ts"]
+    assert acc["odr"].dataType.typeName() == "integer"  # Enum value type
+    assert acc["odr"].metadata == {"unit": "hertz", "unit_symbol": "Hz"}
+    # Commands are not Properties: excluded from the status StructType
+    assert [f.name for f in st["log_controller"].fields] == ["log_status"]
+
+
+def test_add_appconfig_rejects_malformed(tmp_path):
+    cat = DeviceTemplateCatalog(str(tmp_path / "cat"))
+
+    def write(obj):
+        p = tmp_path / "bad.json"
+        with open(p, "w") as f:
+            json.dump(obj, f)
+        return str(p)
+
+    with pytest.raises(ValueError, match="non-empty JSON list"):
+        cat.add_appconfig(write([]), 1, 1)
+    with pytest.raises(ValueError, match="no Interface"):
+        cat.add_appconfig(write([{"@id": "x"}]), 1, 1)
+    with pytest.raises(ValueError, match="no resolvable Components"):
+        cat.add_appconfig(
+            write([{"@id": "dtmi:a;1", "contents": [
+                {"@type": "Property", "name": "p", "schema": "double"}]}]),
+            1, 1,
+        )
+    with pytest.raises(ValueError, match="component 'c'"):
+        cat.add_appconfig(
+            write([
+                {"@id": "dtmi:r;1", "contents": [
+                    {"@type": "Component", "name": "c", "schema": "dtmi:s;1"}]},
+                {"@id": "dtmi:s;1", "contents": [
+                    {"@type": "Property", "name": "p", "schema": "float128"}]},
+            ]),
+            1, 1,
+        )
+    # nothing half-registered after the failures
+    assert cat._read_index() == []
+
+
+def test_import_appconfig_tree_bulk(tmp_path):
+    """A wheel-shaped directory (usb_device_catalog.json +
+    dtmi/appconfig/<board>/<fw>.json files) imports wholesale; board
+    subdirectories are flattened into unique template names and
+    custom overrides already present stay intact."""
+    from gcf_corima_parquet_converter_spark.schema import templates as T
+
+    # build a source tree in the wheel's layout from two generated boards
+    src_dir = tmp_path / "wheel_dtdl"
+    boards = T.BUILTIN_TEMPLATES[:2]
+    index = []
+    for board_id, fw_id, name, builder in boards:
+        rel = os.path.join("dtmi", "appconfig", name.split("_")[0], name + ".json")
+        target = src_dir / rel
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            json.dump(builder(), f)
+        index.append({"board_id": board_id, "fw_id": fw_id,
+                      "az_cloud_dtmi": "", "st_cloud_dtmi": "",
+                      "local_dtmi": rel})
+    # one broken entry: missing file — skipped, not fatal
+    index.append({"board_id": "0x99", "fw_id": "0x1",
+                  "local_dtmi": "dtmi/appconfig/ghost/missing.json"})
+    with open(src_dir / DeviceTemplateCatalog.INDEX, "w") as f:
+        json.dump(index, f)
+
+    cat = DeviceTemplateCatalog(str(tmp_path / "cat"))
+    assert cat.import_appconfig_tree(str(src_dir)) == 2
+    builtin = T.materialize(str(tmp_path / "builtin"))
+    for board_id, fw_id, name, _ in boards:
+        assert cat.resolve_structtypes(board_id, fw_id) == \
+            builtin.resolve_structtypes(board_id, fw_id)
+    assert cat.query("0x99", "0x1") is None

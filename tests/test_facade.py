@@ -134,3 +134,37 @@ def test_multi_sensor_acquisition(spark, tmp_path):
     assert len(axis_cols) == 1
     assert temp.count() == (2000 // 32) * 32
     assert frames[SENSOR].count() == int(2.0 * 2000.0) // 64 * 64
+
+
+def test_convert_labeled_matches_label_samples_directly(spark, acq_folder, tmp_path):
+    """labeled=True parity: the facade's export must equal composing
+    load() + tag_intervals() + telemetry.label_samples by hand, row for
+    row (same J3 broadcast interval join, same null-label semantics)."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    folder, _, _ = acq_folder
+    hsd = Acquisition(spark, folder)
+    out = str(tmp_path / "labeled_export")
+    exported = hsd.convert_dat_to_xsv(
+        SENSOR, out, labeled=True, file_format="PARQUET"
+    )
+
+    # the hand-built equivalent
+    meta = hsd.get_sensor(SENSOR)
+    df = hsd.load(SENSOR, absolute_time=False)[SENSOR]
+    tagdf = spark.createDataFrame(
+        [(lbl, float(t0), float(t1)) for lbl, t0, t1 in hsd.tags()],
+        "label string, t_start double, t_end double",
+    )
+    want = tm.to_absolute_time(tm.label_samples(df, tagdf), meta.start_ns)
+
+    assert sorted(exported.columns) == sorted(want.columns)
+    key = [c for c in exported.columns]
+    a = {tuple(r) for r in exported.select(*key).collect()}
+    b = {tuple(r) for r in want.select(*key).collect()}
+    assert a == b and len(a) == want.count()
+    # and the persisted parquet carries the same labeled rows
+    disk = {tuple(r) for r in spark.read.parquet(out).select(*key).collect()}
+    assert disk == b

@@ -42,6 +42,9 @@ SINGLE_PARTITION_ALLOWED = {
     "q70_unigram_logprob": 1,  # vocab total scalar
     "q74_dsir_weights": 2,  # two distribution totals
     "q80_normalize_text": 1,  # count-distinct audit scalar
+    # global (keys=[]) top-k sketch: partial sketches merge map-side,
+    # one <= max_items struct per task reaches the single partition
+    "q91_heavy_hitters": 1,
 }
 
 

@@ -202,3 +202,72 @@ def test_histogram_percentiles_within_bin_width(spark):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+# --------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_when_items_fit(spark):
+    """max_items >= distinct items per group -> the sketch is a complete
+    counting map: results equal the exact groupBy top-k, ties re-sorted
+    (est_count desc, item) deterministically."""
+    # distinct per-item counts: the k-boundary must not be tied (at a
+    # tied boundary ANY top-k — sketch or exact — picks arbitrarily)
+    mults = [("a", 50), ("b", 40), ("c", 30), ("d", 20), ("e", 10), ("f", 5)]
+    rows = [
+        (g, w) for g in (0, 1, 2) for w, n in mults for _ in range(n + g)
+    ]
+    df = spark.createDataFrame(rows, "g int, w string").repartition(8)
+    got = K.heavy_hitters(df, ["g"], "w", k=4, max_items=64).collect()
+
+    import collections
+
+    exact: dict[int, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for g, w in rows:
+        exact[g][w] += 1
+    for g in (0, 1, 2):
+        want = sorted(exact[g].items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        mine = [(r["item"], r["est_count"]) for r in got if r["g"] == g]
+        assert mine == want, (g, mine, want)
+
+
+def test_topk_merge_equals_oneshot_and_persists(spark, tmp_path):
+    """Shard sketches -> parquet -> read back -> combine == sketching
+    the union in one pass (the persistable-artifact contract every
+    sketch tier carries)."""
+    a = spark.createDataFrame(
+        [(1, f"w{i % 13}") for i in range(3000)], "g int, w string"
+    )
+    b = spark.createDataFrame(
+        [(1, f"w{i % 5}") for i in range(2000)], "g int, w string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    K.topk_shard_sketch(a, ["g"], "w", max_items=32).write.parquet(p1)
+    K.topk_shard_sketch(b, ["g"], "w", max_items=32).write.parquet(p2)
+    shards = spark.read.parquet(p1).unionByName(spark.read.parquet(p2))
+    merged = K.topk_estimate(
+        K.topk_merge(shards, ["g"], max_items=32), ["g"], k=6
+    ).collect()
+    oneshot = K.heavy_hitters(
+        a.unionByName(b), ["g"], "w", k=6, max_items=32
+    ).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in oneshot]
+
+
+def test_heavy_hitters_no_raw_value_shuffle(spark, sf_dir):
+    """The scale contract: raw (keys, value) pairs never ride an
+    exchange — only <= max_items sketch structs do.  The plan must show
+    a partial aggregate BELOW the exchange (objHashAggregate partial
+    merge), and no Python."""
+    from gcf_corima_parquet_converter_spark import catalog
+
+    e = catalog.load(spark, sf_dir, "events")
+    df = K.heavy_hitters(e, [], "event_type", k=3, max_items=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # partial aggregation before the final single-sketch reduce
+    assert plan.lower().count("aggregate") >= 2
+    rows = df.collect()
+    assert len(rows) == 3 and rows[0]["est_count"] >= rows[-1]["est_count"]

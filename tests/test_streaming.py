@@ -654,3 +654,104 @@ def test_windowed_distinct_stream_matches_batch(spark, tmp_path):
     }
     for w, n in got.items():
         assert exp[w] == n, (w, n, exp.get(w))
+
+
+def test_windowed_histogram_stream_matches_batch(spark, tmp_path):
+    """Streaming histogram sketch (live twin of the quantile tier):
+    every emitted window's (bucket, n) rows equal the batch
+    histogram_shard_sketch on the same rows, and feeding the emitted
+    rows to histogram_percentiles gives the same p50/p90 as the batch
+    path end-to-end."""
+    import os
+    import time as _time
+
+    from gcf_corima_parquet_converter_spark.operators import sketches as K
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        windowed_histogram,
+    )
+
+    src = str(tmp_path / "vals_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    early = [(float((i * 37) % 1000) / 10.0, base + (i % 100))
+             for i in range(500)]
+    late = [(float(i % 70), base + 600 + i % 30) for i in range(120)]
+    sch = "v double, epoch long"
+
+    def write_file(rows, name, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_file(early, "a", now - 60)
+    write_file(late, "b", now)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+    )
+    out = windowed_histogram(
+        stream, "v", lo=0.0, hi=100.0, n_bins=16,
+        window="1 minute", watermark="2 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wh_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("wh_stream_t")
+    got = {
+        (r["window_start"], r["_bucket"]): r["n"] for r in emitted.collect()
+    }
+    assert len(got) >= 1
+
+    batch = spark.createDataFrame(early + late, sch).withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    ).withColumn("w", F.window("ts", "1 minute"))
+    exp_sketch = K.histogram_shard_sketch(
+        batch.select(F.col("w.start").alias("window_start"), "v"),
+        ["window_start"], "v", 0.0, 100.0, 16,
+    )
+    exp = {
+        (r["window_start"], r["_bucket"]): r["n"] for r in exp_sketch.collect()
+    }
+    emitted_windows = {w for w, _ in got}
+    for (w, b), n in got.items():
+        assert exp[(w, b)] == n, (w, b, n)
+    # completeness per emitted window: every batch bucket row is there
+    for (w, b), n in exp.items():
+        if w in emitted_windows:
+            assert got[(w, b)] == n
+
+    # the emitted rows ARE a sketch table: percentile extraction on them
+    # matches the batch tier end-to-end
+    got_p = {
+        (r["window_start"], r["q"]): r["value"]
+        for r in K.histogram_percentiles(
+            emitted.where(F.col("window_start").isin(list(emitted_windows))),
+            ["window_start"], [0.5, 0.9], 0.0, 100.0, 16,
+        ).collect()
+    }
+    exp_p = {
+        (r["window_start"], r["q"]): r["value"]
+        for r in K.histogram_percentiles(
+            exp_sketch.where(F.col("window_start").isin(list(emitted_windows))),
+            ["window_start"], [0.5, 0.9], 0.0, 100.0, 16,
+        ).collect()
+    }
+    assert got_p == exp_p and len(got_p) == 2 * len(emitted_windows)
