@@ -82,6 +82,8 @@ _DEMOTED_REDUNDANT = (
     "q44_pivot_order_status",
     # r6: new with the window full — oracle green in test_queries_oracle
     "q91_heavy_hitters",
+    "q92_corpus_upsert",
+    "q93_downsample_envelope",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -757,3 +757,65 @@ def corpus_diff(
     return o.join(n, "digest", "full_outer").select(
         "digest", status.alias("status"), "old_id", "new_id"
     )
+
+
+def apply_corpus_update(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE/upsert a corpus snapshot: ``updates`` rows replace ``base``
+    rows sharing ``id_col``; ids only in ``updates`` insert; with
+    ``delete_col`` (boolean on the updates side), true rows are
+    TOMBSTONES — the matching base row is dropped and the tombstone
+    itself is not emitted.  The Delta/Iceberg ``MERGE INTO`` semantics
+    (whenMatched update / whenNotMatched insert / matched-AND-condition
+    delete) expressed in pure DataFrame ops.
+
+    Scale shape: one equi-shuffle on ``id_col`` for the full-outer
+    join; no row ever appears twice (updates must be unique per id —
+    enforce upstream or via ``exact_dedup``).  At 100 TB this is the
+    canonical daily-snapshot maintenance job: base is the big side,
+    updates the small one, and AQE broadcast-joins automatically when
+    updates fit (the join is written side-agnostically so either plan
+    works).
+
+    Columns: output schema is ``base``'s schema (minus nothing);
+    ``updates`` must carry the same data columns (plus ``delete_col``).
+    """
+    data_cols = [c for c in base.columns if c != id_col]
+    upd = updates
+    if delete_col is not None:
+        tomb = F.coalesce(F.col(delete_col), F.lit(False))
+        upd = upd.withColumn("_tomb", tomb).drop(delete_col)
+    else:
+        upd = upd.withColumn("_tomb", F.lit(False))
+    missing = [c for c in data_cols if c not in upd.columns]
+    if missing:
+        raise ValueError(f"updates side missing data columns {missing}")
+    b = base.select(
+        F.col(id_col), *[F.col(c).alias(f"_b_{c}") for c in data_cols]
+    )
+    u = upd.select(
+        F.col(id_col),
+        "_tomb",
+        *[F.col(c).alias(f"_u_{c}") for c in data_cols],
+    )
+    joined = b.join(u, id_col, "full_outer")
+    matched_update = F.col("_tomb").isNotNull() & ~F.col("_tomb")
+
+    def out(c):
+        if c == id_col:
+            return F.col(id_col)
+        return (
+            F.when(matched_update, F.col(f"_u_{c}"))
+            .otherwise(F.col(f"_b_{c}"))
+            .alias(c)
+        )
+
+    # keep: base-only rows (no update), matched non-tombstone updates,
+    # and update-only inserts; drop matched tombstones AND tombstones
+    # for ids that never existed (idempotent deletes)
+    keep = F.col("_tomb").isNull() | ~F.col("_tomb")
+    return joined.where(keep).select(*[out(c) for c in base.columns])

@@ -221,3 +221,111 @@ def zorder_by(
         key_col
     )
     return out if keep_key else out.drop(key_col)
+
+
+# --------------------------------------------------- file-skipping stats
+
+
+def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-input-file column statistics →
+    ``(file, n_rows, <c>_min, <c>_max, <c>_nulls …)`` — the data-
+    skipping artifact (Delta's per-file stats / Iceberg's manifest
+    metrics) from public Spark primitives: group by
+    ``input_file_name()`` and min/max/count each column.
+
+    Persist next to the table after every write/compaction; planners
+    (and :func:`prune_files`) then answer "which files can contain
+    rows matching this predicate" from KBs of stats instead of opening
+    footers — at 100 TB the stats table is ~1 row per file while the
+    data is billions of rows, and the aggregation partial-combines
+    map-side so only per-file partials shuffle.
+
+    ``file`` is the path as the scan reports it (scheme-qualified);
+    normalize with ``F.regexp_replace(file, '^file:', '')`` when
+    comparing against os paths.
+    """
+    # the input_file_* expressions are nondeterministic, so they must be
+    # PROJECTED to columns before any aggregate consumes them
+    proj = df.select(
+        F.input_file_name().alias("file"),
+        (F.input_file_block_start() + F.input_file_block_length()).alias(
+            "_block_end"
+        ),
+        *[F.col(c) for c in cols],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        # file length = end of the furthest block this scan read — exact
+        # for a whole-file scan, and free (no filesystem round-trip)
+        F.max("_block_end").alias("n_bytes"),
+    ]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+        ]
+    return proj.groupBy("file").agg(*aggs).orderBy("file")
+
+
+def prune_files(
+    stats: DataFrame, col: str, lo=None, hi=None, keep_nulls: bool = False
+) -> DataFrame:
+    """Select the files that CAN contain rows with ``col`` in
+    ``[lo, hi]`` from a :func:`file_stats` artifact → the pruned file
+    list (a driver-sized frame; feed the collected paths back to
+    ``spark.read.parquet(*files)``).
+
+    Skipping logic is the standard min/max interval overlap — sound
+    (never skips a file that could match) but not exact (a kept file
+    may still contain no matching rows; the scan's own predicate
+    finishes the job).  ``keep_nulls`` retains files whose only
+    candidate rows are nulls (for IS NULL predicates).
+    """
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(f"{col}_max") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(f"{col}_min") <= F.lit(hi))
+    # an all-null file has null min/max: interval logic yields NULL ->
+    # dropped unless keep_nulls
+    if keep_nulls:
+        cond = cond | (F.col(f"{col}_nulls") > 0)
+    else:
+        cond = F.coalesce(cond, F.lit(False))
+    return stats.where(cond)
+
+
+def compaction_plan(
+    stats: DataFrame, target_bytes: int, small_file_bytes: int | None = None
+) -> list[list[str]]:
+    """Group small files into compaction bins of ~``target_bytes`` from
+    a :func:`file_stats` artifact — the OPTIMIZE/rewrite planner's
+    input (the small-files problem: a 100 TB table written by many
+    jobs accretes millions of KB-scale files whose per-file open cost
+    dominates scans).
+
+    Driver-side first-fit-decreasing over the stats rows (one per file
+    — driver-sized by construction); only files smaller than
+    ``small_file_bytes`` (default ``target_bytes // 2``) are
+    candidates, and singleton bins are dropped (rewriting one file
+    buys nothing).  Returns ``[[file, ...], ...]``; feed each group to
+    ``spark.read.parquet(*group).coalesce(1).write`` (or the S8
+    compaction sink) to execute.
+    """
+    small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
+    rows = (
+        stats.select("file", "n_bytes")
+        .where(F.col("n_bytes") < small)
+        .collect()
+    )
+    files = sorted(rows, key=lambda r: (-r["n_bytes"], r["file"]))
+    bins: list[tuple[int, list[str]]] = []
+    for r in files:
+        for i, (used, group) in enumerate(bins):
+            if used + r["n_bytes"] <= target_bytes:
+                bins[i] = (used + r["n_bytes"], group + [r["file"]])
+                break
+        else:
+            bins.append((r["n_bytes"], [r["file"]]))
+    return [group for _, group in bins if len(group) > 1]

@@ -275,3 +275,45 @@ def asof_join(
             {c: F.when(ok, F.col(c)) for c in [*right_cols, asof_col]}
         )
     return out
+
+
+def downsample_minmax(
+    df: DataFrame,
+    bucket_ns: int,
+    value_cols: list[str],
+    time_col: str = "Time",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Display/archive downsampling: one row per ``bucket_ns`` time
+    bucket with (min, max, first, last, avg, n) per value column — the
+    envelope that preserves peaks a plain ``avg`` resample erases
+    (the rendering/alerting contract for high-rate telemetry: a plot of
+    min+max per pixel-bucket is visually identical to the raw series).
+
+    One partial-aggregable groupBy on ``(keys, bucket)``; first/last
+    are ``min_by/max_by`` on the timestamp — deterministic because a
+    telemetry stream has at most one row per (keys, timestamp).  Time
+    is int64 epoch-ns (the decode convention); ``bucket_start`` is the
+    bucket's left edge in the same unit.
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    t = F.col(time_col)
+    # integer bucket math, NOT floor(t/b)*b: epoch-ns values (~1.7e18)
+    # exceed double's 53-bit mantissa, so the float round-trip would
+    # misplace bucket edges; t - pmod(t, b) stays exact int64 (and
+    # yields the left edge for negative times too)
+    bucket = (t - F.pmod(t, F.lit(int(bucket_ns)))).alias("bucket_start")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in value_cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.min_by(c, t).alias(f"{c}_first"),
+            F.max_by(c, t).alias(f"{c}_last"),
+            F.avg(c).alias(f"{c}_avg"),
+        ]
+    return (
+        df.groupBy(*keys, bucket)
+        .agg(*aggs)
+        .orderBy(*(key_cols or []), "bucket_start")
+    )

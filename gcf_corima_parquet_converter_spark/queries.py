@@ -2990,3 +2990,93 @@ def q90(spark, sf_dir):
 def q91(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     return K.heavy_hitters(e, [], "event_type", k=3, max_items=64)
+
+
+# -- q92: corpus snapshot upsert (operators/pipeline.py:
+#    apply_corpus_update) — MERGE INTO semantics in pure DataFrame ops:
+#    matched updates replace, unmatched insert, tombstones delete
+#    (idempotently, incl. deletes of never-existed ids).  One id-keyed
+#    full-outer shuffle; the oracle is the literal CASE/COALESCE twin.
+@query(
+    "q92_corpus_upsert",
+    """
+    WITH base AS (SELECT doc_id, text, lang FROM documents),
+    upd AS (
+      SELECT doc_id, upper(text) AS text, lang, (doc_id % 5 = 0) AS del
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+             'en', false
+      FROM documents WHERE doc_id % 11 = 0),
+    merged AS (
+      SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN u.doc_id IS NOT NULL AND NOT u.del
+                  THEN u.text ELSE b.text END AS text,
+             CASE WHEN u.doc_id IS NOT NULL AND NOT u.del
+                  THEN u.lang ELSE b.lang END AS lang,
+             u.del
+      FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+    SELECT doc_id, text, lang FROM merged
+    WHERE del IS NULL OR NOT del ORDER BY doc_id
+    """,
+)
+def q92(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", "lang")
+    upd = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        (F.col("doc_id") % 5 == 0).alias("del"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+            F.lit("en").alias("lang"),
+            F.lit(False).alias("del"),
+        )
+    )
+    return P.apply_corpus_update(base, upd, "doc_id", delete_col="del").orderBy(
+        "doc_id"
+    )
+
+
+# -- q93: min/max envelope downsampling (operators/telemetry.py:
+#    downsample_minmax) — the display/archive resample that keeps peaks.
+#    Bucketed on event_id (a tie-free monotone axis, so first/last are
+#    well-defined on both engines); avg is excluded from the graded
+#    projection (IEEE sum order differs across engines) and pinned
+#    approximately in pytest instead.
+@query(
+    "q93_downsample_envelope",
+    """
+    SELECT event_type,
+           event_id - (event_id % 1000) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           arg_min(value, event_id) AS value_first,
+           arg_max(value, event_id) AS value_last
+    FROM events
+    GROUP BY event_type, bucket_start
+    ORDER BY event_type, bucket_start
+    """,
+)
+def q93(spark, sf_dir):
+    from .operators import telemetry as tm
+
+    e = T(spark, sf_dir, "events")
+    ds = tm.downsample_minmax(
+        e, 1000, ["value"], time_col="event_id", key_cols=["event_type"]
+    )
+    return ds.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        "value_min",
+        "value_max",
+        "value_first",
+        "value_last",
+    ).orderBy("event_type", "bucket_start")

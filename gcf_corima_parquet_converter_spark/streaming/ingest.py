@@ -460,3 +460,56 @@ def windowed_histogram(
             "n",
         )
     )
+
+
+def windowed_heavy_hitters(
+    stream: DataFrame,
+    value_col: str,
+    k: int = 10,
+    max_items: int = 1024,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming windowed top-k items — the FREQUENCY member of the
+    live sketch-twin family (``windowed_distinct`` = HLL,
+    ``windowed_histogram`` = quantiles; batch tier:
+    ``operators.sketches.heavy_hitters``).
+
+    The same ``approx_top_k_accumulate`` aggregate runs as the
+    streaming aggregate: per-micro-batch partial sketches merge into
+    watermark-bounded window state of <= ``max_items`` entries per
+    (keys, window) — "top domains per minute" with bounded state
+    however many distinct values arrive.  Emits ``(keys…,
+    window_start, window_end, item, est_count)`` rows in append mode
+    once a window's watermark passes, deterministically re-sorted per
+    window downstream of the estimate (same tie caveat as the batch
+    tier: a TIED k-boundary picks arbitrarily).  Exact when distinct
+    items per window fit ``max_items`` — pinned by the batch-parity
+    test.
+    """
+    keys = key_cols or []
+    win = F.window(ts_col, window)
+    acc = F.expr(
+        f"approx_top_k_estimate("
+        f"approx_top_k_accumulate(`{value_col}`, {int(max_items)}), {int(k)})"
+    ).alias("_topk")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in keys], win.alias("w"))
+        .agg(acc)
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.explode("_topk").alias("_e"),
+        )
+        .select(
+            *keys,
+            "window_start",
+            "window_end",
+            F.col("_e.item").alias("item"),
+            F.col("_e.count").alias("est_count"),
+        )
+    )

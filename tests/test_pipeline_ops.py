@@ -593,3 +593,55 @@ def test_corpus_diff_statuses(spark):
     # retained rows carry both sides' ids
     assert all(r["old_id"] is not None and r["new_id"] is not None
                for r in by_status["retained"])
+
+
+def test_apply_corpus_update_merge_semantics(spark):
+    """MERGE INTO semantics: matched update, unmatched insert, tombstone
+    delete — including the idempotent delete of a never-existed id."""
+    base = spark.createDataFrame(
+        [(1, "one", 10), (2, "two", 20), (3, "three", 30)],
+        "id long, txt string, score long",
+    )
+    upd = spark.createDataFrame(
+        [
+            (2, "TWO", 22, False),   # update
+            (3, None, 0, True),      # delete
+            (4, "four", 40, False),  # insert
+            (9, None, 0, True),      # delete of a missing id: no-op
+        ],
+        "id long, txt string, score long, del boolean",
+    )
+    got = {
+        r["id"]: (r["txt"], r["score"])
+        for r in P.apply_corpus_update(base, upd, "id", delete_col="del").collect()
+    }
+    assert got == {1: ("one", 10), 2: ("TWO", 22), 4: ("four", 40)}
+
+    # without delete_col: pure upsert
+    up2 = spark.createDataFrame(
+        [(1, "ONE", 11), (5, "five", 50)], "id long, txt string, score long"
+    )
+    got2 = {
+        r["id"]: (r["txt"], r["score"])
+        for r in P.apply_corpus_update(base, up2, "id").collect()
+    }
+    assert got2 == {
+        1: ("ONE", 11), 2: ("two", 20), 3: ("three", 30), 5: ("five", 50)
+    }
+    # output schema preserves base column order
+    assert P.apply_corpus_update(base, up2, "id").columns == base.columns
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing data columns"):
+        P.apply_corpus_update(base, up2.drop("score"), "id")
+
+
+def test_apply_corpus_update_null_update_values(spark):
+    """An update row may legitimately set a column to NULL; that must
+    not be confused with 'no update' (the when() guards on the match
+    marker, not on value nullness)."""
+    base = spark.createDataFrame([(1, "x")], "id long, txt string")
+    upd = spark.createDataFrame([(1, None)], "id long, txt string")
+    [r] = P.apply_corpus_update(base, upd, "id").collect()
+    assert r["txt"] is None

@@ -174,3 +174,119 @@ def test_zorder_plan_is_jvm_only_single_range_exchange(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
     assert plan.count("rangepartitioning") == 1
+
+
+def test_file_stats_and_prune_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    p = str(tmp_path / "tbl")
+    # 4 files with disjoint id ranges + one all-null value file
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 3000, F.col("id").cast("double")).alias("v"),
+    )
+    df.repartitionByRange(4, "id").write.parquet(p)
+    back = spark.read.parquet(p)
+    stats = SC.file_stats(back, ["v"]).collect()
+    assert len(stats) == 4
+    assert sum(r["n_rows"] for r in stats) == 4000
+    assert sum(r["v_nulls"] for r in stats) == 1000
+    # per-file min/max match a direct per-file read
+    for r in stats:
+        path = r["file"].replace("file:", "")
+        one = spark.read.parquet(path).agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).first()
+        assert r["v_min"] == one["lo"] and r["v_max"] == one["hi"]
+
+    sdf = SC.file_stats(back, ["v"])
+    # interval overlap: only files that CAN contain v in [500, 1500]
+    kept = SC.prune_files(sdf, "v", lo=500.0, hi=1500.0).collect()
+    kept_files = [r["file"].replace("file:", "") for r in kept]
+    assert 0 < len(kept_files) < 4
+    # soundness: re-scanning only kept files loses no matching rows
+    pruned_count = (
+        spark.read.parquet(*kept_files)
+        .where(F.col("v").between(500.0, 1500.0))
+        .count()
+    )
+    full_count = back.where(F.col("v").between(500.0, 1500.0)).count()
+    assert pruned_count == full_count
+    # the all-null file is dropped unless keep_nulls
+    allnull = [r["file"] for r in stats if r["v_min"] is None]
+    assert len(allnull) == 1
+    kept_n = {r["file"] for r in SC.prune_files(sdf, "v", lo=0.0, hi=1e9,
+                                                keep_nulls=True).collect()}
+    assert allnull[0] in kept_n
+    kept_no_n = {r["file"] for r in SC.prune_files(sdf, "v", lo=0.0,
+                                                   hi=1e9).collect()}
+    assert allnull[0] not in kept_no_n
+
+
+def test_file_stats_plan_is_jvm_partial_agg(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    p = str(tmp_path / "tbl2")
+    spark.range(0, 100).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    ).write.parquet(p)
+    plan = (
+        SC.file_stats(spark.read.parquet(p), ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.lower().count("hashaggregate") >= 2  # map-side partials
+
+
+def test_compaction_plan_bins_small_files(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    p = str(tmp_path / "frag")
+    # 8 deliberately tiny files + 1 big one
+    spark.range(0, 800).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    ).repartition(8).write.parquet(p)
+    spark.range(800, 40000).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(p)
+
+    stats = SC.file_stats(spark.read.parquet(p), ["v"])
+    rows = stats.collect()
+    assert len(rows) == 9
+    # n_bytes matches the filesystem
+    for r in rows:
+        assert r["n_bytes"] == os.path.getsize(r["file"].replace("file:", ""))
+
+    big = max(rows, key=lambda r: r["n_bytes"])
+    target = int(big["n_bytes"])  # small = anything under half the big file
+    plan = SC.compaction_plan(stats, target_bytes=target)
+    planned = [f for grp in plan for f in grp]
+    # every small file is planned exactly once; the big file is not
+    assert sorted(planned) == sorted(
+        r["file"] for r in rows if r["n_bytes"] < target // 2
+    )
+    assert big["file"] not in planned
+    # bins respect the target
+    sizes = {r["file"]: r["n_bytes"] for r in rows}
+    for grp in plan:
+        assert len(grp) > 1
+        assert sum(sizes[f] for f in grp) <= target
+    # executing one group produces the same rows as its inputs
+    grp = plan[0]
+    merged = str(tmp_path / "merged")
+    spark.read.parquet(*[f.replace("file:", "") for f in grp]).coalesce(
+        1
+    ).write.parquet(merged)
+    assert spark.read.parquet(merged).count() == sum(
+        r["n_rows"] for r in rows if r["file"] in grp
+    )

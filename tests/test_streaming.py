@@ -755,3 +755,86 @@ def test_windowed_histogram_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got_p == exp_p and len(got_p) == 2 * len(emitted_windows)
+
+
+def test_windowed_heavy_hitters_stream_matches_batch(spark, tmp_path):
+    """Streaming frequency sketch (live twin of heavy_hitters): every
+    emitted window's top-k equals the batch exact groupBy top-k when
+    items fit max_items (counts distinct by construction, so the
+    boundary is tie-free)."""
+    import os
+    import time as _time
+
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        windowed_heavy_hitters,
+    )
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    # per minute-window: item w<j> appears (10 - j) times -> distinct counts
+    early = [
+        (f"w{j}", base + w * 60 + (j * 17 + r) % 60)
+        for w in (0, 1)
+        for j in range(6)
+        for r in range(10 - j)
+    ]
+    late = [(f"w{j}", base + 600 + j) for j in range(3)]
+    sch = "item string, epoch long"
+
+    def write_file(rows, name, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_file(early, "a", now - 60)
+    write_file(late, "b", now)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+    )
+    out = windowed_heavy_hitters(
+        stream, "item", k=3, max_items=64,
+        window="1 minute", watermark="2 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.table("hh_stream_t").collect():
+        got.setdefault(r["window_start"], []).append(
+            (r["item"], r["est_count"])
+        )
+    assert len(got) >= 1
+    for w in got:
+        got[w].sort(key=lambda t: (-t[1], t[0]))
+
+    import collections
+
+    batch = spark.createDataFrame(early + late, sch).withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    ).withColumn("w", F.window("ts", "1 minute")).collect()
+    exact: dict = collections.defaultdict(collections.Counter)
+    for r in batch:
+        exact[r["w"]["start"]][r["item"]] += 1
+    for w, pairs in got.items():
+        want = sorted(exact[w].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert pairs == want, (w, pairs, want)

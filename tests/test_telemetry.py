@@ -231,3 +231,43 @@ def test_asof_join_null_payload_propagates(spark):
     assert got[0] == (100.0, 5)  # matched the t=5 row
     # t=25 matches the t=20 right row, whose rv is genuinely NULL:
     assert got[1] == (None, 20), got[1]
+
+
+def test_downsample_minmax_envelope(spark):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    # 2 series x 3 buckets of 10 samples; values crafted so min/max/
+    # first/last/avg are all distinct and hand-checkable
+    rows = []
+    for k in ("a", "b"):
+        for i in range(30):
+            sign = 1 if k == "a" else -1
+            rows.append((k, i * 100, float(sign * (i % 10) + i // 10)))
+    df = spark.createDataFrame(rows, "comp string, Time long, v double")
+    out = {
+        (r["comp"], r["bucket_start"]): r
+        for r in tm.downsample_minmax(
+            df.repartition(7), 1000, ["v"], key_cols=["comp"]
+        ).collect()
+    }
+    assert len(out) == 6
+    r = out[("a", 0)]  # samples: v = 0..9 at Time 0..900
+    assert (r["n"], r["v_min"], r["v_max"]) == (10, 0.0, 9.0)
+    assert (r["v_first"], r["v_last"]) == (0.0, 9.0)
+    assert r["v_avg"] == pytest.approx(4.5)
+    r = out[("b", 1000)]  # v = -(i%10) + 1 for i 10..19
+    assert (r["v_min"], r["v_max"]) == (-8.0, 1.0)
+    assert (r["v_first"], r["v_last"]) == (1.0, -8.0)
+
+    # epoch-ns scale: bucket edges stay exact (the double-division trap)
+    ns = 1_700_000_000_000_000_000
+    big = spark.createDataFrame(
+        [(ns + i * 1_000_000, float(i)) for i in range(10)],
+        "Time long, v double",
+    )
+    b = tm.downsample_minmax(big, 5_000_000, ["v"]).collect()
+    starts = sorted(r["bucket_start"] for r in b)
+    assert starts == [ns, ns + 5_000_000]
+    assert all((s - ns) % 5_000_000 == 0 for s in starts)
