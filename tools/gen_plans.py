@@ -100,9 +100,13 @@ QUERIES = [
         "q85_budget_select",
         "global running sum without the single-reducer window: range "
         "partition on the ordering + per-range cumsum keyed by the "
-        "captured range id + broadcast offsets — note the absence of "
-        "Exchange SinglePartition that a bare SUM() OVER (ORDER BY) "
-        "would plan (pinned repo-wide by test_plan_invariants)",
+        "captured range id + broadcast offsets.  Since r6 the default "
+        "materialize='checkpoint' runs that decomposition EAGERLY and "
+        "returns a lineage-truncated scan of the checkpointed result "
+        "(so the static plan below shows scans: 0) — the decomposed "
+        "shape itself is pinned by test_global_running_sum_no_single_"
+        "partition_exchange via materialize='cache', and the absence "
+        "of Exchange SinglePartition repo-wide by test_plan_invariants",
     ),
     (
         "q82_bitmap_distinct",
@@ -111,6 +115,26 @@ QUERIES = [
         "bitmap_construct_agg), so the exchanges carry bitmaps, not "
         "ids — countDistinct's expand-and-reshuffle of every raw id "
         "is the shape this replaces at 100 TB",
+    ),
+    (
+        "q91_heavy_hitters",
+        "frequency sketch top-k: raw (key, value) pairs never ride an "
+        "exchange — approx_top_k_accumulate partial-aggregates to "
+        "<= max_items structs per task before the final reduce (the one "
+        "benign SinglePartition: a global keys=[] aggregate of "
+        "already-combined sketches)",
+    ),
+    (
+        "q92_corpus_upsert",
+        "MERGE upsert: one id-keyed full-outer shuffle; side-agnostic, "
+        "so AQE broadcast-joins a small updates side at runtime",
+    ),
+    (
+        "q93_downsample_envelope",
+        "min/max envelope downsample: single partial-aggregable groupBy "
+        "on (key, bucket) — integer bucket arithmetic (t - pmod(t, b)) "
+        "keeps edges exact at epoch-ns magnitudes where floor(t/b)*b "
+        "loses bits to double precision",
     ),
 ]
 
