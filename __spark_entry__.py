@@ -84,6 +84,7 @@ _DEMOTED_REDUNDANT = (
     "q91_heavy_hitters",
     "q92_corpus_upsert",
     "q93_downsample_envelope",
+    "q94_interval_join_binned",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

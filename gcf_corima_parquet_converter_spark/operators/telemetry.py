@@ -317,3 +317,75 @@ def downsample_minmax(
         .agg(*aggs)
         .orderBy(*(key_cols or []), "bucket_start")
     )
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    bin_width: int,
+    time_col: str = "Time",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join for a NON-broadcastable interval side — the scale
+    completion of :func:`label_samples` (J3): when the interval table
+    is itself huge (per-device maintenance windows, billions of
+    anomaly spans), a broadcast is impossible and the naive range
+    predicate plans as a cartesian/nested-loop join.
+
+    Standard bin-blocking rewrite (the DB range-join optimization
+    Spark lacks natively): every point maps to ONE bin
+    (``t - pmod(t, w)``); every interval EXPLODES to the bins it
+    overlaps; the join is then a plain equi-join on the bin key with
+    the exact range predicate as a residual filter.  Both sides
+    shuffle hash-partitioned on the bin — no broadcast, no cartesian.
+
+    ``bin_width`` tunes the blow-up: interval side replicates
+    ~(len/bin_width + 1)x, points never replicate.  Pick it near the
+    TYPICAL interval length; a pathological interval spanning the
+    whole axis would explode into axis/bin_width rows, so clamp
+    upstream if your spans are unbounded.  Works on any int64 axis
+    (epoch-ns, µs, ids) — pure integer arithmetic, no double
+    round-trip.  Time semantics match ``label_samples``:
+    ``start <= t < end``.
+    """
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    t = F.col(time_col)
+    pts = points.withColumn("_bin", t - F.pmod(t, F.lit(w)))
+    s, e = F.col(start_col), F.col(end_col)
+    first_bin = s - F.pmod(s, F.lit(w))
+    # last covered bin: intervals are half-open, so end-1 is the last
+    # contained point; guard empty intervals (end <= start -> no bins)
+    last_bin = (e - 1) - F.pmod(e - 1, F.lit(w))
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.when(e > s, F.sequence(first_bin, last_bin, F.lit(w))).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    joined = pts.join(ivs, "_bin", how="inner").where(
+        (F.col(time_col) >= F.col(start_col))
+        & (F.col(time_col) < F.col(end_col))
+    )
+    if how == "inner":
+        return joined.drop("_bin")
+    if how != "left":
+        raise ValueError(f"unsupported how={how!r} (inner or left)")
+    # left join: re-attach unmatched points (semantics of label_samples)
+    iv_cols = [c for c in intervals.columns if c not in points.columns]
+    matched = joined.drop("_bin")
+    unmatched = points.join(
+        matched.select(*points.columns).distinct(),
+        on=points.columns,
+        how="left_anti",
+    )
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c])
+        )
+    return matched.unionByName(unmatched)

@@ -3080,3 +3080,43 @@ def q93(spark, sf_dir):
         "value_first",
         "value_last",
     ).orderBy("event_type", "bucket_start")
+
+
+# -- q94: bin-blocked interval join (operators/telemetry.py:
+#    interval_join_binned) — J3's scale path when the interval side is
+#    NOT broadcastable: points map to one bin, intervals explode to
+#    overlapped bins, equi-join on bin + exact residual range filter.
+#    Here: every event within 10 minutes after a signup (event-time µs
+#    on both engines).  The oracle is the naive range join DuckDB plans
+#    directly; results are identical, only the 100 TB shuffle shape
+#    differs.
+@query(
+    "q94_interval_join_binned",
+    """
+    WITH iv AS (
+      SELECT event_id AS iv_id, epoch_us(ts) AS t_start,
+             epoch_us(ts) + 600000000 AS t_end
+      FROM events WHERE event_type = 'signup'),
+    p AS (SELECT event_id AS pid, epoch_us(ts) AS t FROM events)
+    SELECT p.pid, iv.iv_id
+    FROM p JOIN iv ON p.t >= iv.t_start AND p.t < iv.t_end
+    ORDER BY pid, iv_id
+    """,
+)
+def q94(spark, sf_dir):
+    from .operators import telemetry as tm
+
+    e = T(spark, sf_dir, "events")
+    points = e.select(F.col("event_id").alias("pid"), ts_us().alias("t"))
+    ivs = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iv_id"),
+        ts_us().alias("t_start"),
+        (ts_us() + 600_000_000).alias("t_end"),
+    )
+    return (
+        tm.interval_join_binned(
+            points, ivs, bin_width=600_000_000, time_col="t"
+        )
+        .select("pid", "iv_id")
+        .orderBy("pid", "iv_id")
+    )

@@ -40,3 +40,51 @@ def test_refresh_and_invalidate_see_rewritten_path(spark, tmp_path):
     _write_region(spark, f"{d}/region.parquet", 5)
     catalog.invalidate(d)
     assert catalog.load(spark, d, "region").count() == 5
+
+
+def test_conform_schema_evolution(spark):
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from gcf_corima_parquet_converter_spark.schema.sanitize import (
+        conform_schema,
+    )
+
+    target = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    # old batch: missing score, extra legacy column, doc_id as int string
+    old = spark.createDataFrame(
+        [("1", "a", "legacy"), ("2", "b", "legacy")],
+        "doc_id string, text string, old_col string",
+    )
+    out = conform_schema(old, target)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "score"]
+    assert dict(out.dtypes) == {"doc_id": "bigint", "text": "string",
+                                "score": "double"}
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None and rows[1]["text"] == "a"
+
+    kept = conform_schema(old, target, on_extra="keep")
+    assert kept.columns == ["doc_id", "text", "score", "old_col"]
+    with pytest.raises(ValueError, match="unexpected columns"):
+        conform_schema(old, target, on_extra="error")
+
+    # conformed batches union + append cleanly with a canonical frame
+    new = spark.createDataFrame([(3, "c", 0.5)], target)
+    both = conform_schema(old, target).unionByName(new)
+    assert both.count() == 3
+
+    # non-strict: a garbage cast nulls instead of failing at run time
+    bad = spark.createDataFrame([("x", "t")], "doc_id string, text string")
+    [r] = conform_schema(bad, target, strict_casts=False).collect()
+    assert r["doc_id"] is None
+
+    # pure projection: no exchange in the plan
+    plan = conform_schema(old, target)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -211,3 +211,48 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     assert sorted(back.Time) == list(range(1000))
     # staging prefix is cleaned up even though the write succeeded
     assert glob.glob(f"{root}/_compact_tmp_*") == []
+
+
+# --------------------------------------------------- generic read/write
+
+
+def test_generic_format_roundtrips(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from gcf_corima_parquet_converter_spark.sources import generic as G
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    ddl = "id long, k string, v double"
+
+    for fmt in ("parquet", "orc", "csv", "tsv", "json"):
+        p = str(tmp_path / f"t.{fmt if fmt != 'tsv' else 'tsv'}")
+        G.write_table(df, p, fmt=fmt)
+        back = G.read_table(spark, p, fmt=fmt, schema=ddl)
+        assert sorted(tuple(r) for r in back.collect()) == want, fmt
+        # inference path reads the same table with no fmt argument
+        back2 = G.read_table(spark, p, schema=ddl)
+        assert back2.count() == 100, fmt
+
+    # partitioned ORC write + extension inference + pushdown survives
+    p = str(tmp_path / "part.orc")
+    G.write_table(df, p, partition_by=["k"])
+    back = G.read_table(spark, p, schema="id long, v double, k string")
+    assert back.where(F.col("k") == "3").count() == 20
+    plan = (
+        back.where(F.col("k") == "3")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan or "k#" in plan  # partition pruning
+
+    with pytest.raises(ValueError, match="spark-avro"):
+        G.infer_format("x.avro")
+    with pytest.raises(ValueError, match="cannot infer"):
+        G.infer_format("x.xyz")
+    assert G.infer_format("dir/") == "parquet"
+    assert G.infer_format("docs.jsonl.gz") == "json"

@@ -271,3 +271,61 @@ def test_downsample_minmax_envelope(spark):
     starts = sorted(r["bucket_start"] for r in b)
     assert starts == [ns, ns + 5_000_000]
     assert all((s - ns) % 5_000_000 == 0 for s in starts)
+
+
+def test_interval_join_binned_matches_broadcast_path(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    rng = random.Random(5)
+    points = spark.createDataFrame(
+        [(i, rng.randrange(0, 10_000)) for i in range(2000)],
+        "pid long, Time long",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (j, s := rng.randrange(0, 9_500), s + rng.randrange(1, 800),
+             f"tag{j}")
+            for j in range(300)
+        ],
+        "iv long, t_start long, t_end long, label string",
+    )
+    # empty interval: never matches, never explodes
+    ivals = ivals.unionByName(
+        spark.createDataFrame([(999, 50, 50, "empty")], ivals.schema)
+    )
+
+    def key(rows):
+        return sorted(
+            (r["pid"], r["Time"], r["iv"], r["label"]) for r in rows
+        )
+
+    want = key(
+        tm.label_samples(points, ivals, how="inner").collect()
+    )
+    got = key(
+        tm.interval_join_binned(points, ivals, bin_width=512).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # left semantics: unmatched points survive with null interval cols
+    wl = tm.label_samples(points, ivals, how="left")
+    gl = tm.interval_join_binned(points, ivals, bin_width=512, how="left")
+    assert gl.count() == wl.count()
+    assert (
+        gl.where(F.col("iv").isNull()).count()
+        == wl.where(F.col("iv").isNull()).count()
+    )
+
+    # scale shape: equi-join on the bin, never cartesian/nested-loop
+    plan = (
+        tm.interval_join_binned(points, ivals, bin_width=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
