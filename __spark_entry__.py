@@ -85,6 +85,7 @@ _DEMOTED_REDUNDANT = (
     "q92_corpus_upsert",
     "q93_downsample_envelope",
     "q94_interval_join_binned",
+    "q95_group_quality_gate",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

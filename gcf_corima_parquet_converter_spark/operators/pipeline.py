@@ -216,6 +216,49 @@ def quantile_threshold_filter(
     return df.join(F.broadcast(thr)).where(op).drop("_thr")
 
 
+def group_quantile_filter(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    frac: float,
+    id_col: str,
+    keep: str = "best",
+) -> DataFrame:
+    """PER-GROUP relative quality gate: keep each group's best (or
+    worst) ``frac`` of rows by ``score_col`` — "top 60% per language /
+    per source", the group-aware member of the
+    :func:`quantile_threshold_filter` family (whose single corpus-wide
+    cut over-prunes small high-quality groups and under-prunes big
+    noisy ones).
+
+    Exact and deterministic: rows rank within their group by
+    ``(score, id)`` (id tiebreak — reruns keep the same rows), and the
+    kept count per group is ``ceil(frac * n_group)`` so every
+    non-empty group retains at least one row.  One hash-partition
+    window per group — the same shuffle any per-group rank pays;
+    groups are assumed numerous (languages, sources), so there is no
+    single-reducer funnel.  ``keep="best"`` ranks score desc,
+    ``"worst"`` asc (the quarantine side).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    if keep not in ("best", "worst"):
+        raise ValueError(f"unknown keep {keep!r}")
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if keep == "best"
+        else [F.col(score_col).asc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .where(F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

@@ -793,3 +793,67 @@ def ivf_topk_batch(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------- embedding hygiene
+# The prep steps every embedding corpus needs before any ANN/dedup
+# tier: unit-normalization (cosine == dot only on unit vectors) and
+# chunk->document mean pooling (long docs embed per chunk; retrieval
+# wants one vector per doc).  Both stay pure JVM.
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize a vector column (zero vectors pass through as
+    zeros, not NaNs).  The norm is BOUND to its own projection before
+    the per-element transform — higher-order-function lambdas are
+    interpreted, so an inline norm expression would be re-evaluated
+    per element (the O(dim^2) trap ``_shingles`` documents)."""
+    out = out_col or vec_col
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    bound = df.withColumn("_norm", norm)
+    unit = F.when(
+        F.col("_norm") > 0.0,
+        F.transform(
+            F.col(vec_col), lambda x: (x.cast("double") / F.col("_norm")).cast("float")
+        ),
+    ).otherwise(F.col(vec_col).cast("array<float>"))
+    return bound.withColumn(out, unit).drop("_norm")
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group — chunk->document
+    pooling.  NO explode (which would multiply the corpus by dim on
+    the shuffle): the aggregation is ``dim`` per-element ``avg``
+    columns rebuilt into one array post-agg, the same
+    fixed-width-columns pattern as ``kmeans_refine`` — partial
+    aggregation applies, so the exchange carries dim doubles per
+    group, not dim rows per vector.  ``dim`` is read from the first
+    row when omitted (one tiny driver action at plan time)."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("cannot infer dim from an empty frame")
+        dim = len(first[0])
+    aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"_m{i}")
+        for i in range(dim)
+    ] + [F.count(F.lit(1)).alias("n_pooled")]
+    pooled = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    arr = F.array(*[F.col(f"_m{i}").cast("float") for i in range(dim)])
+    return pooled.withColumn(out_col, arr).drop(
+        *[f"_m{i}" for i in range(dim)]
+    )

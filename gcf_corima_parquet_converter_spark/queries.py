@@ -3120,3 +3120,27 @@ def q94(spark, sf_dir):
         .select("pid", "iv_id")
         .orderBy("pid", "iv_id")
     )
+
+
+# -- q95: per-group relative quality gate (operators/pipeline.py:
+#    group_quantile_filter) — "keep the best 30% per language": exact
+#    per-group rank with id tiebreak, ceil(frac*n) kept per group so
+#    small groups survive.  The oracle is the literal window twin.
+@query(
+    "q95_group_quality_gate",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM ranked
+    WHERE rk <= CEIL(0.3 * n) ORDER BY doc_id
+    """,
+)
+def q95(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return P.group_quantile_filter(
+        d, ["lang"], "n_chars", 0.3, "doc_id"
+    ).orderBy("doc_id")

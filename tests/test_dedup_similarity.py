@@ -980,3 +980,50 @@ def test_ivf_topk_batch_preserves_string_query_ids(spark, emb):
     rows = out.collect()
     assert {r["q_id"] for r in rows} == {"query-1", "query-5"}
     assert out.schema["q_id"].dataType.simpleString() == "string"
+
+
+# ------------------------------------------------- embedding hygiene
+
+
+def test_normalize_embeddings_units_and_zeros(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: list(r["embedding"])
+           for r in S.normalize_embeddings(df).collect()}
+    assert got[1] == pytest.approx([0.6, 0.8], abs=1e-6)
+    assert got[2] == [0.0, 0.0]  # zero vector passes through
+    assert got[3] == pytest.approx([1.0, 0.0])
+    # plan stays JVM-side
+    plan = S.normalize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mean_pool_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings").limit(60).select(
+        (F.col("vec_id") % 7).alias("doc"), "embedding"
+    )
+    rows = emb.collect()
+    got = {r["doc"]: (np.array(r["embedding"]), r["n_pooled"])
+           for r in S.mean_pool(emb, ["doc"]).collect()}
+    import collections
+
+    acc = collections.defaultdict(list)
+    for r in rows:
+        acc[r["doc"]].append(np.array(r["embedding"], dtype=np.float64))
+    for doc, vecs in acc.items():
+        want = np.stack(vecs).mean(axis=0).astype(np.float32)
+        vec, n = got[doc]
+        assert n == len(vecs)
+        np.testing.assert_allclose(vec, want, rtol=1e-6)
+    # partial-aggregable JVM plan, no explode
+    plan = S.mean_pool(emb, ["doc"], dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode of the vectors
+    assert plan.lower().count("hashaggregate") >= 2

@@ -645,3 +645,34 @@ def test_apply_corpus_update_null_update_values(spark):
     upd = spark.createDataFrame([(1, None)], "id long, txt string")
     [r] = P.apply_corpus_update(base, upd, "id").collect()
     assert r["txt"] is None
+
+
+def test_group_quantile_filter_exact_and_small_groups(spark):
+    rows = (
+        [(i, "big", float(i)) for i in range(100)]
+        + [(200 + i, "small", float(i)) for i in range(3)]
+        + [(300, "solo", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, score double")
+    kept = P.group_quantile_filter(df, ["g"], "score", 0.3, "doc_id")
+    got = {r["g"]: sorted(rr["doc_id"] for rr in kept.collect()
+                          if rr["g"] == r["g"]) for r in kept.collect()}
+    # big: top 30 scores = ids 70..99
+    assert got["big"] == list(range(70, 100))
+    # small: ceil(0.3*3)=1 -> best id 202 (score 2.0)
+    assert got["small"] == [202]
+    # solo groups always keep their row
+    assert got["solo"] == [300]
+
+    worst = P.group_quantile_filter(df, ["g"], "score", 0.3, "doc_id",
+                                    keep="worst")
+    w = sorted(r["doc_id"] for r in worst.collect() if r["g"] == "big")
+    assert w == list(range(0, 30))
+
+    # deterministic tiebreak: equal scores resolve by id
+    ties = spark.createDataFrame(
+        [(i, "t", 1.0) for i in range(10)], "doc_id long, g string, score double"
+    )
+    t = sorted(r["doc_id"] for r in
+               P.group_quantile_filter(ties, ["g"], "score", 0.5, "doc_id").collect())
+    assert t == [0, 1, 2, 3, 4]
