@@ -86,6 +86,7 @@ _DEMOTED_REDUNDANT = (
     "q93_downsample_envelope",
     "q94_interval_join_binned",
     "q95_group_quality_gate",
+    "q96_quality_score",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

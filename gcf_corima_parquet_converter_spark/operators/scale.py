@@ -329,3 +329,39 @@ def compaction_plan(
         else:
             bins.append((r["n_bytes"], [r["file"]]))
     return [group for _, group in bins if len(group) > 1]
+
+
+def key_skew_report(
+    df: DataFrame, key: str, k: int = 10, max_items: int = 8192
+) -> dict:
+    """One-pass skew diagnostic for a join/agg key → the numbers that
+    decide between a plain shuffle, AQE skew-join, and
+    :func:`salted_join`:
+
+    ``{n_rows, approx_n_keys, top: [(key, count)...], max_share,
+    skew_factor}`` where ``skew_factor`` = hottest-key count over the
+    MEAN per-key count (1.0 = uniform; >> cores means the hot key
+    serializes a reducer).  Built on the heavy-hitters sketch
+    (``approx_top_k``) + HLL, so the scan shuffles only constant-size
+    sketch state — safe to run on the full 100 TB key column.
+    """
+    from .sketches import heavy_hitters
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key).alias("nk"),
+    ).first()
+    n, nk = agg["n"], max(agg["nk"], 1)
+    top = [
+        (r["item"], r["est_count"])
+        for r in heavy_hitters(df, [], key, k=k, max_items=max_items).collect()
+    ]
+    max_count = top[0][1] if top else 0
+    mean = n / nk
+    return {
+        "n_rows": n,
+        "approx_n_keys": nk,
+        "top": top,
+        "max_share": max_count / n if n else 0.0,
+        "skew_factor": max_count / mean if mean else 0.0,
+    }

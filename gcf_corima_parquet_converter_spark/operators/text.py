@@ -758,3 +758,77 @@ def bpe_tokenize(
         return texts.map(enc)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+# ------------------------------------------------ linear quality model
+# The fastText-style quality-classifier surface every pretraining
+# pipeline ends up with (Brown et al. 2020 used an LR over features to
+# score CommonCrawl against curated text): score = sigmoid(w . x + b)
+# over cheap JVM features.  Training follows the engine's iterative-
+# algorithm pattern (kmeans_refine): the DRIVER holds the tiny weight
+# vector, the CLUSTER computes the full-batch gradient as dim+1
+# partial-aggregable sum columns — one scan per iteration, nothing but
+# (dim+1) doubles ever reaches the driver.
+
+
+def linear_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """sigmoid(sum(w_c * col_c) + bias) as one pure-JVM projection —
+    the serving side of the quality classifier.  ``weights`` maps
+    column name -> coefficient (train with :func:`logreg_train` or
+    bring offline weights)."""
+    z = F.lit(float(bias))
+    for c, w in weights.items():
+        z = z + F.col(c).cast("double") * F.lit(float(w))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 50,
+    lr: float = 0.1,
+    l2: float = 0.0,
+) -> tuple[dict[str, float], float]:
+    """Full-batch gradient-descent logistic regression, distributed the
+    scale-correct way: per iteration ONE aggregation computes the exact
+    batch gradient — ``dim+1`` ``sum()`` columns (map-side partials, so
+    the exchange carries dim+1 doubles per task however many rows) —
+    and the driver applies the update to its dim+1 weights.  No MLlib
+    dependency, no per-row Python; rows never leave the JVM.
+
+    Features should be roughly unit-scale (standardize upstream —
+    gradient descent on wildly-scaled features needs a tiny lr).
+    Returns ``(weights, bias)`` ready for :func:`linear_score`.
+    Deterministic up to float sum order (partial sums combine in
+    partition order; differences are ~1 ulp and do not move the
+    decision boundary materially — test-pinned against a numpy twin).
+    """
+    import numpy as np
+
+    dim = len(feature_cols)
+    w = np.zeros(dim)
+    b = 0.0
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty frame")
+    y = F.col(label_col).cast("double")
+    for _ in range(int(n_iter)):
+        z = F.lit(float(b))
+        for c, wi in zip(feature_cols, w):
+            z = z + F.col(c).cast("double") * F.lit(float(wi))
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
+        row = df.select(
+            *[F.sum(err * F.col(c).cast("double")).alias(f"g{i}")
+              for i, c in enumerate(feature_cols)],
+            F.sum(err).alias("gb"),
+        ).first()
+        grad = np.array([row[f"g{i}"] for i in range(dim)]) / n + l2 * w
+        w = w - lr * grad
+        b = b - lr * float(row["gb"]) / n
+    return {c: float(wi) for c, wi in zip(feature_cols, w)}, float(b)

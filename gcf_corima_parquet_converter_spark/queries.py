@@ -3144,3 +3144,39 @@ def q95(spark, sf_dir):
     return P.group_quantile_filter(
         d, ["lang"], "n_chars", 0.3, "doc_id"
     ).orderBy("doc_id")
+
+
+# -- q96: linear quality scoring (operators/text.py: linear_score) —
+#    the fastText-style classifier serving path: sigmoid(w.x + b) over
+#    cheap JVM features with fixed (offline-trained) weights; the
+#    oracle is the literal arithmetic twin.  Training is
+#    logreg_train (iterative algorithm class — pinned against a numpy
+#    twin in pytest, like kmeans_refine).
+@query(
+    "q96_quality_score",
+    """
+    SELECT doc_id,
+           CAST(floor(1.0 / (1.0 + exp(-(0.004 * n_chars
+                                         + 0.8 * (length(text) - length(replace(text, ' ', '')))
+                                           / 100.0
+                                         - 2.0))) * 1000000 + 0.5) AS BIGINT)
+             AS score_fx
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q96(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars_f"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            / 100.0
+        ).alias("space_density"),
+    )
+    scored = X.linear_score(
+        feats, {"n_chars_f": 0.004, "space_density": 0.8}, bias=-2.0
+    )
+    return scored.select(
+        "doc_id", fx(F.col("quality_score"), 1_000_000).alias("score_fx")
+    ).orderBy("doc_id")

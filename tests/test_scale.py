@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from gcf_corima_parquet_converter_spark import catalog
 from gcf_corima_parquet_converter_spark.operators import scale
@@ -290,3 +291,24 @@ def test_compaction_plan_bins_small_files(spark, tmp_path):
     assert spark.read.parquet(merged).count() == sum(
         r["n_rows"] for r in rows if r["file"] in grp
     )
+
+
+def test_key_skew_report_detects_planted_skew(spark):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    uniform = spark.range(0, 10_000).select(
+        (F.col("id") % 100).cast("string").alias("k")
+    )
+    r = SC.key_skew_report(uniform, "k", k=3)
+    assert r["n_rows"] == 10_000
+    assert 0.9 <= r["skew_factor"] <= 1.3  # ~uniform
+
+    skewed = uniform.unionAll(
+        spark.range(0, 30_000).select(F.lit("hot").alias("k"))
+    )
+    r2 = SC.key_skew_report(skewed, "k", k=3)
+    assert r2["top"][0][0] == "hot" and r2["top"][0][1] == 30_000
+    assert r2["max_share"] == pytest.approx(0.75)
+    assert r2["skew_factor"] > 50  # the salted_join regime

@@ -779,3 +779,60 @@ def test_decode_audio_rejects_24bit_wav(spark):
     )
     with pytest.raises(Exception, match="16-bit"):
         M.decode_audio(df).collect()
+
+
+# ------------------------------------------------ linear quality model
+
+
+def test_logreg_train_matches_numpy_twin(spark):
+    """Distributed full-batch GD must track a pure-numpy implementation
+    of the same updates to float tolerance, and separate a separable
+    toy problem."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    # label: linear boundary + a little noise
+    y = ((1.5 * x1 - 2.0 * x2 + rng.normal(0, 0.3, n)) > 0).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "f1 double, f2 double, label int",
+    ).repartition(8)
+    weights, bias = X.logreg_train(df, ["f1", "f2"], "label",
+                                   n_iter=60, lr=0.5)
+
+    # numpy twin: identical updates
+    w = np.zeros(2); b = 0.0
+    Xm = np.stack([x1, x2], axis=1)
+    for _ in range(60):
+        p = 1.0 / (1.0 + np.exp(-(Xm @ w + b)))
+        err = p - y
+        w = w - 0.5 * (Xm.T @ err) / n
+        b = b - 0.5 * err.sum() / n
+    assert weights["f1"] == pytest.approx(w[0], rel=1e-6, abs=1e-8)
+    assert weights["f2"] == pytest.approx(w[1], rel=1e-6, abs=1e-8)
+    assert bias == pytest.approx(b, rel=1e-6, abs=1e-8)
+    # learned the boundary's signs and separates well
+    assert weights["f1"] > 0 and weights["f2"] < 0
+    scored = X.linear_score(df, weights, bias)
+    acc = scored.select(
+        F.avg(((F.col("quality_score") > 0.5).cast("int")
+               == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc >= 0.9
+
+    # serving plan is pure JVM
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_linear_score_known_values(spark):
+    df = spark.createDataFrame([(0.0, 0.0), (1.0, 2.0)], "a double, b double")
+    out = X.linear_score(df, {"a": 1.0, "b": -0.5}, bias=0.0).collect()
+    import math
+
+    got = sorted(r["quality_score"] for r in out)
+    assert got[0] == pytest.approx(1 / (1 + math.e**0))  # z=0 -> 0.5
+    assert got == pytest.approx(sorted([0.5, 1 / (1 + math.exp(0.0))]))
