@@ -391,3 +391,67 @@ def test_global_running_sum_matches_python_model(spark, data):
     for i, v in enumerate(vals):
         acc += v
         assert got[i] == acc, (i, v)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_interval_join_binned_matches_python_model(spark, data):
+    """Bin-blocked interval join == the naive O(n*m) sweep for ANY
+    points/intervals (empty, touching, nested, zero-width) and ANY
+    bin width."""
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    pts = data.draw(st.lists(st.integers(-50, 150), min_size=0, max_size=25))
+    ivs = data.draw(st.lists(
+        st.tuples(st.integers(-50, 150), st.integers(-5, 60)),
+        min_size=0, max_size=12))
+    w = data.draw(st.integers(1, 40))
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], "pid int, Time long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)],
+        "iv int, t_start long, t_end long",
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in tm.interval_join_binned(points, intervals, w).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= t < s + ln
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_apply_corpus_update_matches_dict_model(spark, data):
+    """MERGE semantics == a Python dict applied the obvious way, for
+    ANY base/update id overlap pattern including tombstones of
+    missing ids."""
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    base_ids = data.draw(st.lists(
+        st.integers(0, 30), min_size=0, max_size=15, unique=True))
+    upd = data.draw(st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()),
+        min_size=0, max_size=15, unique_by=lambda t: t[0]))
+    base = spark.createDataFrame(
+        [(i, f"b{i}") for i in base_ids], "id long, txt string"
+    )
+    updates = spark.createDataFrame(
+        [(i, f"u{i}", d) for i, d in upd], "id long, txt string, del boolean"
+    )
+    got = {r["id"]: r["txt"]
+           for r in P.apply_corpus_update(base, updates, "id",
+                                          delete_col="del").collect()}
+    model = {i: f"b{i}" for i in base_ids}
+    for i, d in upd:
+        if d:
+            model.pop(i, None)
+        else:
+            model[i] = f"u{i}"
+    assert got == model
