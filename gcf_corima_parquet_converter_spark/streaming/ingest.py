@@ -513,3 +513,60 @@ def windowed_heavy_hitters(
             F.col("_e.count").alias("est_count"),
         )
     )
+
+
+def maintain_dedup_indexes(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    digest_path: str,
+    band_path: str,
+    checkpoint: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    available_now: bool = True,
+):
+    """Continuously maintain the PERSISTED dedup indexes from a
+    document stream — the glue that keeps the batch-incremental dedup
+    family (``dedup.exact_dedup_incremental`` /
+    ``minhash_dedup_incremental``) current without a nightly rebuild.
+
+    One ``foreachBatch`` sink appends, per micro-batch, (a) the
+    ``(digest)`` rows of ``exact_dedup_incremental``'s index and
+    (b) ``minhash_index``'s ``(band, bh, id)`` rows.  Appends are the
+    whole write (the indexes are append-only by design — that is what
+    makes them incremental), and exactly-once follows from the
+    checkpoint: a replayed batch re-appends the same rows, and both
+    consumers are set-semantics joins (anti-join / band equi-join), so
+    duplicate index rows are harmless — idempotent by construction,
+    the standard foreachBatch contract.
+
+    ``k``/``bands``/``n`` MUST match every future query against
+    ``band_path`` (see ``minhash_index``).  Returns the started
+    ``StreamingQuery``.
+    """
+    from ..operators.dedup import exact_dedup_incremental, minhash_index
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        (
+            exact_dedup_incremental(df, [text_col], id_col)
+            .select("digest")
+            .write.mode("append")
+            .parquet(digest_path)
+        )
+        (
+            minhash_index(df, id_col, text_col, k=k, bands=bands, n=n)
+            .write.mode("append")
+            .parquet(band_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

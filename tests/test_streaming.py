@@ -838,3 +838,70 @@ def test_windowed_heavy_hitters_stream_matches_batch(spark, tmp_path):
     for w, pairs in got.items():
         want = sorted(exact[w].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert pairs == want, (w, pairs, want)
+
+
+def test_maintain_dedup_indexes_matches_batch_built(spark, tmp_path):
+    """The stream-maintained digest + band indexes over a file replay
+    equal the batch-built indexes over the same rows, and feeding them
+    to the incremental dedup finds a cross-boundary near-dup."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_dedup_indexes,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    rows1 = [
+        (i, f"doc number {i} body with words " + " ".join(
+            f"w{(i * 31 + j) % 997}" for j in range(30)))
+        for i in range(20)
+    ]
+    rows2 = [(100 + i, f"second batch doc {i} more words {i * 3}")
+             for i in range(10)]
+    sch = "doc_id long, text string"
+    for name, rows in (("a", rows1), ("b", rows2)):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    dig_p, band_p = str(tmp_path / "digidx"), str(tmp_path / "bandidx")
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_dedup_indexes(
+        stream, "doc_id", "text", dig_p, band_p,
+        checkpoint=str(tmp_path / "ckpt_idx"),
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(rows1 + rows2, sch)
+    want_dig = {
+        r["digest"]
+        for r in D.exact_dedup_incremental(all_rows, ["text"], "doc_id")
+        .select("digest").collect()
+    }
+    got_dig = {r["digest"] for r in spark.read.parquet(dig_p).collect()}
+    assert got_dig == want_dig
+
+    want_band = {
+        tuple(r) for r in D.minhash_index(all_rows, "doc_id", "text").collect()
+    }
+    got_band = {tuple(r) for r in spark.read.parquet(band_p).collect()}
+    assert got_band == want_band
+
+    # the maintained index serves the incremental path: a near-dup of a
+    # streamed doc is flagged without rescanning any history text
+    near = rows1[5][1].replace("body", "torso")
+    day3 = spark.createDataFrame([(900, near)], sch)
+    flagged, _ = D.minhash_dedup_incremental(
+        day3, spark.read.parquet(band_p), "doc_id", "text"
+    )
+    assert (900, 5) in {(r["new_id"], r["old_id"]) for r in flagged.collect()}
