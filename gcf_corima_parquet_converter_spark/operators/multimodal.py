@@ -434,6 +434,14 @@ def decode_audio(
                 for mid, mtype, payload in zip(
                     chunk[id_col], chunk[type_col], chunk[bin_col]
                 ):
+                    if payload is None:
+                        # null payload -> null metadata row (keeps the
+                        # id; same contract as perceptual_hash)
+                        rows.append(
+                            (int(mid), str(mtype), None, None, None, None,
+                             None, None, None)
+                        )
+                        continue
                     data = bytes(payload)
                     rate, nch, n, feats = kernel(data, nf, rate0, nch0)
                     rows.append(
@@ -489,6 +497,11 @@ def resample_pcm(
         for pdf in it:
             ids, ns, payloads = [], [], []
             for mid, p in zip(pdf[id_col], pdf[bin_col]):
+                if p is None:
+                    ids.append(int(mid))
+                    ns.append(None)
+                    payloads.append(None)
+                    continue
                 x = np.frombuffer(bytes(p), dtype="<i2").astype(np.float64)
                 n_out = int(round(len(x) * dst / src))
                 if len(x) == 0 or n_out == 0:
@@ -509,7 +522,8 @@ def resample_pcm(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "sample_rate": np.int32(dst),
-                    "n_samples": pd.Series(ns, dtype="int64"),
+                    # nullable Int64: null payloads carry null counts
+                    "n_samples": pd.array(ns, dtype="Int64"),
                     "payload": payloads,
                 }
             )

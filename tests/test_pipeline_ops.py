@@ -676,3 +676,63 @@ def test_group_quantile_filter_exact_and_small_groups(spark):
     t = sorted(r["doc_id"] for r in
                P.group_quantile_filter(ties, ["g"], "score", 0.5, "doc_id").collect())
     assert t == [0, 1, 2, 3, 4]
+
+
+def test_storage_curation_capstone_composition(spark, tmp_path):
+    """End-to-end composition of the r6 storage tier with curation:
+    fragmented table -> file_stats -> prune_files -> conform_schema ->
+    apply_corpus_update -> dedup + split; the result equals the same
+    logic computed naively over the full data."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+    from gcf_corima_parquet_converter_spark.schema.sanitize import (
+        conform_schema,
+    )
+
+    tbl = str(tmp_path / "corpus")
+    base_rows = [(i, f"text body {i % 40}", i % 1000) for i in range(4000)]
+    spark.createDataFrame(
+        base_rows, "doc_id long, text string, n_chars long"
+    ).repartitionByRange(8, "n_chars").write.parquet(tbl)
+
+    # stats-driven pruning on n_chars: kept files must cover all
+    # matching rows
+    stats = SC.file_stats(spark.read.parquet(tbl), ["n_chars"])
+    kept = [r["file"].replace("file:", "")
+            for r in SC.prune_files(stats, "n_chars", lo=100, hi=299).collect()]
+    assert 0 < len(kept) < 8
+    pruned = spark.read.parquet(*kept).where(
+        F.col("n_chars").between(100, 299)
+    )
+    assert pruned.count() == sum(1 for _, _, nc in base_rows
+                                 if 100 <= nc <= 299)
+
+    # an older producer's batch: missing n_chars, stringly doc_id
+    target = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    legacy = spark.createDataFrame(
+        [("9001", "new doc alpha"), ("9002", "new doc beta")],
+        "doc_id string, text string",
+    )
+    updates = conform_schema(legacy, target).withColumn("del", F.lit(False))
+    merged = P.apply_corpus_update(
+        pruned, updates, "doc_id", delete_col="del"
+    )
+    assert merged.count() == pruned.count() + 2
+
+    # curation over the merged snapshot: dedup repeated bodies + split
+    deduped = D.exact_dedup(merged, ["text"], "doc_id")
+    split = P.hash_split(deduped, "doc_id", salt="cap")
+    agg = {r["split"]: r["count"]
+           for r in split.groupBy("split").count().collect()}
+    assert sum(agg.values()) == deduped.count()
+    assert set(agg) <= {"train", "val", "test"}
+    # dedup kept exactly one row per distinct text
+    assert deduped.count() == merged.select("text").distinct().count()

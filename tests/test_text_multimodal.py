@@ -836,3 +836,18 @@ def test_linear_score_known_values(spark):
     got = sorted(r["quality_score"] for r in out)
     assert got[0] == pytest.approx(1 / (1 + math.e**0))  # z=0 -> 0.5
     assert got == pytest.approx(sorted([0.5, 1 / (1 + math.exp(0.0))]))
+
+
+def test_audio_ops_null_payloads(spark):
+    df = spark.createDataFrame(
+        [(1, None, "audio/pcm"), (2, b"\x00\x10\x00\x20", "audio/pcm")],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r["media_id"]: r for r in M.decode_audio(df).collect()}
+    assert meta[1]["n_bytes"] is None and meta[1]["features"] is None
+    assert meta[2]["n_samples"] == 2
+
+    rs = {r["media_id"]: r for r in
+          M.resample_pcm(df, 16_000, 8_000).collect()}
+    assert rs[1]["payload"] is None and rs[1]["n_samples"] is None
+    assert rs[2]["n_samples"] == 1
