@@ -570,3 +570,43 @@ def maintain_dedup_indexes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_sketch_shards(
+    stream: DataFrame,
+    shard_fn,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuously materialize mergeable SKETCH SHARDS from a stream —
+    the persisted-artifact loop for the whole sketch family
+    (``operators.sketches``): per micro-batch, ``shard_fn(batch_df)``
+    (e.g. ``lambda df: hll_shard_sketch(df, ["lang"], "user_id")``)
+    computes that batch's shard table, written under
+    ``path/epoch=<id>``; readers answer global/rolling questions by
+    merging shards (``hll_merge`` / ``bitmap_merge`` /
+    ``histogram_merge`` / ``topk_merge``) without ever rescanning rows.
+
+    Idempotency differs from ``maintain_dedup_indexes`` on purpose:
+    histogram and top-k merges are SUM-semantics (a replayed batch
+    appended twice double-counts), so each epoch OVERWRITES its own
+    ``epoch=`` partition — a foreachBatch replay rewrites the same
+    directory and the artifact stays exactly-once for every tier,
+    including the idempotent-anyway HLL/bitmap ones.
+    """
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        shard_fn(df).write.mode("overwrite").parquet(
+            f"{path}/epoch={int(epoch_id)}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

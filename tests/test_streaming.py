@@ -905,3 +905,87 @@ def test_maintain_dedup_indexes_matches_batch_built(spark, tmp_path):
         day3, spark.read.parquet(band_p), "doc_id", "text"
     )
     assert (900, 5) in {(r["new_id"], r["old_id"]) for r in flagged.collect()}
+
+
+def test_maintain_sketch_shards_merge_equals_batch(spark, tmp_path):
+    """Stream-materialized sketch shards merge to the same answers as
+    sketching the full data in one pass — for the HLL (idempotent) and
+    histogram (sum-semantics) tiers; epochs land as their own
+    partitions so replays cannot double-count."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import sketches as K
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_sketch_shards,
+    )
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    rows1 = [(i % 57, "a" if i % 2 else "b", float(i % 90)) for i in range(400)]
+    rows2 = [(i % 23, "a", float(i % 40)) for i in range(200)]
+    sch = "user_id long, lang string, v double"
+    for name, rows in (("f1", rows1), ("f2", rows2)):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hll_p = str(tmp_path / "hll_shards")
+    q = maintain_sketch_shards(
+        stream,
+        lambda df: K.hll_shard_sketch(df, ["lang"], "user_id"),
+        hll_p,
+        checkpoint=str(tmp_path / "ck_hll"),
+    )
+    q.awaitTermination(120)
+    stream2 = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hist_p = str(tmp_path / "hist_shards")
+    q2 = maintain_sketch_shards(
+        stream2,
+        lambda df: K.histogram_shard_sketch(df, ["lang"], "v", 0.0, 100.0, 20),
+        hist_p,
+        checkpoint=str(tmp_path / "ck_hist"),
+    )
+    q2.awaitTermination(120)
+
+    # one epoch partition per micro-batch (2 input files)
+    assert len([d for d in os.listdir(hll_p) if d.startswith("epoch=")]) == 2
+
+    all_rows = spark.createDataFrame(rows1 + rows2, sch)
+    got_hll = {
+        r["lang"]: r["approx_distinct"]
+        for r in K.hll_merge(spark.read.parquet(hll_p), ["lang"]).collect()
+    }
+    want_hll = {
+        r["lang"]: r["approx_distinct"]
+        for r in K.hll_merge(
+            K.hll_shard_sketch(all_rows, ["lang"], "user_id"), ["lang"]
+        ).collect()
+    }
+    assert got_hll == want_hll  # lossless merge, bit-equal estimates
+
+    got_h = {
+        (r["lang"], r["_bucket"]): r["n"]
+        for r in K.histogram_merge(
+            spark.read.parquet(hist_p), ["lang"]
+        ).collect()
+    }
+    want_h = {
+        (r["lang"], r["_bucket"]): r["n"]
+        for r in K.histogram_shard_sketch(
+            all_rows, ["lang"], "v", 0.0, 100.0, 20
+        ).collect()
+    }
+    assert got_h == want_h  # sums match exactly: no double count
