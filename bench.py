@@ -484,6 +484,8 @@ def bench_facade(spark) -> dict:
 def worker(sf_dir: str, with_streaming: bool) -> None:
     """One fresh-JVM sample: warmup, one cold pass, N_WARM_PER_RUN warm
     passes (+ optionally the streaming probe).  Emits one JSON line."""
+    load_at_start = round(os.getloadavg()[0], 2)
+
     from gcf_corima_parquet_converter_spark.session import get_spark
     from gcf_corima_parquet_converter_spark import queries as Q
 
@@ -529,7 +531,7 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
             file=sys.stderr,
         )
 
-    out = {"cold": cold, "warm": warm}
+    out = {"cold": cold, "warm": warm, "loadavg_1m": load_at_start}
     # The streaming probe runs in EVERY worker (median-of-3 across fresh
     # JVMs, r5 verdict: a single sample read 30% lower on unchanged code
     # and was indistinguishable from a regression); the heavier one-shot
@@ -607,6 +609,12 @@ def main() -> None:
         "runs": N_RUNS,
         "aggregation": "median",
         "sf": sf,
+        # provenance: ambient load per worker at its start — a loaded
+        # machine (r6: an 18.5s vs 15.5s cold total on identical code)
+        # is visible in the artifact instead of masquerading as a
+        # regression
+        "loadavg_per_run": [s.get("loadavg_1m") for s in samples],
+        "cpus": os.cpu_count(),
     }
     # Durability (r5 verdict "What's wrong" #1): the driver captures only a
     # log tail, which truncated r5's cold block.  Persist the full object
