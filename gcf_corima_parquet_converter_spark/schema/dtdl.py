@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     DataType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -28,12 +29,24 @@ from pyspark.sql.types import (
 
 from ..sources.dat import DecodeParams
 
-# DTDL primitive schema -> Spark type (device_template_model.py:106-110)
+# DTDL primitive schema -> Spark type (device_template_model.py:106-110
+# carries the first four; the rest complete the DTDL v2 primitive set —
+# all appear across the public appconfig catalog).  "vector" is the
+# stdatalog extension for JSON-valued lists (tag lists: the template
+# annotates it "JSON Value"): surfaced as array<string> of JSON items —
+# parse element-wise with from_json downstream.
 _PRIMITIVES: dict[str, DataType] = {
     "boolean": BooleanType(),
     "double": DoubleType(),
     "integer": IntegerType(),
     "string": StringType(),
+    "float": DoubleType(),  # float32 wire, float64 column (decode conv.)
+    "long": LongType(),
+    "date": StringType(),  # ISO strings in status docs; cast downstream
+    "dateTime": StringType(),
+    "time": StringType(),
+    "duration": StringType(),
+    "vector": ArrayType(StringType()),
 }
 
 # DTDL semantic unit name -> display symbol (parity with the reference's
@@ -57,10 +70,16 @@ UNIT_DISPLAY: dict[str, str] = {
 }
 
 
-def unit_display(unit: str) -> str:
+def unit_display(unit) -> str:
     """Display symbol for a DTDL semantic unit name; unknown units pass
     through unchanged (so already-symbolic strings like ``"g"`` are
-    stable under re-application)."""
+    stable under re-application).  Localized-string objects
+    (``{"en": "g"}``) and other non-string shapes — both appear in the
+    public appconfig catalog — reduce to their display text first."""
+    if isinstance(unit, dict):
+        unit = unit.get("en") or next(iter(unit.values()), "")
+    if not isinstance(unit, str):
+        unit = str(unit)
     return UNIT_DISPLAY.get(unit, unit)
 
 

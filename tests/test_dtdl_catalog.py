@@ -705,3 +705,42 @@ def test_import_appconfig_tree_bulk(tmp_path):
         assert cat.resolve_structtypes(board_id, fw_id) == \
             builtin.resolve_structtypes(board_id, fw_id)
     assert cat.query("0x99", "0x1") is None
+
+
+def test_import_appconfig_tree_from_reference_wheel(tmp_path):
+    """The importer's acid test: load the PUBLIC STMicroelectronics
+    appconfig catalog shipped inside the reference's stdatalog_pnpl
+    wheel — every resolvable board entry imports through the one
+    generic path and yields non-empty component StructTypes.  (The
+    wheel is read at test time only; nothing is copied into the repo.)
+    """
+    import zipfile
+
+    wheel = (
+        "/root/reference/wheelhouse/stdatalog_pnpl-1.0.0-py3-none-any.whl"
+    )
+    if not os.path.exists(wheel):
+        pytest.skip("reference wheel not present")
+    src = tmp_path / "wheel_src"
+    with zipfile.ZipFile(wheel) as z:
+        members = [n for n in z.namelist()
+                   if n.startswith("stdatalog_pnpl/DTDL/")]
+        z.extractall(src, members=members)
+    dtdl_dir = str(src / "stdatalog_pnpl" / "DTDL")
+    assert os.path.exists(os.path.join(dtdl_dir,
+                                       DeviceTemplateCatalog.INDEX))
+
+    cat = DeviceTemplateCatalog(str(tmp_path / "cat"))
+    n = cat.import_appconfig_tree(dtdl_dir)
+    assert n >= 30  # the wheel ships ~39 appconfig templates
+
+    entries = cat._read_index()
+    assert len(entries) >= 30
+    resolved = 0
+    for e in entries:
+        st = cat.resolve_structtypes(e["board_id"], e["fw_id"])
+        assert st is not None and len(st) > 0, e
+        # every sensor component resolves to a non-empty Property struct
+        assert any(len(v.fields) > 0 for v in st.values()), e
+        resolved += 1
+    assert resolved == len(entries)

@@ -989,3 +989,68 @@ def test_maintain_sketch_shards_merge_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got_h == want_h  # sums match exactly: no double count
+
+
+def test_maintain_sketch_shards_checkpoint_restart(spark, tmp_path):
+    """Restarting the maintenance query on the same checkpoint resumes
+    from the recorded offsets: earlier batches are not reprocessed (no
+    double-counted shards) and new data lands in NEW epoch partitions."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import sketches as K
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_sketch_shards,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sch = "user_id long, v double"
+
+    def add_file(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    rows1 = [(i, float(i % 50)) for i in range(300)]
+    add_file("a", rows1)
+    path, ckpt = str(tmp_path / "shards"), str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_sketch_shards(
+            stream,
+            lambda df: K.histogram_shard_sketch(df, [], "v", 0.0, 50.0, 10),
+            path,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    epochs1 = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    assert len(epochs1) == 1
+
+    rows2 = [(i, float(i % 20)) for i in range(100)]
+    add_file("b", rows2)
+    run()  # second query instance, same checkpoint
+    epochs2 = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    assert len(epochs2) == 2 and epochs1 < epochs2
+
+    merged = {
+        r["_bucket"]: r["n"]
+        for r in K.histogram_merge(spark.read.parquet(path), []).collect()
+    }
+    all_rows = spark.createDataFrame(rows1 + rows2, sch)
+    want = {
+        r["_bucket"]: r["n"]
+        for r in K.histogram_shard_sketch(all_rows, [], "v", 0.0, 50.0, 10)
+        .collect()
+    }
+    assert merged == want  # counts exact: batch a was NOT reprocessed
