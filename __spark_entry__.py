@@ -107,6 +107,7 @@ _ROWS_ONLY_TAIL = (
     "q84_sq_topk_rerank",
     "q87_bpe_tokenize",
     "q90_audio_features",
+    "q97_fft_spectrum",
     "q32_hsd_pipeline",
 )
 

@@ -1901,6 +1901,31 @@ def q60(spark, sf_dir):
     )
 
 
+# -- q97: windowed FFT spectrum (operators/telemetry.py: windowed_fft)
+#    — vibration analytics over the events table mapped onto the dense
+#    telemetry sample shape (the bench_streaming mapping): top-3
+#    spectral peaks per component per 1 s window.  Rows-only (numpy
+#    rfft has no SQL twin); magnitudes are value-pinned against numpy
+#    in test_windowed_fft_finds_planted_tones.
+@query("q97_fft_spectrum")
+def q97(spark, sf_dir):
+    from .operators import telemetry as tm
+
+    e = T(spark, sf_dir, "events")
+    samples = e.select(
+        F.col("event_type").alias("comp_name"),
+        ((F.col("event_id") % 600_000) * F.lit(1_000_000)).alias("Time"),
+        F.col("value").alias("A_x_g"),
+    )
+    spec = tm.windowed_fft(samples, sample_rate=1000.0, window_s=1.0, top_k=3)
+    return spec.select(
+        "comp_name",
+        "window_start",
+        fx(F.col("freq_hz"), 1000).alias("freq_mhz"),
+        fx(F.col("magnitude"), 1_000_000).alias("mag_fx"),
+    ).orderBy("comp_name", "window_start", "freq_mhz")
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

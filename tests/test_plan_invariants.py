@@ -33,6 +33,7 @@ PYTHON_ALLOWED = {
     "q73_compression_quality": "zlib has no JVM twin (ArrowEvalPython)",
     "q87_bpe_tokenize": "ranked-merge loop has no JVM twin (ArrowEvalPython)",
     "q90_audio_features": "PCM16/WAV audio codec (mapInPandas)",
+    "q97_fft_spectrum": "numpy rfft kernel (applyInPandas; no JVM FFT)",
 }
 
 # query -> max benign scalar-reduce SinglePartition exchanges

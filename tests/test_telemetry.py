@@ -329,3 +329,47 @@ def test_interval_join_binned_matches_broadcast_path(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windowed_fft_finds_planted_tones(spark):
+    """A 50 Hz + 120 Hz mixture sampled at 1 kHz: each window's
+    spectrum peaks at exactly those bins with amplitude-correct
+    magnitudes (2/N normalization), and top_k keeps just the peaks."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    fs, secs = 1000.0, 3
+    n = int(fs * secs)
+    t = np.arange(n) / fs
+    sig = 1.0 * np.sin(2 * np.pi * 50 * t) + 0.4 * np.sin(2 * np.pi * 120 * t)
+    base_ns = 1_700_000_000_000_000_000
+    rows = [
+        ("m1", base_ns + int(i * 1e9 / fs), float(sig[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "comp_name string, Time long, A_x_g double")
+
+    out = tm.windowed_fft(df.repartition(8), sample_rate=fs, window_s=1.0)
+    import collections
+
+    by_win = collections.defaultdict(dict)
+    for r in out.collect():
+        by_win[r["window_start"]][r["freq_hz"]] = r["magnitude"]
+    assert len(by_win) == secs
+    for w, spec in by_win.items():
+        assert len(spec) == 501  # rfft bins of a 1000-sample window
+        assert spec[50.0] == pytest.approx(1.0, abs=1e-9)
+        assert spec[120.0] == pytest.approx(0.4, abs=1e-9)
+        # everything else is numerically zero for exact-bin tones
+        rest = [m for f, m in spec.items() if f not in (50.0, 120.0)]
+        assert max(rest) < 1e-9
+
+    topk = tm.windowed_fft(df, sample_rate=fs, window_s=1.0, top_k=2)
+    got = collections.defaultdict(set)
+    for r in topk.collect():
+        got[r["window_start"]].add(r["freq_hz"])
+    assert all(v == {50.0, 120.0} for v in got.values())
+
+    # runt windows (fewer than 4 samples) are dropped, not crashed
+    tiny = spark.createDataFrame(rows[:3], "comp_name string, Time long, A_x_g double")
+    assert tm.windowed_fft(tiny, sample_rate=fs).count() == 0
