@@ -183,12 +183,17 @@ def test_file_stats_and_prune_files(spark, tmp_path):
     from gcf_corima_parquet_converter_spark.operators import scale as SC
 
     p = str(tmp_path / "tbl")
-    # 4 files with disjoint id ranges + one all-null value file
+    # 4 files with EXPLICIT disjoint id ranges + one all-null value file
+    # (not repartitionByRange: its sampled boundaries can shift under
+    # session-conf drift, which made the all-null file nondeterministic)
     df = spark.range(0, 4000).select(
         F.col("id"),
         F.when(F.col("id") < 3000, F.col("id").cast("double")).alias("v"),
     )
-    df.repartitionByRange(4, "id").write.parquet(p)
+    for lo in (0, 1000, 2000, 3000):
+        df.where(F.col("id").between(lo, lo + 999)).coalesce(1).write.mode(
+            "append"
+        ).parquet(p)
     back = spark.read.parquet(p)
     stats = SC.file_stats(back, ["v"]).collect()
     assert len(stats) == 4
