@@ -87,6 +87,7 @@ _DEMOTED_REDUNDANT = (
     "q94_interval_join_binned",
     "q95_group_quality_gate",
     "q96_quality_score",
+    "q98_retrieval_join",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

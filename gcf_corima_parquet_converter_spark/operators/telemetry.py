@@ -376,14 +376,17 @@ def interval_join_binned(
         return joined.drop("_bin")
     if how != "left":
         raise ValueError(f"unsupported how={how!r} (inner or left)")
-    # left join: re-attach unmatched points (semantics of label_samples)
+    # left join: re-attach unmatched points (semantics of label_samples).
+    # Null-SAFE anti-join: a plain on=columns anti-join would re-emit any
+    # matched row containing a NULL column (null != null), duplicating it.
     iv_cols = [c for c in intervals.columns if c not in points.columns]
     matched = joined.drop("_bin")
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns,
-        how="left_anti",
-    )
+    matched_keys = matched.select(*points.columns).distinct()
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(matched_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(matched_keys, cond, "left_anti")
     for c in iv_cols:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
@@ -428,8 +431,9 @@ def windowed_fft(
         t.alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    dtypes = dict(df.dtypes)
     out_schema = ", ".join(
-        [*(f"`{k}` string" for k in keys),
+        [*(f"`{k}` {dtypes[k]}" for k in keys),
          "window_start long", "freq_hz double", "magnitude double"]
     )
 

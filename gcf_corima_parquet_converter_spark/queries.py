@@ -1926,6 +1926,41 @@ def q97(spark, sf_dir):
     ).orderBy("comp_name", "window_start", "freq_mhz")
 
 
+# -- q98: retrieval-hydration join — the ANN serving composition: top-k
+#    neighbors (q25's exact/dot path) joined back to the documents
+#    table for display metadata.  The k-row top-k side broadcasts (AQE)
+#    so the hydration join never shuffles the corpus.
+@query(
+    "q98_retrieval_join",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT e.vec_id,
+             CAST(floor(list_dot_product(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+                )*1000000 + 0.5) AS BIGINT) AS sim_fx
+      FROM embeddings e, q
+      ORDER BY sim_fx DESC, e.vec_id LIMIT 5)
+    SELECT t.vec_id, d.lang, d.n_chars, t.sim_fx
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    ORDER BY t.sim_fx DESC, t.vec_id
+    """,
+)
+def q98(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    topk = S.cosine_topk(e, qvec, k=5).select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    )
+    return (
+        topk.join(d, topk.vec_id == d.doc_id)
+        .select("vec_id", "lang", "n_chars", "sim_fx")
+        .orderBy(F.desc("sim_fx"), "vec_id")
+    )
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic

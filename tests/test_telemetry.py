@@ -373,3 +373,25 @@ def test_windowed_fft_finds_planted_tones(spark):
     # runt windows (fewer than 4 samples) are dropped, not crashed
     tiny = spark.createDataFrame(rows[:3], "comp_name string, Time long, A_x_g double")
     assert tm.windowed_fft(tiny, sample_rate=fs).count() == 0
+
+
+def test_interval_join_binned_left_with_null_columns(spark):
+    """A matched point carrying a NULL extra column must appear exactly
+    once in the left join (the anti-join is null-safe)."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    points = spark.createDataFrame(
+        [(1, 10, None), (2, 500, "x")],
+        "pid long, Time long, extra string",
+    )
+    ivals = spark.createDataFrame(
+        [(7, 0, 100, "tag")], "iv long, t_start long, t_end long, label string"
+    )
+    out = tm.interval_join_binned(points, ivals, bin_width=64, how="left")
+    rows = out.collect()
+    assert len(rows) == 2  # no duplicate of the null-bearing matched row
+    by_pid = {r["pid"]: r for r in rows}
+    assert by_pid[1]["iv"] == 7 and by_pid[1]["extra"] is None
+    assert by_pid[2]["iv"] is None and by_pid[2]["extra"] == "x"
