@@ -136,6 +136,25 @@ QUERIES = [
         "keeps edges exact at epoch-ns magnitudes where floor(t/b)*b "
         "loses bits to double precision",
     ),
+    (
+        "q94_interval_join_binned",
+        "bin-blocked interval join: points map to ONE bin, intervals "
+        "explode to overlapped bins, plain equi-join on the bin + exact "
+        "residual range filter — the non-broadcast J3 scale path; note "
+        "no CartesianProduct / BroadcastNestedLoopJoin anywhere",
+    ),
+    (
+        "q95_group_quality_gate",
+        "per-group relative gate: one hash-partition window per group "
+        "(rank + count over the same partitioning — a single exchange), "
+        "ceil(frac*n) keeps small groups alive",
+    ),
+    (
+        "q98_retrieval_join",
+        "ANN serving composition: TakeOrderedAndProject top-k (never a "
+        "global sort) + broadcast hydration join back to documents — "
+        "the corpus is scanned once and never shuffled",
+    ),
 ]
 
 
