@@ -88,6 +88,7 @@ _DEMOTED_REDUNDANT = (
     "q95_group_quality_gate",
     "q96_quality_score",
     "q98_retrieval_join",
+    "q99_heavy_hitters_merged",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -1961,6 +1961,40 @@ def q98(spark, sf_dir):
     )
 
 
+# -- q99: KEYED heavy hitters through the shard->merge path — two half
+#    sketches (even/odd event ids) combined with topk_merge, graded
+#    against the exact per-group GROUP BY top-3 (k-boundary counts are
+#    tie-free at both graded SFs; within-top ties re-sort (count, item)
+#    identically on both engines).  Stronger than q91: it grades the
+#    MERGE operator, i.e. the persisted-artifact contract itself.
+@query(
+    "q99_heavy_hitters_merged",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 7 AS item,
+             CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, item, est_count FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY est_count DESC, item) <= 3
+    ORDER BY event_type, est_count DESC, item
+    """,
+)
+def q99(spark, sf_dir):
+    e = T(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    b = e.select(
+        "event_type", (F.col("user_id") % 7).alias("item"), "event_id"
+    )
+    s1 = K.topk_shard_sketch(
+        b.where(F.col("event_id") % 2 == 0), ["event_type"], "item", 64
+    )
+    s2 = K.topk_shard_sketch(
+        b.where(F.col("event_id") % 2 == 1), ["event_type"], "item", 64
+    )
+    merged = K.topk_merge(s1.unionByName(s2), ["event_type"], 64)
+    return K.topk_estimate(merged, ["event_type"], k=3)
+
+
 # ===================================== reference pipeline, end to end
 # -- q32: the reference's whole dataflow (S3 gate -> S4 binary decode ->
 #    S5 metadata -> P1-P3 enrich -> W1/A1/A2-A5 RMS) on a deterministic
