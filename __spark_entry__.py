@@ -82,13 +82,22 @@ _DEMOTED_REDUNDANT = (
     "q44_pivot_order_status",
     # r6: new with the window full — oracle green in test_queries_oracle
     "q91_heavy_hitters",
-    "q92_corpus_upsert",
     "q93_downsample_envelope",
-    "q94_interval_join_binned",
-    "q95_group_quality_gate",
     "q96_quality_score",
     "q98_retrieval_join",
     "q99_heavy_hitters_merged",
+    # r7 rotation: q92/q94/q95 PROMOTED into the graded window (the r6
+    # families with only local-oracle evidence get driver grades); three
+    # family-redundant veterans take their slots, each still in-window-
+    # covered and oracle-verified locally every round:
+    # q45's exact-percentile quantile family by q88 (histogram
+    # quantiles, graded exact at both SFs); q63's JVM text-feature
+    # projection family by q23 (quality features) and q38 (token
+    # stats); q64's tokenize+one-to-many explode family by q42 (U5
+    # frame-sample UDTF) and q65 (line dedup, same posexplode shape).
+    "q45_median_quantity",
+    "q63_repetition_features",
+    "q64_chunk_documents",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

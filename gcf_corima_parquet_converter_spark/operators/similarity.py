@@ -282,29 +282,40 @@ def kmeans_refine(
     mean-of-members update is the exact maximizer of within-cluster
     cosine under unit centroids, so the objective is monotone.  Empty
     clusters keep their previous centroid.
+
+    The (id, vector) projection is **persisted for the duration of the
+    loop** (unpersisted on exit): each Lloyd iteration re-reads the
+    vectors, and without the cache every iteration would replay the
+    upstream lineage (parquet scan, normalization, filters) from
+    scratch — the same multi-scan trap as an unpersisted iterative
+    trainer.
     """
     cents = np.asarray(centroids, dtype=np.float64).copy()
     dim = cents.shape[1]
-    for _ in range(n_iter):
-        assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
-        rows = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+    vecs = emb.select(id_col, vec_col).persist()
+    try:
+        for _ in range(n_iter):
+            assigned = ivf_assign(vecs, cents, id_col=id_col, vec_col=vec_col)
+            rows = (
+                assigned.groupBy("centroid_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        for r in rows:
-            m = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
-            if normalize:
-                nrm = float(np.linalg.norm(m))
-                if nrm > 0.0:
-                    m = m / nrm
-            cents[r["centroid_id"]] = m
+            for r in rows:
+                m = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+                if normalize:
+                    nrm = float(np.linalg.norm(m))
+                    if nrm > 0.0:
+                        m = m / nrm
+                cents[r["centroid_id"]] = m
+    finally:
+        vecs.unpersist()
     return cents
 
 

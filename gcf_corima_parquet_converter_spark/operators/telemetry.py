@@ -349,10 +349,22 @@ def interval_join_binned(
     (epoch-ns, µs, ids) — pure integer arithmetic, no double
     round-trip.  Time semantics match ``label_samples``:
     ``start <= t < end``.
+
+    ``how="left"`` costs exactly the same plan as inner: because each
+    point lands in exactly ONE bin and an interval contributes at most
+    one exploded row per bin, a single left OUTER equi-join on the bin
+    with the range predicate as a residual join condition yields exact
+    left semantics directly — a point with no qualifying interval in
+    its bin is emitted once with null interval columns.  No second
+    pass, no distinct, no anti-join (the r6 left path paid two extra
+    wide shuffles re-deriving unmatched points; this is the narrow
+    replacement).
     """
     w = int(bin_width)
     if w <= 0:
         raise ValueError("bin_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner or left)")
     t = F.col(time_col)
     pts = points.withColumn("_bin", t - F.pmod(t, F.lit(w)))
     s, e = F.col(start_col), F.col(end_col)
@@ -368,30 +380,12 @@ def interval_join_binned(
             )
         ),
     )
-    joined = pts.join(ivs, "_bin", how="inner").where(
-        (F.col(time_col) >= F.col(start_col))
-        & (F.col(time_col) < F.col(end_col))
+    cond = (
+        (pts["_bin"] == ivs["_bin"])
+        & (pts[time_col] >= ivs[start_col])
+        & (pts[time_col] < ivs[end_col])
     )
-    if how == "inner":
-        return joined.drop("_bin")
-    if how != "left":
-        raise ValueError(f"unsupported how={how!r} (inner or left)")
-    # left join: re-attach unmatched points (semantics of label_samples).
-    # Null-SAFE anti-join: a plain on=columns anti-join would re-emit any
-    # matched row containing a NULL column (null != null), duplicating it.
-    iv_cols = [c for c in intervals.columns if c not in points.columns]
-    matched = joined.drop("_bin")
-    matched_keys = matched.select(*points.columns).distinct()
-    cond = None
-    for c in points.columns:
-        eq = points[c].eqNullSafe(matched_keys[c])
-        cond = eq if cond is None else (cond & eq)
-    unmatched = points.join(matched_keys, cond, "left_anti")
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
-        )
-    return matched.unionByName(unmatched)
+    return pts.join(ivs, cond, how).drop(pts["_bin"]).drop(ivs["_bin"])
 
 
 def windowed_fft(

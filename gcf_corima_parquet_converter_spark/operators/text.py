@@ -808,27 +808,51 @@ def logreg_train(
     Deterministic up to float sum order (partial sums combine in
     partition order; differences are ~1 ulp and do not move the
     decision boundary materially — test-pinned against a numpy twin).
+
+    The (dim+1)-column feature projection is **persisted for the
+    duration of the loop** (and unpersisted on exit, even on error):
+    without that, each of the ``n_iter`` gradient jobs would replay the
+    full upstream lineage — e.g. quality featurization over the whole
+    corpus — turning one logical pass into ~``n_iter`` physical ones.
+    The row count is folded into the first gradient aggregation, so
+    training costs exactly ``n_iter`` jobs over the cached projection.
     """
     import numpy as np
 
     dim = len(feature_cols)
     w = np.zeros(dim)
     b = 0.0
-    n = df.count()
-    if n == 0:
-        raise ValueError("cannot train on an empty frame")
-    y = F.col(label_col).cast("double")
-    for _ in range(int(n_iter)):
-        z = F.lit(float(b))
-        for c, wi in zip(feature_cols, w):
-            z = z + F.col(c).cast("double") * F.lit(float(wi))
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
-        row = df.select(
-            *[F.sum(err * F.col(c).cast("double")).alias(f"g{i}")
-              for i, c in enumerate(feature_cols)],
-            F.sum(err).alias("gb"),
-        ).first()
-        grad = np.array([row[f"g{i}"] for i in range(dim)]) / n + l2 * w
-        w = w - lr * grad
-        b = b - lr * float(row["gb"]) / n
+    if int(n_iter) <= 0:
+        return {c: 0.0 for c in feature_cols}, 0.0
+    # Materialize only the columns the loop touches; everything else in
+    # the upstream frame (raw text, blobs, ...) stays out of the cache.
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    ).persist()
+    try:
+        n = None
+        y = F.col("_y")
+        for it in range(int(n_iter)):
+            z = F.lit(float(b))
+            for c, wi in zip(feature_cols, w):
+                z = z + F.col(c) * F.lit(float(wi))
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
+            aggs = [
+                F.sum(err * F.col(c)).alias(f"g{i}")
+                for i, c in enumerate(feature_cols)
+            ] + [F.sum(err).alias("gb")]
+            if n is None:
+                # fold count() into iteration 0 — no separate scan
+                aggs.append(F.count(F.lit(1)).alias("_n"))
+            row = feats.select(*aggs).first()
+            if n is None:
+                n = int(row["_n"])
+                if n == 0:
+                    raise ValueError("cannot train on an empty frame")
+            grad = np.array([row[f"g{i}"] for i in range(dim)]) / n + l2 * w
+            w = w - lr * grad
+            b = b - lr * float(row["gb"]) / n
+    finally:
+        feats.unpersist()
     return {c: float(wi) for c, wi in zip(feature_cols, w)}, float(b)

@@ -191,6 +191,35 @@ def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
     assert len(set(exact) & set(got)) / 10 >= 0.5
 
 
+def test_kmeans_refine_scans_input_lineage_once(spark):
+    """kmeans_refine must persist its (id, vector) projection: the
+    upstream lineage is evaluated once, not once per Lloyd iteration.
+    Accumulator-tracked pandas UDF in the lineage counts passes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("array<float>")
+    def tracked(s):
+        acc.add(1)
+        return s
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)]
+    base = spark.createDataFrame(rows, "vec_id long, raw array<float>")
+    base = base.repartition(1)
+    df = base.withColumn("embedding", tracked(F.col("raw"))).drop("raw")
+    seeds = rng.normal(0, 1, (4, 8))
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    out = S.kmeans_refine(df, seeds, n_iter=4)
+    assert out.shape == (4, 8)
+    assert acc.value == 1, (
+        f"upstream lineage evaluated {acc.value} times; expected one "
+        "pass (vector projection must be persisted across iterations)"
+    )
+
+
 def test_batch_topk_matches_single_query_topk(spark, emb):
     """batch_cosine_topk(queries) == cosine_topk run per query (modulo
     the batch op's fixed-point ranking), and the query batch broadcasts."""

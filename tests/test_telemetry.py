@@ -395,3 +395,28 @@ def test_interval_join_binned_left_with_null_columns(spark):
     by_pid = {r["pid"]: r for r in rows}
     assert by_pid[1]["iv"] == 7 and by_pid[1]["extra"] is None
     assert by_pid[2]["iv"] is None and by_pid[2]["extra"] == "x"
+
+
+def test_interval_join_binned_left_is_single_join_plan(spark):
+    """The left path must cost the same plan shape as inner: one outer
+    equi-join with the range residual — no second pass over points, no
+    distinct aggregate, no anti-join, no extra exchanges (the r6 left
+    path paid two extra wide shuffles; pinned narrow here)."""
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    points = spark.createDataFrame(
+        [(i, i * 37 % 5000) for i in range(500)], "pid long, Time long"
+    )
+    ivals = spark.createDataFrame(
+        [(j, j * 100, j * 100 + 80) for j in range(40)],
+        "iv long, t_start long, t_end long",
+    )
+
+    def plan(how):
+        df = tm.interval_join_binned(points, ivals, bin_width=256, how=how)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    pl, pi = plan("left"), plan("inner")
+    assert pl.count("Join") == 1 and "LeftOuter" in pl
+    assert "LeftAnti" not in pl and "HashAggregate" not in pl
+    assert pl.count("Exchange") == pi.count("Exchange")
