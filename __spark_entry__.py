@@ -98,6 +98,12 @@ _DEMOTED_REDUNDANT = (
     "q45_median_quantity",
     "q63_repetition_features",
     "q64_chunk_documents",
+    # r7: q100_sketch_rollup (the sketch-tier daily-ingest capstone —
+    # per-epoch shards, cross-epoch merge, distinct+quantile+top-k from
+    # artifacts only) takes q43's slot; q43's sorted-collect string
+    # aggregation stays covered in-window by q16 (string functions) and
+    # q08 (per-group ordered windows), oracle-verified locally.
+    "q43_ordered_string_agg",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -257,6 +257,60 @@ def ivf_topk(
     )
 
 
+def ivf_save(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a reusable parquet artifact, so serving
+    never repays the build: ``<path>/assignments`` is written
+    **partitioned by centroid_id** — an :func:`ivf_topk` probe over the
+    loaded index becomes a partition-pruned read of only the
+    ``n_probe`` probed directories, the on-disk realization of
+    "IVF scans 1/n_lists of the corpus" — and ``<path>/centroids``
+    holds the codebook as (centroid_id, centroid) rows.  Spark-native
+    writes only: the artifact round-trips through any filesystem or
+    object store the session can reach (no driver-local sidecar
+    files)."""
+    spark = emb_assigned.sparkSession
+    (
+        emb_assigned.select(id_col, vec_col, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path.rstrip("/") + "/assignments")
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/centroids"
+    )
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load an :func:`ivf_save` artifact: returns ``(assignments,
+    centroids)`` ready for :func:`ivf_topk` / :func:`ivf_topk_batch`.
+    The assignments frame is lazy — nothing is scanned until a probe
+    filters it, and that filter prunes to the probed centroid
+    directories (PartitionFilters in the plan)."""
+    crows = (
+        spark.read.parquet(path.rstrip("/") + "/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    if not crows:
+        raise ValueError(f"no centroids found under {path!r}")
+    if [r["centroid_id"] for r in crows] != list(range(len(crows))):
+        raise ValueError(f"centroid ids under {path!r} are not contiguous")
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    assigned = spark.read.parquet(path.rstrip("/") + "/assignments")
+    return assigned, cents
+
+
 def kmeans_refine(
     emb: DataFrame,
     centroids: np.ndarray,

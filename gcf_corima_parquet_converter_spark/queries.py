@@ -3274,3 +3274,141 @@ def q96(spark, sf_dir):
     return scored.select(
         "doc_id", fx(F.col("quality_score"), 1_000_000).alias("score_fx")
     ).orderBy("doc_id")
+
+
+# ===================================== sketch-tier capstone (r7)
+# -- q100: the "daily ingest" composition the sketch family exists for
+#    (reference has no twin — this is the LLM-pipeline audit tier).
+#    Per-epoch (per-day) shard tables for all three mergeable-artifact
+#    tiers — bitmap (distinct), histogram (quantile), approx-top-k
+#    (frequency); each shard groupBy carries the epoch key, i.e. the
+#    batch twin of streaming/ingest.maintain_sketch_shards' epoch=N
+#    directories — then cross-epoch merges answer the corpus audit FROM
+#    ARTIFACTS ONLY: raw rows are touched once at shard build, never at
+#    answer time.  Every tier is exact here (bitmaps are exact by
+#    construction; histogram percentiles are bucket-left-edge
+#    deterministic; item domain 7 <= max_items so the top-k sketch
+#    degenerates to a complete counting map), which is what makes the
+#    whole composition oracle-backed rather than rows-only.
+@query(
+    "q100_sketch_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, user_id, value, user_id % 7 AS item
+      FROM events WHERE user_id IS NOT NULL),
+    nd AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+      FROM e GROUP BY 1),
+    h AS (
+      -- Spark width_bucket(v, 0, 500, 250) exact formula (q88 pattern)
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 251
+                  ELSE CAST(FLOOR(value / (500.0 / 250)) AS BIGINT) + 1
+             END AS b,
+             COUNT(*) AS n
+      FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, b,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+    p AS (
+      SELECT event_type, 0.5 AS q, MIN(b) AS b
+      FROM c WHERE cum >= 0.5 * total GROUP BY 1
+      UNION ALL
+      SELECT event_type, 0.9, MIN(b)
+      FROM c WHERE cum >= 0.9 * total GROUP BY 1),
+    pv AS (
+      SELECT event_type,
+             MAX(CASE WHEN q = 0.5 THEN
+                 LEAST(GREATEST(0.0 + (b - 1) * (500.0 / 250), 0.0), 500.0)
+                 END) AS p50_value,
+             MAX(CASE WHEN q = 0.9 THEN
+                 LEAST(GREATEST(0.0 + (b - 1) * (500.0 / 250), 0.0), 500.0)
+                 END) AS p90_value
+      FROM p GROUP BY 1),
+    tc AS (
+      SELECT event_type, item, CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM e GROUP BY 1, 2),
+    tk AS (
+      SELECT event_type, item, est_count,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY est_count DESC, item) AS rn
+      FROM tc),
+    tj AS (
+      SELECT event_type,
+             string_agg(CAST(item AS VARCHAR), ','
+                        ORDER BY est_count DESC, item) AS top_items,
+             CAST(MAX(est_count) AS BIGINT) AS top_count
+      FROM tk WHERE rn <= 3 GROUP BY 1)
+    SELECT nd.event_type, nd.n_distinct_users, pv.p50_value, pv.p90_value,
+           tj.top_items, tj.top_count
+    FROM nd JOIN pv USING (event_type) JOIN tj USING (event_type)
+    ORDER BY nd.event_type
+    """,
+)
+def q100(spark, sf_dir):
+    e = T(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ep = e.select(
+        F.to_date(
+            F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ).alias("epoch"),
+        "event_type",
+        "user_id",
+        "value",
+        (F.col("user_id") % 7).alias("item"),
+    )
+    # --- shard build: one per-epoch artifact table per tier (what
+    # maintain_sketch_shards writes under epoch=N, here as epoch keys)
+    bmp_shards = K.bitmap_shard_sketch(ep, ["epoch", "event_type"], "user_id")
+    hist_shards = K.histogram_shard_sketch(
+        ep, ["epoch", "event_type"], "value", 0.0, 500.0, 250
+    )
+    topk_shards = K.topk_shard_sketch(ep, ["epoch", "event_type"], "item", 64)
+
+    # --- answer time: merge across epochs, raw rows never re-read
+    nd = K.bitmap_merge(bmp_shards, ["event_type"]).select(
+        "event_type", F.col("n_distinct").cast("bigint").alias("n_distinct_users")
+    )
+    pct = K.histogram_percentiles(
+        K.histogram_merge(hist_shards, ["event_type"]),
+        ["event_type"],
+        [0.5, 0.9],
+        0.0,
+        500.0,
+        250,
+    )
+    pv = pct.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50_value"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90_value"),
+    )
+    est = K.topk_estimate(
+        K.topk_merge(topk_shards, ["event_type"], 64), ["event_type"], k=3
+    )
+    tj = (
+        est.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("est_count")).alias("_nc"),
+                                F.col("item").alias("item"),
+                            )
+                        )
+                    ),
+                    lambda s: s["item"].cast("string"),
+                ),
+                ",",
+            ).alias("top_items"),
+            F.max("est_count").cast("bigint").alias("top_count"),
+        )
+    )
+    return (
+        nd.join(pv, "event_type")
+        .join(tj, "event_type")
+        .orderBy("event_type")
+    )

@@ -610,3 +610,114 @@ def maintain_sketch_shards(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_fft_stream(
+    stream: DataFrame,
+    sample_rate: float,
+    window_s: float = 1.0,
+    value_col: str = "A_x_g",
+    time_col: str = "Time",
+    key_cols: list[str] | None = None,
+    watermark: str = "2 seconds",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Live twin of ``operators.telemetry.windowed_fft`` (T4 family
+    completion): per-(keys, tumbling window) magnitude spectra over a
+    stream of telemetry samples.
+
+    A spectrum is NOT mergeable — unlike the sketch twins, a window's
+    samples must be seen together — so this is the stateful-buffer
+    class (same machinery as packet reassembly): ``applyInPandasWithState``
+    keyed by ``(keys…, window_start)`` accumulates the window's samples
+    (state bounded by ``window_s * sample_rate`` rows, packed as two
+    binary buffers so only bytes sit in the state store), arms an
+    EVENT-TIME timeout at the window's end, and emits the numpy ``rfft``
+    rows exactly once when the watermark passes the window — identical
+    bucket math (int64 ``t - pmod(t, w_ns)``), normalization (2/N, DC
+    and Nyquist 1/N), ``top_k`` ranking, and n<4 drop as the batch
+    operator, so a replay equals the batch result row-for-row
+    (test-pinned).  ``time_col`` is int64 epoch-ns; the watermark clock
+    is its µs truncation.
+    """
+    import numpy as np
+
+    keys = list(key_cols) if key_cols is not None else ["comp_name"]
+    w_ns = int(window_s * 1_000_000_000)
+    t = F.col(time_col)
+    prepared = stream.select(
+        *[F.col(k) for k in keys],
+        (t - F.pmod(t, F.lit(w_ns))).alias("window_start"),
+        t.alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.timestamp_micros((t / F.lit(1000)).cast("long")).alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    in_fields = {f.name: f.dataType for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            *[StructField(k, in_fields[k]) for k in keys],
+            StructField("window_start", LongType()),
+            StructField("freq_hz", DoubleType()),
+            StructField("magnitude", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("tbuf", BinaryType()), StructField("vbuf", BinaryType())]
+    )
+
+    def _fft_state(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            tbuf, vbuf = state.get
+            state.remove()
+            ts = np.frombuffer(tbuf, dtype=np.int64)
+            vs = np.frombuffer(vbuf, dtype=np.float64)
+            vals = vs[np.argsort(ts, kind="stable")]
+            n = len(vals)
+            if n < 4:
+                return
+            spec = np.abs(np.fft.rfft(vals))
+            scale = np.full(len(spec), 2.0 / n)
+            scale[0] = 1.0 / n
+            if n % 2 == 0:
+                scale[-1] = 1.0 / n
+            mags = spec * scale
+            freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+            idx = np.arange(len(mags))
+            if top_k is not None:
+                nz = idx[1:]  # rank without DC
+                order = nz[np.argsort(-mags[1:], kind="stable")][: int(top_k)]
+                idx = np.sort(order)
+            yield pd.DataFrame(
+                {
+                    **{k: key[i] for i, k in enumerate(keys)},
+                    "window_start": key[len(keys)],
+                    "freq_hz": freqs[idx],
+                    "magnitude": mags[idx],
+                }
+            )
+            return
+        new_t, new_v = [], []
+        for pdf in pdfs:
+            new_t.append(pdf["_t"].to_numpy(np.int64))
+            new_v.append(pdf["_v"].to_numpy(np.float64))
+        ts = np.concatenate(new_t)
+        vs = np.concatenate(new_v)
+        if state.exists:
+            tbuf, vbuf = state.get
+            ts = np.concatenate([np.frombuffer(tbuf, dtype=np.int64), ts])
+            vs = np.concatenate([np.frombuffer(vbuf, dtype=np.float64), vs])
+        state.update((ts.tobytes(), vs.tobytes()))
+        # fire once the watermark (which already embodies the allowed
+        # lateness) passes the window's end
+        state.setTimeoutTimestamp((int(key[len(keys)]) + w_ns) // 1_000_000)
+        return
+        yield  # pragma: no cover — marks this branch a generator too
+
+    return prepared.groupBy(*keys, "window_start").applyInPandasWithState(
+        _fft_state,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -191,6 +191,46 @@ def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
     assert len(set(exact) & set(got)) / 10 >= 0.5
 
 
+def test_ivf_save_load_roundtrip_and_pruned_probe(spark, emb, tmp_path):
+    """The persisted IVF artifact must round-trip exactly (centroids +
+    assignments), answer a probe identically to the in-memory index,
+    and plan the probe as a PARTITION-PRUNED read of only the probed
+    centroid directories — serving never repays the build."""
+    seeds = S.train_centroids_sample(emb, n_centroids=8)
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    cents = S.kmeans_refine(emb, seeds, n_iter=1)
+    assigned = S.ivf_assign(emb, cents)
+
+    path = str(tmp_path / "ivf_idx")
+    S.ivf_save(assigned, cents, path)
+    loaded, cents2 = S.ivf_load(spark, path)
+
+    assert np.allclose(cents, cents2)
+    assert loaded.count() == emb.count()
+    want = sorted(
+        (r["centroid_id"], r["vec_id"]) for r in assigned.collect()
+    )
+    got = sorted((r["centroid_id"], r["vec_id"]) for r in loaded.collect())
+    assert got == want
+
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    mem = [r["vec_id"] for r in S.ivf_topk(assigned, cents, qvec, k=5).collect()]
+    dsk = [r["vec_id"] for r in S.ivf_topk(loaded, cents2, qvec, k=5).collect()]
+    assert mem == dsk
+
+    plan = (
+        S.ivf_topk(loaded, cents2, qvec, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan
+
+
 def test_kmeans_refine_scans_input_lineage_once(spark):
     """kmeans_refine must persist its (id, vector) projection: the
     upstream lineage is evaluated once, not once per Lloyd iteration.

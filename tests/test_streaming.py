@@ -1054,3 +1054,95 @@ def test_maintain_sketch_shards_checkpoint_restart(spark, tmp_path):
         .collect()
     }
     assert merged == want  # counts exact: batch a was NOT reprocessed
+
+
+def test_windowed_fft_stream_matches_batch(spark, tmp_path):
+    """Streaming FFT (stateful-buffer twin of windowed_fft): a file
+    replay of planted 50 Hz + 120 Hz tones emits, once each window's
+    watermark passes, exactly the batch operator's spectrum rows —
+    same bucketing, normalization and float values."""
+    import glob as _g
+    import os
+    import shutil
+    import time as _time
+
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        windowed_fft_stream,
+    )
+
+    fs, secs = 1000.0, 3
+    n = int(fs * secs)
+    tt = np.arange(n) / fs
+    sig = 1.0 * np.sin(2 * np.pi * 50 * tt) + 0.4 * np.sin(2 * np.pi * 120 * tt)
+    base_ns = 1_700_000_000_000_000_000
+    rows = [
+        ("m1", base_ns + int(i * 1e9 / fs), float(sig[i])) for i in range(n)
+    ]
+    # two far-future single-sample "flush" files: advance the watermark
+    # past every signal window's end so all three windows time out and
+    # emit during the availableNow replay (n=1 windows drop, as batch)
+    flush1 = [("m1", base_ns + 10_000_000_000, 0.0)]
+    flush2 = [("m1", base_ns + 20_000_000_000, 0.0)]
+    sch = "comp_name string, Time long, A_x_g double"
+
+    src = str(tmp_path / "fft_src")
+    os.makedirs(src)
+
+    def write_file(rs, name, mtime):
+        p = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rs, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_file(rows[: n // 2], "a", now - 90)
+    write_file(rows[n // 2 :], "b", now - 60)
+    write_file(flush1, "c", now - 30)
+    write_file(flush2, "d", now)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_fft_stream(
+        stream, sample_rate=fs, window_s=1.0, watermark="1 second"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fft_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fft"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (
+            (r["comp_name"], r["window_start"], round(r["freq_hz"], 9),
+             r["magnitude"])
+            for r in spark.table("fft_stream_t").collect()
+        )
+    )
+    all_rows = rows + flush1 + flush2
+    batch = sorted(
+        (
+            (r["comp_name"], r["window_start"], round(r["freq_hz"], 9),
+             r["magnitude"])
+            for r in tm.windowed_fft(
+                spark.createDataFrame(all_rows, sch).repartition(8),
+                sample_rate=fs,
+                window_s=1.0,
+            ).collect()
+        )
+    )
+    assert len(batch) == 3 * (int(fs) // 2 + 1)  # 3 full windows emitted
+    assert got == batch
