@@ -234,7 +234,11 @@ def group_quantile_filter(
     Exact and deterministic: rows rank within their group by
     ``(score, id)`` (id tiebreak — reruns keep the same rows), and the
     kept count per group is ``ceil(frac * n_group)`` so every
-    non-empty group retains at least one row.  One hash-partition
+    non-empty group retains at least one row.  The product is rounded
+    to 9 decimals BEFORE the ceil: double arithmetic can land a hair
+    above an integer (``0.1 * 30 -> 3.0000000000000004``) and a raw
+    ceil would then keep one extra row per group — the mathematical
+    ``ceil(frac * n)`` is the contract (r6 advice).  One hash-partition
     window per group — the same shuffle any per-group rank pays;
     groups are assumed numerous (languages, sources), so there is no
     single-reducer funnel.  ``keep="best"`` ranks score desc,
@@ -254,7 +258,10 @@ def group_quantile_filter(
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
-        .where(F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
+        .where(
+            F.col("_rk")
+            <= F.ceil(F.round(F.lit(float(frac)) * F.col("_n"), 9))
+        )
         .drop("_rk", "_n")
     )
 
@@ -683,11 +690,17 @@ def global_running_sum(
     its lifetime is managed:
 
     * ``"checkpoint"`` (default) — the result is eagerly
-      ``localCheckpoint``-ed (one extra materialization, peak 2x the
+      ``localCheckpoint``-ed (NOTE: evaluation happens AT CALL TIME,
+      not at the first action — one extra materialization, peak 2x the
       result while it lands) and the intermediate cache is dropped
       before returning; the checkpoint's storage is scoped to the
       returned DataFrame's lifetime (the context cleaner reclaims it on
-      GC), so nothing persists session-wide.
+      GC), so nothing persists session-wide.  Durability caveat:
+      ``localCheckpoint`` blocks are NON-REPLICATED executor storage
+      and the lineage is truncated, so on a real cluster losing an
+      executor after return makes the DataFrame unrecoverable (any
+      action on it then fails; re-run the call).  For a long-lived
+      result on a lossy cluster, write it to a table instead.
     * ``"cache"`` — legacy: the intermediate stays persisted
       (MEMORY_AND_DISK) until the caller clears it
       (``spark.catalog.clearCache()`` or session end); cheapest when

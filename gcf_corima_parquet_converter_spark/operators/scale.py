@@ -339,11 +339,23 @@ def key_skew_report(
     :func:`salted_join`:
 
     ``{n_rows, approx_n_keys, top: [(key, count)...], max_share,
-    skew_factor}`` where ``skew_factor`` = hottest-key count over the
-    MEAN per-key count (1.0 = uniform; >> cores means the hot key
-    serializes a reducer).  Built on the heavy-hitters sketch
+    skew_factor, exact}`` where ``skew_factor`` = hottest-key count
+    over the MEAN per-key count (1.0 = uniform; >> cores means the hot
+    key serializes a reducer).  Built on the heavy-hitters sketch
     (``approx_top_k``) + HLL, so the scan shuffles only constant-size
     sketch state — safe to run on the full 100 TB key column.
+
+    ``exact`` flags whether the top counts (hence ``max_share`` /
+    ``skew_factor``) are trustworthy: the sketch counts exactly while
+    distinct keys fit ``max_items``, but ABOVE that it can
+    OVER-estimate the hot key — i.e. the diagnostic is least reliable
+    in exactly the high-cardinality regime where the salted-join
+    decision matters.  When ``exact`` is False treat ``skew_factor``
+    as an upper bound (an inflated reading may recommend salting that
+    a uniform key doesn't need; it will not hide real skew) and
+    re-measure with a larger ``max_items`` before acting on it.
+    ``approx_n_keys`` is itself an HLL estimate (±~2%), so the flag
+    uses a small safety margin.
     """
     from .sketches import heavy_hitters
 
@@ -364,4 +376,7 @@ def key_skew_report(
         "top": top,
         "max_share": max_count / n if n else 0.0,
         "skew_factor": max_count / mean if mean else 0.0,
+        # 5% HLL margin: only claim exactness when the estimated key
+        # count sits comfortably inside the sketch's tracking capacity
+        "exact": nk <= int(max_items * 0.95),
     }

@@ -1912,9 +1912,16 @@ def q97(spark, sf_dir):
     from .operators import telemetry as tm
 
     e = T(spark, sf_dir, "events")
+    # Time from a per-type ROW NUMBER (dense, collision-free at ANY
+    # scale factor): the previous event_id % 600_000 mapping collided
+    # once the table exceeded 600k rows (sf1 has 1M), making tie order
+    # inside a (comp_name, Time) cell partition-dependent (r6 advice).
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id")
+    )
     samples = e.select(
         F.col("event_type").alias("comp_name"),
-        ((F.col("event_id") % 600_000) * F.lit(1_000_000)).alias("Time"),
+        ((rn - 1).cast("long") * F.lit(1_000_000)).alias("Time"),
         F.col("value").alias("A_x_g"),
     )
     spec = tm.windowed_fft(samples, sample_rate=1000.0, window_s=1.0, top_k=3)
@@ -3230,7 +3237,7 @@ def q94(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents)
     SELECT doc_id, lang, n_chars FROM ranked
-    WHERE rk <= CEIL(0.3 * n) ORDER BY doc_id
+    WHERE rk <= CEIL(ROUND(0.3 * n, 9)) ORDER BY doc_id
     """,
 )
 def q95(spark, sf_dir):

@@ -84,7 +84,11 @@ def write_webdataset(
     old shard it didn't finish replacing), and only then are stale
     shards — indexes not produced by this run, e.g. after an
     ``n_shards`` shrink or an empty shard group — deleted and the new
-    manifest written.
+    manifest written.  :func:`read_webdataset` enforces the contract
+    from the consumer side: with a manifest it reads exactly the listed
+    shards (orphans invisible, missing shards loud), and a
+    manifest-less directory — which is what a crashed write leaves —
+    is flagged as unverifiable instead of silently ingested.
     """
     os.makedirs(path, exist_ok=True)
     manifest_path = os.path.join(path, "manifest.json")
@@ -163,6 +167,7 @@ def read_webdataset(
     path: str,
     exts: list[str],
     binary_exts: set[str] | frozenset[str] = frozenset(),
+    require_manifest: bool = False,
 ) -> DataFrame:
     """Scan WebDataset shards back to (key, shard, <ext columns>).
 
@@ -171,7 +176,47 @@ def read_webdataset(
     at write time).  Members with extensions outside ``exts`` are
     skipped; ``binary_exts`` stay ``binary`` columns, the rest decode
     utf-8 to ``string``.
+
+    Consistency contract: when ``path/manifest.json`` exists (the
+    atomically-published index ``write_webdataset`` emits LAST), the
+    read is scoped to EXACTLY the manifest's shard list — orphan tars
+    from an older, larger run are ignored, and a listed-but-missing
+    shard raises instead of silently shrinking the corpus.  Without a
+    manifest (a foreign dataset, or a write that crashed before
+    publishing — the writer removes the old manifest first), the read
+    falls back to a ``shard-*.tar`` glob and WARNS that a partial or
+    mixed shard set cannot be detected; pass ``require_manifest=True``
+    to make that case an error.
     """
+    manifest_path = os.path.join(path, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            man = json.load(fh)
+        load_paths = [
+            os.path.join(path, f"shard-{int(d['shard']):05d}.tar")
+            for d in man["shards"]
+        ]
+        missing = [f for f in load_paths if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"webdataset at {path!r} is inconsistent: manifest lists "
+                f"{len(missing)} missing shard(s), e.g. {missing[0]!r}"
+            )
+    elif require_manifest:
+        raise FileNotFoundError(
+            f"no manifest.json under {path!r} (require_manifest=True); "
+            "the dataset may be a crashed/partial write"
+        )
+    else:
+        import warnings
+
+        warnings.warn(
+            f"no manifest.json under {path!r}; falling back to a "
+            "shard-*.tar glob — a crashed or partially-updated write "
+            "cannot be detected in this mode",
+            stacklevel=2,
+        )
+        load_paths = [os.path.join(path, "shard-*.tar")]
     fields = ", ".join(
         f"`{e}` {'binary' if e in binary_exts else 'string'}" for e in exts
     )
@@ -206,7 +251,7 @@ def read_webdataset(
 
     return (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "shard-*.tar"))
+        .load(load_paths)
         .select("path", "content")
         .mapInPandas(_read, schema)
     )

@@ -677,6 +677,16 @@ def test_group_quantile_filter_exact_and_small_groups(spark):
                P.group_quantile_filter(ties, ["g"], "score", 0.5, "doc_id").collect())
     assert t == [0, 1, 2, 3, 4]
 
+    # mathematical ceil, not double-crumb ceil: 0.1 * 30 computes to
+    # 3.0000000000000004 in binary, which a raw CEIL lifts to 4 — the
+    # contract is ceil(frac*n) = 3 (r6 advice)
+    thirty = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(30)],
+        "doc_id long, g string, score double",
+    )
+    k = P.group_quantile_filter(thirty, ["g"], "score", 0.1, "doc_id")
+    assert k.count() == 3
+
 
 def test_storage_curation_capstone_composition(spark, tmp_path):
     """End-to-end composition of the r6 storage tier with curation:

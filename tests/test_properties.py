@@ -84,6 +84,10 @@ def test_asof_join_matches_pandas_property(spark, data):
         st.lists(st.integers(0, 2), min_size=len(rt), max_size=len(rt))
     )
     direction = data.draw(st.sampled_from(["backward", "forward"]))
+    # Tolerance interacts with the struct-carry (the match is found,
+    # THEN nulled when the gap exceeds tolerance): draw it too, so
+    # forward+tolerance+null-payload interleavings are all pinned.
+    tolerance = data.draw(st.sampled_from([None, 1, 7, 40]))
     # Some right rows carry a genuinely-NULL payload: a matched null row
     # must yield null, not a stale value from an earlier right row.
     null_mask = data.draw(
@@ -97,7 +101,9 @@ def test_asof_join_matches_pandas_property(spark, data):
         {"k": rk, "t": rt, "rv": [np.nan if v is None else v for v in rv_vals]}
     )
 
-    exp = pd.merge_asof(left, right, on="t", by="k", direction=direction)
+    exp = pd.merge_asof(
+        left, right, on="t", by="k", direction=direction, tolerance=tolerance
+    )
     spark_right = spark.createDataFrame(
         list(zip(rk, rt, rv_vals)), schema="k long, t long, rv double"
     )
@@ -109,13 +115,14 @@ def test_asof_join_matches_pandas_property(spark, data):
             right_cols=["rv"],
             by=["k"],
             direction=direction,
+            tolerance=tolerance,
         )
         .orderBy("lv")
         .toPandas()
     )
     e = exp.sort_values("lv")["rv"].astype("float64").to_numpy()
     g = got["rv"].astype("float64").to_numpy()
-    assert ((e == g) | (np.isnan(e) & np.isnan(g))).all(), (direction, exp, got)
+    assert ((e == g) | (np.isnan(e) & np.isnan(g))).all(), (direction, tolerance, exp, got)
 
 
 @settings(max_examples=6, deadline=None)

@@ -317,3 +317,10 @@ def test_key_skew_report_detects_planted_skew(spark):
     assert r2["top"][0][0] == "hot" and r2["top"][0][1] == 30_000
     assert r2["max_share"] == pytest.approx(0.75)
     assert r2["skew_factor"] > 50  # the salted_join regime
+    assert r2["exact"] is True  # 101 keys << max_items: counts exact
+
+    # above max_items the sketch may overestimate the hot key — the
+    # report must say so instead of presenting a biased skew_factor
+    # as trustworthy (r6 advice)
+    r3 = SC.key_skew_report(skewed, "k", k=3, max_items=64)
+    assert r3["exact"] is False

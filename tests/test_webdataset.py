@@ -152,3 +152,53 @@ def test_webdataset_manifest_persisted(spark, sf_dir, tmp_path):
     assert m["n_shards"] == 2 and m["files"] == {"txt": "text"}
     assert m["shards"] == rows
     assert sum(s["n_samples"] for s in m["shards"]) == 20
+
+
+def test_webdataset_read_is_manifest_scoped(spark, sf_dir, tmp_path):
+    """The reader consumes EXACTLY the manifest's shard list: an orphan
+    tar (e.g. left by a larger older run on a foreign tool) is
+    invisible, a listed-but-missing shard raises, and a manifest-less
+    directory is readable only via an explicit glob-fallback warning
+    (r6 advice: a crashed write must never be silently ingested)."""
+    import json
+    import os
+    import shutil
+    import warnings
+
+    import pytest
+
+    docs = _corpus(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    rows = W.write_webdataset(docs, out, "doc_id", {"txt": "text"}, n_shards=2)
+    shard0_n = next(d["n_samples"] for d in rows if d["shard"] == 0)
+
+    # orphan shard outside the manifest: ignored by the scoped read
+    shutil.copy(
+        os.path.join(out, "shard-00000.tar"),
+        os.path.join(out, "shard-00099.tar"),
+    )
+    assert W.read_webdataset(spark, out, ["txt"]).count() == 20
+
+    # a listed shard going missing is loud, not a silent shrink
+    os.rename(
+        os.path.join(out, "shard-00001.tar"),
+        os.path.join(out, "shard-00001.tar.held"),
+    )
+    with pytest.raises(FileNotFoundError, match="missing shard"):
+        W.read_webdataset(spark, out, ["txt"])
+    os.rename(
+        os.path.join(out, "shard-00001.tar.held"),
+        os.path.join(out, "shard-00001.tar"),
+    )
+
+    # manifest-less (what a crashed write leaves): warn + glob fallback,
+    # or an error under require_manifest=True
+    os.remove(os.path.join(out, "manifest.json"))
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        W.read_webdataset(spark, out, ["txt"], require_manifest=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = W.read_webdataset(spark, out, ["txt"]).count()
+    # glob mode sees the orphan too — exactly why it warns
+    assert n == 20 + shard0_n
+    assert any("manifest" in str(w.message) for w in caught)
