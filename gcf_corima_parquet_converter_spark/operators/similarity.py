@@ -263,22 +263,31 @@ def ivf_save(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    epoch: int = -1,
 ) -> None:
     """Persist an IVF index as a reusable parquet artifact, so serving
     never repays the build: ``<path>/assignments`` is written
-    **partitioned by centroid_id** — an :func:`ivf_topk` probe over the
-    loaded index becomes a partition-pruned read of only the
-    ``n_probe`` probed directories, the on-disk realization of
-    "IVF scans 1/n_lists of the corpus" — and ``<path>/centroids``
-    holds the codebook as (centroid_id, centroid) rows.  Spark-native
-    writes only: the artifact round-trips through any filesystem or
-    object store the session can reach (no driver-local sidecar
-    files)."""
+    **partitioned by (epoch, centroid_id)** — an :func:`ivf_topk`
+    probe over the loaded index becomes a partition-pruned read of
+    only the ``n_probe`` probed centroid directories (pruning applies
+    at any partition level), the on-disk realization of "IVF scans
+    1/n_lists of the corpus" — and ``<path>/centroids`` holds the
+    codebook as (centroid_id, centroid) rows.  Spark-native writes
+    only: the artifact round-trips through any filesystem or object
+    store the session can reach (no driver-local sidecar files).
+
+    ``epoch`` is the incremental-growth axis: the full (re)build this
+    function writes is epoch ``-1``; a stream then keeps the index
+    fresh by adding vectors under epochs ``0, 1, …`` —
+    ``streaming.ingest.maintain_ivf_index`` — without touching the
+    base build.  A rebuild (this function, ``mode=overwrite`` of the
+    whole directory) resets all epochs."""
     spark = emb_assigned.sparkSession
     (
         emb_assigned.select(id_col, vec_col, "centroid_id")
+        .withColumn("epoch", F.lit(int(epoch)))
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy("epoch", "centroid_id")
         .parquet(path.rstrip("/") + "/assignments")
     )
     cents = np.asarray(centroids, dtype=np.float64)
@@ -296,7 +305,9 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     centroids)`` ready for :func:`ivf_topk` / :func:`ivf_topk_batch`.
     The assignments frame is lazy — nothing is scanned until a probe
     filters it, and that filter prunes to the probed centroid
-    directories (PartitionFilters in the plan)."""
+    directories (PartitionFilters in the plan).  All epochs are read
+    (base build + any stream-maintained increments); the ``epoch``
+    partition column rides along and is ignored by the probes."""
     crows = (
         spark.read.parquet(path.rstrip("/") + "/centroids")
         .orderBy("centroid_id")

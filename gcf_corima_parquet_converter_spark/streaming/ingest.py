@@ -612,6 +612,65 @@ def maintain_sketch_shards(
     return writer.start()
 
 
+def maintain_ivf_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Continuously grow a persisted IVF index (``similarity.ivf_save``
+    artifact) from a stream of new embeddings — the serving-side
+    freshness loop: documents embedded today are searchable today,
+    without a nightly full re-assign.
+
+    The codebook is loaded ONCE at start (centroids are the stable
+    part of an IVF index; re-training them is a deliberate offline
+    rebuild via ``ivf_save``).  Per micro-batch, the new vectors are
+    assigned to their nearest centroid (same JVM/matmul path as the
+    batch build) and written under ``assignments/epoch=<id>/
+    centroid_id=*`` with DYNAMIC partition overwrite: a replayed batch
+    rewrites exactly its own epoch partitions, so the artifact is
+    exactly-once under retries — the same epoch-ownership contract as
+    ``maintain_sketch_shards``.  ``ivf_topk`` probes over
+    ``ivf_load``'s union of all epochs stay partition-pruned on
+    ``centroid_id``.
+
+    Drift caveat: vectors keep assigning to the FROZEN codebook; if
+    the embedding distribution shifts, probe recall decays until the
+    next offline rebuild — monitor list-size skew (``key_skew_report``
+    on ``centroid_id``) to schedule it.  Returns the started
+    ``StreamingQuery``.
+    """
+    from ..operators.similarity import ivf_assign, ivf_load
+
+    spark = stream.sparkSession
+    _, cents = ivf_load(spark, index_path)
+    apath = index_path.rstrip("/") + "/assignments"
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        (
+            ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+            .select(id_col, vec_col, F.lit(int(epoch_id)).alias("epoch"),
+                    "centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "centroid_id")
+            .parquet(apath)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_fft_stream(
     stream: DataFrame,
     sample_rate: float,

@@ -1146,3 +1146,79 @@ def test_windowed_fft_stream_matches_batch(spark, tmp_path):
     )
     assert len(batch) == 3 * (int(fs) // 2 + 1)  # 3 full windows emitted
     assert got == batch
+
+
+def test_maintain_ivf_index_grows_saved_artifact_exactly_once(spark, tmp_path):
+    """Streaming IVF maintenance: a bootstrap ivf_save plus a streamed
+    second half equals the full batch index (same probes, same
+    results), and a full replay (fresh checkpoint, same epochs)
+    rewrites its own epoch partitions instead of duplicating them."""
+    import os
+
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    first, second = rows[: n // 2], rows[n // 2 :]
+
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=8), n_iter=1
+    )
+    idx = str(tmp_path / "ivf_idx")
+    base = spark.createDataFrame(first, sch)
+    S.ivf_save(S.ivf_assign(base, cents), cents, idx)
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    half = len(second) // 2
+    for name, chunk in (("a", second[:half]), ("b", second[half:])):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    def run_stream(ckpt):
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_ivf_index(stream, idx, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run_stream("ckpt1")
+    loaded, cents2 = S.ivf_load(spark, idx)
+    assert np.allclose(cents, cents2)
+    assert loaded.count() == n
+    assert {r["epoch"] for r in loaded.select("epoch").distinct().collect()} == {
+        -1, 0, 1,
+    }
+
+    # probe over the maintained artifact == probe over a full batch assign
+    qvec = pts[3]
+    want = [
+        r["vec_id"]
+        for r in S.ivf_topk(S.ivf_assign(full, cents), cents, qvec, k=5).collect()
+    ]
+    got = [r["vec_id"] for r in S.ivf_topk(loaded, cents2, qvec, k=5).collect()]
+    assert got == want
+
+    # replay from scratch (fresh checkpoint, same files -> same epoch
+    # ids): dynamic overwrite rewrites epochs 0/1 in place, no dupes
+    run_stream("ckpt2")
+    loaded2, _ = S.ivf_load(spark, idx)
+    assert loaded2.count() == n

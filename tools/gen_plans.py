@@ -155,6 +155,14 @@ QUERIES = [
         "global sort) + broadcast hydration join back to documents — "
         "the corpus is scanned once and never shuffled",
     ),
+    (
+        "q100_sketch_rollup",
+        "sketch-tier daily-ingest capstone: per-epoch shard groupBys "
+        "(bitmap/histogram/top-k, all map-side partial — raw rows ride "
+        "no exchange, only sketch state), cross-epoch merges, then "
+        "three tiny per-type artifacts broadcast-join into the audit "
+        "row — the 100 TB answer path never re-reads rows",
+    ),
 ]
 
 
