@@ -380,3 +380,82 @@ def key_skew_report(
         # count sits comfortably inside the sketch's tracking capacity
         "exact": nk <= int(max_items * 0.95),
     }
+
+
+def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
+    """Static scale audit of a DataFrame's physical plan — the repo's
+    plan-invariant gate (tests/test_plan_invariants.py) packaged as a
+    library call, so users can vet THEIR queries against the same
+    100 TB antipatterns before launching them:
+
+    * ``cartesian_products`` — an unkeyed join anywhere is an outage
+      at scale (row count multiplies).
+    * ``broadcast_nested_loop_joins`` — a non-equi join that re-scans
+      the broadcast side per row; fine for tiny sides, a trap when the
+      "small" side grows.
+    * ``row_python_stages`` (``BatchEvalPython``) — row-at-a-time
+      Python; 10-100x slower than Arrow-batched, never acceptable.
+    * ``arrow_python_stages`` — Arrow-batched Python (pandas_udf /
+      InPandas).  Legitimate for kernels with no JVM twin (codecs,
+      FFT); flagged so the reader can check each one is deliberate.
+      Suppressed from ``findings`` when ``python_ok=True``.
+    * ``single_partition_exchanges`` — global funnels.  Benign only as
+      the final reduce of a scalar aggregate (one row per upstream
+      task); a global window/sort funnels FULL-WIDTH data through one
+      reducer.
+    * ``exchanges`` / ``broadcast_joins`` — counted for context (every
+      exchange is a shuffle; is each one expected?).
+
+    Returns counts plus a human-readable ``findings`` list; empty
+    findings = the plan passes the same bar the graded corpus is held
+    to.  Plans are analyzed, not executed (the plan is built via
+    ``queryExecution().executedPlan()``; AQE may still improve it at
+    runtime — this audits the static shape).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {
+        "cartesian_products": plan.count("CartesianProduct"),
+        "broadcast_nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "row_python_stages": plan.count("BatchEvalPython"),
+        "arrow_python_stages": (
+            plan.count("ArrowEvalPython") + plan.count("InPandas")
+        ),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "exchanges": plan.count("Exchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+    }
+    findings = []
+    if counts["cartesian_products"]:
+        findings.append(
+            f"{counts['cartesian_products']} CartesianProduct join(s): "
+            "unkeyed join — add an equi-key or bin-block the range "
+            "predicate (see telemetry.interval_join_binned)"
+        )
+    if counts["broadcast_nested_loop_joins"]:
+        findings.append(
+            f"{counts['broadcast_nested_loop_joins']} BroadcastNestedLoop"
+            "Join(s): non-equi join re-scanning the broadcast side per "
+            "row — keep only if the broadcast side is provably tiny"
+        )
+    if counts["row_python_stages"]:
+        findings.append(
+            f"{counts['row_python_stages']} row-at-a-time Python stage(s) "
+            "(BatchEvalPython): rewrite as built-in expressions or an "
+            "Arrow-batched pandas_udf"
+        )
+    if counts["arrow_python_stages"] and not python_ok:
+        findings.append(
+            f"{counts['arrow_python_stages']} Arrow Python stage(s): "
+            "legitimate only for kernels with no JVM twin — verify, "
+            "then pass python_ok=True"
+        )
+    if counts["single_partition_exchanges"]:
+        findings.append(
+            f"{counts['single_partition_exchanges']} SinglePartition "
+            "exchange(s): benign only as a scalar-aggregate final "
+            "reduce; a global window/sort here is the single-reducer "
+            "trap (see pipeline.global_running_sum)"
+        )
+    counts["findings"] = findings
+    counts["ok"] = not findings
+    return counts

@@ -324,3 +324,55 @@ def test_key_skew_report_detects_planted_skew(spark):
     # as trustworthy (r6 advice)
     r3 = SC.key_skew_report(skewed, "k", k=3, max_items=64)
     assert r3["exact"] is False
+
+
+def test_plan_audit_flags_antipatterns_and_passes_good_plans(spark):
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    a = spark.range(0, 100).select(F.col("id").alias("x"))
+    b = spark.range(0, 100).select(F.col("id").alias("y"))
+
+    good = a.join(b, a.x == b.y).groupBy("x").count()
+    r = SC.plan_audit(good)
+    assert r["ok"] and r["findings"] == []
+
+    # a crossJoin plans as CartesianProduct, or BroadcastNestedLoopJoin
+    # when one side fits the broadcast threshold — both are flagged
+    cart = a.crossJoin(b)
+    r = SC.plan_audit(cart)
+    assert not r["ok"]
+    assert any(
+        "CartesianProduct" in f or "NestedLoop" in f for f in r["findings"]
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r = SC.plan_audit(a.crossJoin(b))
+        assert r["cartesian_products"] >= 1 and not r["ok"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    funnel = a.withColumn(
+        "cum", F.sum("x").over(__import__("pyspark").sql.Window.orderBy("x"))
+    )
+    r = SC.plan_audit(funnel)
+    assert r["single_partition_exchanges"] >= 1 and not r["ok"]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def f(s):
+        return s
+
+    py = a.select(f(F.col("x")).alias("fx"))
+    r = SC.plan_audit(py)
+    assert r["arrow_python_stages"] >= 1 and not r["ok"]
+    assert SC.plan_audit(py, python_ok=True)["ok"]
+
+    # scalar aggregate: SinglePartition final reduce is flagged too —
+    # the caller decides it's the benign scalar case
+    scalar = a.agg(F.sum("x"))
+    r = SC.plan_audit(scalar)
+    assert r["single_partition_exchanges"] >= 1
