@@ -420,3 +420,23 @@ def test_interval_join_binned_left_is_single_join_plan(spark):
     assert pl.count("Join") == 1 and "LeftOuter" in pl
     assert "LeftAnti" not in pl and "HashAggregate" not in pl
     assert pl.count("Exchange") == pi.count("Exchange")
+
+
+def test_interval_join_binned_null_time_point(spark):
+    """A point with a NULL time has a NULL bin: inner drops it, left
+    emits it once with null interval columns (documented semantics —
+    pinned so the single-join rewrite never regresses it)."""
+    from gcf_corima_parquet_converter_spark.operators import telemetry as tm
+
+    points = spark.createDataFrame(
+        [(1, 10), (2, None)], "pid long, Time long"
+    )
+    ivals = spark.createDataFrame(
+        [(7, 0, 100)], "iv long, t_start long, t_end long"
+    )
+    inner = tm.interval_join_binned(points, ivals, bin_width=64)
+    assert [r["pid"] for r in inner.collect()] == [1]
+    left = {r["pid"]: r["iv"]
+            for r in tm.interval_join_binned(
+                points, ivals, bin_width=64, how="left").collect()}
+    assert left == {1: 7, 2: None}
