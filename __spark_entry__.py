@@ -125,6 +125,8 @@ _ROWS_ONLY_TAIL = (
     "q87_bpe_tokenize",
     "q90_audio_features",
     "q97_fft_spectrum",
+    # r7: IVF-PQ serving composition (rows-only like its q40/q67 kin)
+    "q101_ivfpq_topk",
     "q32_hsd_pipeline",
 )
 

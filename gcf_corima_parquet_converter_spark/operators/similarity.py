@@ -673,6 +673,85 @@ def pq_topk_rerank(
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the combined IVF-PQ base table → ``(id, centroid_id,
+    codes)`` — the canonical billion-scale serving layout (FAISS
+    ``IVFxx,PQyy``): IVF decides WHICH rows a probe scans (persist
+    partitioned by ``centroid_id`` — :func:`ivf_save`'s layout — so
+    probes prune files), PQ decides how SMALL the scanned bytes are
+    (m code bytes instead of dim floats).  At 100 TB that composes a
+    ~1/n_lists scan fraction with a ~32x byte shrink: the probe's I/O
+    is ~0.2% of a brute scan before any caching.
+
+    Simplification vs FAISS: codes quantize the RAW vectors, not the
+    per-list residuals (x - centroid).  Residual PQ recovers a little
+    more precision per byte but makes every code table centroid-
+    dependent (re-encode on any codebook refresh); raw-vector PQ keeps
+    encode/search decoupled and loses little at moderate m on
+    clustered data — the recall floor is test-pinned, and the exact
+    re-rank stage (:func:`ivfpq_topk_rerank`) recovers the rest.
+    """
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    return assigned.select(id_col, "centroid_id").join(coded, id_col)
+
+
+def ivfpq_topk(
+    base: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: prune to the ``n_probe`` nearest lists
+    (partition pruning over an :func:`ivf_save`-style layout), then ADC
+    top-k over the surviving PQ codes — the query stays full precision,
+    rows cost m table lookups each, and the scan reads only the code
+    column of the probed lists.  ``base`` is :func:`ivfpq_encode`
+    output (or its reload from parquet)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(-(cents @ q))[: int(n_probe)].tolist()
+    pruned = base.where(F.col("centroid_id").isin(probe))
+    return pq_topk(pruned, codebooks, q, k=k, id_col=id_col)
+
+
+def ivfpq_topk_rerank(
+    base: DataFrame,
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ serving recipe: probe-pruned ADC shortlist
+    (default ``4*k``), then EXACT cosine re-rank of the shortlist
+    against the raw vectors via a broadcast semi-join — the raw-vector
+    table is touched for a constant number of rows however large the
+    corpus.  Returns (id, cos_sim) like :func:`cosine_topk`."""
+    shortlist = shortlist or 4 * k
+    short_ids = ivfpq_topk(
+        base, centroids, codebooks, query_vec,
+        k=shortlist, n_probe=n_probe, id_col=id_col,
+    ).select(id_col)
+    candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
+    return cosine_topk(
+        candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 # ------------------------------------------------- scalar quantization
 
 

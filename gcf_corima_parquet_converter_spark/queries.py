@@ -3291,8 +3291,10 @@ def q96(spark, sf_dir):
 #    (frequency); each shard groupBy carries the epoch key, i.e. the
 #    batch twin of streaming/ingest.maintain_sketch_shards' epoch=N
 #    directories — then cross-epoch merges answer the corpus audit FROM
-#    ARTIFACTS ONLY: raw rows are touched once at shard build, never at
-#    answer time.  Every tier is exact here (bitmaps are exact by
+#    ARTIFACTS ONLY: raw rows are touched only at shard build (one scan
+#    per tier; a deployed ingest caches the day's batch or builds the
+#    three shard tables in one foreachBatch), never at answer time.
+#    Every tier is exact here (bitmaps are exact by
 #    construction; histogram percentiles are bucket-left-edge
 #    deterministic; item domain 7 <= max_items so the top-k sketch
 #    degenerates to a complete counting map), which is what makes the
@@ -3419,3 +3421,25 @@ def q100(spark, sf_dir):
         .join(tj, "event_type")
         .orderBy("event_type")
     )
+
+
+# ===================================== IVF-PQ serving composition (r7)
+# -- q101: the canonical billion-scale ANN layout (similarity.py:
+#    ivfpq_encode/ivfpq_topk_rerank): IVF prunes WHICH lists are
+#    scanned, PQ shrinks WHAT is scanned, exact re-rank restores
+#    precision on the shortlist.  Rows-only (codebooks are engine-side
+#    driver state); recall + JVM-only-plan + partition-pruned-layout
+#    pinned by test_ivfpq_topk_recall_and_pruned_code_scan.
+@query("q101_ivfpq_topk")
+def q101(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = S.train_centroids_sample(e, n_centroids=8)
+    books = S.pq_train(e, m=8, n_codes=16, sample_size=1024)
+    base = S.ivfpq_encode(e, cents, books)
+    topk = S.ivfpq_topk_rerank(
+        base, e, cents, books, qvec, k=10, n_probe=4
+    )
+    return topk.select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy(F.desc("sim_fx"), "vec_id")

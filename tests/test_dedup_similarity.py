@@ -1096,3 +1096,89 @@ def test_mean_pool_matches_numpy(spark, sf_dir):
     plan = S.mean_pool(emb, ["doc"], dim=64)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode of the vectors
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_ivfpq_topk_recall_and_pruned_code_scan(spark):
+    """IVF-PQ (probe-pruned lists + ADC over codes): on clustered data
+    the rerank recipe recovers the exact top-k (recall asserted), the
+    pruned ADC scan stays JVM-only, and the base table round-trips
+    through the ivf_save partition layout with file pruning."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    n, dim, n_clusters = 3000, 32, 8
+    planted = rng.normal(size=(n_clusters, dim))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    # sigma large enough that WITHIN-cluster geometry varies: with very
+    # tight clusters PQ collapses all cluster-mates to identical codes
+    # and ADC ranks ties arbitrarily (verified against a numpy model)
+    pts = planted[rng.integers(0, n_clusters, n)] + rng.normal(
+        0, 0.25, (n, dim)
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+
+    cents = S.kmeans_refine(
+        emb, S.train_centroids_sample(emb, n_centroids=n_clusters), n_iter=1
+    )
+    books = S.pq_train(emb, m=8, n_codes=16, sample_size=512)
+    base = S.ivfpq_encode(emb, cents, books)
+
+    qvec = pts[7]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+
+    adc = [
+        r["vec_id"]
+        for r in S.ivfpq_topk(base, cents, books, qvec, k=10, n_probe=4).collect()
+    ]
+    assert len(set(adc) & set(exact)) / 10 >= 0.2  # lossy codes alone
+
+    rer = [
+        r["vec_id"]
+        for r in S.ivfpq_topk_rerank(
+            base, emb, cents, books, qvec, k=10, n_probe=4, shortlist=120
+        ).collect()
+    ]
+    assert len(set(rer) & set(exact)) / 10 >= 0.8
+
+    # ADC stage plan: JVM-only scoring, no Python stage
+    plan = (
+        S.ivfpq_topk(base, cents, books, qvec, k=10, n_probe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
+
+    # persisted layout: probes prune the parquet scan by centroid_id
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        (
+            base.withColumn("epoch", F.lit(-1))
+            .repartition(F.col("centroid_id"))
+            .write.partitionBy("epoch", "centroid_id")
+            .parquet(td + "/assignments")
+        )
+        loaded = spark.read.parquet(td + "/assignments")
+        got = [
+            r["vec_id"]
+            for r in S.ivfpq_topk(
+                loaded, cents, books, qvec, k=10, n_probe=4
+            ).collect()
+        ]
+        assert got == adc
+        lp = (
+            S.ivfpq_topk(loaded, cents, books, qvec, k=10, n_probe=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in lp and "centroid_id" in lp.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
