@@ -156,6 +156,15 @@ QUERIES = [
         "the corpus is scanned once and never shuffled",
     ),
     (
+        "q101_ivfpq_topk",
+        "IVF-PQ serving: probe-pruned code scan (centroid_id filter "
+        "reaches the scan), ADC = m literal-LUT lookups per row (pure "
+        "JVM), TakeOrderedAndProject shortlist, broadcast semi-join "
+        "hydrates raw vectors for the exact re-rank — the corpus's "
+        "float vectors are read for a constant shortlist however large "
+        "the base table",
+    ),
+    (
         "q100_sketch_rollup",
         "sketch-tier daily-ingest capstone: per-epoch shard groupBys "
         "(bitmap/histogram/top-k, all map-side partial — raw rows ride "
