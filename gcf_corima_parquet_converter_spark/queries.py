@@ -3362,7 +3362,7 @@ def q100(spark, sf_dir):
     e = T(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     ep = e.select(
         F.to_date(
-            F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            F.timestamp_micros(F.expr("ts div 1000"))
         ).alias("epoch"),
         "event_type",
         "user_id",

@@ -709,7 +709,9 @@ def windowed_fft_stream(
         (t - F.pmod(t, F.lit(w_ns))).alias("window_start"),
         t.alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
-        F.timestamp_micros((t / F.lit(1000)).cast("long")).alias("_ts"),
+        # integer `div`, NOT float /: epoch-ns exceeds double's 53-bit
+        # mantissa, so a float division would wobble the µs clock
+        F.timestamp_micros(F.expr(f"`{time_col}` div 1000")).alias("_ts"),
     ).withWatermark("_ts", watermark)
 
     in_fields = {f.name: f.dataType for f in stream.schema.fields}
