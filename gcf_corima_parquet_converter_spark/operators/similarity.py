@@ -522,13 +522,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` uint8-range code ids (nearest code
     per subspace, squared-L2, ties to the lowest id).
 
-    Output: (id, codes array<int> of length m) — the compressed base
-    table one would persist (bucketed or sorted by whatever serves the
-    probe pattern; it is ~dim*4/m times smaller than the raw vectors).
+    Output: (id, *keep_cols, codes array<int> of length m) — the
+    compressed base table one would persist (bucketed or sorted by
+    whatever serves the probe pattern; ~dim*4/m times smaller than the
+    raw vectors).  ``keep_cols`` carries extra columns (e.g. an IVF
+    ``centroid_id``) through the encode so composed layouts build in
+    ONE pass instead of a self-join.
 
     Small codebooks compile to pure JVM literal expressions (argmin per
     subspace over an n_codes distance array — whole-stage-codegen,
@@ -577,7 +581,10 @@ def pq_encode(
                 result = [next(it).tolist() if ok else None for ok in mask]
             return pd.Series(result)
 
-        return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+        return emb.select(
+            F.col(id_col), *keep_cols,
+            _encode(F.col(vec_col)).alias("codes"),
+        )
 
     def _sub(j: int) -> Column:
         # squared-L2 to each code of subspace j, as literal expressions
@@ -598,7 +605,7 @@ def pq_encode(
     codes = F.when(
         F.col(vec_col).isNotNull(), F.array(*[_sub(j) for j in range(m)])
     )  # null vector -> NULL codes (not an array of null ints) — matches Arrow path
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    return emb.select(F.col(id_col), *keep_cols, codes.alias("codes"))
 
 
 def pq_topk(
@@ -698,8 +705,13 @@ def ivfpq_encode(
     re-rank stage (:func:`ivfpq_topk_rerank`) recovers the rest.
     """
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
-    return assigned.select(id_col, "centroid_id").join(coded, id_col)
+    # ONE pass: codes are a projection over the assigned frame (the
+    # centroid_id rides through keep_cols) — no second corpus scan, no
+    # id-keyed self-join shuffle
+    return pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("centroid_id",),
+    )
 
 
 def ivfpq_topk(
