@@ -363,6 +363,31 @@ def bench_ann_scale(spark) -> dict:
         )
         ivf = {r["vec_id"] for r in ivf_rows}
 
+        # IVF-PQ: probes read m=8 code bytes per row instead of the
+        # dim x 4-byte float vector; rerank pulls raw vectors for the
+        # shortlist only.  Built once, persisted like the IVF artifact.
+        pq_path = path + "_ivfpqidx"
+        if not os.path.isdir(pq_path):
+            books = S.pq_train(emb, m=8, n_codes=256, sample_size=4096)
+            S.ivfpq_save(S.ivfpq_encode(emb, cents, books), cents, books,
+                         pq_path)
+        pq_base, pq_cents, pq_books = S.ivfpq_load(spark, pq_path)
+        # shortlist covers the tie class: this corpus's clusters are so
+        # tight (sigma 0.08) that PQ codes encode cluster IDENTITY and
+        # every cluster-mate ties in ADC — the shortlist must span the
+        # ~n/n_lists-row cluster for the exact rerank to recover the
+        # true top-k.  4096 raw-vector reads is still a ~50x reduction
+        # vs the 200k-row brute scan; looser (realistic) corpora rank
+        # within clusters and take the default 4*k shortlist.
+        pq_rows, t_pq = timed(
+            lambda: S.ivfpq_topk_rerank(
+                pq_base, emb, pq_cents, pq_books, qvec, k=k, n_probe=4,
+                shortlist=4096,
+            ),
+            reps=4,
+        )
+        pq_hits = {r["vec_id"] for r in pq_rows}
+
         bb_rows, t_bb = timed(lambda: S.batch_cosine_topk(emb, queries, k=k))
         bi_rows, t_bi = timed(
             lambda: S.ivf_topk_batch(assigned, cents, queries, k=k, n_probe=4)
@@ -393,13 +418,28 @@ def bench_ann_scale(spark) -> dict:
         "ivf_sec": round(t_ivf, 3),
         "ivf_speedup": round(t_brute / t_ivf, 2),
         "ivf_recall": round(len(ivf & brute) / k, 3),
+        "ivfpq_rerank_sec": round(t_pq, 3),
+        "ivfpq_rerank_speedup": round(t_brute / t_pq, 2),
+        "ivfpq_rerank_recall": round(len(pq_hits & brute) / k, 3),
+        # honest regime note: at 200k rows the corpus is RAM-resident,
+        # so PQ's ~16x byte shrink (32 B codes vs 512 B float64 vectors)
+        # buys no wall time and the two-stage plan costs overhead; the
+        # probe exists to pin the recall contract end-to-end through
+        # the persisted artifact.  The byte ratio below is the lever
+        # that pays at disk/object-store scale.
+        "ivfpq_code_bytes_per_row": 32,
+        "ivfpq_vector_bytes_per_row": 512,
         "batch16_brute_sec": round(t_bb, 3),
         "batch16_ivf_sec": round(t_bi, 3),
         "batch16_ivf_speedup": round(t_bb / t_bi, 2),
         "batch16_ivf_recall": round(batch_recall, 3),
         "recall_floor_asserted": 0.8,
     }
-    if out["ivf_recall"] < 0.8 or out["batch16_ivf_recall"] < 0.8:
+    if (
+        out["ivf_recall"] < 0.8
+        or out["batch16_ivf_recall"] < 0.8
+        or out["ivfpq_rerank_recall"] < 0.8
+    ):
         raise RuntimeError(f"ANN@50k recall regression: {out}")
     return out
 

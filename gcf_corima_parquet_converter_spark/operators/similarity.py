@@ -714,6 +714,87 @@ def ivfpq_encode(
     )
 
 
+def ivfpq_save(
+    base: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    epoch: int = -1,
+    shard_lists: int = 1,
+) -> None:
+    """Persist an IVF-PQ index (:func:`ivfpq_encode` output) as one
+    reusable artifact: ``<path>/assignments`` partitioned by
+    ``(epoch, centroid_id)`` holding (id, codes) — probes prune to the
+    probed lists AND read only m code bytes per row — plus
+    ``<path>/centroids`` and ``<path>/codebooks`` (one row per
+    (subspace, code): the PQ model is a few KB of parquet).  Same
+    layout contract as :func:`ivf_save`, so compaction (one file per
+    list via ``shard_lists``) and epoch growth work identically."""
+    spark = base.sparkSession
+    (
+        base.select(id_col, "codes", "centroid_id")
+        .withColumn("epoch", F.lit(int(epoch)))
+        .repartition(
+            F.col("centroid_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_lists))),
+        )
+        .write.mode("overwrite")
+        .partitionBy("epoch", "centroid_id")
+        .parquet(path.rstrip("/") + "/assignments")
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/centroids"
+    )
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/codebooks"
+    )
+
+
+def ivfpq_load(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load an :func:`ivfpq_save` artifact → ``(base, centroids,
+    codebooks)`` ready for :func:`ivfpq_topk` / the rerank recipe.
+    The base frame is lazy and probes prune on ``centroid_id``."""
+    crows = (
+        spark.read.parquet(path.rstrip("/") + "/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    if [r["centroid_id"] for r in crows] != list(range(len(crows))):
+        raise ValueError(f"centroid ids under {path!r} are not contiguous")
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    brows = (
+        spark.read.parquet(path.rstrip("/") + "/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    if not brows:
+        raise ValueError(f"no codebooks found under {path!r}")
+    m = 1 + max(r["subspace"] for r in brows)
+    n_codes = 1 + max(r["code"] for r in brows)
+    if len(brows) != m * n_codes:
+        raise ValueError(f"codebook table under {path!r} is not dense")
+    sub = len(brows[0]["center"])
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["center"]
+    base = spark.read.parquet(path.rstrip("/") + "/assignments")
+    return base, cents, books
+
+
 def ivfpq_topk(
     base: DataFrame,
     centroids: np.ndarray,

@@ -1155,26 +1155,23 @@ def test_ivfpq_topk_recall_and_pruned_code_scan(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
 
-    # persisted layout: probes prune the parquet scan by centroid_id
+    # persisted artifact: ivfpq_save/ivfpq_load round-trips model +
+    # codes exactly and probes prune the parquet scan by centroid_id
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
-        (
-            base.withColumn("epoch", F.lit(-1))
-            .repartition(F.col("centroid_id"))
-            .write.partitionBy("epoch", "centroid_id")
-            .parquet(td + "/assignments")
-        )
-        loaded = spark.read.parquet(td + "/assignments")
+        S.ivfpq_save(base, cents, books, td)
+        loaded, cents2, books2 = S.ivfpq_load(spark, td)
+        assert np.allclose(cents, cents2) and np.allclose(books, books2)
         got = [
             r["vec_id"]
             for r in S.ivfpq_topk(
-                loaded, cents, books, qvec, k=10, n_probe=4
+                loaded, cents2, books2, qvec, k=10, n_probe=4
             ).collect()
         ]
         assert got == adc
         lp = (
-            S.ivfpq_topk(loaded, cents, books, qvec, k=10, n_probe=4)
+            S.ivfpq_topk(loaded, cents2, books2, qvec, k=10, n_probe=4)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
