@@ -342,6 +342,69 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     return assigned, cents
 
 
+def ivf_compact(
+    spark, path: str, shard_lists: int = 1, id_col: str = "vec_id"
+) -> dict:
+    """Fold a grown index's streaming epochs back into a single base —
+    the maintenance job that lets ``maintain_ivf_index`` run forever.
+
+    Each micro-batch the freshness loop lands adds ``epoch=<id>/
+    centroid_id=*`` directories; probes read the union, so an
+    unattended stream degrades probe latency into a small-files
+    problem (epochs × lists file opens per probe — the exact failure
+    ``shard_lists`` exists to prevent for the base build).  This job
+    reads ALL epochs of ``<path>/assignments``, rewrites them as one
+    ``epoch=-1`` base with exactly ``shard_lists`` files per list
+    (same repartition contract as :func:`ivf_save`), and swaps the
+    directory in: rename live → ``.compact.old``, rename the rewrite
+    in, delete the old — with a rollback if the second rename fails.
+    Works unchanged on IVF and IVF-PQ artifacts (the rewrite carries
+    whatever data columns the assignments hold — vectors or codes);
+    centroids/codebooks/meta are untouched.
+
+    Readers: rename is atomic on HDFS/local (a probe sees the old or
+    the new tree, never a mix); object stores emulate rename as
+    copy+delete, so pause probes over the swap there or point a
+    manifest at versioned directories.  The stream itself must be
+    paused (or between micro-batches) during compaction: epochs
+    written after the read started would be deleted by the swap.
+    Restart it with a FRESH checkpoint afterwards — the old
+    checkpoint's replay would re-add epochs the compact already
+    folded in.
+
+    Returns ``{"epochs_folded": n, "rows": n}``."""
+    apath = path.rstrip("/") + "/assignments"
+    df = spark.read.parquet(apath)
+    data_cols = [c for c in df.columns if c not in ("epoch", "centroid_id")]
+    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
+    n_rows = df.count()
+    tmp = apath + ".compact.tmp"
+    (
+        df.select(*data_cols, "centroid_id")
+        .withColumn("epoch", F.lit(-1))
+        .repartition(
+            F.col("centroid_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_lists))),
+        )
+        .write.mode("overwrite")
+        .partitionBy("epoch", "centroid_id")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(apath).getFileSystem(hconf)
+    old = apath + ".compact.old"
+    fs.delete(HPath(old), True)
+    if not fs.rename(HPath(apath), HPath(old)):
+        raise IOError(f"ivf_compact: could not move {apath} aside")
+    if not fs.rename(HPath(tmp), HPath(apath)):
+        fs.rename(HPath(old), HPath(apath))  # roll the live tree back
+        raise IOError(f"ivf_compact: swap failed; {apath} restored")
+    fs.delete(HPath(old), True)
+    return {"epochs_folded": len(epochs), "rows": n_rows}
+
+
 def kmeans_refine(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -496,6 +559,12 @@ def pq_train(
             f"the codebooks; got {len(rows)}"
         )
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    return _pq_lloyd(X, m, n_codes, iters)
+
+
+def _pq_lloyd(X: np.ndarray, m: int, n_codes: int, iters: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a driver-side sample matrix
+    (shared by :func:`pq_train` and :func:`ivfpq_train`)."""
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -514,6 +583,88 @@ def pq_train(
                     C[c] = Xj[mask].mean(axis=0)
         books[j] = C
     return books
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+) -> np.ndarray:
+    """Train PQ codebooks for an IVF-PQ index, FAISS-standard residual
+    mode by default: codes quantize ``x - centroid(x)`` rather than the
+    raw vector.  Residuals are centered near zero in every list, so at
+    fixed ``m``/``n_codes`` the quantizer spends its levels on the
+    within-list structure instead of re-encoding which cluster a vector
+    sits in — recall headroom that lets ``n_probe`` (or ``m``) shrink.
+    The trade: every code table is centroid-dependent, so refreshing
+    the coarse codebook forces a re-encode (:func:`ivfpq_encode` with
+    ``residual=False`` keeps them decoupled when that matters more).
+
+    Same driver-side sampled training as :func:`pq_train` (one
+    TakeOrderedAndProject scan; the sample assigns + residualizes in
+    numpy — O(sample * K * dim), corpus-size-independent).
+    """
+    rows = (
+        emb.where(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"ivfpq_train needs >= n_codes={n_codes} non-null vectors; "
+            f"got {len(rows)}"
+        )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if residual:
+        cents = np.asarray(centroids, dtype=np.float64)
+        X = X - cents[np.argmax(X @ cents.T, axis=1)]
+    return _pq_lloyd(X, m, n_codes, iters)
+
+
+def _residualize(
+    assigned: DataFrame, centroids: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Attach ``_res = vec - centroid[centroid_id]`` (the FAISS residual).
+
+    Small K: one flat K*dim literal array indexed by
+    ``centroid_id*dim + i`` inside a ``transform`` — pure JVM, null
+    vectors propagate to null residuals.  Above the matmul threshold:
+    one Arrow-batched subtract against the broadcast codebook (plan
+    O(1) in K, same contract as ``_ivf_assign_matmul``)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    K, dim = cents.shape
+    if K <= IVF_MATMUL_K_THRESHOLD:
+        flat = lit_vec(cents.reshape(-1))
+        res = F.transform(
+            F.col(vec_col),
+            lambda x, i: x.cast("double")
+            - F.element_at(flat, F.col("centroid_id") * dim + i + 1),
+        )
+        return assigned.withColumn("_res", res)
+    bc = _codebook_broadcast(
+        assigned.sparkSession.sparkContext, np.ascontiguousarray(cents)
+    )
+
+    @F.pandas_udf("array<double>")
+    def _sub(v: pd.Series, cid: pd.Series) -> pd.Series:
+        cb = bc.value
+        out = [
+            None
+            if vec is None
+            else (np.asarray(vec, dtype=np.float64) - cb[int(c)]).tolist()
+            for vec, c in zip(v.to_list(), cid.to_list())
+        ]
+        return pd.Series(out)
+
+    return assigned.withColumn("_res", _sub(F.col(vec_col), F.col("centroid_id")))
 
 
 def pq_encode(
@@ -614,6 +765,7 @@ def pq_topk(
     query_vec,
     k: int = 10,
     id_col: str = "vec_id",
+    offset: Column | None = None,
 ) -> DataFrame:
     """ADC top-k over PQ codes: the query stays full-precision; the
     driver precomputes a lookup table ``lut[j][c] = dot(q_j, code_jc)``
@@ -626,6 +778,12 @@ def pq_topk(
     Standard recall recipe: PQ top-k with k' > k, then exact re-rank of
     the k' survivors against the raw vectors (a k'-row lookup join) —
     compose with ``cosine_topk`` on the filtered set for that.
+
+    ``offset`` is an optional per-row Column added to the ADC score —
+    the residual-PQ hook: when codes quantize ``x - centroid``, the
+    true inner product is ``q·centroid + q·residual`` and the caller
+    supplies the ``q·centroid`` term (:func:`ivfpq_topk` builds it as
+    an ``element_at`` over the per-list constants).
     """
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
@@ -638,7 +796,7 @@ def pq_topk(
     # trees, so that form duplicates the whole LUT per term: O(m^2 *
     # n_codes) plan nodes, the exact blowup the literal/broadcast
     # threshold exists to avoid)
-    score = None
+    score = offset
     for j in range(m):
         term = F.element_at(lit_vec(lut[j]), F.col("codes")[j] + 1)
         score = term if score is None else score + term
@@ -686,6 +844,7 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Build the combined IVF-PQ base table → ``(id, centroid_id,
     codes)`` — the canonical billion-scale serving layout (FAISS
@@ -696,18 +855,24 @@ def ivfpq_encode(
     ~1/n_lists scan fraction with a ~32x byte shrink: the probe's I/O
     is ~0.2% of a brute scan before any caching.
 
-    Simplification vs FAISS: codes quantize the RAW vectors, not the
-    per-list residuals (x - centroid).  Residual PQ recovers a little
-    more precision per byte but makes every code table centroid-
-    dependent (re-encode on any codebook refresh); raw-vector PQ keeps
-    encode/search decoupled and loses little at moderate m on
-    clustered data — the recall floor is test-pinned, and the exact
-    re-rank stage (:func:`ivfpq_topk_rerank`) recovers the rest.
+    ``residual=False`` (default): codes quantize the RAW vectors —
+    encode/search stay decoupled from the coarse codebook (no
+    re-encode on a centroid refresh) and lose little at moderate m on
+    clustered data.  ``residual=True`` is the FAISS-standard mode:
+    codes quantize ``x - centroid(x)`` (train the books with
+    :func:`ivfpq_train`), buying recall per byte at the cost of
+    centroid-dependent code tables; searches must then pass the same
+    flag (or use the :func:`ivfpq_save` artifact, which records it).
+    Still ONE pass either way: the residual is a projection over the
+    assigned frame — no second corpus scan, no id-keyed self-join.
     """
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    # ONE pass: codes are a projection over the assigned frame (the
-    # centroid_id rides through keep_cols) — no second corpus scan, no
-    # id-keyed self-join shuffle
+    if residual:
+        assigned = _residualize(assigned, centroids, vec_col)
+        return pq_encode(
+            assigned, codebooks, id_col=id_col, vec_col="_res",
+            keep_cols=("centroid_id",),
+        )
     return pq_encode(
         assigned, codebooks, id_col=id_col, vec_col=vec_col,
         keep_cols=("centroid_id",),
@@ -722,15 +887,20 @@ def ivfpq_save(
     id_col: str = "vec_id",
     epoch: int = -1,
     shard_lists: int = 1,
+    residual: bool = False,
 ) -> None:
     """Persist an IVF-PQ index (:func:`ivfpq_encode` output) as one
     reusable artifact: ``<path>/assignments`` partitioned by
     ``(epoch, centroid_id)`` holding (id, codes) — probes prune to the
     probed lists AND read only m code bytes per row — plus
     ``<path>/centroids`` and ``<path>/codebooks`` (one row per
-    (subspace, code): the PQ model is a few KB of parquet).  Same
-    layout contract as :func:`ivf_save`, so compaction (one file per
-    list via ``shard_lists``) and epoch growth work identically."""
+    (subspace, code): the PQ model is a few KB of parquet) and
+    ``<path>/meta`` recording whether the codes are residual-mode
+    (searches over a residual table need the per-list ADC offset; the
+    flag travels with the artifact so a loader cannot mis-score it).
+    Same layout contract as :func:`ivf_save`, so compaction
+    (:func:`ivf_compact`, one file per list via ``shard_lists``) and
+    epoch growth work identically."""
     spark = base.sparkSession
     (
         base.select(id_col, "codes", "centroid_id")
@@ -762,12 +932,22 @@ def ivfpq_save(
     ).coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "/codebooks"
     )
+    spark.createDataFrame(
+        [("residual", "true" if residual else "false")], "key string, value string"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
 
 
-def ivfpq_load(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+def ivfpq_load(
+    spark, path: str, with_meta: bool = False
+) -> tuple[DataFrame, np.ndarray, np.ndarray] | tuple[
+    DataFrame, np.ndarray, np.ndarray, dict
+]:
     """Load an :func:`ivfpq_save` artifact → ``(base, centroids,
     codebooks)`` ready for :func:`ivfpq_topk` / the rerank recipe.
-    The base frame is lazy and probes prune on ``centroid_id``."""
+    The base frame is lazy and probes prune on ``centroid_id``.
+    ``with_meta=True`` appends the artifact's meta dict (currently
+    ``{"residual": bool}``; artifacts written before the meta table
+    existed load as raw-vector codes, which is what they are)."""
     crows = (
         spark.read.parquet(path.rstrip("/") + "/centroids")
         .orderBy("centroid_id")
@@ -792,7 +972,16 @@ def ivfpq_load(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     for r in brows:
         books[r["subspace"], r["code"]] = r["center"]
     base = spark.read.parquet(path.rstrip("/") + "/assignments")
-    return base, cents, books
+    if not with_meta:
+        return base, cents, books
+    meta = {"residual": False}
+    try:
+        for r in spark.read.parquet(path.rstrip("/") + "/meta").collect():
+            if r["key"] == "residual":
+                meta["residual"] = r["value"] == "true"
+    except Exception:
+        pass  # pre-meta artifact: raw-vector codes by construction
+    return base, cents, books, meta
 
 
 def ivfpq_topk(
@@ -803,18 +992,28 @@ def ivfpq_topk(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ search: prune to the ``n_probe`` nearest lists
     (partition pruning over an :func:`ivf_save`-style layout), then ADC
     top-k over the surviving PQ codes — the query stays full precision,
     rows cost m table lookups each, and the scan reads only the code
     column of the probed lists.  ``base`` is :func:`ivfpq_encode`
-    output (or its reload from parquet)."""
+    output (or its reload from parquet).
+
+    ``residual=True`` (for a residual-encoded table): the ADC score
+    adds the per-list constant ``q·centroid`` via one ``element_at``
+    over a K-entry literal array — still pure JVM, one extra lookup
+    per row."""
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
-    probe = np.argsort(-(cents @ q))[: int(n_probe)].tolist()
+    qc = cents @ q
+    probe = np.argsort(-qc)[: int(n_probe)].tolist()
     pruned = base.where(F.col("centroid_id").isin(probe))
-    return pq_topk(pruned, codebooks, q, k=k, id_col=id_col)
+    offset = (
+        F.element_at(lit_vec(qc), F.col("centroid_id") + 1) if residual else None
+    )
+    return pq_topk(pruned, codebooks, q, k=k, id_col=id_col, offset=offset)
 
 
 def ivfpq_topk_rerank(
@@ -828,20 +1027,42 @@ def ivfpq_topk_rerank(
     shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
+    prune_raw: bool | None = None,
 ) -> DataFrame:
     """Full IVF-PQ serving recipe: probe-pruned ADC shortlist
     (default ``4*k``), then EXACT cosine re-rank of the shortlist
     against the raw vectors via a broadcast semi-join — the raw-vector
     table is touched for a constant number of rows however large the
-    corpus.  Returns (id, cos_sim) like :func:`cosine_topk`."""
+    corpus.  Returns (id, cos_sim) like :func:`cosine_topk`.
+
+    The rerank's raw pull is the recipe's hidden cost: a semi-join on
+    bare ids cannot prune an unorganized raw table, so the "read a few
+    thousand vectors" stage degenerates into a full raw scan — at
+    measured 200k-row scale that made the whole recipe SLOWER than
+    brute force (r7 finding).  Every shortlist id comes from a probed
+    list, so when the raw side carries ``centroid_id`` (an
+    :func:`ivf_save` artifact or :func:`ivf_assign` output — the
+    layout a deployed IVF-PQ index keeps its raw vectors in anyway,
+    for exactly this stage) the same probe filter prunes the raw read
+    to the ``n_probe`` list directories before the semi-join.
+    ``prune_raw=None`` auto-detects the column; pass ``False`` to
+    force the old full-table semi-join."""
     shortlist = shortlist or 4 * k
+    q = np.asarray(query_vec, dtype=np.float64)
     short_ids = ivfpq_topk(
-        base, centroids, codebooks, query_vec,
-        k=shortlist, n_probe=n_probe, id_col=id_col,
+        base, centroids, codebooks, q,
+        k=shortlist, n_probe=n_probe, id_col=id_col, residual=residual,
     ).select(id_col)
+    if prune_raw is None:
+        prune_raw = "centroid_id" in emb.columns
+    if prune_raw:
+        cents = np.asarray(centroids, dtype=np.float64)
+        probe = np.argsort(-(cents @ q))[: int(n_probe)].tolist()
+        emb = emb.where(F.col("centroid_id").isin(probe))
     candidates = emb.join(F.broadcast(short_ids), id_col, "left_semi")
     return cosine_topk(
-        candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col
+        candidates, q, k=k, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -619,6 +619,7 @@ def maintain_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    pq: bool = False,
 ):
     """Continuously grow a persisted IVF index (``similarity.ivf_save``
     artifact) from a stream of new embeddings — the serving-side
@@ -637,26 +638,57 @@ def maintain_ivf_index(
     ``ivf_load``'s union of all epochs stay partition-pruned on
     ``centroid_id``.
 
+    ``pq=True`` maintains an **IVF-PQ** artifact instead
+    (``similarity.ivfpq_save`` layout): the PQ codebooks — and the
+    residual flag — load once from the artifact itself, and each
+    micro-batch lands as (id, codes) rows via ``ivfpq_encode``, so the
+    streamed epochs are byte-compatible with the base build and every
+    probe/rerank works unchanged across the union.
+
+    Epochs accumulate (that is the exactly-once contract); fold them
+    back into a one-epoch base periodically with
+    ``similarity.ivf_compact`` — pause the stream over the swap and
+    restart it with a fresh checkpoint.
+
     Drift caveat: vectors keep assigning to the FROZEN codebook; if
     the embedding distribution shifts, probe recall decays until the
     next offline rebuild — monitor list-size skew (``key_skew_report``
     on ``centroid_id``) to schedule it.  Returns the started
     ``StreamingQuery``.
     """
-    from ..operators.similarity import ivf_assign, ivf_load
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_load,
+        ivfpq_encode,
+        ivfpq_load,
+    )
 
     spark = stream.sparkSession
-    _, cents = ivf_load(spark, index_path)
+    if pq:
+        _, cents, books, meta = ivfpq_load(spark, index_path, with_meta=True)
+        residual = meta["residual"]
+    else:
+        _, cents = ivf_load(spark, index_path)
     apath = index_path.rstrip("/") + "/assignments"
 
     def _batch(df, epoch_id):
         if not df.head(1):
             return
+        if pq:
+            rows = ivfpq_encode(
+                df, cents, books, id_col=id_col, vec_col=vec_col,
+                residual=residual,
+            ).select(
+                id_col, "codes", F.lit(int(epoch_id)).alias("epoch"),
+                "centroid_id",
+            )
+        else:
+            rows = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col).select(
+                id_col, vec_col, F.lit(int(epoch_id)).alias("epoch"),
+                "centroid_id",
+            )
         (
-            ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
-            .select(id_col, vec_col, F.lit(int(epoch_id)).alias("epoch"),
-                    "centroid_id")
-            .write.mode("overwrite")
+            rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch", "centroid_id")
             .parquet(apath)

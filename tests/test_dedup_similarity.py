@@ -1179,3 +1179,214 @@ def test_ivfpq_topk_recall_and_pruned_code_scan(spark):
         assert "PartitionFilters: [" in lp and "centroid_id" in lp.split(
             "PartitionFilters: ["
         )[1].split("]")[0]
+
+
+def _clustered(rng, n, dim, n_clusters, sigma=0.25):
+    planted = rng.normal(size=(n_clusters, dim))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    pts = planted[rng.integers(0, n_clusters, n)] + rng.normal(0, sigma, (n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts
+
+
+def test_ivfpq_residual_mode_matches_numpy_and_beats_raw_adc(spark):
+    """Residual PQ (r8, FAISS-standard): codes over ``x - centroid``
+    with the per-list ``q·centroid`` ADC offset.  Pins (a) the Spark
+    ADC scores against an exact numpy model of the same quantizer,
+    (b) the quantization-error claim that funds the mode — at fixed
+    m/n_codes, reconstruction from Spark's residual codes has lower
+    MSE than from raw-vector codes on clustered data (recall@k for
+    one query is too noisy to pin; MSE is the deterministic form of
+    the same advantage) — and (c) the artifact meta roundtrip, so a
+    loader can never mis-score a residual table."""
+    rng = np.random.default_rng(33)
+    n, dim, n_clusters, k = 3000, 32, 8, 10
+    pts = _clustered(rng, n, dim, n_clusters)
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    cents = S.kmeans_refine(
+        emb, S.train_centroids_sample(emb, n_centroids=n_clusters), n_iter=5
+    )
+    qvec = pts[7]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=k).collect()]
+
+    books_raw = S.pq_train(emb, m=8, n_codes=16, sample_size=512)
+    books_res = S.ivfpq_train(
+        emb, cents, m=8, n_codes=16, sample_size=512, residual=True
+    )
+    base_raw = S.ivfpq_encode(emb, cents, books_raw)
+    base_res = S.ivfpq_encode(emb, cents, books_res, residual=True)
+
+    res_ids = {
+        r["vec_id"]
+        for r in S.ivfpq_topk(
+            base_res, cents, books_res, qvec, k=k, n_probe=2, residual=True
+        ).collect()
+    }
+    assert len(res_ids & set(exact)) / k >= 0.2  # loose sanity floor
+
+    # (b) the residual advantage, in its deterministic form: decode
+    # Spark's codes for BOTH modes and compare reconstruction MSE
+    assign = np.argmax(pts @ cents.T, axis=1)
+
+    def _mse(base, books, add_centroid):
+        m, _, sub = books.shape
+        rows = base.select("vec_id", "codes").collect()
+        err = 0.0
+        for r in rows:
+            rec = np.concatenate(
+                [books[j][r["codes"][j]] for j in range(m)]
+            )
+            if add_centroid:
+                rec = rec + cents[assign[r["vec_id"]]]
+            err += float(((pts[r["vec_id"]] - rec) ** 2).sum())
+        return err / len(rows)
+
+    mse_raw = _mse(base_raw, books_raw, add_centroid=False)
+    mse_res = _mse(base_res, books_res, add_centroid=True)
+    assert mse_res < mse_raw, (mse_res, mse_raw)
+
+    # (a) numpy model of the same quantizer: assign -> residual ->
+    # encode -> ADC score = q.centroid + sum_j lut[j][code_j]
+    res = pts - cents[assign]
+    m, n_codes, sub = books_res.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        Xj = res[:, j * sub : (j + 1) * sub]
+        d2 = ((Xj[:, None, :] - books_res[None, j]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    lut = np.array(
+        [books_res[j] @ qvec[j * sub : (j + 1) * sub] for j in range(m)]
+    )
+    qc = cents @ qvec
+    score = qc[assign] + lut[np.arange(m)[None, :], codes].sum(axis=1)
+    probe = np.argsort(-qc)[:2]
+    in_probe = np.isin(assign, probe)
+    order = sorted(
+        np.flatnonzero(in_probe), key=lambda i: (-score[i], i)
+    )[:k]
+    got = [
+        (r["vec_id"], r["adc_score"])
+        for r in S.ivfpq_topk(
+            base_res, cents, books_res, qvec, k=k, n_probe=2, residual=True
+        ).collect()
+    ]
+    assert [i for i, _ in got] == order
+    for i, s in got:
+        assert abs(s - score[i]) < 1e-9
+
+    # meta travels with the artifact
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        S.ivfpq_save(base_res, cents, books_res, td, residual=True)
+        loaded, c2, b2, meta = S.ivfpq_load(spark, td, with_meta=True)
+        assert meta == {"residual": True}
+        got2 = [
+            r["vec_id"]
+            for r in S.ivfpq_topk(
+                loaded, c2, b2, qvec, k=k, n_probe=2, residual=meta["residual"]
+            ).collect()
+        ]
+        assert got2 == order
+
+
+def test_ivfpq_rerank_prunes_raw_side(spark, tmp_path):
+    """r7 weak-item fix: when the raw-vector table carries centroid_id
+    (ivf_save artifact / ivf_assign output) the rerank's raw pull is
+    probe-pruned instead of a full-table semi-join scan — results are
+    identical (every shortlist id lives in a probed list) and the raw
+    scan's PartitionFilters prune on centroid_id."""
+    rng = np.random.default_rng(34)
+    n, dim, n_clusters, k = 3000, 32, 8, 10
+    pts = _clustered(rng, n, dim, n_clusters)
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    cents = S.kmeans_refine(
+        emb, S.train_centroids_sample(emb, n_centroids=n_clusters), n_iter=1
+    )
+    books = S.pq_train(emb, m=8, n_codes=16, sample_size=512)
+    base = S.ivfpq_encode(emb, cents, books)
+    qvec = pts[7]
+
+    unpruned = S.ivfpq_topk_rerank(
+        base, emb, cents, books, qvec, k=k, n_probe=4, shortlist=120,
+        prune_raw=False,
+    ).collect()
+    assigned = S.ivf_assign(emb, cents)
+    pruned = S.ivfpq_topk_rerank(
+        base, assigned, cents, books, qvec, k=k, n_probe=4, shortlist=120
+    ).collect()
+    assert [r["vec_id"] for r in pruned] == [r["vec_id"] for r in unpruned]
+
+    # persisted serving shape: codes artifact + raw-vector IVF artifact;
+    # BOTH scans in the final plan prune on centroid_id
+    codes_path, raw_path = str(tmp_path / "pq"), str(tmp_path / "raw")
+    S.ivfpq_save(base, cents, books, codes_path)
+    S.ivf_save(assigned, cents, raw_path)
+    pq_base, c2, b2 = S.ivfpq_load(spark, codes_path)
+    raw, _ = S.ivf_load(spark, raw_path)
+    df = S.ivfpq_topk_rerank(pq_base, raw, c2, b2, qvec, k=k, n_probe=4,
+                             shortlist=120)
+    assert [r["vec_id"] for r in df.collect()] == [
+        r["vec_id"] for r in unpruned
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = [
+        sec.split("]")[0] for sec in plan.split("PartitionFilters: [")[1:]
+    ]
+    pruned_scans = [f for f in filters if "centroid_id" in f]
+    assert len(pruned_scans) >= 2, plan
+
+
+def test_ivf_compact_folds_epochs(spark, tmp_path):
+    """ivf_compact (r8): fold streamed epochs back into one epoch=-1
+    base — identical probes, shard_lists files per list, epochs gone."""
+    import glob
+
+    rng = np.random.default_rng(35)
+    n, dim = 600, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, pts[i].tolist()) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=4), n_iter=1
+    )
+    idx = str(tmp_path / "idx")
+    S.ivf_save(
+        S.ivf_assign(spark.createDataFrame(rows[:200], sch), cents), cents, idx
+    )
+    # two streamed epochs, written exactly as maintain_ivf_index lands them
+    apath = idx + "/assignments"
+    for epoch, chunk in ((0, rows[200:400]), (1, rows[400:])):
+        (
+            S.ivf_assign(spark.createDataFrame(chunk, sch), cents)
+            .select("vec_id", "embedding", F.lit(epoch).alias("epoch"),
+                    "centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "centroid_id")
+            .parquet(apath)
+        )
+    loaded, c2 = S.ivf_load(spark, idx)
+    qvec = pts[3]
+    before = [r["vec_id"] for r in S.ivf_topk(loaded, c2, qvec, k=5).collect()]
+
+    out = S.ivf_compact(spark, idx, shard_lists=1)
+    assert out == {"epochs_folded": 3, "rows": n}
+
+    loaded2, c3 = S.ivf_load(spark, idx)
+    assert np.allclose(c2, c3)
+    assert loaded2.count() == n
+    assert [r[0] for r in loaded2.select("epoch").distinct().collect()] == [-1]
+    after = [r["vec_id"] for r in S.ivf_topk(loaded2, c3, qvec, k=5).collect()]
+    assert after == before
+    for d in glob.glob(apath + "/epoch=-1/centroid_id=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1, d
+    assert not glob.glob(apath + ".compact.*")

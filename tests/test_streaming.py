@@ -1222,3 +1222,94 @@ def test_maintain_ivf_index_grows_saved_artifact_exactly_once(spark, tmp_path):
     run_stream("ckpt2")
     loaded2, _ = S.ivf_load(spark, idx)
     assert loaded2.count() == n
+
+
+def test_maintain_ivfpq_index_streams_codes_byte_compatible(spark, tmp_path):
+    """Streaming IVF-PQ maintenance (r8): ``pq=True`` lands each
+    micro-batch as (id, codes) rows encoded against the artifact's own
+    codebooks — including the residual flag read from meta — so a
+    bootstrap ivfpq_save plus a streamed second half equals the full
+    batch encode (same ADC probes), and a compaction pass afterwards
+    folds the epochs without changing any probe."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_ivf_index,
+    )
+
+    rng = np.random.default_rng(6)
+    n, dim = 400, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    first, second = rows[: n // 2], rows[n // 2 :]
+
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=8), n_iter=3
+    )
+    books = S.ivfpq_train(
+        full, cents, m=4, n_codes=16, sample_size=256, residual=True
+    )
+    idx = str(tmp_path / "pq_idx")
+    base = spark.createDataFrame(first, sch)
+    S.ivfpq_save(
+        S.ivfpq_encode(base, cents, books, residual=True),
+        cents, books, idx, residual=True,
+    )
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    half = len(second) // 2
+    for name, chunk in (("a", second[:half]), ("b", second[half:])):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(chunk, sch).coalesce(1).write.parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_ivf_index(stream, idx, str(tmp_path / "ckpt"), pq=True)
+    q.awaitTermination(120)
+
+    loaded, c2, b2, meta = S.ivfpq_load(spark, idx, with_meta=True)
+    assert meta == {"residual": True}
+    assert loaded.count() == n
+    assert {r["epoch"] for r in loaded.select("epoch").distinct().collect()} == {
+        -1, 0, 1,
+    }
+
+    # probes over the maintained artifact == probes over one batch encode
+    want_base = S.ivfpq_encode(full, cents, books, residual=True)
+    qvec = pts[3]
+    want = [
+        (r["vec_id"], r["adc_score"])
+        for r in S.ivfpq_topk(
+            want_base, cents, books, qvec, k=5, n_probe=3, residual=True
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], r["adc_score"])
+        for r in S.ivfpq_topk(
+            loaded, c2, b2, qvec, k=5, n_probe=3, residual=True
+        ).collect()
+    ]
+    assert got == want
+
+    # epoch compaction works unchanged on the codes artifact
+    out = S.ivf_compact(spark, idx)
+    assert out["epochs_folded"] == 3 and out["rows"] == n
+    loaded3, c3, b3, meta3 = S.ivfpq_load(spark, idx, with_meta=True)
+    assert meta3 == {"residual": True}
+    got3 = [
+        (r["vec_id"], r["adc_score"])
+        for r in S.ivfpq_topk(
+            loaded3, c3, b3, qvec, k=5, n_probe=3, residual=True
+        ).collect()
+    ]
+    assert got3 == want
