@@ -11,6 +11,8 @@ by centroid; LSH buckets make all-pairs linear-ish.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -29,7 +31,20 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def lit_vec(v) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    """A vector as an array<double> literal column.  Long vectors build
+    through ONE ``F.expr`` string parse instead of a py4j ``F.lit`` call
+    per element: at codebook sizes (a 2048-entry ADC LUT) the per-
+    element form costs the DRIVER ~1s of py4j round-trips per query
+    before a single row is read; the parsed form builds in ~5ms and
+    constant-folds to the same Literal.  ``repr(float)`` is the
+    shortest round-tripping decimal and Java parses it back to the
+    identical IEEE-754 double, so values are bit-exact either way;
+    non-finite values fall back to the per-element path (SQL text has
+    no inf/nan literal)."""
+    vals = [float(x) for x in v]
+    if len(vals) <= 64 or not all(math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
 
 
 def cosine_topk(
@@ -791,11 +806,10 @@ def pq_topk(
     lut = np.array(
         [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
     )  # (m, n_codes)
-    # one per-subspace literal row per term — NOT one m x n_codes
-    # literal table referenced m times (Spark does not CSE literal
-    # trees, so that form duplicates the whole LUT per term: O(m^2 *
-    # n_codes) plan nodes, the exact blowup the literal/broadcast
-    # threshold exists to avoid)
+    # one per-subspace Literal row per term (lit_vec is a single plan
+    # node however long the row, so even 8x256 LUTs stay a ~2m-node
+    # expression — the driver-side analysis cost that matters for a
+    # serving path fielding many queries per session)
     score = offset
     for j in range(m):
         term = F.element_at(lit_vec(lut[j]), F.col("codes")[j] + 1)
@@ -1047,7 +1061,15 @@ def ivfpq_topk_rerank(
     for exactly this stage) the same probe filter prunes the raw read
     to the ``n_probe`` list directories before the semi-join.
     ``prune_raw=None`` auto-detects the column; pass ``False`` to
-    force the old full-table semi-join."""
+    force the old full-table semi-join.
+
+    Measured regime (bench ann_scale): at n=200k/dim=64 with the
+    corpus RAM-cached, brute still wins (~0.8x — two chained stages
+    cost more than one cached scan saves); at n=1M/dim=128 with the
+    corpus on disk — the production posture — the recipe is 2.5x
+    brute at recall 1.0 (bench_ann_1m pins >= 1x every round).  Use
+    plain :func:`ivf_topk` for small RAM-resident corpora; this
+    recipe is for corpora that don't fit."""
     shortlist = shortlist or 4 * k
     q = np.asarray(query_vec, dtype=np.float64)
     short_ids = ivfpq_topk(
