@@ -81,11 +81,21 @@ _DEMOTED_REDUNDANT = (
     "q61_shuffle_shards",
     "q44_pivot_order_status",
     # r6: new with the window full — oracle green in test_queries_oracle
-    "q91_heavy_hitters",
     "q93_downsample_envelope",
-    "q96_quality_score",
-    "q98_retrieval_join",
     "q99_heavy_hitters_merged",
+    # r8 rotation: q91_heavy_hitters / q96_quality_score /
+    # q98_retrieval_join PROMOTED into the graded window (r7 verdict #3
+    # — oracle-green locally every round since r6, never driver-graded);
+    # three family-redundant veterans take their slots, each still
+    # covered by an in-window family twin and by test_queries_oracle:
+    # q20's F10 array-function family stays covered by q48 (struct/map/
+    # array funcs) and q25 (array-aggregate dot products); q24's JVM
+    # text-feature projection family by q23 (quality features) and q38
+    # (token stats); q29's embedding-cosine join shape by the promoted
+    # q98 itself (cosine-scored retrieval join) plus q25's ranking.
+    "q20_embedding_norms",
+    "q24_langid_confusion",
+    "q29_embedding_near_dup",
     # r7 rotation: q92/q94/q95 PROMOTED into the graded window (the r6
     # families with only local-oracle evidence get driver grades); three
     # family-redundant veterans take their slots, each still in-window-
