@@ -376,3 +376,42 @@ def test_plan_audit_flags_antipatterns_and_passes_good_plans(spark):
     scalar = a.agg(F.sum("x"))
     r = SC.plan_audit(scalar)
     assert r["single_partition_exchanges"] >= 1
+
+
+def test_plan_audit_readme_worked_example(spark):
+    """Pins the README "Auditing your own queries" walkthrough: the
+    unkeyed range join is flagged as a CartesianProduct with the
+    interval_join_binned pointer; the bin-blocked rewrite audits clean
+    AND returns the identical matches."""
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+    from gcf_corima_parquet_converter_spark.operators.telemetry import (
+        interval_join_binned,
+    )
+
+    readings = spark.createDataFrame(
+        [(i, i * 600_000_000) for i in range(40)], "r_id long, ts long"
+    )
+    sessions = spark.createDataFrame(
+        [(0, 0, 3_600_000_000), (1, 7_200_000_000, 14_400_000_000)],
+        "s_id long, t_start long, t_end long",
+    )
+    bad = readings.join(
+        sessions,
+        (readings.ts >= sessions.t_start) & (readings.ts < sessions.t_end),
+    )
+    findings = SC.plan_audit(bad)["findings"]
+    assert len(findings) == 1 and "CartesianProduct" in findings[0]
+    assert "interval_join_binned" in findings[0]
+
+    good = interval_join_binned(
+        readings, sessions, bin_width=3_600_000_000,
+        time_col="ts", start_col="t_start", end_col="t_end",
+    )
+    assert SC.plan_audit(good)["findings"] == []
+    want = sorted(
+        (r["r_id"], r["s_id"]) for r in bad.select("r_id", "s_id").collect()
+    )
+    got = sorted(
+        (r["r_id"], r["s_id"]) for r in good.select("r_id", "s_id").collect()
+    )
+    assert got == want and len(want) > 0
