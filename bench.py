@@ -392,6 +392,37 @@ def bench_ann_scale(spark) -> dict:
         )
         pq_hits = {r["vec_id"] for r in pq_rows}
 
+        # residual-PQ A/B (r7 verdict #5): same m/n_codes, codes over
+        # x - centroid with the per-list ADC offset.  Persisted once
+        # like the raw artifact; the recorded numbers are ADC-ONLY
+        # recall@k (no rerank), the number the mode is supposed to move.
+        res_path = path + "_ivfpqres"
+        if not os.path.isdir(res_path):
+            res_books = S.ivfpq_train(
+                emb, cents, m=8, n_codes=256, sample_size=4096, residual=True
+            )
+            S.ivfpq_save(
+                S.ivfpq_encode(emb, cents, res_books, residual=True),
+                cents, res_books, res_path, residual=True,
+            )
+        res_base, _, res_books, res_meta = S.ivfpq_load(
+            spark, res_path, with_meta=True
+        )
+        adc_raw, _ = timed(
+            lambda: S.ivfpq_topk(pq_base, pq_cents, pq_books, qvec, k=k,
+                                 n_probe=4),
+            reps=1,
+        )
+        adc_res, _ = timed(
+            lambda: S.ivfpq_topk(
+                res_base, pq_cents, res_books, qvec, k=k, n_probe=4,
+                residual=res_meta["residual"],
+            ),
+            reps=1,
+        )
+        adc_raw_recall = len({r["vec_id"] for r in adc_raw} & brute) / k
+        adc_res_recall = len({r["vec_id"] for r in adc_res} & brute) / k
+
         bb_rows, t_bb = timed(lambda: S.batch_cosine_topk(emb, queries, k=k))
         bi_rows, t_bi = timed(
             lambda: S.ivf_topk_batch(assigned, cents, queries, k=k, n_probe=4)
@@ -436,6 +467,14 @@ def bench_ann_scale(spark) -> dict:
         # production) is where ivfpq_rerank_speedup must be >= 1.
         "ivfpq_code_bytes_per_row": 32,
         "ivfpq_vector_bytes_per_row": 512,
+        # ADC-only recall@10, raw-vector codes vs residual codes at the
+        # same m/n_codes.  Honest caveat: on THIS corpus (sigma 0.08 —
+        # within-cluster structure is pure isotropic noise) residual
+        # codes cannot rank cluster-mates better than raw codes, so
+        # parity here is expected; the residual win is pinned where it
+        # exists (reconstruction MSE, test_ivfpq_residual_mode_*).
+        "ivfpq_adc_recall_raw": round(adc_raw_recall, 3),
+        "ivfpq_adc_recall_residual": round(adc_res_recall, 3),
         "batch16_brute_sec": round(t_bb, 3),
         "batch16_ivf_sec": round(t_bi, 3),
         "batch16_ivf_speedup": round(t_bb / t_bi, 2),
