@@ -137,6 +137,8 @@ _ROWS_ONLY_TAIL = (
     "q97_fft_spectrum",
     # r7: IVF-PQ serving composition (rows-only like its q40/q67 kin)
     "q101_ivfpq_topk",
+    # r8: its batch twin (one ADC pass serves the whole query batch)
+    "q102_ivfpq_batch",
     "q32_hsd_pipeline",
 )
 

@@ -1088,6 +1088,166 @@ def ivfpq_topk_rerank(
     )
 
 
+def ivfpq_topk_batch(
+    base: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    residual: bool = False,
+) -> DataFrame:
+    """ADC search for a BATCH of queries in one pass over the codes —
+    :func:`ivfpq_topk`'s pruning composed with :func:`ivf_topk_batch`'s
+    serving shape.  The query batch is driver-sized by contract: per
+    query the driver computes the probe list AND the flattened
+    ``m*n_codes`` ADC LUT; two broadcast joins attach them to the codes
+    scan — probes on ``centroid_id`` (so each code row is scored only
+    against the queries probing its list, and the scan prunes to the
+    union of probed partitions), LUTs on ``q_id`` (so the LUT is
+    broadcast once per query, not duplicated per probe).  The score is
+    m ``element_at`` lookups into the LUT column — pure JVM, plan size
+    O(m) regardless of batch size.  ``residual=True`` adds the
+    per-(query, list) ``q·centroid`` constant, which rides in the
+    probes rows as a plain double.  Ranking is the two-phase
+    local-then-global top-k (no q_id funnel).  Returns (q_id, id,
+    adc_score)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    probe_rows, lut_rows = [], []
+    for r in qrows:
+        q = np.asarray(r[q_vec_col], dtype=np.float64)
+        qc = cents @ q
+        for cid in np.argsort(-qc)[: int(n_probe)].tolist():
+            probe_rows.append(
+                (r[q_id_col], cid, float(qc[cid]) if residual else 0.0)
+            )
+        lut = np.concatenate(
+            [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+        )
+        lut_rows.append((r[q_id_col], [float(x) for x in lut]))
+    spark = base.sparkSession
+    qid_field = queries.schema[q_id_col]
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType([
+            qid_field,
+            StructField("centroid_id", IntegerType()),
+            StructField("_qc", DoubleType()),
+        ]),
+    )
+    luts = spark.createDataFrame(
+        lut_rows,
+        StructType([qid_field, StructField("_lut", ArrayType(DoubleType()))]),
+    )
+    probed_cids = sorted({cid for _, cid, _ in probe_rows})
+    score = F.col("_qc")
+    for j in range(m):
+        score = score + F.element_at(
+            F.col("_lut"), F.col("codes")[j] + (j * n_codes + 1)
+        )
+    scored = (
+        base.where(F.col("centroid_id").isin(probed_cids))
+        .join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(luts), q_id_col)
+        .select(F.col(q_id_col), F.col(id_col), score.alias("adc_score"))
+    )
+    local = Window.partitionBy(F.spark_partition_id(), q_id_col).orderBy(
+        F.desc("adc_score"), id_col
+    )
+    pre = (
+        scored.withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("adc_score"), id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def ivfpq_topk_rerank_batch(
+    base: DataFrame,
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    residual: bool = False,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The full IVF-PQ serving recipe for a query BATCH: one ADC pass
+    over the pruned codes yields every query's ``shortlist`` (default
+    ``4*k``), then ONE exact re-rank job scores all (query, candidate)
+    pairs against the raw vectors.  The pair table is Q x shortlist
+    rows — driver-bounded like the batch itself — so it broadcasts to
+    the raw side; when the raw side carries ``centroid_id`` the pull is
+    additionally pruned to the union of probed lists (same contract as
+    :func:`ivfpq_topk_rerank`).  Returns (q_id, id, sim_fx) like
+    :func:`ivf_topk_batch` (fixed-point cosine, ties by id)."""
+    from pyspark.sql import Window
+
+    shortlist = shortlist or 4 * k
+    short = ivfpq_topk_batch(
+        base, centroids, codebooks, queries,
+        k=shortlist, n_probe=n_probe, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, residual=residual,
+    ).select(q_id_col, id_col)
+    if "centroid_id" in emb.columns:
+        cents = np.asarray(centroids, dtype=np.float64)
+        probed = set()
+        for r in queries.select(q_vec_col).collect():
+            q = np.asarray(r[q_vec_col], dtype=np.float64)
+            probed.update(np.argsort(-(cents @ q))[: int(n_probe)].tolist())
+        emb = emb.where(F.col("centroid_id").isin(sorted(probed)))
+    pairs = emb.join(F.broadcast(short), id_col)
+    pairs = pairs.join(
+        F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+    )
+    sim_fx = F.floor(
+        dot(F.col(vec_col), F.col(q_vec_col)) * F.lit(float(scale)) + F.lit(0.5)
+    )
+    scored = pairs.select(
+        F.col(q_id_col), F.col(id_col), sim_fx.alias("sim_fx")
+    )
+    local = Window.partitionBy(F.spark_partition_id(), q_id_col).orderBy(
+        F.desc("sim_fx"), id_col
+    )
+    pre = (
+        scored.withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim_fx"), id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 # ------------------------------------------------- scalar quantization
 
 

@@ -3443,3 +3443,29 @@ def q101(spark, sf_dir):
     return topk.select(
         "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
     ).orderBy(F.desc("sim_fx"), "vec_id")
+
+
+# ==================================== batch IVF-PQ serving (r8)
+# -- q102: the batch twin of q101 (similarity.py:ivfpq_topk_batch /
+#    ivfpq_topk_rerank_batch): the whole query batch is served by ONE
+#    pass over the pruned codes — per-query ADC LUTs broadcast on q_id,
+#    probes on centroid_id — then one exact re-rank job over the
+#    Q x shortlist pair table.  Rows-only (codebooks are engine-side
+#    driver state); exact batch-vs-single parity pinned by
+#    test_ivfpq_topk_batch_matches_single_query_path.
+@query("q102_ivfpq_batch")
+def q102(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = S.train_centroids_sample(e, n_centroids=8)
+    books = S.pq_train(e, m=8, n_codes=16, sample_size=1024)
+    base = S.ivfpq_encode(e, cents, books)
+    assigned = S.ivf_assign(e, cents)
+    topk = S.ivfpq_topk_rerank_batch(
+        base, assigned, cents, books, qs, k=5, n_probe=4, shortlist=200
+    )
+    return topk.select(
+        "q_id", "vec_id", F.col("sim_fx").cast("long").alias("sim_fx")
+    ).orderBy("q_id", F.desc("sim_fx"), "vec_id")

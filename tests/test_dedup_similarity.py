@@ -1390,3 +1390,75 @@ def test_ivf_compact_folds_epochs(spark, tmp_path):
     for d in glob.glob(apath + "/epoch=-1/centroid_id=*"):
         assert len(glob.glob(d + "/*.parquet")) == 1, d
     assert not glob.glob(apath + ".compact.*")
+
+
+def test_ivfpq_topk_batch_matches_single_query_path(spark):
+    """Batch ADC (r8): one pass over the pruned codes serves the whole
+    query batch; per-query results must equal the single-query
+    ivfpq_topk exactly (ids AND scores), in both raw and residual
+    modes, and the batch rerank must equal per-query rerank ids."""
+    rng = np.random.default_rng(36)
+    n, dim, n_clusters, k, nq = 3000, 32, 8, 5, 4
+    pts = _clustered(rng, n, dim, n_clusters)
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    cents = S.kmeans_refine(
+        emb, S.train_centroids_sample(emb, n_centroids=n_clusters), n_iter=5
+    )
+    qdf = spark.createDataFrame(
+        [(qi, pts[qi * 7].tolist()) for qi in range(nq)],
+        "q_id long, q_vec array<double>",
+    )
+
+    for residual in (False, True):
+        if residual:
+            books = S.ivfpq_train(
+                emb, cents, m=8, n_codes=16, sample_size=512, residual=True
+            )
+        else:
+            books = S.pq_train(emb, m=8, n_codes=16, sample_size=512)
+        base = S.ivfpq_encode(emb, cents, books, residual=residual)
+        got = {
+            (r["q_id"], r["vec_id"]): r["adc_score"]
+            for r in S.ivfpq_topk_batch(
+                base, cents, books, qdf, k=k, n_probe=2, residual=residual
+            ).collect()
+        }
+        for qi in range(nq):
+            single = S.ivfpq_topk(
+                base, cents, books, pts[qi * 7], k=k, n_probe=2,
+                residual=residual,
+            ).collect()
+            for r in single:
+                assert abs(got[(qi, r["vec_id"])] - r["adc_score"]) < 1e-9, (
+                    residual, qi, r,
+                )
+        assert len(got) == nq * k
+
+    # batch rerank ids == per-query rerank ids (raw mode, pruned raw)
+    books = S.pq_train(emb, m=8, n_codes=16, sample_size=512)
+    base = S.ivfpq_encode(emb, cents, books)
+    assigned = S.ivf_assign(emb, cents)
+    br = S.ivfpq_topk_rerank_batch(
+        base, assigned, cents, books, qdf, k=k, n_probe=4, shortlist=200
+    )
+    got_ids: dict[int, list[int]] = {}
+    for r in br.orderBy("q_id", F.desc("sim_fx"), "vec_id").collect():
+        got_ids.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi in range(nq):
+        want = [
+            r["vec_id"]
+            for r in S.ivfpq_topk_rerank(
+                base, assigned, cents, books, pts[qi * 7], k=k, n_probe=4,
+                shortlist=200,
+            ).collect()
+        ]
+        assert got_ids[qi] == want, qi
+
+    # plan posture: pruned code scan, no cartesian, JVM-only
+    df = S.ivfpq_topk_batch(base, cents, books, qdf, k=k, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
