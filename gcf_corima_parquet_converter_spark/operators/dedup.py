@@ -1207,3 +1207,68 @@ def minhash_dedup_incremental(
         ),
         new_index,
     )
+
+
+def compact_dedup_indexes(
+    spark,
+    digest_path: str | None = None,
+    band_path: str | None = None,
+    target_files: int = 8,
+) -> dict:
+    """Compact the persisted dedup indexes that
+    ``streaming.ingest.maintain_dedup_indexes`` grows append-only —
+    the maintenance job that keeps a long-running ingest loop from
+    degrading every future anti-join into a small-files listing storm
+    (one parquet sliver per micro-batch per writer task).
+
+    Each index is rewritten as ``distinct()`` rows in ``target_files``
+    files — duplicates are harmless to the consumers (anti-join /
+    band equi-join are set-semantics, the append contract relies on
+    that) but they are not FREE: every replayed or re-appended row is
+    scanned on every future join, so compaction also physically
+    deduplicates.  The band index repartitions on ``band`` so bucket
+    joins read co-located buckets.  The rewrite commits via
+    ``scale.atomic_swap_dir`` (old-or-new, never a mix); pause the
+    maintenance stream over the swap — appends written between the
+    read and the swap would be lost.  The stream can resume with its
+    EXISTING checkpoint afterwards: re-appends of in-flight batches
+    are set-semantics-harmless, exactly the append contract.
+
+    Returns per-index ``{"rows": distinct_rows, "files_before": n}``."""
+    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
+
+    from .scale import atomic_swap_dir
+
+    def _files(path: str) -> int:
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        it, count = fs.listFiles(HPath(path), True), 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                count += 1
+        return count
+
+    out: dict = {}
+    if digest_path is not None:
+        before = _files(digest_path)
+        tmp = digest_path.rstrip("/") + ".compact.tmp"
+        df = spark.read.parquet(digest_path).distinct()
+        df.repartition(int(target_files)).write.mode("overwrite").parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        atomic_swap_dir(spark, digest_path.rstrip("/"), tmp)
+        out["digest"] = {"rows": rows, "files_before": before}
+    if band_path is not None:
+        before = _files(band_path)
+        tmp = band_path.rstrip("/") + ".compact.tmp"
+        df = spark.read.parquet(band_path).distinct()
+        (
+            df.repartition(int(target_files), F.col("band"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        rows = spark.read.parquet(tmp).count()
+        atomic_swap_dir(spark, band_path.rstrip("/"), tmp)
+        out["band"] = {"rows": rows, "files_before": before}
+    return out

@@ -459,3 +459,28 @@ def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
     counts["findings"] = findings
     counts["ok"] = not findings
     return counts
+
+
+def atomic_swap_dir(spark: SparkSession, live: str, tmp: str) -> None:
+    """Swap a rewritten directory over a live one with rollback — the
+    shared commit step of every artifact-compaction job (IVF/IVF-PQ
+    epoch folds, dedup-index compaction, sketch-shard folds): rename
+    ``live`` → ``<live>.compact.old``, rename ``tmp`` in, delete the
+    old copy; if the second rename fails the old tree is restored.
+
+    Rename is atomic on HDFS and local filesystems — a reader sees the
+    old tree or the new one, never a mix.  Object stores emulate
+    rename as copy+delete, so there pause readers over the swap or
+    point a manifest at versioned directories instead."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(live).getFileSystem(hconf)
+    old = live + ".compact.old"
+    fs.delete(HPath(old), True)
+    if not fs.rename(HPath(live), HPath(old)):
+        raise IOError(f"atomic_swap_dir: could not move {live} aside")
+    if not fs.rename(HPath(tmp), HPath(live)):
+        fs.rename(HPath(old), HPath(live))  # roll the live tree back
+        raise IOError(f"atomic_swap_dir: swap failed; {live} restored")
+    fs.delete(HPath(old), True)

@@ -405,18 +405,9 @@ def ivf_compact(
         .partitionBy("epoch", "centroid_id")
         .parquet(tmp)
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(apath).getFileSystem(hconf)
-    old = apath + ".compact.old"
-    fs.delete(HPath(old), True)
-    if not fs.rename(HPath(apath), HPath(old)):
-        raise IOError(f"ivf_compact: could not move {apath} aside")
-    if not fs.rename(HPath(tmp), HPath(apath)):
-        fs.rename(HPath(old), HPath(apath))  # roll the live tree back
-        raise IOError(f"ivf_compact: swap failed; {apath} restored")
-    fs.delete(HPath(old), True)
+    from .scale import atomic_swap_dir
+
+    atomic_swap_dir(spark, apath, tmp)
     return {"epochs_folded": len(epochs), "rows": n_rows}
 
 

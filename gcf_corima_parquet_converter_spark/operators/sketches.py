@@ -325,3 +325,69 @@ def heavy_hitters(
     return topk_estimate(
         topk_shard_sketch(df, keys, value, max_items), keys, k
     )
+
+
+# ------------------------------------------------- artifact compaction
+# maintain_sketch_shards grows one epoch directory per micro-batch; the
+# merges stay CORRECT over any number of epochs (that is the mergeable-
+# sketch contract) but every reader pays an open-per-epoch listing cost
+# that grows without bound.  These folds rewrite N epochs as ONE
+# equivalent shard table.  hll/bitmap get sketch-PRESERVING folds here
+# (hll_merge/bitmap_merge produce estimates, which don't re-merge);
+# histogram_merge and topk_merge are already shard-schema-preserving.
+
+
+def hll_union_shards(
+    df: DataFrame, keys: list[str], sketch_col: str = _HLL_COL
+) -> DataFrame:
+    """Union HLL shard tables into ONE shard table (same schema, still
+    mergeable) — the sketch-preserving fold ``compact_sketch_shards``
+    needs, vs :func:`hll_merge` which finalizes to an estimate."""
+    return df.groupBy(*_cols(keys)).agg(
+        F.hll_union_agg(sketch_col, F.lit(True)).alias(sketch_col)
+    )
+
+
+def bitmap_or_shards(
+    df: DataFrame, keys: list[str], bitmap_col: str = _BMP_COL
+) -> DataFrame:
+    """OR bitmap shard tables into ONE shard table (same schema, still
+    exact-mergeable) — the sketch-preserving fold for the bitmap tier."""
+    return df.groupBy(*_cols(keys), F.col(_BUCKET_COL)).agg(
+        F.bitmap_or_agg(bitmap_col).alias(bitmap_col)
+    )
+
+
+def compact_sketch_shards(spark, path: str, fold_fn) -> dict:
+    """Fold every ``epoch=<id>`` directory a
+    ``streaming.ingest.maintain_sketch_shards`` loop has written into a
+    single ``epoch=-1`` base — same answers, one directory, bounded
+    files — committed with ``scale.atomic_swap_dir`` (readers see the
+    old tree or the new one, never a mix).
+
+    ``fold_fn`` maps the union-of-shards frame to ONE equivalent shard
+    table and must be sketch-PRESERVING for the tier:
+    ``lambda df: hll_union_shards(df, keys)``,
+    ``bitmap_or_shards(df, keys)``, ``histogram_merge(df, keys)`` or
+    ``topk_merge(df, keys)``.
+
+    Stream coordination: stop the maintenance stream GRACEFULLY (after
+    a completed micro-batch / availableNow termination) before
+    compacting, then resume with the EXISTING checkpoint — committed
+    batches never replay, and new epochs land beside the ``epoch=-1``
+    base exactly as they landed beside the old epochs.  A stream
+    killed mid-batch must be run to completion first: its replay would
+    rewrite an epoch directory the fold already consumed (the
+    SUM-semantics tiers would double-count).
+
+    Returns ``{"epochs_folded": n, "rows": n}``."""
+    from .scale import atomic_swap_dir
+
+    df = spark.read.parquet(path)
+    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
+    folded = fold_fn(df.drop("epoch"))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    folded.write.mode("overwrite").parquet(tmp + "/epoch=-1")
+    rows = spark.read.parquet(tmp).count()
+    atomic_swap_dir(spark, path.rstrip("/"), tmp)
+    return {"epochs_folded": len(epochs), "rows": rows}

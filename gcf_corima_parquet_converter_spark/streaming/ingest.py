@@ -543,8 +543,11 @@ def maintain_dedup_indexes(
     the standard foreachBatch contract.
 
     ``k``/``bands``/``n`` MUST match every future query against
-    ``band_path`` (see ``minhash_index``).  Returns the started
-    ``StreamingQuery``.
+    ``band_path`` (see ``minhash_index``).  Appends accumulate one
+    sliver file per micro-batch per writer task — fold them back
+    periodically with ``dedup.compact_dedup_indexes`` (physical
+    dedupe + re-file + atomic swap; pause this stream over the swap).
+    Returns the started ``StreamingQuery``.
     """
     from ..operators.dedup import exact_dedup_incremental, minhash_index
 
@@ -594,6 +597,11 @@ def maintain_sketch_shards(
     ``epoch=`` partition — a foreachBatch replay rewrites the same
     directory and the artifact stays exactly-once for every tier,
     including the idempotent-anyway HLL/bitmap ones.
+
+    Epoch directories accumulate one per micro-batch; fold them back
+    into a single ``epoch=-1`` base periodically with
+    ``sketches.compact_sketch_shards`` (stop this stream gracefully
+    first; resume with the existing checkpoint afterwards).
     """
 
     def _batch(df, epoch_id):

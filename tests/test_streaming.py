@@ -1313,3 +1313,129 @@ def test_maintain_ivfpq_index_streams_codes_byte_compatible(spark, tmp_path):
         ).collect()
     ]
     assert got3 == want
+
+
+def test_compact_dedup_indexes_same_answers_fewer_files(spark, tmp_path):
+    """compact_dedup_indexes (r8): physically dedupe + re-file the
+    append-only digest/band indexes; every consumer answer is
+    unchanged and the sliver count drops to target_files."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    sch = "doc_id long, text string"
+    rows = [
+        (i, f"doc number {i} body with words " + " ".join(
+            f"w{(i * 31 + j) % 997}" for j in range(30)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, sch)
+    dig_p, band_p = str(tmp_path / "digidx"), str(tmp_path / "bandidx")
+    # simulate a chatty maintenance loop: 4 appends, two of them replays
+    for batch in (rows[:10], rows[10:], rows[:10], rows[10:]):
+        b = spark.createDataFrame(batch, sch).repartition(4)
+        D.exact_dedup_incremental(b, ["text"], "doc_id").select(
+            "digest"
+        ).write.mode("append").parquet(dig_p)
+        D.minhash_index(b, "doc_id", "text").write.mode("append").parquet(
+            band_p
+        )
+    assert spark.read.parquet(dig_p).count() == 40  # duplicated appends
+
+    out = D.compact_dedup_indexes(
+        spark, dig_p, band_p, target_files=2
+    )
+    assert out["digest"]["rows"] == 20
+    assert out["digest"]["files_before"] > 2
+    assert out["band"]["files_before"] > 2
+
+    dig = spark.read.parquet(dig_p)
+    assert dig.count() == 20  # physically deduplicated
+    want_dig = {
+        r["digest"]
+        for r in D.exact_dedup_incremental(df, ["text"], "doc_id")
+        .select("digest").collect()
+    }
+    assert {r["digest"] for r in dig.collect()} == want_dig
+
+    band = spark.read.parquet(band_p)
+    want_band = {
+        tuple(r) for r in D.minhash_index(df, "doc_id", "text").collect()
+    }
+    assert {tuple(r) for r in band.collect()} == want_band
+    assert band.count() == len(want_band)
+
+    import glob
+    assert len(glob.glob(dig_p + "/*.parquet")) == 2
+    assert len(glob.glob(band_p + "/*.parquet")) == 2
+    assert not glob.glob(dig_p + ".compact.*")
+
+    # consumers still work: exact incremental vs the compacted index,
+    # near-dup flagging vs the compacted band index
+    day2 = spark.createDataFrame(
+        [(900, rows[5][1]), (901, "genuinely fresh text")], sch
+    )
+    kept = D.exact_dedup_incremental(
+        day2, ["text"], "doc_id", seen=dig
+    )
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [901]
+    near = spark.createDataFrame(
+        [(902, rows[5][1].replace("body", "torso"))], sch
+    )
+    flagged, _ = D.minhash_dedup_incremental(near, band, "doc_id", "text")
+    assert (902, 5) in {(r["new_id"], r["old_id"]) for r in flagged.collect()}
+
+
+def test_compact_sketch_shards_folds_epochs_same_answers(spark, tmp_path):
+    """compact_sketch_shards (r8): N maintain_sketch_shards epochs fold
+    into one epoch=-1 base; merged answers identical for a sketch-
+    preserving (hll) AND a sum-semantics (histogram) tier."""
+    import glob
+
+    from gcf_corima_parquet_converter_spark.operators import sketches as K
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_sketch_shards,
+    )
+
+    sch = "lang string, user_id long, score double"
+    rows = [
+        ("en" if i % 3 else "fr", i % 37, float(i % 11)) for i in range(300)
+    ]
+    full = spark.createDataFrame(rows, sch)
+
+    for tier, shard_fn, fold_fn, merge_to_answer in (
+        (
+            "hll",
+            lambda df: K.hll_shard_sketch(df, ["lang"], "user_id"),
+            lambda df: K.hll_union_shards(df, ["lang"]),
+            lambda df: K.hll_merge(df, ["lang"]),
+        ),
+        (
+            "hist",
+            lambda df: K.histogram_shard_sketch(df, ["lang"], "score",
+                                                lo=0.0, hi=11.0, n_bins=8),
+            lambda df: K.histogram_merge(df, ["lang"]),
+            lambda df: K.histogram_merge(df, ["lang"]),
+        ),
+    ):
+        path = str(tmp_path / f"shards_{tier}")
+        # three epochs exactly as the maintenance loop lands them
+        for e, lo in enumerate((0, 100, 200)):
+            shard_fn(
+                spark.createDataFrame(rows[lo:lo + 100], sch)
+            ).write.mode("overwrite").parquet(f"{path}/epoch={e}")
+        want = sorted(
+            tuple(r) for r in merge_to_answer(
+                spark.read.parquet(path).drop("epoch")
+            ).collect()
+        )
+        out = K.compact_sketch_shards(spark, path, fold_fn)
+        assert out["epochs_folded"] == 3
+        assert glob.glob(path + "/epoch=-1") and not glob.glob(
+            path + "/epoch=0"
+        )
+        got = sorted(
+            tuple(r) for r in merge_to_answer(
+                spark.read.parquet(path).drop("epoch")
+            ).collect()
+        )
+        assert got == want, tier
+        assert not glob.glob(path + ".compact.*")
