@@ -172,6 +172,15 @@ QUERIES = [
         "three tiny per-type artifacts broadcast-join into the audit "
         "row — the 100 TB answer path never re-reads rows",
     ),
+    (
+        "q102_ivfpq_batch",
+        "batch IVF-PQ serving: ONE pass over the pruned codes serves "
+        "the whole query batch — per-query ADC LUTs broadcast on q_id, "
+        "probe lists on centroid_id (each code row scored only against "
+        "the queries probing its list), then one exact re-rank job "
+        "over the broadcast Q x shortlist pair table; two-phase "
+        "local/global per-query top-k, no q_id funnel",
+    ),
 ]
 
 
