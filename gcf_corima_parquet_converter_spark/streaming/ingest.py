@@ -711,6 +711,86 @@ def maintain_ivf_index(
     return writer.start()
 
 
+def serve_ann_queries(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probe: int = 4,
+    raw_index_path: str | None = None,
+    shortlist: int | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    available_now: bool = True,
+):
+    """Streaming ANN query serving: answer a STREAM of query vectors
+    against a persisted IVF-PQ index — the online half of the index
+    lifecycle (``similarity.ivfpq_save`` builds it,
+    :func:`maintain_ivf_index` keeps it fresh, this serves it).
+
+    The index loads ONCE at start (centroids + codebooks + residual
+    flag from the artifact's meta — a few KB of driver state; the
+    codes table stays lazy and partition-pruned).  Each micro-batch of
+    (q_id, q_vec) rows is answered with ONE
+    ``similarity.ivfpq_topk_batch`` pass over the pruned codes; with
+    ``raw_index_path`` (an ``ivf_save`` artifact holding the raw
+    vectors list-partitioned) the batch is instead served by
+    ``ivfpq_topk_rerank_batch`` — ADC shortlist then ONE probe-pruned
+    exact re-rank job, the full serving recipe.
+
+    Results land under ``output_path/epoch=<id>/`` with dynamic
+    overwrite — the same epoch-ownership contract as every maintenance
+    loop here, so a foreachBatch replay rewrites its own epoch and the
+    result log is exactly-once under retries.  Schema: (q_id, vec_id,
+    adc_score) for ADC-only, (q_id, vec_id, sim_fx) with re-rank.
+
+    Index freshness is read-at-start by design: restart the serving
+    query to pick up epochs a maintenance loop added meanwhile (or
+    after an ``ivf_compact``).  Returns the started StreamingQuery."""
+    from ..operators.similarity import (
+        ivf_load,
+        ivfpq_load,
+        ivfpq_topk_batch,
+        ivfpq_topk_rerank_batch,
+    )
+
+    spark = stream.sparkSession
+    base, cents, books, meta = ivfpq_load(spark, index_path, with_meta=True)
+    residual = meta["residual"]
+    raw = ivf_load(spark, raw_index_path)[0] if raw_index_path else None
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        if raw is not None:
+            out = ivfpq_topk_rerank_batch(
+                base, raw, cents, books, df, k=k, n_probe=n_probe,
+                shortlist=shortlist, q_id_col=q_id_col, q_vec_col=q_vec_col,
+                residual=residual,
+            )
+        else:
+            out = ivfpq_topk_batch(
+                base, cents, books, df, k=k, n_probe=n_probe,
+                q_id_col=q_id_col, q_vec_col=q_vec_col, residual=residual,
+            )
+        (
+            out.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_fft_stream(
     stream: DataFrame,
     sample_rate: float,

@@ -1439,3 +1439,113 @@ def test_compact_sketch_shards_folds_epochs_same_answers(spark, tmp_path):
         )
         assert got == want, tier
         assert not glob.glob(path + ".compact.*")
+
+
+def test_serve_ann_queries_stream_matches_batch_and_replays_clean(
+    spark, tmp_path
+):
+    """serve_ann_queries (r8): a stream of query vectors answered
+    against a persisted IVF-PQ index — per-epoch results equal the
+    batch ivfpq_topk_batch / rerank_batch answers exactly, and a
+    replay (fresh checkpoint, same files -> same epochs) rewrites its
+    own epoch partitions instead of duplicating them."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_ann_queries,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=8), n_iter=3
+    )
+    books = S.ivfpq_train(
+        full, cents, m=4, n_codes=16, sample_size=256, residual=True
+    )
+    idx = str(tmp_path / "pq_idx")
+    S.ivfpq_save(
+        S.ivfpq_encode(full, cents, books, residual=True),
+        cents, books, idx, residual=True,
+    )
+    raw_idx = str(tmp_path / "raw_idx")
+    S.ivf_save(S.ivf_assign(full, cents), cents, raw_idx)
+
+    # two micro-batches of 3 queries each
+    qsch = "q_id long, q_vec array<double>"
+    qrows = [(qi, [float(x) for x in pts[qi * 5]]) for qi in range(6)]
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    for name, chunk in (("a", qrows[:3]), ("b", qrows[3:])):
+        stage = str(tmp_path / ("qstage_" + name))
+        spark.createDataFrame(chunk, qsch).coalesce(1).write.parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    def qstream():
+        return (
+            spark.readStream.schema(qsch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # ADC-only serving
+    out_p = str(tmp_path / "answers")
+    q = serve_ann_queries(
+        qstream(), idx, out_p, str(tmp_path / "ckpt_a"), k=5, n_probe=3
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_p)
+    assert {r["epoch"] for r in got.select("epoch").distinct().collect()} == {
+        0, 1,
+    }
+    base, c2, b2, meta = S.ivfpq_load(spark, idx, with_meta=True)
+    for epoch, chunk in ((0, qrows[:3]), (1, qrows[3:])):
+        want = sorted(
+            (r["q_id"], r["vec_id"], r["adc_score"])
+            for r in S.ivfpq_topk_batch(
+                base, c2, b2, spark.createDataFrame(chunk, qsch),
+                k=5, n_probe=3, residual=meta["residual"],
+            ).collect()
+        )
+        have = sorted(
+            (r["q_id"], r["vec_id"], r["adc_score"])
+            for r in got.where(F.col("epoch") == epoch).collect()
+        )
+        assert have == want, epoch
+
+    # replay with a fresh checkpoint: same epochs overwrite themselves
+    q = serve_ann_queries(
+        qstream(), idx, out_p, str(tmp_path / "ckpt_b"), k=5, n_probe=3
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_p).count() == 6 * 5
+
+    # full rerank serving: equals the batch rerank recipe
+    out_r = str(tmp_path / "answers_rr")
+    q = serve_ann_queries(
+        qstream(), idx, out_r, str(tmp_path / "ckpt_c"), k=5, n_probe=3,
+        raw_index_path=raw_idx, shortlist=60,
+    )
+    q.awaitTermination(120)
+    raw, _ = S.ivf_load(spark, raw_idx)
+    got_r = spark.read.parquet(out_r)
+    for epoch, chunk in ((0, qrows[:3]), (1, qrows[3:])):
+        want = sorted(
+            (r["q_id"], r["vec_id"], r["sim_fx"])
+            for r in S.ivfpq_topk_rerank_batch(
+                base, raw, c2, b2, spark.createDataFrame(chunk, qsch),
+                k=5, n_probe=3, shortlist=60, residual=meta["residual"],
+            ).collect()
+        )
+        have = sorted(
+            (r["q_id"], r["vec_id"], r["sim_fx"])
+            for r in got_r.where(F.col("epoch") == epoch).collect()
+        )
+        assert have == want, epoch
