@@ -1272,3 +1272,48 @@ def compact_dedup_indexes(
         atomic_swap_dir(spark, band_path.rstrip("/"), tmp)
         out["band"] = {"rows": rows, "files_before": before}
     return out
+
+
+def lsh_tuning_report(
+    k: int = 32,
+    bands: int = 8,
+    jaccards: tuple = (0.5, 0.6, 0.7, 0.8, 0.9, 0.95),
+) -> dict:
+    """Driver-side math for choosing MinHash-LSH parameters — the
+    tuning companion the bench's candidate-pair telemetry points at
+    when pairs outgrow data.
+
+    For a ``k``-permutation signature split into ``bands`` bands of
+    ``r = k // bands`` rows, a pair with true Jaccard ``J`` collides in
+    at least one band with probability ``S(J) = 1 - (1 - J^r)^b`` —
+    the standard S-curve (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4).  The report gives ``S(J)`` at the requested
+    Jaccards plus the curve's threshold ``J* ≈ (1/b)^(1/r)`` (the
+    inflection where detection switches from unlikely to likely).
+
+    How to use the two levers:
+
+    * Too many candidates (``pairs_ratio`` from the bench's scaling
+      block far above the data ratio, verify phase dominating): raise
+      ``r`` (fewer bands at the same k, or bigger k) — J* moves UP, so
+      sub-threshold pairs stop colliding.  Detection at high J barely
+      moves: the S-curve is steep.
+    * Missing true dups near your threshold: raise ``bands`` (or k) —
+      J* moves DOWN; candidate volume rises roughly linearly in b for
+      sub-threshold pairs.
+
+    Pure driver math — call it anywhere, nothing touches the cluster.
+    """
+    if k % bands:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    r = k // bands
+    jstar = (1.0 / bands) ** (1.0 / r)
+    return {
+        "k": k,
+        "bands": bands,
+        "rows_per_band": r,
+        "threshold_jaccard": round(jstar, 4),
+        "detection_prob": {
+            j: round(1.0 - (1.0 - j ** r) ** bands, 4) for j in jaccards
+        },
+    }

@@ -480,7 +480,12 @@ def atomic_swap_dir(spark: SparkSession, live: str, tmp: str) -> None:
     fs.delete(HPath(old), True)
     if not fs.rename(HPath(live), HPath(old)):
         raise IOError(f"atomic_swap_dir: could not move {live} aside")
-    if not fs.rename(HPath(tmp), HPath(live)):
+    try:
+        ok = fs.rename(HPath(tmp), HPath(live))
+    except Exception as e:  # missing tmp raises (not returns false) on some FS
+        fs.rename(HPath(old), HPath(live))  # roll the live tree back
+        raise IOError(f"atomic_swap_dir: swap failed; {live} restored") from e
+    if not ok:
         fs.rename(HPath(old), HPath(live))  # roll the live tree back
         raise IOError(f"atomic_swap_dir: swap failed; {live} restored")
     fs.delete(HPath(old), True)

@@ -1462,3 +1462,48 @@ def test_ivfpq_topk_batch_matches_single_query_path(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_lsh_tuning_report_matches_s_curve_and_measured_recall(spark):
+    """The tuning report's S-curve is the real collision probability:
+    for q26's k=16/bands=4 config, measured band-collision frequency
+    over planted pairs at J~0.9 must sit near S(0.9), and the
+    threshold moves the documented direction when r grows."""
+    rep = D.lsh_tuning_report(k=16, bands=4)
+    assert rep["rows_per_band"] == 4
+    # closed form checks
+    assert abs(rep["detection_prob"][0.9] - (1 - (1 - 0.9**4) ** 4)) < 1e-3  # report rounds to 4dp
+    assert abs(rep["threshold_jaccard"] - 0.25 ** 0.25) < 1e-4
+    # lever direction: fewer bands at same k -> higher threshold
+    assert (
+        D.lsh_tuning_report(k=16, bands=2)["threshold_jaccard"]
+        > rep["threshold_jaccard"]
+    )
+    with pytest.raises(ValueError):
+        D.lsh_tuning_report(k=16, bands=5)
+
+    # empirical: planted near-dup pairs at J ~ 0.82-0.92 should collide
+    # at a frequency compatible with the S-curve's prediction there
+    rng = __import__("numpy").random.default_rng(40)
+    words = [f"w{i}" for i in range(400)]
+    rows = []
+    n_pairs = 60
+    for i in range(n_pairs):
+        base = list(rng.choice(words, 40, replace=False))
+        mut = base.copy()
+        mut[rng.integers(0, 40)] = f"x{i}"  # one word swap -> high J
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = D._shingle_sets(df, "doc_id", "text", 3)
+    sigs = sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, _validate=False
+        ).collect()
+    }
+    hit = sum(1 for i in range(n_pairs) if (2 * i, 2 * i + 1) in cand)
+    # one word swap in 40 changes <= 3 of ~38 shingles -> J >= ~0.84;
+    # S(0.84) ~ 0.88, S(0.92) ~ 0.97 — allow a generous band
+    assert 0.7 <= hit / n_pairs <= 1.0, hit / n_pairs

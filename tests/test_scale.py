@@ -415,3 +415,33 @@ def test_plan_audit_readme_worked_example(spark):
         (r["r_id"], r["s_id"]) for r in good.select("r_id", "s_id").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_atomic_swap_dir_rolls_back_on_failed_swap(spark, tmp_path):
+    """atomic_swap_dir: a missing rewrite directory must FAIL the swap
+    and restore the live tree untouched (the rollback every compaction
+    job relies on); a good swap replaces the tree and leaves no
+    .compact.* residue."""
+    import glob
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    live = str(tmp_path / "artifact")
+    spark.range(10).write.parquet(live)
+    before = sorted(r[0] for r in spark.read.parquet(live).collect())
+
+    with pytest.raises(IOError):
+        SC.atomic_swap_dir(spark, live, str(tmp_path / "missing_tmp"))
+    assert os.path.isdir(live)
+    assert sorted(r[0] for r in spark.read.parquet(live).collect()) == before
+    assert not glob.glob(str(tmp_path) + "/*.compact.*")
+
+    tmp = str(tmp_path / "rewrite")
+    spark.range(100, 105).write.parquet(tmp)
+    SC.atomic_swap_dir(spark, live, tmp)
+    assert sorted(r[0] for r in spark.read.parquet(live).collect()) == [
+        100, 101, 102, 103, 104,
+    ]
+    assert not os.path.exists(tmp)
+    assert not glob.glob(str(tmp_path) + "/*.compact.*")
