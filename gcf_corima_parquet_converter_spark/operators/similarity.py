@@ -1118,7 +1118,11 @@ def ivfpq_topk_batch(
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qrows = (
+        queries.where(F.col(q_vec_col).isNotNull())
+        .select(q_id_col, q_vec_col)
+        .collect()
+    )
     probe_rows, lut_rows = [], []
     for r in qrows:
         q = np.asarray(r[q_vec_col], dtype=np.float64)
@@ -1209,7 +1213,10 @@ def ivfpq_topk_rerank_batch(
     if "centroid_id" in emb.columns:
         cents = np.asarray(centroids, dtype=np.float64)
         probed = set()
-        for r in queries.select(q_vec_col).collect():
+        for r in (
+            queries.where(F.col(q_vec_col).isNotNull())
+            .select(q_vec_col).collect()
+        ):
             q = np.asarray(r[q_vec_col], dtype=np.float64)
             probed.update(np.argsort(-(cents @ q))[: int(n_probe)].tolist())
         emb = emb.where(F.col("centroid_id").isin(sorted(probed)))
