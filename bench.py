@@ -427,6 +427,14 @@ def bench_ann_scale(spark) -> dict:
         bi_rows, t_bi = timed(
             lambda: S.ivf_topk_batch(assigned, cents, queries, k=k, n_probe=4)
         )
+        # batch IVF-PQ serving (r8): all 16 queries answered by ONE ADC
+        # pass over the pruned codes + one exact re-rank job
+        bp_rows, t_bp = timed(
+            lambda: S.ivfpq_topk_rerank_batch(
+                pq_base, assigned, pq_cents, pq_books, queries,
+                k=k, n_probe=4, shortlist=4096,
+            )
+        )
         truth: dict[int, set] = {}
         for r in bb_rows:
             truth.setdefault(r["q_id"], set()).add(r["vec_id"])
@@ -435,6 +443,13 @@ def bench_ann_scale(spark) -> dict:
             got.setdefault(r["q_id"], set()).add(r["vec_id"])
         batch_recall = sum(
             len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+        got_bp: dict[int, set] = {}
+        for r in bp_rows:
+            got_bp.setdefault(r["q_id"], set()).add(r["vec_id"])
+        batch_pq_recall = sum(
+            len(truth[q] & got_bp.get(q, set())) / len(truth[q])
+            for q in truth
         ) / len(truth)
     finally:
         emb.unpersist()
@@ -479,12 +494,16 @@ def bench_ann_scale(spark) -> dict:
         "batch16_ivf_sec": round(t_bi, 3),
         "batch16_ivf_speedup": round(t_bb / t_bi, 2),
         "batch16_ivf_recall": round(batch_recall, 3),
+        "batch16_ivfpq_rerank_sec": round(t_bp, 3),
+        "batch16_ivfpq_rerank_speedup": round(t_bb / t_bp, 2),
+        "batch16_ivfpq_rerank_recall": round(batch_pq_recall, 3),
         "recall_floor_asserted": 0.8,
     }
     if (
         out["ivf_recall"] < 0.8
         or out["batch16_ivf_recall"] < 0.8
         or out["ivfpq_rerank_recall"] < 0.8
+        or out["batch16_ivfpq_rerank_recall"] < 0.8
     ):
         raise RuntimeError(f"ANN@50k recall regression: {out}")
     out["n1m"] = bench_ann_1m(spark)
