@@ -307,12 +307,14 @@ def ivf_save(
     whole directory) resets all epochs.
 
     ``shard_lists`` controls files per list: the write repartitions on
-    ``(centroid_id, id % shard_lists)`` so each centroid directory
-    lands as exactly ``shard_lists`` parquet files (default 1 —
-    without this, every upstream task writes a sliver into every list
-    and a probe opens writers×1 files instead of ``n_probe``; probe
-    latency is file-open-bound at serving time).  Raise it when single
-    lists outgrow a comfortable task size (~hundreds of MB)."""
+    ``(centroid_id, hash(id) % shard_lists)`` so each centroid
+    directory lands as at most ``shard_lists`` parquet files — exactly
+    1 at the default (without this, every upstream task writes a
+    sliver into every list and a probe opens writers×1 files instead
+    of ``n_probe``; probe latency is file-open-bound at serving time);
+    above 1, hash collisions between (list, shard) combos may merge
+    some shards into fewer files, which only helps.  Raise it when
+    single lists outgrow a comfortable task size (~hundreds of MB)."""
     spark = emb_assigned.sparkSession
     (
         emb_assigned.select(id_col, vec_col, "centroid_id")
@@ -369,8 +371,9 @@ def ivf_compact(
     problem (epochs × lists file opens per probe — the exact failure
     ``shard_lists`` exists to prevent for the base build).  This job
     reads ALL epochs of ``<path>/assignments``, rewrites them as one
-    ``epoch=-1`` base with exactly ``shard_lists`` files per list
-    (same repartition contract as :func:`ivf_save`), and swaps the
+    ``epoch=-1`` base with at most ``shard_lists`` files per list
+    (same repartition contract as :func:`ivf_save`; exactly 1 at the
+    default), and swaps the
     directory in: rename live → ``.compact.old``, rename the rewrite
     in, delete the old — with a rollback if the second rename fails.
     Works unchanged on IVF and IVF-PQ artifacts (the rewrite carries

@@ -1507,3 +1507,89 @@ def test_lsh_tuning_report_matches_s_curve_and_measured_recall(spark):
     # one word swap in 40 changes <= 3 of ~38 shingles -> J >= ~0.84;
     # S(0.84) ~ 0.88, S(0.92) ~ 0.97 — allow a generous band
     assert 0.7 <= hit / n_pairs <= 1.0, hit / n_pairs
+
+
+def test_ivfpq_topk_batch_string_qids_and_null_vectors(spark):
+    """Serving contracts: string query ids ride through both batch ops
+    (the schema is copied from the caller's frame), and null query
+    vectors are skipped instead of crashing the driver-side LUT
+    build."""
+    rng = np.random.default_rng(41)
+    n, dim = 500, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.kmeans_refine(
+        emb, S.train_centroids_sample(emb, n_centroids=4), n_iter=2
+    )
+    books = S.pq_train(emb, m=4, n_codes=16, sample_size=256)
+    base = S.ivfpq_encode(emb, cents, books)
+    qdf = spark.createDataFrame(
+        [("qa", pts[3].tolist()), ("qb", pts[9].tolist()), ("qnull", None)],
+        "q_id string, q_vec array<double>",
+    )
+    got = S.ivfpq_topk_batch(base, cents, books, qdf, k=4, n_probe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert set(by_q) == {"qa", "qb"}  # null query skipped
+    for qid, qi in (("qa", 3), ("qb", 9)):
+        want = [
+            r["vec_id"]
+            for r in S.ivfpq_topk(base, cents, books, pts[qi], k=4,
+                                  n_probe=4).collect()
+        ]
+        assert by_q[qid] == want, qid
+
+    rr = S.ivfpq_topk_rerank_batch(
+        base, S.ivf_assign(emb, cents), cents, books, qdf, k=4, n_probe=4,
+        shortlist=50,
+    ).collect()
+    assert {r["q_id"] for r in rr} == {"qa", "qb"}
+
+
+def test_ivf_compact_shard_lists_and_sharded_layout(spark, tmp_path):
+    """ivf_compact with shard_lists > 1: each list directory lands as
+    at most shard_lists files (exactly 1 only at the default — hash
+    collisions between (list, shard) combos may merge shards) and
+    probes are unchanged."""
+    import glob
+
+    rng = np.random.default_rng(42)
+    n, dim = 600, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, pts[i].tolist()) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=4), n_iter=1
+    )
+    idx = str(tmp_path / "idx")
+    S.ivf_save(S.ivf_assign(spark.createDataFrame(rows[:300], sch), cents),
+               cents, idx)
+    (
+        S.ivf_assign(spark.createDataFrame(rows[300:], sch), cents)
+        .select("vec_id", "embedding", F.lit(0).alias("epoch"), "centroid_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "centroid_id")
+        .parquet(idx + "/assignments")
+    )
+    loaded, c2 = S.ivf_load(spark, idx)
+    before = [r["vec_id"] for r in S.ivf_topk(loaded, c2, pts[3], k=5).collect()]
+    out = S.ivf_compact(spark, idx, shard_lists=3)
+    assert out["rows"] == n
+    loaded2, c3 = S.ivf_load(spark, idx)
+    assert [
+        r["vec_id"] for r in S.ivf_topk(loaded2, c3, pts[3], k=5).collect()
+    ] == before
+    dirs = glob.glob(idx + "/assignments/epoch=-1/centroid_id=*")
+    assert len(dirs) >= 2
+    counts = [len(glob.glob(d + "/*.parquet")) for d in dirs]
+    # at most shard_lists; at test scale AQE coalesces the tiny shuffle
+    # partitions so shards merge further — the bound is what matters
+    assert all(1 <= c <= 3 for c in counts), counts
