@@ -139,6 +139,9 @@ _ROWS_ONLY_TAIL = (
     "q101_ivfpq_topk",
     # r8: its batch twin (one ADC pass serves the whole query batch)
     "q102_ivfpq_batch",
+    # r8: index-lifecycle capstone (build -> epoch append -> compact ->
+    # probe; compaction invisible to readers)
+    "q103_index_lifecycle",
     "q32_hsd_pipeline",
 )
 

@@ -3469,3 +3469,42 @@ def q102(spark, sf_dir):
     return topk.select(
         "q_id", "vec_id", F.col("sim_fx").cast("long").alias("sim_fx")
     ).orderBy("q_id", F.desc("sim_fx"), "vec_id")
+
+
+# ==================================== ANN index lifecycle capstone (r8)
+# -- q103: the full persisted-index lifecycle in one query
+#    (similarity.py ivf_save/ivf_load/ivf_compact): build a base index
+#    from the first half of the embeddings table, land the second half
+#    as two streamed-shape epoch partitions, COMPACT the epochs into a
+#    fresh one-epoch base (atomic swap), then probe the compacted
+#    artifact.  The returned top-k must equal a probe over one batch
+#    assign of the full table — compaction is invisible to readers.
+#    Rows-only (artifact paths are engine-side temp state); the swap /
+#    file-count / parity contracts are pinned by
+#    test_ivf_compact_folds_epochs and kin.
+@query("q103_index_lifecycle")
+def q103(spark, sf_dir):
+    import tempfile
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = S.train_centroids_sample(e, n_centroids=8)
+    idx = tempfile.mkdtemp(prefix="ivf_lifecycle_") + "/idx"
+    half = e.where(F.col("vec_id") % 2 == 0)
+    S.ivf_save(S.ivf_assign(half, cents), cents, idx)
+    for epoch, m in ((0, 1), (1, 3)):
+        (
+            S.ivf_assign(e.where(F.col("vec_id") % 4 == m), cents)
+            .select("vec_id", "embedding", F.lit(epoch).alias("epoch"),
+                    "centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "centroid_id")
+            .parquet(idx + "/assignments")
+        )
+    S.ivf_compact(spark, idx)
+    loaded, c2 = S.ivf_load(spark, idx)
+    topk = S.ivf_topk(loaded, c2, qvec, k=10, n_probe=8)
+    return topk.select(
+        "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
+    ).orderBy(F.desc("sim_fx"), "vec_id")
