@@ -1549,3 +1549,89 @@ def test_serve_ann_queries_stream_matches_batch_and_replays_clean(
             for r in got_r.where(F.col("epoch") == epoch).collect()
         )
         assert have == want, epoch
+
+
+def test_index_lifecycle_stream_maintain_compact_serve(spark, tmp_path):
+    """End-to-end index lifecycle across the streaming surface:
+    bootstrap ivfpq_save -> maintain_ivf_index(pq=True) streams codes in
+    -> ivf_compact folds the epochs -> serve_ann_queries answers a
+    query stream off the compacted artifact — results equal one batch
+    encode of the full corpus probed directly."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_ivf_index,
+        serve_ann_queries,
+    )
+
+    rng = np.random.default_rng(8)
+    n, dim = 400, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=8), n_iter=3
+    )
+    books = S.pq_train(full, m=4, n_codes=16, sample_size=256)
+    idx = str(tmp_path / "idx")
+    S.ivfpq_save(
+        S.ivfpq_encode(spark.createDataFrame(rows[:200], sch), cents, books),
+        cents, books, idx,
+    )
+
+    def file_stream(schema, src):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    vec_src = str(tmp_path / "vec_src")
+    os.makedirs(vec_src)
+    for name, chunk in (("a", rows[200:300]), ("b", rows[300:])):
+        stage = str(tmp_path / ("vstage_" + name))
+        spark.createDataFrame(chunk, sch).coalesce(1).write.parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(vec_src, name + ".parquet"))
+    q = maintain_ivf_index(
+        file_stream(sch, vec_src), idx, str(tmp_path / "mckpt"), pq=True
+    )
+    q.awaitTermination(120)
+
+    out = S.ivf_compact(spark, idx)
+    assert out == {"epochs_folded": 3, "rows": n}
+
+    qsch = "q_id long, q_vec array<double>"
+    qrows = [(qi, [float(x) for x in pts[qi * 9]]) for qi in range(3)]
+    q_src = str(tmp_path / "q_src")
+    os.makedirs(q_src)
+    stage = str(tmp_path / "qstage")
+    spark.createDataFrame(qrows, qsch).coalesce(1).write.parquet(stage)
+    [f] = glob.glob(stage + "/part-*.parquet")
+    shutil.copy(f, os.path.join(q_src, "q.parquet"))
+    ans = str(tmp_path / "answers")
+    q = serve_ann_queries(
+        file_stream(qsch, q_src), idx, ans, str(tmp_path / "sckpt"),
+        k=5, n_probe=3,
+    )
+    q.awaitTermination(120)
+
+    want_base = S.ivfpq_encode(full, cents, books)
+    for qi, qvec in ((0, pts[0]), (1, pts[9]), (2, pts[18])):
+        want = [
+            (r["vec_id"], r["adc_score"])
+            for r in S.ivfpq_topk(
+                want_base, cents, books, qvec, k=5, n_probe=3
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["adc_score"])
+            for r in spark.read.parquet(ans)
+            .where(F.col("q_id") == qi)
+            .orderBy(F.desc("adc_score"), "vec_id")
+            .collect()
+        ]
+        assert got == want, qi
