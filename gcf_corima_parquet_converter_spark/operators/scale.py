@@ -382,6 +382,60 @@ def key_skew_report(
     }
 
 
+def sized_write(
+    df: DataFrame,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 2048,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> dict:
+    """Write ``df`` with per-file sizing — the WRITE-time twin of
+    :func:`compaction_plan` (prevention instead of repair): estimate
+    bytes/row from a ``sample_rows`` head written to a scratch file,
+    derive ``maxRecordsPerFile = target_bytes / bytes_per_row``, and
+    let every writer task roll files at that record count.  Unlike a
+    blind ``coalesce(n)``, this caps file SIZE without collapsing
+    write parallelism — each task still writes concurrently, it just
+    splits its output at the target.
+
+    The estimate inherits parquet's encoding on the real data (sample
+    written in the target format, then deleted), so it tracks column
+    compressibility rather than in-memory width.  Skewed row sizes
+    make it an estimate, not a bound — tighten ``sample_rows`` or feed
+    the written tree to :func:`file_stats` + :func:`compaction_plan`
+    for repair when it matters.
+
+    Returns ``{"bytes_per_row": float, "max_records_per_file": int}``.
+    """
+    spark = df.sparkSession
+    scratch = path.rstrip("/") + ".sizing.tmp"
+    head = df.limit(int(sample_rows)).coalesce(1)
+    head.write.mode("overwrite").format(fmt).save(scratch)
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(scratch).getFileSystem(spark._jsc.hadoopConfiguration())
+    n_sampled = spark.read.format(fmt).load(scratch).count()
+    size = fs.getContentSummary(HPath(scratch)).getLength()
+    fs.delete(HPath(scratch), True)
+    if n_sampled == 0:
+        raise ValueError("sized_write: input frame is empty")
+    bytes_per_row = size / n_sampled
+    max_records = max(int(target_bytes / max(bytes_per_row, 1e-9)), 1)
+    (
+        df.write.mode(mode)
+        .format(fmt)
+        .option("maxRecordsPerFile", max_records)
+        .options(**options)
+        .save(path)
+    )
+    return {
+        "bytes_per_row": round(bytes_per_row, 2),
+        "max_records_per_file": max_records,
+    }
+
+
 def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
     """Static scale audit of a DataFrame's physical plan — the repo's
     plan-invariant gate (tests/test_plan_invariants.py) packaged as a

@@ -445,3 +445,38 @@ def test_atomic_swap_dir_rolls_back_on_failed_swap(spark, tmp_path):
     ]
     assert not os.path.exists(tmp)
     assert not glob.glob(str(tmp_path) + "/*.compact.*")
+
+
+def test_sized_write_caps_file_sizes_without_killing_parallelism(
+    spark, tmp_path
+):
+    """sized_write: files roll at ~target_bytes (estimated from a
+    written sample) while the write keeps its task parallelism; a
+    blind coalesce(1) write of the same data is the single-file
+    contrast."""
+    import glob
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    df = spark.range(200_000).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).repartition(4)
+    p = str(tmp_path / "sized")
+    out = SC.sized_write(df, p, target_bytes=256 * 1024)
+    assert out["max_records_per_file"] > 0
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) > 4  # rolled within tasks, not 1-file-per-task
+    sizes = [os.path.getsize(f) for f in files]
+    # every file lands within a generous factor of the target (parquet
+    # footer overhead + encoding variance); nothing grossly oversized
+    assert max(sizes) < 4 * 256 * 1024, max(sizes)
+    got = spark.read.parquet(p)
+    assert got.count() == 200_000
+    assert not glob.glob(p + ".sizing.tmp")
+
+    with pytest.raises(ValueError):
+        SC.sized_write(
+            spark.range(0).select(F.col("id")), str(tmp_path / "empty")
+        )
