@@ -408,20 +408,25 @@ def bench_ann_scale(spark) -> dict:
         res_base, _, res_books, res_meta = S.ivfpq_load(
             spark, res_path, with_meta=True
         )
-        adc_raw, _ = timed(
-            lambda: S.ivfpq_topk(pq_base, pq_cents, pq_books, qvec, k=k,
-                                 n_probe=4),
-            reps=1,
+        def _adc(base_df, books_, residual_, kk):
+            rows_, _ = timed(
+                lambda: S.ivfpq_topk(
+                    base_df, pq_cents, books_, qvec, k=kk, n_probe=4,
+                    residual=residual_,
+                ),
+                reps=1,
+            )
+            return {r["vec_id"] for r in rows_}
+
+        adc_raw_recall = len(_adc(pq_base, pq_books, False, k) & brute) / k
+        adc_res_recall = (
+            len(_adc(res_base, res_books, res_meta["residual"], k) & brute) / k
         )
-        adc_res, _ = timed(
-            lambda: S.ivfpq_topk(
-                res_base, pq_cents, res_books, qvec, k=k, n_probe=4,
-                residual=res_meta["residual"],
-            ),
-            reps=1,
+        sl_raw_recall = len(_adc(pq_base, pq_books, False, 4096) & brute) / k
+        sl_res_recall = (
+            len(_adc(res_base, res_books, res_meta["residual"], 4096) & brute)
+            / k
         )
-        adc_raw_recall = len({r["vec_id"] for r in adc_raw} & brute) / k
-        adc_res_recall = len({r["vec_id"] for r in adc_res} & brute) / k
 
         bb_rows, t_bb = timed(lambda: S.batch_cosine_topk(emb, queries, k=k))
         bi_rows, t_bi = timed(
@@ -482,12 +487,19 @@ def bench_ann_scale(spark) -> dict:
         # production) is where ivfpq_rerank_speedup must be >= 1.
         "ivfpq_code_bytes_per_row": 32,
         "ivfpq_vector_bytes_per_row": 512,
-        # ADC-only recall@10, raw-vector codes vs residual codes at the
-        # same m/n_codes.  Honest caveat: on THIS corpus (sigma 0.08 —
-        # within-cluster structure is pure isotropic noise) residual
-        # codes cannot rank cluster-mates better than raw codes, so
-        # parity here is expected; the residual win is pinned where it
-        # exists (reconstruction MSE, test_ivfpq_residual_mode_*).
+        # Residual-vs-raw A/B at the same m/n_codes, two levels:
+        # shortlist recall (does the top-4096 ADC shortlist contain the
+        # true top-10 — the number the serving recipe relies on) and
+        # ADC-only recall@10.  Honest caveat on the second: THIS corpus
+        # (sigma 0.08) makes within-cluster structure pure isotropic
+        # noise, so codes quantize cluster IDENTITY and the ~3k
+        # cluster-mates TIE at rank time — near-zero top-10 recall for
+        # BOTH modes is the tie class, not a defect, and exactly why
+        # the recipe reranks a cluster-spanning shortlist (recall 1.0
+        # above).  The residual win is pinned where it exists
+        # (reconstruction MSE, test_ivfpq_residual_mode_*).
+        "ivfpq_shortlist4096_recall_raw": round(sl_raw_recall, 3),
+        "ivfpq_shortlist4096_recall_residual": round(sl_res_recall, 3),
         "ivfpq_adc_recall_raw": round(adc_raw_recall, 3),
         "ivfpq_adc_recall_residual": round(adc_res_recall, 3),
         "batch16_brute_sec": round(t_bb, 3),
