@@ -1,0 +1,367 @@
+"""Manifest-versioned artifact layout — object-store-atomic commits
+for the persisted artifacts that streaming maintenance loops grow and
+compaction jobs fold (IVF/IVF-PQ indexes, dedup digest/band indexes,
+sketch shards).
+
+Layout under an artifact root::
+
+    <root>/_manifests/manifest-v<N>.json   immutable; highest N wins
+    <root>/base/v<N>/epoch=-1/...          folded base for version N
+    <root>/epochs/epoch=<B>/...            streaming appends (shared
+                                           across versions)
+
+Why a manifest instead of a directory swap (``scale.atomic_swap_dir``):
+rename on object stores (GCS/S3) is copy+delete — non-atomic AND
+O(artifact bytes).  A manifest commit is ONE small-object PUT (atomic
+on every store), and the fold writes a NEW ``base/v<N+1>`` directory
+instead of touching live data, so
+
+* readers resolve the manifest once and see old-or-new, never a mix;
+* the maintenance stream keeps appending DURING compaction — epoch
+  directories are version-independent;
+* the stream resumes with its EXISTING checkpoint afterwards: nothing
+  it wrote was moved, and nothing it replays can double-count (below).
+
+Exactly-once around the fold: :func:`compact_artifact` snapshots the
+epoch set ``E`` at start, folds ``base(v<N>) ∪ E`` into
+``base(v<N+1>)``, and commits a manifest whose ``folded_epochs``
+records ``E`` plus any still-materialized previously-folded ids.
+Readers take ``base(v) ∪ {epochs ∉ folded_epochs}``:
+
+* an epoch appended while the fold ran is NOT in ``E`` → stays visible
+  through the epochs union (nothing lost, no pause);
+* a foreachBatch replay that re-materializes an already-folded epoch
+  directory IS in ``folded_epochs`` → filtered out (nothing doubled).
+  This covers the only replay Structured Streaming produces with an
+  existing checkpoint: the last uncommitted micro-batch.  A FRESH
+  checkpoint would restart batch ids at 0 and collide with folded ids
+  — resume with the existing checkpoint, which is also what avoids
+  re-reading the whole source.
+
+GC after the commit deletes folded epoch directories and base versions
+older than ``keep_versions`` (in-flight readers of the previous
+version keep working until their job ends).  The ``folded_epochs``
+list stays bounded: ids leave it at the next compaction once their
+directories are gone.
+
+Manifest files are never overwritten — each commit creates a new
+``manifest-v<N>.json`` and resolution takes the highest parseable one,
+so there is no window where the pointer is missing or truncated.
+
+All filesystem access goes through the session's Hadoop FileSystem:
+the layout round-trips through any store Spark can reach.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_KEEP_MANIFESTS = 3  # current + history for debugging/rollback
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop(spark, path)
+    return fs.exists(hpath(path))
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop(spark, path)
+    fs.delete(hpath(path), True)
+
+
+def base_dir(root: str, version: int) -> str:
+    return f"{root.rstrip('/')}/base/v{int(version)}"
+
+
+def epochs_dir(root: str) -> str:
+    return root.rstrip("/") + "/epochs"
+
+
+def manifest_resolve(spark: SparkSession, root: str) -> dict | None:
+    """Return the artifact's current manifest, or ``None`` for a legacy
+    (pre-manifest) directory.  Resolution lists ``_manifests/`` and
+    takes the highest version that parses — a half-written newer file
+    (crash mid-PUT on a store without atomic create) falls back to the
+    previous commit instead of failing the reader."""
+    mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+    fs, hpath = _hadoop(spark, mdir)
+    if not fs.exists(hpath(mdir)):
+        return None
+    names = []
+    for st in fs.listStatus(hpath(mdir)):
+        name = st.getPath().getName()
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            try:
+                names.append((int(name[len("manifest-v"):-len(".json")]), name))
+            except ValueError:
+                continue
+    for _, name in sorted(names, reverse=True):
+        stream = fs.open(hpath(f"{mdir}/{name}"))
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        try:
+            m = json.loads(raw)
+        except ValueError:
+            continue  # torn write: fall back to the previous commit
+        if isinstance(m, dict) and "version" in m:
+            m["folded_epochs"] = list(m.get("folded_epochs", []))
+            return m
+    return None
+
+
+def manifest_commit(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    folded_epochs: list[int],
+    extra: dict | None = None,
+) -> dict:
+    """Commit a new manifest version: ONE new small-file create —
+    atomic visibility on object stores (PUT) and a single write+close
+    on filesystems.  Old manifests beyond a short history are pruned
+    (never the one just written)."""
+    mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+    fs, hpath = _hadoop(spark, mdir)
+    meta = dict(extra or {})
+    meta["version"] = int(version)
+    meta["folded_epochs"] = sorted(int(e) for e in folded_epochs)
+    out = fs.create(hpath(f"{mdir}/manifest-v{int(version):08d}.json"), True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    # prune old manifest files (keep a short history below the new one)
+    versions = []
+    for st in fs.listStatus(hpath(mdir)):
+        name = st.getPath().getName()
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            try:
+                versions.append(int(name[len("manifest-v"):-len(".json")]))
+            except ValueError:
+                continue
+    for v in sorted(versions)[:-_KEEP_MANIFESTS]:
+        fs.delete(hpath(f"{mdir}/manifest-v{v:08d}.json"), False)
+    return meta
+
+
+def init_artifact(spark: SparkSession, root: str, extra: dict | None = None) -> dict:
+    """Create an EMPTY versioned artifact (version 0, no base): the
+    birth point for append-only artifacts that a maintenance stream
+    grows from nothing.  Readers serve the epochs union until the
+    first compaction writes ``base/v1``."""
+    return manifest_commit(spark, root, 0, [], extra)
+
+
+def list_epochs(spark: SparkSession, root: str) -> list[int]:
+    """Epoch ids currently materialized under ``<root>/epochs``."""
+    edir = epochs_dir(root)
+    fs, hpath = _hadoop(spark, edir)
+    if not fs.exists(hpath(edir)):
+        return []
+    out = []
+    for st in fs.listStatus(hpath(edir)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            try:
+                out.append(int(name[len("epoch="):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_epochs(
+    spark: SparkSession, root: str, epoch_ids: list[int]
+) -> DataFrame:
+    edir = epochs_dir(root)
+    paths = [f"{edir}/epoch={e}" for e in epoch_ids]
+    return spark.read.option("basePath", edir).parquet(*paths)
+
+
+def read_artifact(
+    spark: SparkSession, root: str, manifest: dict | None = None
+) -> DataFrame:
+    """Read an artifact through its manifest: ``base/v<N>`` UNION the
+    epochs not yet folded — lazy, partition-prunable on every partition
+    column (a probe's ``centroid_id`` filter prunes both branches).
+    Pass ``manifest`` to pin a snapshot already resolved; otherwise the
+    current manifest is resolved (one small-file read + one listing).
+    A legacy directory (no ``_manifests/``) reads as-is, so every
+    pre-manifest artifact keeps working unchanged."""
+    root = root.rstrip("/")
+    m = manifest if manifest is not None else manifest_resolve(spark, root)
+    if m is None:
+        return spark.read.parquet(root)
+    folded = set(m["folded_epochs"])
+    parts = []
+    bdir = base_dir(root, m["version"])
+    if _exists(spark, bdir):
+        parts.append(spark.read.parquet(bdir))
+    live = [e for e in list_epochs(spark, root) if e not in folded]
+    if live:
+        parts.append(_read_epochs(spark, root, live))
+    if not parts:
+        raise ValueError(f"versioned artifact at {root!r} has no data")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def write_epoch(
+    df: DataFrame,
+    root: str,
+    epoch_id: int,
+    partition_cols: tuple[str, ...] = (),
+    append: bool = False,
+) -> None:
+    """Land one micro-batch under ``<root>/epochs/epoch=<id>``.
+
+    Default is epoch-OWNED dynamic overwrite — a foreachBatch replay
+    rewrites exactly its own epoch directory, the exactly-once contract
+    SUM-semantics artifacts (sketch shards) and index rows need.
+    ``append=True`` is for set-semantics artifacts (dedup indexes)
+    where replay duplicates are harmless by construction."""
+    w = df.withColumn("epoch", F.lit(int(epoch_id))).write
+    if append:
+        w.mode("append").partitionBy("epoch", *partition_cols).parquet(
+            epochs_dir(root)
+        )
+    else:
+        (
+            w.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", *partition_cols)
+            .parquet(epochs_dir(root))
+        )
+
+
+def compact_artifact(
+    spark: SparkSession,
+    root: str,
+    fold_fn: Callable[[DataFrame], DataFrame],
+    partition_cols: tuple[str, ...] = (),
+    keep_versions: int = 2,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> dict:
+    """Fold an artifact's streamed epochs into the next base version
+    and commit via the manifest — pause-free, object-store-atomic.
+
+    1. Snapshot: resolve the manifest, list epoch dirs, take the set
+       ``E`` not yet folded.
+    2. Fold: ``fold_fn(base(v<N>) ∪ E without the epoch column)`` is
+       written as ``base/v<N+1>/epoch=-1/...`` (``partition_cols``
+       after the epoch level, e.g. ``("centroid_id",)`` for IVF).
+    3. Commit: one manifest PUT — ``version = N+1``,
+       ``folded_epochs = E ∪ still-materialized prior folds``.
+    4. GC: delete folded epoch dirs and base versions older than
+       ``keep_versions`` (protects in-flight readers of v<N>).
+
+    Epochs appended between 1 and 3 are simply not in ``E`` — readers
+    of the new manifest still see them via the epochs union; the
+    maintenance stream never pauses and resumes with its EXISTING
+    checkpoint.  A legacy (pre-manifest) directory is MIGRATED: its
+    fold is written as a fresh versioned tree and swapped in with
+    ``scale.atomic_swap_dir`` — the one remaining rename-based commit,
+    paid once per artifact, after which every future compaction is
+    manifest-committed.
+
+    ``_pre_commit_hook`` is a test seam: called after the fold write,
+    before the manifest commit (lets a test inject a concurrent append
+    or a crash into the commit window).
+
+    Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
+    root = root.rstrip("/")
+    m = manifest_resolve(spark, root)
+    if m is None:
+        return _migrate_legacy(spark, root, fold_fn, partition_cols)
+    version = int(m["version"])
+    folded_prev = set(m["folded_epochs"])
+    present = set(list_epochs(spark, root))
+    to_fold = sorted(present - folded_prev)
+    parts = []
+    bdir = base_dir(root, version)
+    if _exists(spark, bdir):
+        parts.append(spark.read.parquet(bdir))
+    if to_fold:
+        parts.append(_read_epochs(spark, root, to_fold))
+    if not parts:
+        raise ValueError(f"nothing to compact under {root!r}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    folded = fold_fn(df.drop("epoch"))
+    new_version = version + 1
+    new_base = base_dir(root, new_version)
+    (
+        folded.withColumn("epoch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("epoch", *partition_cols)
+        .parquet(new_base)
+    )
+    rows = spark.read.parquet(new_base).count()
+    if _pre_commit_hook is not None:
+        _pre_commit_hook()
+    new_folded = sorted((folded_prev & present) | set(to_fold))
+    manifest_commit(spark, root, new_version, new_folded)
+    # GC — best-effort; anything that survives is masked by the
+    # manifest (folded filter / version pointer) and retried next run
+    for e in new_folded:
+        _delete(spark, f"{epochs_dir(root)}/epoch={e}")
+    for v in range(max(0, new_version - int(keep_versions)) + 1):
+        _delete(spark, base_dir(root, v))
+    return {
+        "version": new_version,
+        "epochs_folded": len(to_fold),
+        "rows": rows,
+        "migrated": False,
+    }
+
+
+def _migrate_legacy(
+    spark: SparkSession,
+    root: str,
+    fold_fn: Callable[[DataFrame], DataFrame],
+    partition_cols: tuple[str, ...],
+) -> dict:
+    """One-time migration of a pre-manifest artifact: fold everything
+    into a fresh versioned tree beside the live one, then swap it in.
+    The swap is the legacy commit (rename-atomic on HDFS/local only) —
+    on an object store, run the migration while writers are paused,
+    once; every compaction after it is manifest-committed."""
+    from .scale import atomic_swap_dir
+
+    df = spark.read.parquet(root)
+    n_epochs = 0
+    if "epoch" in df.columns:
+        n_epochs = df.select("epoch").distinct().count()
+        df = df.drop("epoch")
+    folded = fold_fn(df)
+    tmp = root + ".migrate.tmp"
+    _delete(spark, tmp)
+    (
+        folded.withColumn("epoch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("epoch", *partition_cols)
+        .parquet(base_dir(tmp, 1))
+    )
+    rows = spark.read.parquet(base_dir(tmp, 1)).count()
+    manifest_commit(spark, tmp, 1, [])
+    atomic_swap_dir(spark, root, tmp)
+    return {"version": 1, "epochs_folded": n_epochs, "rows": rows,
+            "migrated": True}

@@ -285,12 +285,13 @@ def ivf_save(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    epoch: int = -1,
     shard_lists: int = 1,
 ) -> None:
     """Persist an IVF index as a reusable parquet artifact, so serving
-    never repays the build: ``<path>/assignments`` is written
-    **partitioned by (epoch, centroid_id)** — an :func:`ivf_topk`
+    never repays the build.  The assignments land in the
+    manifest-versioned layout (``operators.manifest``):
+    ``<path>/assignments/base/v1`` written **partitioned by (epoch,
+    centroid_id)** with a ``manifest-v1`` commit — an :func:`ivf_topk`
     probe over the loaded index becomes a partition-pruned read of
     only the ``n_probe`` probed centroid directories (pruning applies
     at any partition level), the on-disk realization of "IVF scans
@@ -299,12 +300,12 @@ def ivf_save(
     only: the artifact round-trips through any filesystem or object
     store the session can reach (no driver-local sidecar files).
 
-    ``epoch`` is the incremental-growth axis: the full (re)build this
-    function writes is epoch ``-1``; a stream then keeps the index
-    fresh by adding vectors under epochs ``0, 1, …`` —
-    ``streaming.ingest.maintain_ivf_index`` — without touching the
-    base build.  A rebuild (this function, ``mode=overwrite`` of the
-    whole directory) resets all epochs.
+    Incremental growth: a stream keeps the index fresh by landing
+    micro-batches under ``assignments/epochs/epoch=0, 1, …``
+    (``streaming.ingest.maintain_ivf_index``) without touching the
+    base; :func:`ivf_compact` folds them back into ``base/v<N+1>``
+    with a one-PUT manifest flip — pause-free and object-store-atomic.
+    A full rebuild (this function) resets the artifact to version 1.
 
     ``shard_lists`` controls files per list: the write repartitions on
     ``(centroid_id, hash(id) % shard_lists)`` so each centroid
@@ -315,18 +316,23 @@ def ivf_save(
     above 1, hash collisions between (list, shard) combos may merge
     some shards into fewer files, which only helps.  Raise it when
     single lists outgrow a comfortable task size (~hundreds of MB)."""
+    from . import manifest as M
+
     spark = emb_assigned.sparkSession
+    aroot = path.rstrip("/") + "/assignments"
+    M._delete(spark, aroot)  # a rebuild resets every version and epoch
     (
         emb_assigned.select(id_col, vec_col, "centroid_id")
-        .withColumn("epoch", F.lit(int(epoch)))
+        .withColumn("epoch", F.lit(-1))
         .repartition(
             F.col("centroid_id"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_lists))),
         )
         .write.mode("overwrite")
         .partitionBy("epoch", "centroid_id")
-        .parquet(path.rstrip("/") + "/assignments")
+        .parquet(M.base_dir(aroot, 1))
     )
+    M.manifest_commit(spark, aroot, 1, [])
     cents = np.asarray(centroids, dtype=np.float64)
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -342,9 +348,14 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     centroids)`` ready for :func:`ivf_topk` / :func:`ivf_topk_batch`.
     The assignments frame is lazy — nothing is scanned until a probe
     filters it, and that filter prunes to the probed centroid
-    directories (PartitionFilters in the plan).  All epochs are read
-    (base build + any stream-maintained increments); the ``epoch``
-    partition column rides along and is ignored by the probes."""
+    directories (PartitionFilters in the plan).  The read resolves the
+    artifact's manifest (``operators.manifest.read_artifact``): folded
+    base version ∪ live streamed epochs, with already-folded epoch ids
+    filtered out so a replayed micro-batch can never double-count; a
+    legacy pre-manifest artifact reads as-is.  The ``epoch`` partition
+    column rides along and is ignored by the probes."""
+    from .manifest import read_artifact
+
     crows = (
         spark.read.parquet(path.rstrip("/") + "/centroids")
         .orderBy("centroid_id")
@@ -355,7 +366,7 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     if [r["centroid_id"] for r in crows] != list(range(len(crows))):
         raise ValueError(f"centroid ids under {path!r} are not contiguous")
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    assigned = spark.read.parquet(path.rstrip("/") + "/assignments")
+    assigned = read_artifact(spark, path.rstrip("/") + "/assignments")
     return assigned, cents
 
 
