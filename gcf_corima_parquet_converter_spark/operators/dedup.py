@@ -1221,23 +1221,25 @@ def compact_dedup_indexes(
     degrading every future anti-join into a small-files listing storm
     (one parquet sliver per micro-batch per writer task).
 
-    Each index is rewritten as ``distinct()`` rows in ``target_files``
+    Each index is folded as ``distinct()`` rows in ``target_files``
     files — duplicates are harmless to the consumers (anti-join /
     band equi-join are set-semantics, the append contract relies on
     that) but they are not FREE: every replayed or re-appended row is
     scanned on every future join, so compaction also physically
     deduplicates.  The band index repartitions on ``band`` so bucket
-    joins read co-located buckets.  The rewrite commits via
-    ``scale.atomic_swap_dir`` (old-or-new, never a mix); pause the
-    maintenance stream over the swap — appends written between the
-    read and the swap would be lost.  The stream can resume with its
-    EXISTING checkpoint afterwards: re-appends of in-flight batches
-    are set-semantics-harmless, exactly the append contract.
+    joins read co-located buckets.  The fold commits via
+    ``operators.manifest.compact_artifact`` (ONE small-object PUT —
+    readers see old-or-new, never a mix); the maintenance stream keeps
+    appending DURING the fold (its epochs stay visible through the
+    epochs union) and resumes with its EXISTING checkpoint afterwards.
+    A legacy flat-append index directory is migrated in place on its
+    first compaction.
 
-    Returns per-index ``{"rows": distinct_rows, "files_before": n}``."""
+    Returns per-index ``{"version", "epochs_folded", "rows":
+    distinct_rows, "migrated", "files_before"}``."""
     import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
 
-    from .scale import atomic_swap_dir
+    from .manifest import compact_artifact
 
     def _files(path: str) -> int:
         jvm = spark._jvm
@@ -1253,25 +1255,36 @@ def compact_dedup_indexes(
     out: dict = {}
     if digest_path is not None:
         before = _files(digest_path)
-        tmp = digest_path.rstrip("/") + ".compact.tmp"
-        df = spark.read.parquet(digest_path).distinct()
-        df.repartition(int(target_files)).write.mode("overwrite").parquet(tmp)
-        rows = spark.read.parquet(tmp).count()
-        atomic_swap_dir(spark, digest_path.rstrip("/"), tmp)
-        out["digest"] = {"rows": rows, "files_before": before}
+        res = compact_artifact(
+            spark, digest_path,
+            lambda df: df.distinct().repartition(int(target_files)),
+        )
+        out["digest"] = {**res, "files_before": before}
     if band_path is not None:
         before = _files(band_path)
-        tmp = band_path.rstrip("/") + ".compact.tmp"
-        df = spark.read.parquet(band_path).distinct()
-        (
-            df.repartition(int(target_files), F.col("band"))
-            .write.mode("overwrite")
-            .parquet(tmp)
+        res = compact_artifact(
+            spark, band_path,
+            lambda df: df.distinct().repartition(
+                int(target_files), F.col("band")
+            ),
         )
-        rows = spark.read.parquet(tmp).count()
-        atomic_swap_dir(spark, band_path.rstrip("/"), tmp)
-        out["band"] = {"rows": rows, "files_before": before}
+        out["band"] = {**res, "files_before": before}
     return out
+
+
+def load_dedup_index(spark, path: str):
+    """Read a persisted dedup index (digest or band — the artifacts
+    ``streaming.ingest.maintain_dedup_indexes`` grows) through its
+    manifest: folded base version ∪ live streamed epochs, with
+    replayed-folded epochs filtered; a legacy flat-append directory
+    reads as-is.  The ``epoch`` bookkeeping column is dropped — the
+    consumers (``exact_dedup_incremental``'s anti-join,
+    ``minhash_dedup_incremental``'s band equi-join) see index rows
+    only."""
+    from .manifest import read_artifact
+
+    df = read_artifact(spark, path)
+    return df.drop("epoch") if "epoch" in df.columns else df
 
 
 def lsh_tuning_report(

@@ -38,9 +38,12 @@ Readers take ``base(v) ∪ {epochs ∉ folded_epochs}``:
   — resume with the existing checkpoint, which is also what avoids
   re-reading the whole source.
 
-GC after the commit deletes folded epoch directories and base versions
-older than ``keep_versions`` (in-flight readers of the previous
-version keep working until their job ends).  The ``folded_epochs``
+GC after the commit is ONE CYCLE DEFERRED for epochs — a compaction
+deletes the epochs folded by the *previous* compaction, never its own
+(a reader pinned on the previous manifest still lazily unions exactly
+this cycle's folds) — and deletes base versions older than
+``keep_versions`` (clamped >= 2), so in-flight readers of the previous
+version keep working until their job ends.  The ``folded_epochs``
 list stays bounded: ids leave it at the next compaction once their
 directories are gone.
 
@@ -236,7 +239,23 @@ def write_epoch(
     rewrites exactly its own epoch directory, the exactly-once contract
     SUM-semantics artifacts (sketch shards) and index rows need.
     ``append=True`` is for set-semantics artifacts (dedup indexes)
-    where replay duplicates are harmless by construction."""
+    where replay duplicates are harmless by construction.
+
+    Invariant kept here: every versioned artifact has a manifest
+    BEFORE epochs land.  A fresh root is auto-initialized (version 0,
+    no base — the maintenance-from-nothing birth path); a root that
+    already holds pre-manifest data refuses the write, because its
+    legacy readers scan the whole root and a nested ``epochs/`` tree
+    would break them — run ``compact_artifact`` once to migrate."""
+    spark = df.sparkSession
+    if manifest_resolve(spark, root) is None:
+        if _exists(spark, root):
+            raise ValueError(
+                f"{root!r} is a legacy (pre-manifest) artifact; run "
+                "compact_artifact once to migrate it before appending "
+                "epochs"
+            )
+        init_artifact(spark, root)
     w = df.withColumn("epoch", F.lit(int(epoch_id))).write
     if append:
         w.mode("append").partitionBy("epoch", *partition_cols).parquet(
@@ -257,6 +276,7 @@ def compact_artifact(
     fold_fn: Callable[[DataFrame], DataFrame],
     partition_cols: tuple[str, ...] = (),
     keep_versions: int = 2,
+    count_rows: bool = True,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> dict:
     """Fold an artifact's streamed epochs into the next base version
@@ -269,8 +289,13 @@ def compact_artifact(
        after the epoch level, e.g. ``("centroid_id",)`` for IVF).
     3. Commit: one manifest PUT — ``version = N+1``,
        ``folded_epochs = E ∪ still-materialized prior folds``.
-    4. GC: delete folded epoch dirs and base versions older than
-       ``keep_versions`` (protects in-flight readers of v<N>).
+    4. GC — one cycle deferred, mirroring base retention: the epochs
+       folded THIS cycle (``E``) stay on disk (masked for new readers
+       by ``folded_epochs``, still served to readers pinned on the
+       previous manifest); the epochs folded LAST cycle are deleted
+       now.  Base versions older than ``keep_versions`` (clamped to
+       >= 2, so the just-committed version and its predecessor always
+       survive) are deleted.
 
     Epochs appended between 1 and 3 are simply not in ``E`` — readers
     of the new manifest still see them via the epochs union; the
@@ -285,8 +310,12 @@ def compact_artifact(
     before the manifest commit (lets a test inject a concurrent append
     or a crash into the commit window).
 
-    Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
+    Returns ``{"version", "epochs_folded", "rows", "migrated"}``
+    (``rows`` is -1 when ``count_rows=False`` — the count is a second
+    full scan of the fold output, telemetry worth skipping at 100 TB).
+    """
     root = root.rstrip("/")
+    keep_versions = max(2, int(keep_versions))
     m = manifest_resolve(spark, root)
     if m is None:
         return _migrate_legacy(spark, root, fold_fn, partition_cols)
@@ -314,16 +343,19 @@ def compact_artifact(
         .partitionBy("epoch", *partition_cols)
         .parquet(new_base)
     )
-    rows = spark.read.parquet(new_base).count()
+    rows = spark.read.parquet(new_base).count() if count_rows else -1
     if _pre_commit_hook is not None:
         _pre_commit_hook()
     new_folded = sorted((folded_prev & present) | set(to_fold))
     manifest_commit(spark, root, new_version, new_folded)
     # GC — best-effort; anything that survives is masked by the
-    # manifest (folded filter / version pointer) and retried next run
-    for e in new_folded:
+    # manifest (folded filter / version pointer) and retried next run.
+    # Epoch deletion is deferred one cycle: only LAST cycle's folds go
+    # now — a reader pinned on manifest v<N> still lazily unions this
+    # cycle's ``to_fold`` dirs, so they must outlive the commit.
+    for e in sorted(folded_prev & present):
         _delete(spark, f"{epochs_dir(root)}/epoch={e}")
-    for v in range(max(0, new_version - int(keep_versions)) + 1):
+    for v in range(0, new_version - keep_versions + 1):
         _delete(spark, base_dir(root, v))
     return {
         "version": new_version,

@@ -371,58 +371,55 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
 
 
 def ivf_compact(
-    spark, path: str, shard_lists: int = 1, id_col: str = "vec_id"
+    spark, path: str, shard_lists: int = 1, id_col: str = "vec_id",
+    keep_versions: int = 2, count_rows: bool = True,
+    _pre_commit_hook=None,
 ) -> dict:
-    """Fold a grown index's streaming epochs back into a single base —
-    the maintenance job that lets ``maintain_ivf_index`` run forever.
+    """Fold a grown index's streaming epochs back into the next base
+    version — the maintenance job that lets ``maintain_ivf_index`` run
+    forever, committed via ``operators.manifest`` (one small-object
+    PUT: atomic on every store, pause-free for both probes and the
+    maintenance stream).
 
-    Each micro-batch the freshness loop lands adds ``epoch=<id>/
-    centroid_id=*`` directories; probes read the union, so an
-    unattended stream degrades probe latency into a small-files
-    problem (epochs × lists file opens per probe — the exact failure
-    ``shard_lists`` exists to prevent for the base build).  This job
-    reads ALL epochs of ``<path>/assignments``, rewrites them as one
-    ``epoch=-1`` base with at most ``shard_lists`` files per list
-    (same repartition contract as :func:`ivf_save`; exactly 1 at the
-    default), and swaps the
-    directory in: rename live → ``.compact.old``, rename the rewrite
-    in, delete the old — with a rollback if the second rename fails.
-    Works unchanged on IVF and IVF-PQ artifacts (the rewrite carries
-    whatever data columns the assignments hold — vectors or codes);
-    centroids/codebooks/meta are untouched.
+    Each micro-batch the freshness loop lands adds
+    ``epochs/epoch=<id>/centroid_id=*`` directories; probes read
+    base ∪ epochs, so an unattended stream degrades probe latency into
+    a small-files problem (epochs × lists file opens per probe — the
+    exact failure ``shard_lists`` exists to prevent for the base
+    build).  This job is ``manifest.compact_artifact`` with the
+    :func:`ivf_save` shard repartition as the fold: base(v<N>) ∪
+    streamed epochs rewritten as ``base/v<N+1>`` with at most
+    ``shard_lists`` files per list (exactly 1 at the default), then
+    one manifest flip.  Works unchanged on IVF and IVF-PQ artifacts
+    (the fold carries whatever data columns the assignments hold —
+    vectors or codes); centroids/codebooks/meta are untouched.
 
-    Readers: rename is atomic on HDFS/local (a probe sees the old or
-    the new tree, never a mix); object stores emulate rename as
-    copy+delete, so pause probes over the swap there or point a
-    manifest at versioned directories.  The stream itself must be
-    paused (or between micro-batches) during compaction: epochs
-    written after the read started would be deleted by the swap.
-    Restart it with a FRESH checkpoint afterwards — the old
-    checkpoint's replay would re-add epochs the compact already
-    folded in.
+    Concurrency contract (inherited from ``compact_artifact``):
+    readers see old-or-new, never a mix; the maintenance stream keeps
+    appending DURING compaction (its epochs simply aren't in this
+    fold) and resumes with its EXISTING checkpoint — a replayed
+    micro-batch that re-materializes a folded epoch is filtered out by
+    the manifest's ``folded_epochs`` list, so nothing double-counts.
+    A legacy pre-manifest artifact is migrated in place (one
+    rename-based commit, once).
 
-    Returns ``{"epochs_folded": n, "rows": n}``."""
+    Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
+    from . import manifest as M
+
     apath = path.rstrip("/") + "/assignments"
-    df = spark.read.parquet(apath)
-    data_cols = [c for c in df.columns if c not in ("epoch", "centroid_id")]
-    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
-    n_rows = df.count()
-    tmp = apath + ".compact.tmp"
-    (
-        df.select(*data_cols, "centroid_id")
-        .withColumn("epoch", F.lit(-1))
-        .repartition(
+
+    def _fold(df: DataFrame) -> DataFrame:
+        data_cols = [c for c in df.columns if c != "centroid_id"]
+        return df.select(*data_cols, "centroid_id").repartition(
             F.col("centroid_id"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_lists))),
         )
-        .write.mode("overwrite")
-        .partitionBy("epoch", "centroid_id")
-        .parquet(tmp)
-    )
-    from .scale import atomic_swap_dir
 
-    atomic_swap_dir(spark, apath, tmp)
-    return {"epochs_folded": len(epochs), "rows": n_rows}
+    return M.compact_artifact(
+        spark, apath, _fold, partition_cols=("centroid_id",),
+        keep_versions=keep_versions, count_rows=count_rows,
+        _pre_commit_hook=_pre_commit_hook,
+    )
 
 
 def kmeans_refine(
@@ -904,34 +901,41 @@ def ivfpq_save(
     codebooks: np.ndarray,
     path: str,
     id_col: str = "vec_id",
-    epoch: int = -1,
     shard_lists: int = 1,
     residual: bool = False,
 ) -> None:
     """Persist an IVF-PQ index (:func:`ivfpq_encode` output) as one
-    reusable artifact: ``<path>/assignments`` partitioned by
-    ``(epoch, centroid_id)`` holding (id, codes) — probes prune to the
-    probed lists AND read only m code bytes per row — plus
-    ``<path>/centroids`` and ``<path>/codebooks`` (one row per
-    (subspace, code): the PQ model is a few KB of parquet) and
-    ``<path>/meta`` recording whether the codes are residual-mode
-    (searches over a residual table need the per-list ADC offset; the
-    flag travels with the artifact so a loader cannot mis-score it).
-    Same layout contract as :func:`ivf_save`, so compaction
-    (:func:`ivf_compact`, one file per list via ``shard_lists``) and
-    epoch growth work identically."""
+    reusable artifact: ``<path>/assignments`` in the manifest-versioned
+    layout (``operators.manifest`` — ``base/v1`` partitioned by
+    ``(epoch, centroid_id)`` plus a ``manifest-v1`` commit) holding
+    (id, codes) — probes prune to the probed lists AND read only m
+    code bytes per row — plus ``<path>/centroids`` and
+    ``<path>/codebooks`` (one row per (subspace, code): the PQ model
+    is a few KB of parquet) and ``<path>/meta`` recording whether the
+    codes are residual-mode (searches over a residual table need the
+    per-list ADC offset; the flag travels with the artifact so a
+    loader cannot mis-score it).  Same layout contract as
+    :func:`ivf_save`, so epoch growth
+    (``streaming.ingest.maintain_ivf_index(pq=True)``) and compaction
+    (:func:`ivf_compact`, one file per list via ``shard_lists``) work
+    identically."""
+    from . import manifest as M
+
     spark = base.sparkSession
+    aroot = path.rstrip("/") + "/assignments"
+    M._delete(spark, aroot)  # a rebuild resets every version and epoch
     (
         base.select(id_col, "codes", "centroid_id")
-        .withColumn("epoch", F.lit(int(epoch)))
+        .withColumn("epoch", F.lit(-1))
         .repartition(
             F.col("centroid_id"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_lists))),
         )
         .write.mode("overwrite")
         .partitionBy("epoch", "centroid_id")
-        .parquet(path.rstrip("/") + "/assignments")
+        .parquet(M.base_dir(aroot, 1))
     )
+    M.manifest_commit(spark, aroot, 1, [])
     cents = np.asarray(centroids, dtype=np.float64)
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -963,10 +967,14 @@ def ivfpq_load(
 ]:
     """Load an :func:`ivfpq_save` artifact → ``(base, centroids,
     codebooks)`` ready for :func:`ivfpq_topk` / the rerank recipe.
-    The base frame is lazy and probes prune on ``centroid_id``.
+    The base frame is lazy, resolved through the artifact's manifest
+    (folded base version ∪ live streamed epochs, replayed-epoch ids
+    filtered — same contract as :func:`ivf_load`; legacy pre-manifest
+    artifacts read as-is), and probes prune on ``centroid_id``.
     ``with_meta=True`` appends the artifact's meta dict (currently
     ``{"residual": bool}``; artifacts written before the meta table
-    existed load as raw-vector codes, which is what they are)."""
+    existed load as raw-vector codes, which is what they are — only a
+    MISSING meta table falls back, any real read error propagates)."""
     crows = (
         spark.read.parquet(path.rstrip("/") + "/centroids")
         .orderBy("centroid_id")
@@ -990,16 +998,21 @@ def ivfpq_load(
     books = np.empty((m, n_codes, sub), dtype=np.float64)
     for r in brows:
         books[r["subspace"], r["code"]] = r["center"]
-    base = spark.read.parquet(path.rstrip("/") + "/assignments")
+    from . import manifest as M
+
+    base = M.read_artifact(spark, path.rstrip("/") + "/assignments")
     if not with_meta:
         return base, cents, books
     meta = {"residual": False}
-    try:
-        for r in spark.read.parquet(path.rstrip("/") + "/meta").collect():
+    meta_path = path.rstrip("/") + "/meta"
+    # missing-only fallback: a pre-meta artifact holds raw-vector codes
+    # by construction, but a CORRUPT or unreadable meta must raise —
+    # silently defaulting residual=False would mis-rank every
+    # residual-mode search.
+    if M._exists(spark, meta_path):
+        for r in spark.read.parquet(meta_path).collect():
             if r["key"] == "residual":
                 meta["residual"] = r["value"] == "true"
-    except Exception:
-        pass  # pre-meta artifact: raw-vector codes by construction
     return base, cents, books, meta
 
 

@@ -358,12 +358,24 @@ def bitmap_or_shards(
     )
 
 
+def load_sketch_shards(spark, path: str) -> DataFrame:
+    """Read a ``maintain_sketch_shards`` artifact through its manifest
+    (``operators.manifest.read_artifact``: folded base version ∪ live
+    streamed epochs, replayed-folded epochs filtered; a legacy flat
+    ``epoch=<id>`` directory reads as-is).  The ``epoch`` bookkeeping
+    column is dropped — the merge functions see shard rows only."""
+    from .manifest import read_artifact
+
+    df = read_artifact(spark, path)
+    return df.drop("epoch") if "epoch" in df.columns else df
+
+
 def compact_sketch_shards(spark, path: str, fold_fn) -> dict:
-    """Fold every ``epoch=<id>`` directory a
-    ``streaming.ingest.maintain_sketch_shards`` loop has written into a
-    single ``epoch=-1`` base — same answers, one directory, bounded
-    files — committed with ``scale.atomic_swap_dir`` (readers see the
-    old tree or the new one, never a mix).
+    """Fold the epochs a ``streaming.ingest.maintain_sketch_shards``
+    loop has written into the next base version — same answers, one
+    directory, bounded files — committed via
+    ``operators.manifest.compact_artifact`` (ONE small-object PUT:
+    readers see the old version or the new one, never a mix).
 
     ``fold_fn`` maps the union-of-shards frame to ONE equivalent shard
     table and must be sketch-PRESERVING for the tier:
@@ -371,23 +383,16 @@ def compact_sketch_shards(spark, path: str, fold_fn) -> dict:
     ``bitmap_or_shards(df, keys)``, ``histogram_merge(df, keys)`` or
     ``topk_merge(df, keys)``.
 
-    Stream coordination: stop the maintenance stream GRACEFULLY (after
-    a completed micro-batch / availableNow termination) before
-    compacting, then resume with the EXISTING checkpoint — committed
-    batches never replay, and new epochs land beside the ``epoch=-1``
-    base exactly as they landed beside the old epochs.  A stream
-    killed mid-batch must be run to completion first: its replay would
-    rewrite an epoch directory the fold already consumed (the
-    SUM-semantics tiers would double-count).
+    Stream coordination: NONE needed.  Epochs appended while the fold
+    runs stay visible through the epochs union, and the stream resumes
+    with its EXISTING checkpoint — a replayed micro-batch that
+    re-materializes an epoch this fold consumed is masked by the
+    manifest's ``folded_epochs`` filter, so even the SUM-semantics
+    tiers (histogram / top-k) cannot double-count.  A legacy flat
+    ``epoch=<id>`` artifact is migrated in place on its first
+    compaction (one rename-based commit, once).
 
-    Returns ``{"epochs_folded": n, "rows": n}``."""
-    from .scale import atomic_swap_dir
+    Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
+    from .manifest import compact_artifact
 
-    df = spark.read.parquet(path)
-    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
-    folded = fold_fn(df.drop("epoch"))
-    tmp = path.rstrip("/") + ".compact.tmp"
-    folded.write.mode("overwrite").parquet(tmp + "/epoch=-1")
-    rows = spark.read.parquet(tmp).count()
-    atomic_swap_dir(spark, path.rstrip("/"), tmp)
-    return {"epochs_folded": len(epochs), "rows": rows}
+    return compact_artifact(spark, path, fold_fn)

@@ -3475,16 +3475,19 @@ def q102(spark, sf_dir):
 # -- q103: the full persisted-index lifecycle in one query
 #    (similarity.py ivf_save/ivf_load/ivf_compact): build a base index
 #    from the first half of the embeddings table, land the second half
-#    as two streamed-shape epoch partitions, COMPACT the epochs into a
-#    fresh one-epoch base (atomic swap), then probe the compacted
+#    as two streamed-shape epochs (manifest.write_epoch — exactly how
+#    maintain_ivf_index lands micro-batches), COMPACT the epochs into
+#    base/v2 (one-PUT manifest flip), then probe the compacted
 #    artifact.  The returned top-k must equal a probe over one batch
 #    assign of the full table — compaction is invisible to readers.
-#    Rows-only (artifact paths are engine-side temp state); the swap /
-#    file-count / parity contracts are pinned by
-#    test_ivf_compact_folds_epochs and kin.
+#    Rows-only (artifact paths are engine-side temp state); the
+#    commit / file-count / parity contracts are pinned by
+#    test_ivf_compact_folds_epochs and the manifest suite.
 @query("q103_index_lifecycle")
 def q103(spark, sf_dir):
     import tempfile
+
+    from .operators.manifest import write_epoch
 
     e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -3493,14 +3496,10 @@ def q103(spark, sf_dir):
     half = e.where(F.col("vec_id") % 2 == 0)
     S.ivf_save(S.ivf_assign(half, cents), cents, idx)
     for epoch, m in ((0, 1), (1, 3)):
-        (
+        write_epoch(
             S.ivf_assign(e.where(F.col("vec_id") % 4 == m), cents)
-            .select("vec_id", "embedding", F.lit(epoch).alias("epoch"),
-                    "centroid_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "centroid_id")
-            .parquet(idx + "/assignments")
+            .select("vec_id", "embedding", "centroid_id"),
+            idx + "/assignments", epoch, partition_cols=("centroid_id",),
         )
     S.ivf_compact(spark, idx)
     loaded, c2 = S.ivf_load(spark, idx)

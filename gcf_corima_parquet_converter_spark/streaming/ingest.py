@@ -534,36 +534,39 @@ def maintain_dedup_indexes(
 
     One ``foreachBatch`` sink appends, per micro-batch, (a) the
     ``(digest)`` rows of ``exact_dedup_incremental``'s index and
-    (b) ``minhash_index``'s ``(band, bh, id)`` rows.  Appends are the
-    whole write (the indexes are append-only by design — that is what
-    makes them incremental), and exactly-once follows from the
-    checkpoint: a replayed batch re-appends the same rows, and both
-    consumers are set-semantics joins (anti-join / band equi-join), so
-    duplicate index rows are harmless — idempotent by construction,
-    the standard foreachBatch contract.
+    (b) ``minhash_index``'s ``(band, bh, id)`` rows — landed as
+    manifest-layout epochs (``operators.manifest.write_epoch`` with
+    ``append=True``; read back via ``dedup.load_dedup_index``).
+    Appends are the whole write (the indexes are append-only by design
+    — that is what makes them incremental), and exactly-once follows
+    from the checkpoint: a replayed batch re-appends the same rows,
+    and both consumers are set-semantics joins (anti-join / band
+    equi-join), so duplicate index rows are harmless — idempotent by
+    construction, the standard foreachBatch contract (and an epoch a
+    compaction already folded is masked by the manifest's
+    ``folded_epochs`` filter besides).
 
     ``k``/``bands``/``n`` MUST match every future query against
     ``band_path`` (see ``minhash_index``).  Appends accumulate one
     sliver file per micro-batch per writer task — fold them back
-    periodically with ``dedup.compact_dedup_indexes`` (physical
-    dedupe + re-file + atomic swap; pause this stream over the swap).
-    Returns the started ``StreamingQuery``.
+    periodically with ``dedup.compact_dedup_indexes`` (physical dedupe
+    + re-file + one-PUT manifest commit; NO pause needed, and this
+    stream resumes on its EXISTING checkpoint).  Returns the started
+    ``StreamingQuery``.
     """
     from ..operators.dedup import exact_dedup_incremental, minhash_index
+    from ..operators.manifest import write_epoch
 
     def _batch(df, epoch_id):
         if not df.head(1):
             return
-        (
-            exact_dedup_incremental(df, [text_col], id_col)
-            .select("digest")
-            .write.mode("append")
-            .parquet(digest_path)
+        write_epoch(
+            exact_dedup_incremental(df, [text_col], id_col).select("digest"),
+            digest_path, int(epoch_id), append=True,
         )
-        (
-            minhash_index(df, id_col, text_col, k=k, bands=bands, n=n)
-            .write.mode("append")
-            .parquet(band_path)
+        write_epoch(
+            minhash_index(df, id_col, text_col, k=k, bands=bands, n=n),
+            band_path, int(epoch_id), append=True,
         )
 
     writer = (
@@ -586,30 +589,34 @@ def maintain_sketch_shards(
     the persisted-artifact loop for the whole sketch family
     (``operators.sketches``): per micro-batch, ``shard_fn(batch_df)``
     (e.g. ``lambda df: hll_shard_sketch(df, ["lang"], "user_id")``)
-    computes that batch's shard table, written under
-    ``path/epoch=<id>``; readers answer global/rolling questions by
-    merging shards (``hll_merge`` / ``bitmap_merge`` /
-    ``histogram_merge`` / ``topk_merge``) without ever rescanning rows.
+    computes that batch's shard table, landed as a manifest-layout
+    epoch (``operators.manifest.write_epoch`` under
+    ``path/epochs/epoch=<id>``); readers answer global/rolling
+    questions by merging the shards loaded through
+    ``sketches.load_sketch_shards`` (``hll_merge`` / ``bitmap_merge``
+    / ``histogram_merge`` / ``topk_merge``) without ever rescanning
+    rows.
 
     Idempotency differs from ``maintain_dedup_indexes`` on purpose:
     histogram and top-k merges are SUM-semantics (a replayed batch
     appended twice double-counts), so each epoch OVERWRITES its own
-    ``epoch=`` partition — a foreachBatch replay rewrites the same
+    ``epoch=`` directory — a foreachBatch replay rewrites the same
     directory and the artifact stays exactly-once for every tier,
-    including the idempotent-anyway HLL/bitmap ones.
+    including the idempotent-anyway HLL/bitmap ones (a replay of an
+    epoch a compaction already folded is additionally masked by the
+    manifest's ``folded_epochs`` filter).
 
     Epoch directories accumulate one per micro-batch; fold them back
-    into a single ``epoch=-1`` base periodically with
-    ``sketches.compact_sketch_shards`` (stop this stream gracefully
-    first; resume with the existing checkpoint afterwards).
+    into the next base version periodically with
+    ``sketches.compact_sketch_shards`` — NO pause needed, and this
+    stream resumes with its EXISTING checkpoint afterwards.
     """
+    from ..operators.manifest import write_epoch
 
     def _batch(df, epoch_id):
         if not df.head(1):
             return
-        shard_fn(df).write.mode("overwrite").parquet(
-            f"{path}/epoch={int(epoch_id)}"
-        )
+        write_epoch(shard_fn(df), path, int(epoch_id))
 
     writer = (
         stream.writeStream.foreachBatch(_batch)
@@ -638,12 +645,15 @@ def maintain_ivf_index(
     part of an IVF index; re-training them is a deliberate offline
     rebuild via ``ivf_save``).  Per micro-batch, the new vectors are
     assigned to their nearest centroid (same JVM/matmul path as the
-    batch build) and written under ``assignments/epoch=<id>/
-    centroid_id=*`` with DYNAMIC partition overwrite: a replayed batch
-    rewrites exactly its own epoch partitions, so the artifact is
-    exactly-once under retries — the same epoch-ownership contract as
-    ``maintain_sketch_shards``.  ``ivf_topk`` probes over
-    ``ivf_load``'s union of all epochs stay partition-pruned on
+    batch build) and landed via ``operators.manifest.write_epoch``
+    under ``assignments/epochs/epoch=<id>/centroid_id=*`` with DYNAMIC
+    partition overwrite: a replayed batch rewrites exactly its own
+    epoch partitions, so the artifact is exactly-once under retries —
+    the same epoch-ownership contract as ``maintain_sketch_shards``
+    (and an epoch a compaction already folded is additionally masked
+    by the manifest's ``folded_epochs`` filter, so even a replay that
+    races a compaction cannot double-count).  ``ivf_topk`` probes over
+    ``ivf_load``'s base ∪ epochs union stay partition-pruned on
     ``centroid_id``.
 
     ``pq=True`` maintains an **IVF-PQ** artifact instead
@@ -654,9 +664,10 @@ def maintain_ivf_index(
     probe/rerank works unchanged across the union.
 
     Epochs accumulate (that is the exactly-once contract); fold them
-    back into a one-epoch base periodically with
-    ``similarity.ivf_compact`` — pause the stream over the swap and
-    restart it with a fresh checkpoint.
+    back into the next base version periodically with
+    ``similarity.ivf_compact`` — NO pause needed (epochs appended
+    during the fold stay visible through the epochs union) and the
+    stream resumes with its EXISTING checkpoint afterwards.
 
     Drift caveat: vectors keep assigning to the FROZEN codebook; if
     the embedding distribution shifts, probe recall decays until the
@@ -664,6 +675,7 @@ def maintain_ivf_index(
     on ``centroid_id``) to schedule it.  Returns the started
     ``StreamingQuery``.
     """
+    from ..operators.manifest import write_epoch
     from ..operators.similarity import (
         ivf_assign,
         ivf_load,
@@ -686,20 +698,13 @@ def maintain_ivf_index(
             rows = ivfpq_encode(
                 df, cents, books, id_col=id_col, vec_col=vec_col,
                 residual=residual,
-            ).select(
-                id_col, "codes", F.lit(int(epoch_id)).alias("epoch"),
-                "centroid_id",
-            )
+            ).select(id_col, "codes", "centroid_id")
         else:
             rows = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col).select(
-                id_col, vec_col, F.lit(int(epoch_id)).alias("epoch"),
-                "centroid_id",
+                id_col, vec_col, "centroid_id"
             )
-        (
-            rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "centroid_id")
-            .parquet(apath)
+        write_epoch(
+            rows, apath, int(epoch_id), partition_cols=("centroid_id",)
         )
 
     writer = (

@@ -1344,9 +1344,13 @@ def test_ivfpq_rerank_prunes_raw_side(spark, tmp_path):
 
 
 def test_ivf_compact_folds_epochs(spark, tmp_path):
-    """ivf_compact (r8): fold streamed epochs back into one epoch=-1
-    base — identical probes, shard_lists files per list, epochs gone."""
+    """ivf_compact: fold streamed epochs into base/v2 via the manifest
+    commit — identical probes, shard_lists files per list, streamed
+    epochs masked for new readers (their dirs are GC'd one compaction
+    later, protecting readers pinned on the previous manifest)."""
     import glob
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
 
     rng = np.random.default_rng(35)
     n, dim = 600, 16
@@ -1365,21 +1369,19 @@ def test_ivf_compact_folds_epochs(spark, tmp_path):
     # two streamed epochs, written exactly as maintain_ivf_index lands them
     apath = idx + "/assignments"
     for epoch, chunk in ((0, rows[200:400]), (1, rows[400:])):
-        (
+        M.write_epoch(
             S.ivf_assign(spark.createDataFrame(chunk, sch), cents)
-            .select("vec_id", "embedding", F.lit(epoch).alias("epoch"),
-                    "centroid_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "centroid_id")
-            .parquet(apath)
+            .select("vec_id", "embedding", "centroid_id"),
+            apath, epoch, partition_cols=("centroid_id",),
         )
     loaded, c2 = S.ivf_load(spark, idx)
     qvec = pts[3]
     before = [r["vec_id"] for r in S.ivf_topk(loaded, c2, qvec, k=5).collect()]
 
     out = S.ivf_compact(spark, idx, shard_lists=1)
-    assert out == {"epochs_folded": 3, "rows": n}
+    assert out == {
+        "version": 2, "epochs_folded": 2, "rows": n, "migrated": False,
+    }
 
     loaded2, c3 = S.ivf_load(spark, idx)
     assert np.allclose(c2, c3)
@@ -1387,9 +1389,23 @@ def test_ivf_compact_folds_epochs(spark, tmp_path):
     assert [r[0] for r in loaded2.select("epoch").distinct().collect()] == [-1]
     after = [r["vec_id"] for r in S.ivf_topk(loaded2, c3, qvec, k=5).collect()]
     assert after == before
-    for d in glob.glob(apath + "/epoch=-1/centroid_id=*"):
+    dirs = glob.glob(M.base_dir(apath, 2) + "/epoch=-1/centroid_id=*")
+    assert len(dirs) >= 2
+    for d in dirs:
         assert len(glob.glob(d + "/*.parquet")) == 1, d
-    assert not glob.glob(apath + ".compact.*")
+    # folded epoch dirs survive one cycle (pinned-reader protection)
+    # but the manifest masks them for every new reader
+    assert M.manifest_resolve(spark, apath)["folded_epochs"] == [0, 1]
+    # second compaction GCs their directories (the stale ids leave the
+    # folded list one cycle later, once the dirs are gone)
+    out2 = S.ivf_compact(spark, idx, shard_lists=1)
+    assert out2["version"] == 3 and out2["rows"] == n
+    assert M.list_epochs(spark, apath) == []
+    loaded3, _ = S.ivf_load(spark, idx)
+    assert loaded3.count() == n
+    out3 = S.ivf_compact(spark, idx, shard_lists=1)
+    assert M.manifest_resolve(spark, apath)["folded_epochs"] == []
+    assert out3["version"] == 4 and out3["rows"] == n
 
 
 def test_ivfpq_topk_batch_matches_single_query_path(spark):
@@ -1568,16 +1584,15 @@ def test_ivf_compact_shard_lists_and_sharded_layout(spark, tmp_path):
     cents = S.kmeans_refine(
         full, S.train_centroids_sample(full, n_centroids=4), n_iter=1
     )
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+
     idx = str(tmp_path / "idx")
     S.ivf_save(S.ivf_assign(spark.createDataFrame(rows[:300], sch), cents),
                cents, idx)
-    (
+    M.write_epoch(
         S.ivf_assign(spark.createDataFrame(rows[300:], sch), cents)
-        .select("vec_id", "embedding", F.lit(0).alias("epoch"), "centroid_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch", "centroid_id")
-        .parquet(idx + "/assignments")
+        .select("vec_id", "embedding", "centroid_id"),
+        idx + "/assignments", 0, partition_cols=("centroid_id",),
     )
     loaded, c2 = S.ivf_load(spark, idx)
     before = [r["vec_id"] for r in S.ivf_topk(loaded, c2, pts[3], k=5).collect()]
@@ -1587,7 +1602,9 @@ def test_ivf_compact_shard_lists_and_sharded_layout(spark, tmp_path):
     assert [
         r["vec_id"] for r in S.ivf_topk(loaded2, c3, pts[3], k=5).collect()
     ] == before
-    dirs = glob.glob(idx + "/assignments/epoch=-1/centroid_id=*")
+    dirs = glob.glob(
+        M.base_dir(idx + "/assignments", 2) + "/epoch=-1/centroid_id=*"
+    )
     assert len(dirs) >= 2
     counts = [len(glob.glob(d + "/*.parquet")) for d in dirs]
     # at most shard_lists; at test scale AQE coalesces the tiny shuffle

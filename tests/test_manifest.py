@@ -1,0 +1,313 @@
+"""operators.manifest — the versioned-artifact commit protocol.
+
+Unit tests: manifest resolution (incl. torn newest file), epoch
+round-trip, folded-epoch replay filtering, deferred GC /
+``keep_versions`` clamping, legacy migration, pinned-snapshot reads
+across a compaction.  Integration test: a maintenance stream keeps
+appending WHILE ``compact_artifact`` runs (injected through the
+``_pre_commit_hook`` seam) and then resumes on its EXISTING
+checkpoint — nothing lost, nothing doubled.
+"""
+import glob
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gcf_corima_parquet_converter_spark.operators import manifest as M
+
+
+def _rows(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), f"v{i}") for i in ids], "k long, v string"
+    )
+
+
+def _fold_distinct(df):
+    # set-semantics fold: one row per key, deterministic tie-break
+    return df.groupBy("k").agg(F.min("v").alias("v"))
+
+
+def _ids(df):
+    return sorted(r["k"] for r in df.select("k").collect())
+
+
+def test_epoch_roundtrip_compact_and_versioning(spark, tmp_path):
+    """write_epoch → read_artifact unions base+epochs; compact folds
+    into base/v<N+1>; a second compact with no new epochs still
+    commits a clean next version."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    assert M.manifest_resolve(spark, root)["version"] == 0
+    M.write_epoch(_rows(spark, range(0, 5)), root, 0)
+    M.write_epoch(_rows(spark, range(5, 8)), root, 1)
+    assert M.list_epochs(spark, root) == [0, 1]
+    assert _ids(M.read_artifact(spark, root)) == list(range(8))
+
+    out = M.compact_artifact(spark, root, _fold_distinct)
+    assert out == {"version": 1, "epochs_folded": 2, "rows": 8,
+                   "migrated": False}
+    assert _ids(M.read_artifact(spark, root)) == list(range(8))
+    # fold landed under base/v1, epoch column pinned to -1
+    assert glob.glob(M.base_dir(root, 1) + "/epoch=-1/*.parquet")
+    # new epoch after the fold is visible immediately
+    M.write_epoch(_rows(spark, range(8, 10)), root, 2)
+    assert _ids(M.read_artifact(spark, root)) == list(range(10))
+    out2 = M.compact_artifact(spark, root, _fold_distinct)
+    assert out2["version"] == 2 and out2["rows"] == 10
+    assert _ids(M.read_artifact(spark, root)) == list(range(10))
+
+
+def test_replayed_folded_epoch_is_filtered(spark, tmp_path):
+    """A foreachBatch replay that re-materializes an already-folded
+    epoch directory must not double-count: the manifest's
+    folded_epochs filter masks it for every reader."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 6)), root, 0)
+    M.compact_artifact(spark, root, _fold_distinct)
+    m = M.manifest_resolve(spark, root)
+    assert m["folded_epochs"] == [0]
+    # replay: the last uncommitted micro-batch rewrites its own epoch
+    M.write_epoch(_rows(spark, range(0, 6)), root, 0)
+    assert M.list_epochs(spark, root) == [0]
+    df = M.read_artifact(spark, root)
+    assert df.count() == 6  # not 12
+    assert _ids(df) == list(range(6))
+
+
+def test_write_epoch_replay_rewrites_own_partitions(spark, tmp_path):
+    """Dynamic-overwrite epoch ownership: rewriting epoch 0 with a
+    smaller batch leaves exactly the new content (its old partitions
+    are replaced, other epochs untouched)."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 4)), root, 0)
+    M.write_epoch(_rows(spark, range(10, 12)), root, 1)
+    M.write_epoch(_rows(spark, range(0, 4)), root, 0)  # replay
+    df = M.read_artifact(spark, root)
+    assert _ids(df) == [0, 1, 2, 3, 10, 11]
+
+
+def test_torn_manifest_falls_back_to_previous(spark, tmp_path):
+    """A half-written newest manifest (crash mid-PUT) must not fail
+    readers: resolution takes the highest version that parses."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 3)), root, 0)
+    M.compact_artifact(spark, root, _fold_distinct)
+    good = M.manifest_resolve(spark, root)
+    assert good["version"] == 1
+    mdir = os.path.join(root, "_manifests")
+    with open(os.path.join(mdir, "manifest-v00000002.json"), "w") as f:
+        f.write('{"version": 2, "folded_ep')  # torn write
+    assert M.manifest_resolve(spark, root) == good
+    assert _ids(M.read_artifact(spark, root)) == [0, 1, 2]
+    # and the next compaction continues from the good version... v2's
+    # torn file is superseded (commit writes v2 with create-overwrite)
+    out = M.compact_artifact(spark, root, _fold_distinct)
+    assert out["version"] == 2
+    assert M.manifest_resolve(spark, root)["version"] == 2
+
+
+def test_gc_defers_epoch_delete_and_keeps_base_versions(spark, tmp_path):
+    """Folded epoch dirs survive exactly one compaction cycle (pinned
+    readers of the previous manifest still union them); base versions
+    follow keep_versions, clamped >= 2 so the just-committed base can
+    never be deleted."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 4)), root, 0)
+    # pin a snapshot BEFORE the compaction
+    pinned = M.manifest_resolve(spark, root)
+    pinned_df = M.read_artifact(spark, root, manifest=pinned)
+
+    M.compact_artifact(spark, root, _fold_distinct, keep_versions=0)
+    # keep_versions=0 clamps: v1 (just written) must survive
+    assert M._exists(spark, M.base_dir(root, 1))
+    # epoch 0 was folded this cycle -> still on disk (deferred GC)
+    assert M.list_epochs(spark, root) == [0]
+    # the pinned pre-compaction reader still evaluates correctly
+    assert _ids(pinned_df) == [0, 1, 2, 3]
+
+    M.write_epoch(_rows(spark, range(4, 6)), root, 1)
+    M.compact_artifact(spark, root, _fold_distinct, keep_versions=2)
+    # second cycle: epoch 0's dir is GC'd, epoch 1 (folded now) kept
+    assert M.list_epochs(spark, root) == [1]
+    # keep_versions=2 keeps v2 + v1, v0 never existed as a base
+    assert M._exists(spark, M.base_dir(root, 2))
+    assert M._exists(spark, M.base_dir(root, 1))
+
+    M.write_epoch(_rows(spark, range(6, 8)), root, 2)
+    M.compact_artifact(spark, root, _fold_distinct, keep_versions=2)
+    assert M._exists(spark, M.base_dir(root, 3))
+    assert M._exists(spark, M.base_dir(root, 2))
+    assert not M._exists(spark, M.base_dir(root, 1))
+    assert _ids(M.read_artifact(spark, root)) == list(range(8))
+
+
+def test_legacy_artifact_reads_asis_and_migrates_once(spark, tmp_path):
+    """A pre-manifest directory (flat epoch partitions) reads
+    unchanged through read_artifact, and its first compact_artifact
+    migrates it to the versioned layout in place."""
+    root = str(tmp_path / "legacy")
+    for epoch, ids in ((-1, range(0, 5)), (0, range(5, 9))):
+        (
+            _rows(spark, ids).withColumn("epoch", F.lit(epoch))
+            .write.mode("append").partitionBy("epoch").parquet(root)
+        )
+    assert M.manifest_resolve(spark, root) is None
+    assert _ids(M.read_artifact(spark, root)) == list(range(9))
+
+    out = M.compact_artifact(spark, root, _fold_distinct)
+    assert out["migrated"] is True and out["version"] == 1
+    assert out["rows"] == 9
+    m = M.manifest_resolve(spark, root)
+    assert m is not None and m["version"] == 1
+    assert _ids(M.read_artifact(spark, root)) == list(range(9))
+    # second compaction takes the normal manifest path
+    M.write_epoch(_rows(spark, range(9, 11)), root, 0)
+    out2 = M.compact_artifact(spark, root, _fold_distinct)
+    assert out2["migrated"] is False and out2["version"] == 2
+    assert _ids(M.read_artifact(spark, root)) == list(range(11))
+
+
+def test_concurrent_append_during_compact_unit(spark, tmp_path):
+    """An epoch landed in the commit window (after the fold write,
+    before the manifest PUT) is not in the fold's snapshot — readers
+    of the NEW manifest still see it via the epochs union."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 4)), root, 0)
+
+    def racer():
+        M.write_epoch(_rows(spark, range(4, 7)), root, 1)
+
+    out = M.compact_artifact(
+        spark, root, _fold_distinct, _pre_commit_hook=racer
+    )
+    assert out["epochs_folded"] == 1  # epoch 1 was NOT folded
+    m = M.manifest_resolve(spark, root)
+    assert m["folded_epochs"] == [0]
+    assert _ids(M.read_artifact(spark, root)) == list(range(7))
+    # the next compaction folds the racer epoch
+    out2 = M.compact_artifact(spark, root, _fold_distinct)
+    assert out2["epochs_folded"] == 1 and out2["rows"] == 7
+
+
+def test_crash_before_commit_leaves_artifact_consistent(spark, tmp_path):
+    """A compaction that dies after writing base/v<N+1> but BEFORE the
+    manifest PUT leaves readers on the old version; the retry folds
+    again and commits over the orphan base."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 5)), root, 0)
+
+    def boom():
+        raise RuntimeError("crash in the commit window")
+
+    with pytest.raises(RuntimeError):
+        M.compact_artifact(spark, root, _fold_distinct,
+                           _pre_commit_hook=boom)
+    # nothing committed: readers unaffected, orphan base invisible
+    assert M.manifest_resolve(spark, root)["version"] == 0
+    assert _ids(M.read_artifact(spark, root)) == list(range(5))
+    # retry succeeds (overwrite-mode fold rewrites the orphan)
+    out = M.compact_artifact(spark, root, _fold_distinct)
+    assert out["version"] == 1
+    assert _ids(M.read_artifact(spark, root)) == list(range(5))
+
+
+def test_maintenance_stream_appends_through_compaction(spark, tmp_path):
+    """The r8 integration criterion: an IVF maintenance stream appends
+    DURING compaction and resumes on its EXISTING checkpoint — readers
+    see old-or-new (never a mix), nothing lost, nothing doubled, and
+    the post-compaction resume adds exactly the new vectors."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import (
+        similarity as S,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_ivf_index,
+    )
+
+    rng = np.random.default_rng(44)
+    n, dim = 300, 8
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=4), n_iter=1
+    )
+    idx = str(tmp_path / "idx")
+    S.ivf_save(
+        S.ivf_assign(spark.createDataFrame(rows[:100], sch), cents),
+        cents, idx,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(name, chunk):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_ivf_index(stream, idx, ckpt)
+        q.awaitTermination(120)
+
+    # epoch 0 lands before the compaction
+    add_file("a", rows[100:160])
+    run_stream()
+    apath = idx + "/assignments"
+    assert M.list_epochs(spark, apath) == [0]
+
+    # the stream appends epoch 1 INSIDE the commit window
+    def racer():
+        add_file("b", rows[160:220])
+        run_stream()
+
+    out = S.ivf_compact(spark, idx, _pre_commit_hook=racer)
+    assert out["version"] == 2 and out["epochs_folded"] == 1
+    loaded, c2 = S.ivf_load(spark, idx)
+    assert sorted(r["vec_id"] for r in loaded.select("vec_id").collect()) \
+        == list(range(220))  # nothing lost, nothing doubled
+
+    # resume on the EXISTING checkpoint after the compaction: only the
+    # new file is processed, landing as the next epoch
+    add_file("c", rows[220:])
+    run_stream()
+    loaded2, _ = S.ivf_load(spark, idx)
+    assert loaded2.count() == n
+    assert sorted(
+        r["vec_id"] for r in loaded2.select("vec_id").collect()
+    ) == list(range(n))
+    # probe parity with a one-shot batch build of the same corpus
+    want = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            S.ivf_assign(full, cents), cents, pts[3], k=5
+        ).collect()
+    ]
+    got = [r["vec_id"] for r in S.ivf_topk(loaded2, c2, pts[3], k=5).collect()]
+    assert got == want
+    # and the next compaction folds the survivors down to one base
+    out2 = S.ivf_compact(spark, idx)
+    assert out2["rows"] == n
+    loaded3, _ = S.ivf_load(spark, idx)
+    assert loaded3.count() == n

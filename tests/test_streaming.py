@@ -888,13 +888,17 @@ def test_maintain_dedup_indexes_matches_batch_built(spark, tmp_path):
         for r in D.exact_dedup_incremental(all_rows, ["text"], "doc_id")
         .select("digest").collect()
     }
-    got_dig = {r["digest"] for r in spark.read.parquet(dig_p).collect()}
+    got_dig = {
+        r["digest"] for r in D.load_dedup_index(spark, dig_p).collect()
+    }
     assert got_dig == want_dig
 
     want_band = {
         tuple(r) for r in D.minhash_index(all_rows, "doc_id", "text").collect()
     }
-    got_band = {tuple(r) for r in spark.read.parquet(band_p).collect()}
+    got_band = {
+        tuple(r) for r in D.load_dedup_index(spark, band_p).collect()
+    }
     assert got_band == want_band
 
     # the maintained index serves the incremental path: a near-dup of a
@@ -902,7 +906,7 @@ def test_maintain_dedup_indexes_matches_batch_built(spark, tmp_path):
     near = rows1[5][1].replace("body", "torso")
     day3 = spark.createDataFrame([(900, near)], sch)
     flagged, _ = D.minhash_dedup_incremental(
-        day3, spark.read.parquet(band_p), "doc_id", "text"
+        day3, D.load_dedup_index(spark, band_p), "doc_id", "text"
     )
     assert (900, 5) in {(r["new_id"], r["old_id"]) for r in flagged.collect()}
 
@@ -960,13 +964,17 @@ def test_maintain_sketch_shards_merge_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
 
-    # one epoch partition per micro-batch (2 input files)
-    assert len([d for d in os.listdir(hll_p) if d.startswith("epoch=")]) == 2
+    # one epoch directory per micro-batch (2 input files)
+    assert len([
+        d for d in os.listdir(hll_p + "/epochs") if d.startswith("epoch=")
+    ]) == 2
 
     all_rows = spark.createDataFrame(rows1 + rows2, sch)
     got_hll = {
         r["lang"]: r["approx_distinct"]
-        for r in K.hll_merge(spark.read.parquet(hll_p), ["lang"]).collect()
+        for r in K.hll_merge(
+            K.load_sketch_shards(spark, hll_p), ["lang"]
+        ).collect()
     }
     want_hll = {
         r["lang"]: r["approx_distinct"]
@@ -979,7 +987,7 @@ def test_maintain_sketch_shards_merge_equals_batch(spark, tmp_path):
     got_h = {
         (r["lang"], r["_bucket"]): r["n"]
         for r in K.histogram_merge(
-            spark.read.parquet(hist_p), ["lang"]
+            K.load_sketch_shards(spark, hist_p), ["lang"]
         ).collect()
     }
     want_h = {
@@ -1034,18 +1042,21 @@ def test_maintain_sketch_shards_checkpoint_restart(spark, tmp_path):
         q.awaitTermination(120)
 
     run()
-    epochs1 = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    edir = path + "/epochs"
+    epochs1 = {d for d in os.listdir(edir) if d.startswith("epoch=")}
     assert len(epochs1) == 1
 
     rows2 = [(i, float(i % 20)) for i in range(100)]
     add_file("b", rows2)
     run()  # second query instance, same checkpoint
-    epochs2 = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    epochs2 = {d for d in os.listdir(edir) if d.startswith("epoch=")}
     assert len(epochs2) == 2 and epochs1 < epochs2
 
     merged = {
         r["_bucket"]: r["n"]
-        for r in K.histogram_merge(spark.read.parquet(path), []).collect()
+        for r in K.histogram_merge(
+            K.load_sketch_shards(spark, path), []
+        ).collect()
     }
     all_rows = spark.createDataFrame(rows1 + rows2, sch)
     want = {
@@ -1303,7 +1314,7 @@ def test_maintain_ivfpq_index_streams_codes_byte_compatible(spark, tmp_path):
 
     # epoch compaction works unchanged on the codes artifact
     out = S.ivf_compact(spark, idx)
-    assert out["epochs_folded"] == 3 and out["rows"] == n
+    assert out["epochs_folded"] == 2 and out["rows"] == n
     loaded3, c3, b3, meta3 = S.ivfpq_load(spark, idx, with_meta=True)
     assert meta3 == {"residual": True}
     got3 = [
@@ -1343,11 +1354,13 @@ def test_compact_dedup_indexes_same_answers_fewer_files(spark, tmp_path):
     out = D.compact_dedup_indexes(
         spark, dig_p, band_p, target_files=2
     )
+    # legacy flat-append dirs take the one-time migration path
     assert out["digest"]["rows"] == 20
+    assert out["digest"]["migrated"] is True
     assert out["digest"]["files_before"] > 2
     assert out["band"]["files_before"] > 2
 
-    dig = spark.read.parquet(dig_p)
+    dig = D.load_dedup_index(spark, dig_p)
     assert dig.count() == 20  # physically deduplicated
     want_dig = {
         r["digest"]
@@ -1356,7 +1369,7 @@ def test_compact_dedup_indexes_same_answers_fewer_files(spark, tmp_path):
     }
     assert {r["digest"] for r in dig.collect()} == want_dig
 
-    band = spark.read.parquet(band_p)
+    band = D.load_dedup_index(spark, band_p)
     want_band = {
         tuple(r) for r in D.minhash_index(df, "doc_id", "text").collect()
     }
@@ -1364,9 +1377,29 @@ def test_compact_dedup_indexes_same_answers_fewer_files(spark, tmp_path):
     assert band.count() == len(want_band)
 
     import glob
-    assert len(glob.glob(dig_p + "/*.parquet")) == 2
-    assert len(glob.glob(band_p + "/*.parquet")) == 2
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+    assert len(glob.glob(M.base_dir(dig_p, 1) + "/epoch=-1/*.parquet")) == 2
+    assert len(glob.glob(M.base_dir(band_p, 1) + "/epoch=-1/*.parquet")) == 2
     assert not glob.glob(dig_p + ".compact.*")
+    assert not glob.glob(dig_p + ".migrate.*")
+
+    # post-migration: a maintenance-shaped epoch append + second
+    # compact take the manifest path (no swap, version increments)
+    M.write_epoch(
+        D.exact_dedup_incremental(
+            spark.createDataFrame(rows[:5], sch), ["text"], "doc_id"
+        ).select("digest"),
+        dig_p, 0, append=True,
+    )
+    assert D.load_dedup_index(spark, dig_p).count() == 25  # 5 re-appends
+    out2 = D.compact_dedup_indexes(spark, dig_p, target_files=2)
+    assert out2["digest"]["migrated"] is False
+    assert out2["digest"]["version"] == 2
+    assert out2["digest"]["rows"] == 20  # distinct() refolds the dupes
+    assert {
+        r["digest"] for r in D.load_dedup_index(spark, dig_p).collect()
+    } == want_dig
 
     # consumers still work: exact incremental vs the compacted index,
     # near-dup flagging vs the compacted band index
@@ -1416,29 +1449,59 @@ def test_compact_sketch_shards_folds_epochs_same_answers(spark, tmp_path):
             lambda df: K.histogram_merge(df, ["lang"]),
         ),
     ):
+        from gcf_corima_parquet_converter_spark.operators import (
+            manifest as M,
+        )
+
         path = str(tmp_path / f"shards_{tier}")
         # three epochs exactly as the maintenance loop lands them
         for e, lo in enumerate((0, 100, 200)):
-            shard_fn(
-                spark.createDataFrame(rows[lo:lo + 100], sch)
-            ).write.mode("overwrite").parquet(f"{path}/epoch={e}")
+            M.write_epoch(
+                shard_fn(spark.createDataFrame(rows[lo:lo + 100], sch)),
+                path, e,
+            )
         want = sorted(
             tuple(r) for r in merge_to_answer(
-                spark.read.parquet(path).drop("epoch")
+                K.load_sketch_shards(spark, path)
             ).collect()
         )
         out = K.compact_sketch_shards(spark, path, fold_fn)
-        assert out["epochs_folded"] == 3
-        assert glob.glob(path + "/epoch=-1") and not glob.glob(
-            path + "/epoch=0"
-        )
+        assert out["epochs_folded"] == 3 and out["version"] == 1
+        assert glob.glob(M.base_dir(path, 1) + "/epoch=-1")
         got = sorted(
             tuple(r) for r in merge_to_answer(
-                spark.read.parquet(path).drop("epoch")
+                K.load_sketch_shards(spark, path)
             ).collect()
         )
         assert got == want, tier
         assert not glob.glob(path + ".compact.*")
+
+    # a legacy flat epoch=<id> artifact (pre-manifest layout) migrates
+    # on its first compaction and answers identically
+    legacy = str(tmp_path / "shards_legacy")
+    for e, lo in enumerate((0, 100, 200)):
+        (
+            K.histogram_shard_sketch(
+                spark.createDataFrame(rows[lo:lo + 100], sch),
+                ["lang"], "score", lo=0.0, hi=11.0, n_bins=8,
+            )
+            .write.mode("overwrite").parquet(f"{legacy}/epoch={e}")
+        )
+    want = sorted(
+        tuple(r) for r in K.histogram_merge(
+            spark.read.parquet(legacy).drop("epoch"), ["lang"]
+        ).collect()
+    )
+    out = K.compact_sketch_shards(
+        spark, legacy, lambda df: K.histogram_merge(df, ["lang"])
+    )
+    assert out["migrated"] is True and out["epochs_folded"] == 3
+    got = sorted(
+        tuple(r) for r in K.histogram_merge(
+            K.load_sketch_shards(spark, legacy), ["lang"]
+        ).collect()
+    )
+    assert got == want
 
 
 def test_serve_ann_queries_stream_matches_batch_and_replays_clean(
@@ -1602,7 +1665,9 @@ def test_index_lifecycle_stream_maintain_compact_serve(spark, tmp_path):
     q.awaitTermination(120)
 
     out = S.ivf_compact(spark, idx)
-    assert out == {"epochs_folded": 3, "rows": n}
+    assert out == {
+        "version": 2, "epochs_folded": 2, "rows": n, "migrated": False,
+    }
 
     qsch = "q_id long, q_vec array<double>"
     qrows = [(qi, [float(x) for x in pts[qi * 9]]) for qi in range(3)]
