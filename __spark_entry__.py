@@ -53,13 +53,25 @@ _DEMOTED_REDUNDANT = (
     # of q21/q22's exact-dedup family (same digest-groupBy shape)
     "q56_batch_topk",
     "q59_dedup_keep_best",
-    # new in r4 with the window already full: oracle-verified every
-    # round by tests/test_queries_oracle.py like the rows above
-    "q76_length_buckets",
-    "q77_stratified_sample",
-    "q78_strip_duplicate_spans",
-    "q79_mixture_sample",
-    "q80_normalize_text",
+    # r10 rotation: q76_length_buckets / q77_stratified_sample /
+    # q78_strip_duplicate_spans / q79_mixture_sample /
+    # q80_normalize_text PROMOTED into the graded window (r9 verdict
+    # #6 — the last never-driver-graded oracle-backed queries; backlog
+    # now zero).  Five family-redundant veterans take their slots,
+    # each still covered by an in-window family twin and by
+    # test_queries_oracle: q28's n-gram-Jaccard pair family by q75
+    # (duplicate spans, same shingle machinery) and q22 (exact dedup);
+    # q49's curation-quota family by q60 (curation pipeline) and q85
+    # (budget select); q51's regex text-transform family by q16
+    # (string/regex funcs) and the promoted q80 (normalize_text);
+    # q58's quality-gate family by q95 (group quality gate) and q88
+    # (histogram percentiles); q69's weighted-sampling family by the
+    # promoted q77 (stratified sample) and q50 (md5 hash split).
+    "q28_ngram_jaccard_pairs",
+    "q49_source_quota",
+    "q51_entity_mask",
+    "q58_quality_percentile_filter",
+    "q69_weighted_sample",
     # r5: demoted to grade q82's bitmap-sketch tier in-window; q21's
     # digest-groupBy exact-dedup family stays covered by in-window q22
     "q21_dedup_exact_stats",

@@ -405,27 +405,61 @@ def bench_ann_scale(spark) -> dict:
                 S.ivfpq_encode(emb, cents, res_books, residual=True),
                 cents, res_books, res_path, residual=True,
             )
-        res_base, _, res_books, res_meta = S.ivfpq_load(
+        # centroid consistency (r8 advice): score each artifact against
+        # ITS OWN loaded centroids — the two artifacts are cached
+        # independently across bench runs, so assuming they share one
+        # centroid training would silently mis-rank the residual side
+        res_base, res_cents, res_books, res_meta = S.ivfpq_load(
             spark, res_path, with_meta=True
         )
-        def _adc(base_df, books_, residual_, kk):
+        if not np.allclose(res_cents, pq_cents):
+            # stale cache from a different centroid training: the A/B
+            # would compare two different IVFs — rebuild the residual
+            # artifact against the pq artifact's centroids
+            import shutil as _sh
+
+            _sh.rmtree(res_path)
+            res_books = S.ivfpq_train(
+                emb, pq_cents, m=8, n_codes=256, sample_size=4096,
+                residual=True,
+            )
+            S.ivfpq_save(
+                S.ivfpq_encode(emb, pq_cents, res_books, residual=True),
+                pq_cents, res_books, res_path, residual=True,
+            )
+            res_base, res_cents, res_books, res_meta = S.ivfpq_load(
+                spark, res_path, with_meta=True
+            )
+
+        def _adc(base_df, cents_, books_, residual_, kk):
             rows_, _ = timed(
                 lambda: S.ivfpq_topk(
-                    base_df, pq_cents, books_, qvec, k=kk, n_probe=4,
+                    base_df, cents_, books_, qvec, k=kk, n_probe=4,
                     residual=residual_,
                 ),
                 reps=1,
             )
             return {r["vec_id"] for r in rows_}
 
-        adc_raw_recall = len(_adc(pq_base, pq_books, False, k) & brute) / k
-        adc_res_recall = (
-            len(_adc(res_base, res_books, res_meta["residual"], k) & brute) / k
+        adc_raw_recall = (
+            len(_adc(pq_base, pq_cents, pq_books, False, k) & brute) / k
         )
-        sl_raw_recall = len(_adc(pq_base, pq_books, False, 4096) & brute) / k
+        adc_res_recall = (
+            len(
+                _adc(res_base, res_cents, res_books, res_meta["residual"], k)
+                & brute
+            ) / k
+        )
+        sl_raw_recall = (
+            len(_adc(pq_base, pq_cents, pq_books, False, 4096) & brute) / k
+        )
         sl_res_recall = (
-            len(_adc(res_base, res_books, res_meta["residual"], 4096) & brute)
-            / k
+            len(
+                _adc(
+                    res_base, res_cents, res_books,
+                    res_meta["residual"], 4096,
+                ) & brute
+            ) / k
         )
 
         bb_rows, t_bb = timed(lambda: S.batch_cosine_topk(emb, queries, k=k))
@@ -617,6 +651,15 @@ def bench_ann_1m(spark) -> dict:
             k=k, n_probe=n_probe, shortlist=shortlist,
         )
     )
+    # ADC-only recall@10 at the production config — the number behind
+    # ivfpq_topk's RECALL CONTRACT and serve_ann_queries' adc_only
+    # guard: how wrong is a pure-ADC ranking here, measured not guessed
+    adc, t_adc = timed(
+        lambda: S.ivfpq_topk(
+            pq_base, pq_cents, pq_books, qvec, k=k, n_probe=n_probe
+        ),
+        reps=1,
+    )
     out = {
         "n": n,
         "dim": dim,
@@ -634,6 +677,10 @@ def bench_ann_1m(spark) -> dict:
         "ivfpq_rerank_speedup": round(t_brute / t_rr, 2),
         "ivfpq_rerank_recall": round(
             len({r["vec_id"] for r in rr} & brute) / k, 3
+        ),
+        "adc_sec_1m": round(t_adc, 3),
+        "adc_recall_1m": round(
+            len({r["vec_id"] for r in adc} & brute) / k, 3
         ),
     }
     if out["ivf_recall"] < 0.8 or out["ivfpq_rerank_recall"] < 0.8:
@@ -709,6 +756,16 @@ def bench_scaling(spark, sf_dir: str) -> dict:
             }
             cp = out[name]["candidate_pairs"]
             cp["pairs_ratio"] = round(cp["sf1"] / max(cp["sf0.1"], 1), 2)
+            # relate the measured pair growth to the banding's STATED
+            # intent (r8 task #4): the S-curve threshold this (k=16,
+            # bands=4) config actually encodes — pair growth above the
+            # data ratio is sub-threshold collision volume, and the
+            # tuning lever is moving threshold_jaccard UP via
+            # lsh_params_for_threshold / target_threshold=
+            from gcf_corima_parquet_converter_spark.operators import (
+                dedup as D,
+            )
+            cp["lsh_config"] = D.lsh_tuning_report(k=16, bands=4)
         print(f"# scaling {name}: {t_small:.3f}s -> {t_big:.3f}s "
               f"({t_big / t_small:.1f}x)", file=sys.stderr)
     return out
@@ -893,11 +950,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in HEADLINE:
-        timings[name] = round(statistics.median(s["cold"][name] for s in samples), 3)
-        warm[name] = round(
-            statistics.median(w for s in samples for w in s["warm"][name]), 3
-        )
+        colds = sorted(s["cold"][name] for s in samples)
+        warms = sorted(w for s in samples for w in s["warm"][name])
+        timings[name] = round(statistics.median(colds), 3)
+        warm[name] = round(statistics.median(warms), 3)
+        # variance telemetry (r8 task #5): the round-over-round diff is
+        # only a finding when the two rounds' [min, max] ranges don't
+        # overlap — anything inside the spread is machine noise
+        spread[name] = {
+            "cold": [round(colds[0], 3), round(colds[-1], 3)],
+            "warm": [round(warms[0], 3), round(warms[-1], 3)],
+        }
 
     # Streaming probe: per-field median across the N fresh-JVM samples
     # (r5's single sample was 30% off on unchanged code — noise).
@@ -924,6 +989,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": timings,
         "queries_warm": warm,
+        "queries_spread": spread,
         "total_warm_wall_sec": round(sum(warm.values()), 3),
         "plan_audit": samples[-1].get("plan_audit"),
         "streaming": streaming,

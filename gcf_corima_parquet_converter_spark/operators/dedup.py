@@ -415,15 +415,61 @@ def _band_hashes(bands: int, rows_per_band: int):
     )
 
 
+def lsh_params_for_threshold(k: int, target_threshold: float) -> dict:
+    """Derive LSH banding parameters from an intent: among the
+    ``(bands, rows_per_band)`` factorizations of a ``k``-permutation
+    signature, pick the one whose S-curve threshold
+    ``J* = (1/b)^(1/r)`` (see :func:`lsh_tuning_report`) lands closest
+    to ``target_threshold`` — the Jaccard at which detection should
+    switch from unlikely to likely.  Pure driver math.
+
+    Returns ``{"bands", "rows_per_band", "threshold_jaccard",
+    "detection_prob"}`` (the last two via :func:`lsh_tuning_report`,
+    so the caller can log what the derivation actually bought)."""
+    if not 0.0 < target_threshold < 1.0:
+        raise ValueError(
+            f"target_threshold must be in (0, 1), got {target_threshold}"
+        )
+    best = None
+    for b in range(1, int(k) + 1):
+        if k % b:
+            continue
+        r = k // b
+        jstar = (1.0 / b) ** (1.0 / r)
+        d = abs(jstar - target_threshold)
+        if best is None or d < best[0]:
+            best = (d, b, r)
+    _, bands, rows = best
+    return {
+        "bands": bands,
+        "rows_per_band": rows,
+        **{
+            key: val
+            for key, val in lsh_tuning_report(k=k, bands=bands).items()
+            if key in ("threshold_jaccard", "detection_prob")
+        },
+    }
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
+    target_threshold: float | None = None,
     _validate: bool = True,
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
     some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
+
+    ``target_threshold`` replaces hand-picked banding with intent:
+    when set, ``bands``/``rows_per_band`` are IGNORED and derived via
+    :func:`lsh_params_for_threshold` from the signature length (the
+    ``mh_*`` column count of the :func:`minhash_signatures` form — the
+    array ``_sig`` form carries no length in its schema, so pass
+    explicit banding there) so the S-curve threshold lands nearest the
+    requested Jaccard — candidate-pair volume follows the stated
+    intent instead of a default that silently over- or under-recalls.
 
     ``sigs`` carries either the array form ``(id, _sig)`` (the internal
     fast path: band hash = xxhash64 of an array SLICE, no k-column
@@ -443,6 +489,16 @@ def minhash_candidate_pairs(
     when(assert_true) wrapper otherwise gets CollapseProject-inlined
     into every band's slice expression (bands x the tree, pure
     plan-compile cost)."""
+    if target_threshold is not None:
+        sig_cols = [c for c in sigs.columns if c.startswith("mh_")]
+        if not sig_cols:
+            raise ValueError(
+                "target_threshold needs the signature length: pass the "
+                "minhash_signatures (mh_*) form, or derive banding "
+                "yourself with lsh_params_for_threshold(k, ...)"
+            )
+        p = lsh_params_for_threshold(len(sig_cols), target_threshold)
+        bands, rows_per_band = p["bands"], p["rows_per_band"]
     k = bands * rows_per_band
     if "_sig" in sigs.columns:
         if _validate:
@@ -481,9 +537,15 @@ def minhash_dedup_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    target_threshold: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup: cheap recall phase, exact precision phase).
+
+    ``target_threshold`` derives ``bands`` from ``k`` via
+    :func:`lsh_params_for_threshold` so the recall phase's S-curve
+    threshold lands nearest the requested Jaccard (usually you want it
+    at-or-below ``threshold``: LSH recalls, the exact phase trims).
 
     The verify phase is restricted to the candidate pairs: candidates
     equi-join per-doc shingle sets and Jaccard is ``array_intersect`` per
@@ -499,6 +561,8 @@ def minhash_dedup_pairs(
     ``array_intersect`` compares longs, not strings (exact up to 64-bit
     collisions — see _shingle_sets).
     """
+    if target_threshold is not None:
+        bands = lsh_params_for_threshold(k, target_threshold)["bands"]
     sets = _shingle_sets(df, id_col, text_col, n)
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
     # _validate=False: _signature_array(k) always yields length k >=

@@ -517,10 +517,17 @@ def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
 
 def atomic_swap_dir(spark: SparkSession, live: str, tmp: str) -> None:
     """Swap a rewritten directory over a live one with rollback — the
-    shared commit step of every artifact-compaction job (IVF/IVF-PQ
-    epoch folds, dedup-index compaction, sketch-shard folds): rename
-    ``live`` → ``<live>.compact.old``, rename ``tmp`` in, delete the
-    old copy; if the second rename fails the old tree is restored.
+    rename-based commit now used ONLY by the one-time legacy migration
+    in ``operators.manifest`` (every steady-state compaction commits
+    via a manifest PUT instead): rename ``live`` →
+    ``<live>.compact.old``, rename ``tmp`` in, delete the old copy; if
+    the second rename fails the old tree is restored.
+
+    Crash recovery: a process that died BETWEEN the two renames leaves
+    no live directory and the data parked at ``<live>.compact.old`` —
+    the next call (the retried job) detects exactly that state and
+    restores the old tree before swapping, so the crash window costs a
+    retry, never the data.
 
     Rename is atomic on HDFS and local filesystems — a reader sees the
     old tree or the new one, never a mix.  Object stores emulate
@@ -531,6 +538,12 @@ def atomic_swap_dir(spark: SparkSession, live: str, tmp: str) -> None:
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(live).getFileSystem(hconf)
     old = live + ".compact.old"
+    if not fs.exists(HPath(live)) and fs.exists(HPath(old)):
+        # a previous swap died between its two renames: restore first
+        if not fs.rename(HPath(old), HPath(live)):
+            raise IOError(
+                f"atomic_swap_dir: crash-recovery restore of {old} failed"
+            )
     fs.delete(HPath(old), True)
     if not fs.rename(HPath(live), HPath(old)):
         raise IOError(f"atomic_swap_dir: could not move {live} aside")

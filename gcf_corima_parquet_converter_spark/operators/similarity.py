@@ -1033,6 +1033,14 @@ def ivfpq_topk(
     column of the probed lists.  ``base`` is :func:`ivfpq_encode`
     output (or its reload from parquet).
 
+    RECALL CONTRACT: ADC rankings carry the full quantization error —
+    at coarse configs (small m / n_codes relative to dim) measured
+    recall@10 can be NEAR ZERO (0.0–0.1 at m=8/n_codes=16, 200k×64 in
+    this repo's bench; ``bench_ann_1m`` records ``adc_recall_1m`` for
+    the 1M m=16 config).  Treat ADC as a SHORTLIST stage: follow it
+    with :func:`ivfpq_topk_rerank` (exact re-rank over the raw
+    vectors) unless an approximate ranking is explicitly acceptable.
+
     ``residual=True`` (for a residual-encoded table): the ADC score
     adds the per-list constant ``q·centroid`` via one ``element_at``
     over a K-entry literal array — still pure JVM, one extra lookup
@@ -1132,7 +1140,12 @@ def ivfpq_topk_batch(
     per-(query, list) ``q·centroid`` constant, which rides in the
     probes rows as a plain double.  Ranking is the two-phase
     local-then-global top-k (no q_id funnel).  Returns (q_id, id,
-    adc_score)."""
+    adc_score).
+
+    RECALL CONTRACT: same as :func:`ivfpq_topk` — pure-ADC rankings
+    can score recall@10 near zero at coarse PQ configs; treat this as
+    the shortlist stage of :func:`ivfpq_topk_rerank_batch` unless an
+    approximate ranking is explicitly acceptable."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,

@@ -728,21 +728,37 @@ def serve_ann_queries(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     available_now: bool = True,
+    adc_only: bool = False,
+    _pre_batch_hook=None,
 ):
     """Streaming ANN query serving: answer a STREAM of query vectors
     against a persisted IVF-PQ index — the online half of the index
     lifecycle (``similarity.ivfpq_save`` builds it,
     :func:`maintain_ivf_index` keeps it fresh, this serves it).
 
-    The index loads ONCE at start (centroids + codebooks + residual
-    flag from the artifact's meta — a few KB of driver state; the
-    codes table stays lazy and partition-pruned).  Each micro-batch of
-    (q_id, q_vec) rows is answered with ONE
-    ``similarity.ivfpq_topk_batch`` pass over the pruned codes; with
-    ``raw_index_path`` (an ``ivf_save`` artifact holding the raw
-    vectors list-partitioned) the batch is instead served by
-    ``ivfpq_topk_rerank_batch`` — ADC shortlist then ONE probe-pruned
-    exact re-rank job, the full serving recipe.
+    The MODEL loads once at start (centroids + codebooks + residual
+    flag from the artifact's meta — a few KB of driver state; these
+    are the stable parts of the index, re-trained only by an offline
+    rebuild).  The CODES are re-resolved through the artifact's
+    manifest at every micro-batch (one small-file read + one listing —
+    negligible against a search job), so epochs a
+    :func:`maintain_ivf_index` loop appends and versions an
+    ``ivf_compact`` commits become searchable MID-STREAM, no restart
+    needed.  Each micro-batch of (q_id, q_vec) rows is answered with
+    ONE ``similarity.ivfpq_topk_batch`` pass over the pruned codes;
+    with ``raw_index_path`` (an ``ivf_save`` artifact holding the raw
+    vectors list-partitioned, re-resolved per batch the same way) the
+    batch is instead served by ``ivfpq_topk_rerank_batch`` — ADC
+    shortlist then ONE probe-pruned exact re-rank job, the full
+    serving recipe.
+
+    RECALL CONTRACT: without ``raw_index_path`` the rankings are pure
+    ADC — quantization error is the ranking error, and measured
+    recall@10 can be NEAR ZERO at coarse PQ configs (m=8/n_codes=16 at
+    200k rows scored 0.0–0.1 in this repo's bench; see
+    ``bench_ann_1m``'s ``adc_recall_1m``).  That mode must be an
+    explicit choice: pass ``adc_only=True`` to serve without a re-rank
+    index, otherwise this function raises.
 
     Results land under ``output_path/epoch=<id>/`` with dynamic
     overwrite — the same epoch-ownership contract as every maintenance
@@ -750,25 +766,43 @@ def serve_ann_queries(
     result log is exactly-once under retries.  Schema: (q_id, vec_id,
     adc_score) for ADC-only, (q_id, vec_id, sim_fx) with re-rank.
 
-    Index freshness is read-at-start by design: restart the serving
-    query to pick up epochs a maintenance loop added meanwhile (or
-    after an ``ivf_compact``).  Returns the started StreamingQuery."""
+    ``_pre_batch_hook(batch_id)`` is a test seam, called before the
+    batch's index resolution (lets a test inject a maintenance append
+    or compaction and assert the batch sees it).
+    Returns the started StreamingQuery."""
+    from ..operators.manifest import read_artifact
     from ..operators.similarity import (
-        ivf_load,
         ivfpq_load,
         ivfpq_topk_batch,
         ivfpq_topk_rerank_batch,
     )
 
+    if raw_index_path is None and not adc_only:
+        raise ValueError(
+            "serve_ann_queries without raw_index_path serves pure-ADC "
+            "rankings whose recall can be near zero at coarse PQ "
+            "configs; pass a raw ivf_save artifact for the exact "
+            "re-rank, or opt in explicitly with adc_only=True"
+        )
     spark = stream.sparkSession
-    base, cents, books, meta = ivfpq_load(spark, index_path, with_meta=True)
+    _, cents, books, meta = ivfpq_load(spark, index_path, with_meta=True)
     residual = meta["residual"]
-    raw = ivf_load(spark, raw_index_path)[0] if raw_index_path else None
+    codes_root = index_path.rstrip("/") + "/assignments"
+    raw_root = (
+        raw_index_path.rstrip("/") + "/assignments"
+        if raw_index_path else None
+    )
 
     def _batch(df, epoch_id):
+        if _pre_batch_hook is not None:
+            _pre_batch_hook(int(epoch_id))
         if not df.head(1):
             return
-        if raw is not None:
+        # freshness: re-resolve the manifest(s) so epochs appended and
+        # compactions committed since the last batch are served now
+        base = read_artifact(spark, codes_root)
+        if raw_root is not None:
+            raw = read_artifact(spark, raw_root)
             out = ivfpq_topk_rerank_batch(
                 base, raw, cents, books, df, k=k, n_probe=n_probe,
                 shortlist=shortlist, q_id_col=q_id_col, q_vec_col=q_vec_col,

@@ -1610,3 +1610,67 @@ def test_ivf_compact_shard_lists_and_sharded_layout(spark, tmp_path):
     # at most shard_lists; at test scale AQE coalesces the tiny shuffle
     # partitions so shards merge further — the bound is what matters
     assert all(1 <= c <= 3 for c in counts), counts
+
+
+def test_lsh_params_for_threshold_derivation(spark):
+    """target_threshold= replaces hand-picked banding: the derivation
+    picks the factorization of k whose S-curve threshold is nearest
+    the stated Jaccard, and minhash_candidate_pairs with the intent
+    parameter equals the explicit call with the derived banding."""
+    # pure math: best factorization among divisors of k
+    for k, target in ((32, 0.5), (32, 0.9), (16, 0.3), (64, 0.7)):
+        p = D.lsh_params_for_threshold(k, target)
+        assert p["bands"] * p["rows_per_band"] == k
+        best = min(
+            (
+                abs((1.0 / b) ** (b / k) - target)
+                for b in range(1, k + 1) if k % b == 0
+            ),
+        )
+        # threshold_jaccard is reported rounded to 4 decimals
+        assert abs(p["threshold_jaccard"] - target) <= best + 1e-4
+    # a higher target needs a HIGHER collision bar: fewer bands
+    lo = D.lsh_params_for_threshold(32, 0.3)
+    hi = D.lsh_params_for_threshold(32, 0.9)
+    assert hi["bands"] < lo["bands"]
+    assert hi["threshold_jaccard"] > lo["threshold_jaccard"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.lsh_params_for_threshold(32, 1.5)
+
+    # plumbing parity: intent == explicit derived banding
+    rows = [
+        (i, f"shared body of document {i % 7} with words " + " ".join(
+            f"w{((i % 7) * 13 + j) % 53}" for j in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", k=16)
+    p = D.lsh_params_for_threshold(16, 0.4)
+    want = {
+        tuple(r)
+        for r in D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=p["bands"],
+            rows_per_band=p["rows_per_band"],
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in D.minhash_candidate_pairs(
+            sigs, "doc_id", target_threshold=0.4
+        ).collect()
+    }
+    assert got == want and got
+
+    # the array _sig form carries no length: intent must be rejected
+    asig = D._shingle_sets(df, "doc_id", "text", 3).select(
+        F.col("doc_id"), D._signature_array(16).alias("_sig")
+    )
+    with _pytest.raises(ValueError, match="signature length"):
+        D.minhash_candidate_pairs(asig, "doc_id", target_threshold=0.4)
+
+    # end-to-end: minhash_dedup_pairs accepts the intent form
+    out = D.minhash_dedup_pairs(
+        df, "doc_id", "text", k=16, threshold=0.5, target_threshold=0.4
+    )
+    assert out.count() > 0

@@ -480,3 +480,56 @@ def test_sized_write_caps_file_sizes_without_killing_parallelism(
         SC.sized_write(
             spark.range(0).select(F.col("id")), str(tmp_path / "empty")
         )
+
+
+def test_aggregate_spills_and_stays_exact():
+    """A8 spill evidence: a high-cardinality aggregate in a
+    memory-starved fresh JVM (600 MB, memory.fraction=0.2) must
+    actually SPILL (memoryBytesSpilled > 0 in the status store) and
+    still produce the exact closed-form answer — the
+    completes-correctly-when-the-working-set-exceeds-memory contract
+    every 100 TB groupBy in this repo leans on."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    probe = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "spill_probe.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, probe], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    n, n_keys = out["n"], out["n_keys"]
+    assert out["rows"] == n_keys
+    assert out["sum_c"] == n
+    assert out["sum_v"] == n * (n - 1) / 2  # sum of 0..n-1, exact
+    assert out["spilled_bytes"] > 0, out  # the spill path really ran
+
+
+def test_atomic_swap_dir_recovers_crash_between_renames(spark, tmp_path):
+    """A swap that died between its two renames (live moved aside, tmp
+    never moved in) leaves no live dir and the data at .compact.old;
+    the retried swap must restore-then-swap instead of failing on the
+    missing live path — the crash window costs a retry, never data."""
+    import glob
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    live = str(tmp_path / "artifact")
+    spark.range(10).write.parquet(live)
+    # simulate the mid-swap crash state
+    os.rename(live, live + ".compact.old")
+    assert not os.path.exists(live)
+
+    tmp = str(tmp_path / "rewrite")
+    spark.range(100, 103).write.parquet(tmp)
+    SC.atomic_swap_dir(spark, live, tmp)
+    assert sorted(r[0] for r in spark.read.parquet(live).collect()) == [
+        100, 101, 102,
+    ]
+    assert not glob.glob(str(tmp_path) + "/*.compact.*")

@@ -1561,7 +1561,8 @@ def test_serve_ann_queries_stream_matches_batch_and_replays_clean(
     # ADC-only serving
     out_p = str(tmp_path / "answers")
     q = serve_ann_queries(
-        qstream(), idx, out_p, str(tmp_path / "ckpt_a"), k=5, n_probe=3
+        qstream(), idx, out_p, str(tmp_path / "ckpt_a"), k=5, n_probe=3,
+        adc_only=True,
     )
     q.awaitTermination(120)
     got = spark.read.parquet(out_p)
@@ -1585,7 +1586,8 @@ def test_serve_ann_queries_stream_matches_batch_and_replays_clean(
 
     # replay with a fresh checkpoint: same epochs overwrite themselves
     q = serve_ann_queries(
-        qstream(), idx, out_p, str(tmp_path / "ckpt_b"), k=5, n_probe=3
+        qstream(), idx, out_p, str(tmp_path / "ckpt_b"), k=5, n_probe=3,
+        adc_only=True,
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_p).count() == 6 * 5
@@ -1680,7 +1682,7 @@ def test_index_lifecycle_stream_maintain_compact_serve(spark, tmp_path):
     ans = str(tmp_path / "answers")
     q = serve_ann_queries(
         file_stream(qsch, q_src), idx, ans, str(tmp_path / "sckpt"),
-        k=5, n_probe=3,
+        k=5, n_probe=3, adc_only=True,
     )
     q.awaitTermination(120)
 
@@ -1700,3 +1702,124 @@ def test_index_lifecycle_stream_maintain_compact_serve(spark, tmp_path):
             .collect()
         ]
         assert got == want, qi
+
+
+def test_serve_ann_queries_requires_explicit_adc_only(spark, tmp_path):
+    """The ADC-only serving mode is a silent low-recall footgun unless
+    opted into: raw_index_path=None without adc_only=True must raise
+    before any stream starts."""
+    import pytest as _pytest
+
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_ann_queries,
+    )
+
+    qsch = "q_id long, q_vec array<double>"
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = spark.readStream.schema(qsch).parquet(src)
+    with _pytest.raises(ValueError, match="adc_only"):
+        serve_ann_queries(
+            stream, str(tmp_path / "idx"), str(tmp_path / "out"),
+            str(tmp_path / "ck"), k=5,
+        )
+
+
+def test_serve_ann_queries_sees_midstream_appends_and_compaction(
+    spark, tmp_path
+):
+    """Serving freshness (r8 task #6): the codes and raw artifacts are
+    re-resolved through their manifests at every micro-batch, so an
+    epoch appended AND a compaction committed between two batches are
+    searchable by the second batch — no serving restart.  Injected
+    deterministically through the _pre_batch_hook seam; answers are
+    pinned against the batch rerank recipe over each batch's corpus
+    snapshot."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_ann_queries,
+    )
+
+    rng = np.random.default_rng(45)
+    n, dim = 300, 16
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    first = spark.createDataFrame(rows[:200], sch)
+    second = spark.createDataFrame(rows[200:], sch)
+    full = spark.createDataFrame(rows, sch)
+    cents = S.kmeans_refine(
+        full, S.train_centroids_sample(full, n_centroids=4), n_iter=2
+    )
+    books = S.pq_train(full, m=4, n_codes=16, sample_size=256)
+
+    idx, raw_idx = str(tmp_path / "pq"), str(tmp_path / "raw")
+    S.ivfpq_save(S.ivfpq_encode(first, cents, books), cents, books, idx)
+    S.ivf_save(S.ivf_assign(first, cents), cents, raw_idx)
+
+    # two micro-batches carrying the SAME query vector
+    qsch = "q_id long, q_vec array<double>"
+    qvec = [float(x) for x in pts[250]]  # lives only in the appended half
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    for name, qid in (("a", 0), ("b", 1)):
+        stage = str(tmp_path / ("qs_" + name))
+        spark.createDataFrame([(qid, qvec)], qsch).coalesce(1).write.parquet(
+            stage
+        )
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    def grow_index(bid):
+        if bid != 1:
+            return
+        # a maintenance-loop-shaped epoch append to both artifacts...
+        M.write_epoch(
+            S.ivfpq_encode(second, cents, books)
+            .select("vec_id", "codes", "centroid_id"),
+            idx + "/assignments", 0, partition_cols=("centroid_id",),
+        )
+        M.write_epoch(
+            S.ivf_assign(second, cents)
+            .select("vec_id", "embedding", "centroid_id"),
+            raw_idx + "/assignments", 0, partition_cols=("centroid_id",),
+        )
+        # ...plus a committed compaction (version flip) on the codes
+        S.ivf_compact(spark, idx)
+
+    out_p = str(tmp_path / "answers")
+    q = serve_ann_queries(
+        spark.readStream.schema(qsch).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx, out_p, str(tmp_path / "ck"), k=5, n_probe=4, shortlist=60,
+        raw_index_path=raw_idx, _pre_batch_hook=grow_index,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_p)
+    # batch 0 answered over the 200-vector snapshot, batch 1 over all
+    # 300 — same query, different corpora
+    for epoch, corpus in ((0, rows[:200]), (1, rows)):
+        cdf = spark.createDataFrame(corpus, sch)
+        want = sorted(
+            (r["vec_id"], r["sim_fx"])
+            for r in S.ivfpq_topk_rerank_batch(
+                S.ivfpq_encode(cdf, cents, books),
+                S.ivf_assign(cdf, cents), cents, books,
+                spark.createDataFrame([(epoch, qvec)], qsch),
+                k=5, n_probe=4, shortlist=60,
+            ).collect()
+        )
+        have = sorted(
+            (r["vec_id"], r["sim_fx"])
+            for r in got.where(F.col("epoch") == epoch).collect()
+        )
+        assert have == want, epoch
+    # the streamed-in exact match is served by batch 1 only
+    b0 = {r["vec_id"] for r in got.where(F.col("epoch") == 0).collect()}
+    b1 = {r["vec_id"] for r in got.where(F.col("epoch") == 1).collect()}
+    assert 250 not in b0 and 250 in b1
