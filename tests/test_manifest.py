@@ -311,3 +311,34 @@ def test_maintenance_stream_appends_through_compaction(spark, tmp_path):
     assert out2["rows"] == n
     loaded3, _ = S.ivf_load(spark, idx)
     assert loaded3.count() == n
+
+
+def test_read_artifact_union_prunes_both_branches(spark, tmp_path):
+    """The 100 TB contract of the manifest read: a partition-column
+    filter over base ∪ epochs prunes BOTH scans (PartitionFilters on
+    each branch), so a probe reads only its partition's directories in
+    the folded base AND in every live epoch."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    df0 = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "k long, g int"
+    )
+    M.write_epoch(df0, root, 0, partition_cols=("g",))
+    M.compact_artifact(
+        spark, root, lambda df: df.repartition("g"), partition_cols=("g",)
+    )
+    M.write_epoch(
+        spark.createDataFrame([(100 + i, i % 4) for i in range(8)],
+                              "k long, g int"),
+        root, 1, partition_cols=("g",),
+    )
+
+    probe = M.read_artifact(spark, root).where(F.col("g") == 2)
+    got = sorted(r["k"] for r in probe.collect())
+    assert got == [2, 6, 10, 14, 18, 22, 26, 30, 34, 38, 102, 106]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    filters = [
+        sec.split("]")[0] for sec in plan.split("PartitionFilters: [")[1:]
+    ]
+    pruned = [f for f in filters if "g" in f]
+    assert len(pruned) >= 2, plan
