@@ -1,0 +1,224 @@
+"""Bloom-filter membership — the 100 TB shape of "drop every row whose
+key is on a blocklist".
+
+The naive plan is an anti-join: the corpus shuffles on the key (or the
+blocklist broadcasts raw — fine for thousands of keys, dead for
+hundreds of millions).  A Bloom filter replaces that with a NARROW map:
+the blocklist compresses into ``m`` bits (~10 bits/key at 1% false
+positives — 100M keys ≈ 120 MB, broadcastable where the raw keys are
+not), every corpus row tests k bit positions with zero shuffle, and
+because a Bloom filter has NO false negatives the test is a safe
+PRE-filter: definitely-not rows pass for free, and only the tiny
+maybe-set (true hits + fpp·corpus) pays the exact verification join —
+so :func:`bloom_decontaminate` returns EXACT results while the corpus
+crosses the wire never.
+
+Spark's own ``bloom_filter_agg``/``might_contain`` expressions are not
+exposed through the public SQL/Python surface, so the filter here is
+built from public primitives and stays whole-stage-codegen JVM:
+
+* k hash functions = ``xxhash64(key, seed_i)`` for seeds 0..k-1
+  (xxhash64 over (column, literal) — one JVM hash per seed, the same
+  double-hashing family every production Bloom uses);
+* the bit array is packed into ``array<long>`` words; the probe is
+  ``element_at(words, pos div 64) & (1 << pos % 64)`` via ``bit_get``
+  — a few long ops per row, no UDF anywhere;
+* the words array rides as a ONE-ROW broadcast-joined frame, so the
+  plan stays O(k) expressions regardless of filter size (a literal
+  array would inline megabytes into the plan tree).
+
+Build is distributed: keys explode to k (seed, position) rows, the
+positions group-reduce into words with ``bit_or`` — one narrow map +
+one aggregation over positions (≤ k·n rows of 8 bytes), never the raw
+keys to the driver.  The packed filter round-trips through parquet
+(:func:`bloom_save`/:func:`bloom_load`) like every other model-state
+artifact here (centroids, codebooks).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 2^30 bits = 128 MB of words — beyond this the "broadcastable" premise
+# bends; shard the blocklist or raise fpp instead
+_MAX_BITS = 1 << 30
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, n_hashes) for ``n_items`` at false-positive
+    rate ``fpp``: ``m = -n ln p / (ln 2)^2`` rounded up to a whole
+    number of 64-bit words, ``k = (m/n) ln 2`` (standard sizing)."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n = max(1, int(n_items))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(_MAX_BITS, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(col, m_bits: int, n_hashes: int) -> list[Column]:
+    # seed i -> xxhash64(key, i) mod m; pmod keeps the signed hash
+    # in [0, m).  Probe and build MUST use this same kernel.
+    return [
+        F.pmod(F.xxhash64(col, F.lit(int(i))), F.lit(int(m_bits)))
+        for i in range(int(n_hashes))
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Build a Bloom filter over ``df[key_col]`` — distributed: keys
+    never reach the driver, only the set bit POSITIONS do (bounded by
+    ``m``, not by the key count; collected packed as m/64 longs).
+
+    ``expected_items=None`` counts the distinct keys first (one extra
+    aggregate over the column) — pass the known cardinality to skip it.
+    Returns ``{"m_bits", "n_hashes", "n_items", "words"}``; feed to
+    :func:`bloom_filter_members` / :func:`bloom_might_contain` /
+    :func:`bloom_save`."""
+    keys = df.select(F.col(key_col).alias("_k"))
+    n = (
+        int(expected_items)
+        if expected_items is not None
+        else keys.distinct().count()
+    )
+    m_bits, n_hashes = bloom_params(n, fpp)
+    pos = keys.select(
+        F.explode(
+            F.array(*_positions(F.col("_k"), m_bits, n_hashes))
+        ).alias("_pos")
+    )
+    words_rows = (
+        pos.select(
+            (F.col("_pos") - F.pmod("_pos", F.lit(64)))
+            .cast("long").alias("_w64"),
+            F.pmod("_pos", F.lit(64)).cast("int").alias("_b"),
+        )
+        .select((F.col("_w64") / 64).cast("int").alias("_w"), "_b")
+        .groupBy("_w")
+        .agg(F.bit_or(F.expr("shiftleft(1L, _b)")).alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in words_rows:
+        words[r["_w"]] = r["_bits"]
+    return {
+        "m_bits": m_bits,
+        "n_hashes": n_hashes,
+        "n_items": n,
+        "words": words,
+    }
+
+
+def bloom_might_contain(col, words_col, m_bits: int, n_hashes: int) -> Column:
+    """The probe predicate: true iff ALL k bit positions of ``col`` are
+    set in the ``words_col`` array — pure long arithmetic
+    (element_at + bit_get), whole-stage-codegen JVM.  No false
+    negatives ever; false positives at the built fpp."""
+    tests = []
+    for pos in _positions(col, m_bits, n_hashes):
+        word_idx = ((pos - F.pmod(pos, F.lit(64))) / F.lit(64)).cast("int")
+        word = F.element_at(words_col, word_idx + F.lit(1))
+        tests.append(
+            F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+        )
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_filter_members(
+    df: DataFrame, key_col: str, bloom: dict, keep: str = "maybe"
+) -> DataFrame:
+    """Filter ``df`` through a built filter.  ``keep="maybe"`` returns
+    the candidate members (true members + ~fpp false positives — the
+    small side an exact verify join then trims);
+    ``keep="definitely_not"`` returns the complement, which is EXACT
+    non-membership (no false negatives).  The words array joins as ONE
+    broadcast row, so the executed plan is a broadcast nested loop of
+    exactly one row followed by a narrow filter — no shuffle of df."""
+    if keep not in ("maybe", "definitely_not"):
+        raise ValueError(f"keep must be 'maybe' or 'definitely_not': {keep}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(bloom["words"],)], "_bloom_words array<long>"
+    )
+    pred = bloom_might_contain(
+        F.col(key_col), F.col("_bloom_words"),
+        bloom["m_bits"], bloom["n_hashes"],
+    )
+    if keep == "definitely_not":
+        pred = ~pred
+    return df.join(F.broadcast(wdf)).where(pred).drop("_bloom_words")
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    key_col: str,
+    block_col: str | None = None,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    bloom: dict | None = None,
+) -> DataFrame:
+    """Drop every corpus row whose key appears in ``blocklist`` —
+    EXACT anti-join semantics at narrow-map cost: rows the filter
+    rejects pass without touching the blocklist (no false negatives),
+    and only the maybe-set (true hits + fpp·corpus) is verified with
+    a real anti-join against the blocklist keys.  At 100 TB that
+    means the full corpus never shuffles for the membership test —
+    the verify join's left side is ~fpp of it.
+
+    Pass a prebuilt ``bloom`` (from :func:`bloom_build` /
+    :func:`bloom_load`) to reuse one filter across many corpora; the
+    blocklist frame is still needed for the exact verification.
+
+    Semantics match ``corpus.join(blocklist, key, "left_anti")``
+    exactly — including nulls (null never equals null, so null keys
+    are never blocked) — which is also why the result is oracle-
+    checkable against a plain SQL anti-join.  The corpus is scanned
+    twice (clean branch + maybe branch), both narrow: at 100 TB two
+    codegen scans beat one corpus-wide shuffle by an order of
+    magnitude, and only the maybe-set crosses the wire."""
+    bcol = block_col or key_col
+    block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()
+    if bloom is None:
+        bloom = bloom_build(
+            block_keys, key_col, expected_items=expected_items, fpp=fpp
+        )
+    clean = bloom_filter_members(corpus, key_col, bloom, "definitely_not")
+    maybe = bloom_filter_members(corpus, key_col, bloom, "maybe")
+    survivors = maybe.join(block_keys, key_col, "left_anti")
+    return clean.unionByName(survivors)
+
+
+def bloom_save(spark: SparkSession, bloom: dict, path: str) -> None:
+    """Persist a built filter as one parquet row (like the ANN model
+    artifacts: small state, any filesystem the session reaches)."""
+    spark.createDataFrame(
+        [(int(bloom["m_bits"]), int(bloom["n_hashes"]),
+          int(bloom["n_items"]), bloom["words"])],
+        "m_bits long, n_hashes int, n_items long, words array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(spark: SparkSession, path: str) -> dict:
+    rows = spark.read.parquet(path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"bloom artifact at {path!r} must be one row")
+    r = rows[0]
+    if len(r["words"]) * 64 != r["m_bits"]:
+        raise ValueError(f"bloom artifact at {path!r} is corrupt")
+    return {
+        "m_bits": r["m_bits"],
+        "n_hashes": r["n_hashes"],
+        "n_items": r["n_items"],
+        "words": list(r["words"]),
+    }

@@ -3507,3 +3507,41 @@ def q103(spark, sf_dir):
     return topk.select(
         "vec_id", fx(F.col("cos_sim"), 1_000_000).alias("sim_fx")
     ).orderBy(F.desc("sim_fx"), "vec_id")
+
+
+# ==================================== Bloom-filter blocklist (r10)
+# -- q104: fingerprint-blocklist decontamination at membership-filter
+#    cost (operators/membership.py): a blocklist of document
+#    fingerprints (md5 of text — every 37th doc as an "external" list
+#    plus every 5th-mod-1 doc as known-bad docs that ARE in the corpus,
+#    so the block path really fires) compresses into a Bloom filter;
+#    the corpus is filtered by the narrow bit-test prefilter and only
+#    the maybe-set pays the exact anti-join — EXACT left_anti
+#    semantics, so the oracle is a plain NOT-EXISTS over the same md5
+#    keys.  At 100 TB the corpus never shuffles for the membership
+#    test.
+@query(
+    "q104_bloom_blocklist",
+    """
+    WITH block AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % 37 = 0 OR doc_id % 5 = 1)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 37 <> 0
+      AND NOT EXISTS (SELECT 1 FROM block b WHERE b.fp = md5(d.text))
+    ORDER BY d.doc_id
+    """,
+)
+def q104(spark, sf_dir):
+    from .operators import membership as B
+
+    docs = T(spark, sf_dir, "documents")
+    block = docs.where(
+        (F.col("doc_id") % 37 == 0) | (F.col("doc_id") % 5 == 1)
+    ).select(F.md5("text").alias("fp"))
+    corpus = docs.where(F.col("doc_id") % 37 != 0).withColumn(
+        "fp", F.md5("text")
+    )
+    out = B.bloom_decontaminate(corpus, block, "fp", fpp=0.01)
+    return out.select("doc_id", "n_chars").orderBy("doc_id")

@@ -1,0 +1,123 @@
+"""operators.membership — Bloom-filter blocklist membership.
+
+Contracts: sizing math, NO false negatives ever, false-positive rate
+near the built fpp, exact decontamination (bloom prefilter + verify ==
+plain anti-join), parquet round-trip, and the scale shape (the corpus
+side of the membership test never shuffles)."""
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gcf_corima_parquet_converter_spark.operators import membership as B
+
+
+def _corpus(spark, n):
+    return spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+        F.col("id").alias("rid"),
+    )
+
+
+def test_bloom_params_standard_sizing():
+    m, k = B.bloom_params(1000, 0.01)
+    # ~9.6 bits/item and ~7 hashes at 1% (standard optimum)
+    assert abs(m - 9586) <= 64  # word-rounded
+    assert k == 7
+    m2, k2 = B.bloom_params(1000, 0.001)
+    assert m2 > m and k2 >= k  # tighter fpp costs more bits/hashes
+    with pytest.raises(ValueError):
+        B.bloom_params(1000, 1.5)
+    # the cap: never above _MAX_BITS regardless of n
+    m3, _ = B.bloom_params(10**12, 0.0001)
+    assert m3 <= B._MAX_BITS
+
+
+def test_bloom_no_false_negatives_and_fpp_bound(spark):
+    n_block, n_corpus = 2000, 10000
+    block = spark.range(0, 3 * n_block, 3).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    corpus = _corpus(spark, n_corpus)
+    bloom = B.bloom_build(block, "k", fpp=0.01)
+    assert bloom["n_items"] == n_block
+    got_maybe = {
+        r["k"] for r in B.bloom_filter_members(corpus, "k", bloom).collect()
+    }
+    truth = {f"key-{i}" for i in range(0, 3 * n_block, 3)
+             if i < n_corpus}
+    assert truth <= got_maybe  # NO false negatives — the safety contract
+    fp = len(got_maybe - truth) / (n_corpus - len(truth))
+    assert fp < 0.03  # ~3x headroom over the built 1% fpp
+    # the complement is exact non-membership
+    got_clean = {
+        r["k"]
+        for r in B.bloom_filter_members(
+            corpus, "k", bloom, "definitely_not"
+        ).collect()
+    }
+    assert got_clean.isdisjoint(truth)
+    assert got_clean | got_maybe == {f"key-{i}" for i in range(n_corpus)}
+
+
+def test_bloom_decontaminate_exact_and_reusable(spark, tmp_path):
+    corpus = _corpus(spark, 5000)
+    block = spark.range(0, 5000, 7).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("bk")
+    )
+    out = B.bloom_decontaminate(corpus, block, "k", block_col="bk")
+    want = sorted(
+        (f"key-{i}", i) for i in range(5000) if i % 7 != 0
+    )
+    got = sorted((r["k"], r["rid"]) for r in out.collect())
+    assert got == want  # EXACT anti-join semantics, bloom is invisible
+
+    # prebuilt + persisted filter reuse (the cross-corpus path)
+    bloom = B.bloom_build(
+        block.select(F.col("bk").alias("k")), "k", fpp=0.005
+    )
+    p = str(tmp_path / "bloom")
+    B.bloom_save(spark, bloom, p)
+    loaded = B.bloom_load(spark, p)
+    assert loaded == bloom
+    out2 = B.bloom_decontaminate(
+        corpus, block, "k", block_col="bk", bloom=loaded
+    )
+    assert sorted((r["k"], r["rid"]) for r in out2.collect()) == want
+
+
+def test_bloom_member_filter_never_shuffles_the_corpus(spark):
+    """The 100 TB contract: the membership TEST is a narrow map over
+    the corpus joined to ONE broadcast row — no Exchange anywhere in
+    the maybe/definitely_not plans (the exact verify join in
+    bloom_decontaminate shuffles only the tiny maybe-set)."""
+    corpus = _corpus(spark, 1000)
+    block = spark.range(0, 500, 5).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bloom = B.bloom_build(block, "k")
+    for keep in ("maybe", "definitely_not"):
+        df = B.bloom_filter_members(corpus, "k", bloom, keep)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan  # the one-row join
+        assert "bit_get" in plan  # JVM bit test, no UDF
+        assert "Python" not in plan
+
+
+def test_bloom_handles_nulls_and_empty_blocklist(spark):
+    corpus = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    empty = spark.createDataFrame([], "k string")
+    bloom = B.bloom_build(empty, "k", expected_items=1)
+    assert all(w == 0 for w in bloom["words"])
+    out = B.bloom_decontaminate(corpus, empty, "k")
+    assert out.count() == 3  # nothing blocked, nulls survive
+    # anti-join semantics: null never equals null, so a null key on
+    # the blocklist blocks NOTHING (matches plain df.join(...,
+    # "left_anti") — the oracle shape)
+    nblock = spark.createDataFrame([(None,)], "k string")
+    out2 = B.bloom_decontaminate(corpus, nblock, "k")
+    assert out2.count() == 3
