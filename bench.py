@@ -857,6 +857,85 @@ def bench_plan_audit(spark, sf_dir: str) -> dict:
     return {"ok": True, "queries": per_query}
 
 
+def bench_membership(spark) -> dict:
+    """Bloom blocklist vs the shuffle anti-join it replaces
+    (operators/membership.py), at the posture the operator exists for:
+    the blocklist too large to broadcast (forced via
+    autoBroadcastJoinThreshold=-1 — at 100 TB a multi-hundred-million-
+    key list is past the broadcast limit whatever the config says).
+    4M-row corpus, 400k-key blocklist (10% hit rate): plain left_anti
+    shuffles all 4.4M rows; the bloom path scans the corpus narrow
+    twice and shuffles only the ~hits+fpp maybe-set into the verify
+    join.  Results must be EXACTLY equal (raise otherwise — the bloom
+    is a plan optimization, never a semantics change).  Build time is
+    recorded separately: the filter is a reusable persisted artifact.
+
+    Measured regime, stated honestly (r10, quiet local[32]): the plain
+    anti-join WINS here — ~0.5-0.6x at 4M/8M rows, narrow or 512B-wide,
+    codegen or parquet-backed — because a single-JVM shuffle is
+    RAM-speed, so there is nothing for the bloom to save while its two
+    corpus scans and 7-hash probe are real costs.  The operator's value
+    is the plan shape the local number can't see: zero corpus Exchange
+    (pinned by test_bloom_member_filter_never_shuffles_the_corpus)
+    where the anti-join ships every corpus byte across the cluster
+    network, and a filter that stays broadcastable where raw keys do
+    not.  This probe exists to keep that trade measured, not to win."""
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import membership as B
+
+    n, step = 4_000_000, 10
+    corpus = spark.range(n).select(
+        F.concat(F.lit("url://site-"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    block = spark.range(0, n, step).select(
+        F.concat(F.lit("url://site-"), F.col("id")).alias("k")
+    )
+
+    def best(fn, reps=2):
+        walls, val = [], None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            val = fn()
+            walls.append(time.perf_counter() - t0)
+        return val, min(walls)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_anti, t_anti = best(
+            lambda: corpus.join(block, "k", "left_anti").count()
+        )
+        t0 = time.perf_counter()
+        bloom = B.bloom_build(
+            block, "k", expected_items=n // step, fpp=0.01
+        )
+        t_build = time.perf_counter() - t0
+        n_bloom, t_bloom = best(
+            lambda: B.bloom_decontaminate(
+                corpus, block, "k", bloom=bloom
+            ).count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if n_bloom != n_anti:
+        raise RuntimeError(
+            f"bloom_decontaminate changed the answer: {n_bloom} != {n_anti}"
+        )
+    return {
+        "corpus_rows": n,
+        "blocklist_keys": n // step,
+        "fpp": 0.01,
+        "bloom_bits": bloom["m_bits"],
+        "bloom_build_sec": round(t_build, 3),
+        "anti_join_sec": round(t_anti, 3),
+        "bloom_sec": round(t_bloom, 3),
+        "bloom_speedup": round(t_anti / t_bloom, 2),
+        "rows_kept": n_anti,
+    }
+
+
 def worker(sf_dir: str, with_streaming: bool) -> None:
     """One fresh-JVM sample: warmup, one cold pass, N_WARM_PER_RUN warm
     passes (+ optionally the streaming probe).  Emits one JSON line."""
@@ -919,6 +998,7 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
         out["ann_scale"] = bench_ann_scale(spark)
         out["scaling"] = bench_scaling(spark, sf_dir)
         out["facade"] = bench_facade(spark)
+        out["membership"] = bench_membership(spark)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
 
@@ -997,6 +1077,7 @@ def main() -> None:
         "ann_scale": samples[-1].get("ann_scale"),
         "scaling": samples[-1].get("scaling"),
         "facade": samples[-1].get("facade"),
+        "membership": samples[-1].get("membership"),
         "runs": N_RUNS,
         "aggregation": "median",
         "sf": sf,
@@ -1046,6 +1127,9 @@ def main() -> None:
         "ann_1m_ivfpq_rerank_speedup": (
             (result.get("ann_scale") or {}).get("n1m") or {}
         ).get("ivfpq_rerank_speedup"),
+        "bloom_vs_antijoin": (result.get("membership") or {}).get(
+            "bloom_speedup"
+        ),
         "scaling_max_ratio": max(
             (
                 q["ratio"]

@@ -347,7 +347,13 @@ def compact_artifact(
     if _pre_commit_hook is not None:
         _pre_commit_hook()
     new_folded = sorted((folded_prev & present) | set(to_fold))
-    manifest_commit(spark, root, new_version, new_folded)
+    # artifact-level metadata (anything init_artifact/manifest_commit
+    # recorded beyond the two protocol fields) survives every fold —
+    # e.g. a bloom artifact's pinned (m_bits, n_hashes) geometry
+    extra = {
+        k: v for k, v in m.items() if k not in ("version", "folded_epochs")
+    }
+    manifest_commit(spark, root, new_version, new_folded, extra=extra)
     # GC — best-effort; anything that survives is masked by the
     # manifest (folded filter / version pointer) and retried next run.
     # Epoch deletion is deferred one cycle: only LAST cycle's folds go

@@ -75,6 +75,8 @@ def bloom_build(
     key_col: str,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> dict:
     """Build a Bloom filter over ``df[key_col]`` — distributed: keys
     never reach the driver, only the set bit POSITIONS do (bounded by
@@ -82,16 +84,31 @@ def bloom_build(
 
     ``expected_items=None`` counts the distinct keys first (one extra
     aggregate over the column) — pass the known cardinality to skip it.
+    Pass explicit ``m_bits``/``n_hashes`` (both) to pin the geometry —
+    required when this filter will be OR-merged with others
+    (:func:`bloom_or`): merge needs every side on identical params.
     Returns ``{"m_bits", "n_hashes", "n_items", "words"}``; feed to
     :func:`bloom_filter_members` / :func:`bloom_might_contain` /
     :func:`bloom_save`."""
     keys = df.select(F.col(key_col).alias("_k"))
-    n = (
-        int(expected_items)
-        if expected_items is not None
-        else keys.distinct().count()
-    )
-    m_bits, n_hashes = bloom_params(n, fpp)
+    if (m_bits is None) != (n_hashes is None):
+        raise ValueError("pass m_bits and n_hashes together, or neither")
+    if m_bits is not None:
+        if m_bits % 64 or not 0 < m_bits <= _MAX_BITS:
+            raise ValueError(f"m_bits must be a multiple of 64 <= {_MAX_BITS}")
+        n = (
+            int(expected_items)
+            if expected_items is not None
+            else keys.distinct().count()
+        )
+        m_bits, n_hashes = int(m_bits), int(n_hashes)
+    else:
+        n = (
+            int(expected_items)
+            if expected_items is not None
+            else keys.distinct().count()
+        )
+        m_bits, n_hashes = bloom_params(n, fpp)
     pos = keys.select(
         F.explode(
             F.array(*_positions(F.col("_k"), m_bits, n_hashes))
@@ -184,9 +201,18 @@ def bloom_decontaminate(
     exactly — including nulls (null never equals null, so null keys
     are never blocked) — which is also why the result is oracle-
     checkable against a plain SQL anti-join.  The corpus is scanned
-    twice (clean branch + maybe branch), both narrow: at 100 TB two
-    codegen scans beat one corpus-wide shuffle by an order of
-    magnitude, and only the maybe-set crosses the wire."""
+    twice (clean branch + maybe branch), both narrow; only the
+    maybe-set crosses the wire.
+
+    Measured regime (bench ``membership``): on a single JVM the plain
+    anti-join WINS (~0.5-0.6x at 4-8M rows) — a local shuffle is
+    RAM-speed, so the avoided Exchange saves nothing while the second
+    scan and the k-hash probe are real.  Use the plain anti-join when
+    the blocklist broadcasts or the corpus is one machine's worth; this
+    operator is for the cluster regime — a corpus whose shuffle means
+    network+disk, and a blocklist (100M+ keys) past the broadcast
+    limit, where the plan contract (zero corpus Exchange, test-pinned)
+    is the difference between touching 100 TB once and shipping it."""
     bcol = block_col or key_col
     block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()
     if bloom is None:
@@ -222,3 +248,160 @@ def bloom_load(spark: SparkSession, path: str) -> dict:
         "n_items": r["n_items"],
         "words": list(r["words"]),
     }
+
+
+# ------------------------------------------------ growing bloom artifact
+# Blooms with identical geometry merge by OR — which makes a blocklist
+# GROWABLE with the same manifest-versioned epoch machinery as the
+# sketch shards: each micro-batch lands its batch-bloom as one epoch
+# row, readers OR the base ∪ live epochs, and compaction folds them
+# into one row with a one-PUT commit.  The geometry is pinned in the
+# artifact's manifest metadata so every writer agrees.
+
+
+def bloom_or(blooms: list[dict]) -> dict:
+    """OR-merge filters with identical geometry (driver-side numpy;
+    each filter is m/64 longs).  ``n_items`` sums — an UPPER bound on
+    distinct keys (duplicates across sides double-count), kept for
+    saturation monitoring against the geometry's design capacity."""
+    import numpy as np
+
+    if not blooms:
+        raise ValueError("nothing to merge")
+    m_bits, n_hashes = blooms[0]["m_bits"], blooms[0]["n_hashes"]
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    n = 0
+    for b in blooms:
+        if (b["m_bits"], b["n_hashes"]) != (m_bits, n_hashes):
+            raise ValueError("bloom geometry mismatch — cannot OR-merge")
+        np.bitwise_or(words, np.asarray(b["words"], dtype=np.int64),
+                      out=words)
+        n += int(b["n_items"])
+    return {
+        "m_bits": m_bits, "n_hashes": n_hashes, "n_items": n,
+        "words": [int(w) for w in words],
+    }
+
+
+def _bloom_row_df(spark: SparkSession, bloom: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(bloom["m_bits"]), int(bloom["n_hashes"]),
+          int(bloom["n_items"]), bloom["words"])],
+        "m_bits long, n_hashes int, n_items long, words array<long>",
+    ).coalesce(1)
+
+
+def bloom_or_rows(df: DataFrame) -> DataFrame:
+    """DataFrame-level OR-fold: N bloom rows → ONE merged row (the
+    ``fold_fn`` for ``manifest.compact_artifact``).  posexplode the
+    word arrays, ``bit_or`` per position, re-pack — stays distributed
+    until the single output row."""
+    merged = (
+        df.select(F.posexplode("words").alias("_p", "_w"))
+        .groupBy("_p")
+        .agg(F.bit_or("_w").alias("_w"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_w"))),
+                lambda s: s["_w"],
+            ).alias("words")
+        )
+    )
+    meta = df.groupBy("m_bits", "n_hashes").agg(
+        F.sum("n_items").alias("n_items")
+    )
+    # geometry agreement is enforced at write time (the manifest pins
+    # it); a crossJoin of two 1-row frames keeps the fold lazy
+    return meta.crossJoin(merged).select(
+        "m_bits", "n_hashes", "n_items", "words"
+    )
+
+
+def bloom_artifact_init(
+    spark: SparkSession,
+    path: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> dict:
+    """Create an empty growable bloom artifact: geometry derived from
+    the TOTAL expected key horizon (a bloom cannot resize — size for
+    the lifetime, monitor ``n_items`` for saturation) and pinned in
+    the manifest metadata every future epoch writer reads back."""
+    from . import manifest as M
+
+    m_bits, n_hashes = bloom_params(expected_items, fpp)
+    return M.init_artifact(
+        spark, path,
+        extra={"m_bits": m_bits, "n_hashes": n_hashes, "fpp": fpp,
+               "expected_items": int(expected_items)},
+    )
+
+
+def bloom_artifact_geometry(spark: SparkSession, path: str) -> tuple[int, int]:
+    from . import manifest as M
+
+    m = M.manifest_resolve(spark, path)
+    if m is None or "m_bits" not in m:
+        raise ValueError(
+            f"{path!r} is not a bloom artifact (no pinned geometry) — "
+            "create it with bloom_artifact_init"
+        )
+    return int(m["m_bits"]), int(m["n_hashes"])
+
+
+def bloom_write_epoch(
+    spark: SparkSession, bloom: dict, path: str, epoch_id: int
+) -> None:
+    """Land one batch-bloom as epoch ``epoch_id`` (manifest layout,
+    epoch-owned dynamic overwrite — a foreachBatch replay rewrites
+    exactly its own row).  Geometry must match the artifact's pin."""
+    from . import manifest as M
+
+    if (int(bloom["m_bits"]), int(bloom["n_hashes"])) != \
+            bloom_artifact_geometry(spark, path):
+        raise ValueError("bloom geometry does not match the artifact pin")
+    M.write_epoch(_bloom_row_df(spark, bloom), path, int(epoch_id))
+
+
+def bloom_artifact_load(
+    spark: SparkSession, path: str, before_epoch: int | None = None
+) -> dict | None:
+    """Resolve the artifact and OR-merge base ∪ live epochs into one
+    in-memory filter (``None`` while the artifact is empty).
+
+    ``before_epoch=N`` merges only the folded base and epochs < N —
+    what a foreachBatch gate must read while processing batch N, so a
+    REPLAY of batch N never sees its own keys as already-present (the
+    self-read would turn the replay into an empty overwrite)."""
+    from . import manifest as M
+
+    df = None
+    try:
+        df = M.read_artifact(spark, path)
+    except ValueError:
+        return None  # versioned but empty: no base, no epochs yet
+    if before_epoch is not None and "epoch" in df.columns:
+        df = df.where(
+            (F.col("epoch") == -1) | (F.col("epoch") < int(before_epoch))
+        )
+    rows = df.select("m_bits", "n_hashes", "n_items", "words").collect()
+    if not rows:
+        return None
+    return bloom_or([
+        {"m_bits": r["m_bits"], "n_hashes": r["n_hashes"],
+         "n_items": r["n_items"], "words": r["words"]}
+        for r in rows
+    ])
+
+
+def bloom_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the accumulated epoch rows into one base row via the
+    manifest commit (``manifest.compact_artifact`` + the OR fold).
+    SAFE only for epochs whose micro-batch already committed its
+    checkpoint — i.e. after a graceful stop (availableNow completion)
+    or between runs: a replay of a folded epoch would see its own keys
+    in the base and overwrite its output as empty.  Additive artifacts
+    tolerate compact-during-append; this DECISION-making one does not."""
+    from . import manifest as M
+
+    return M.compact_artifact(spark, path, bloom_or_rows)

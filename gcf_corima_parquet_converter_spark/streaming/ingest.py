@@ -941,3 +941,92 @@ def windowed_fft_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    key_col: str,
+    output_path: str,
+    bloom_path: str,
+    checkpoint: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    available_now: bool = True,
+):
+    """Unbounded-horizon seen-keys gate with BOUNDED memory: emit only
+    rows whose key has never been seen across the stream's whole
+    lifetime, tracking "seen" in a growable Bloom artifact
+    (``operators.membership``) instead of per-key state.
+
+    Where it sits in the dedup family: ``dedup_stream`` /
+    ``dropDuplicates`` are EXACT but their state grows with distinct
+    keys (or needs a watermark horizon that forgets); this gate's
+    state is a fixed ``m``-bit filter sized once from
+    ``expected_items`` (≈10 bits per lifetime key at fpp=0.01) — the
+    months-running-ingest posture where "URL seen last quarter" must
+    still gate today.  The trade is explicit and one-sided: NO
+    duplicate ever passes (no false negatives), but ~fpp of genuinely
+    novel keys are wrongly swallowed.  Size generously; monitor the
+    artifact's summed ``n_items`` against ``expected_items``.
+
+    Per micro-batch: load the filter as of the PREVIOUS batches only
+    (``bloom_artifact_load(before_epoch=batch)`` — a replayed batch
+    must not see its own keys, or the replay would emit nothing), keep
+    the definitely-unseen rows (plus exact within-batch first-wins),
+    land them under ``output_path`` and their batch-bloom under the
+    artifact — both as epoch-owned dynamic overwrites, so replays
+    rewrite exactly their own epoch: exactly-once end to end.
+
+    Fold the accumulated epoch rows periodically with
+    ``membership.bloom_compact`` — AFTER a graceful stop
+    (availableNow completion) or between runs, never concurrently:
+    unlike the additive artifacts, this one makes decisions, so a
+    replay of a folded-but-then-replayed epoch would read its own keys
+    from the base.  Returns the started StreamingQuery."""
+    from ..operators.membership import (
+        bloom_artifact_geometry,
+        bloom_artifact_init,
+        bloom_artifact_load,
+        bloom_build,
+        bloom_filter_members,
+        bloom_write_epoch,
+    )
+    from ..operators.manifest import manifest_resolve, write_epoch
+
+    spark = stream.sparkSession
+    if manifest_resolve(spark, bloom_path) is None:
+        bloom_artifact_init(spark, bloom_path, expected_items, fpp=fpp)
+    m_bits, n_hashes = bloom_artifact_geometry(spark, bloom_path)
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        seen = bloom_artifact_load(
+            spark, bloom_path, before_epoch=int(epoch_id)
+        )
+        fresh = (
+            bloom_filter_members(df, key_col, seen, "definitely_not")
+            if seen is not None else df
+        )
+        # exact first-wins INSIDE the batch (the filter only knows
+        # about previous batches)
+        fresh = fresh.dropDuplicates([key_col])
+        fresh.persist()
+        try:
+            n_new = fresh.count()
+            write_epoch(fresh, output_path, int(epoch_id))
+            batch_bloom = bloom_build(
+                fresh, key_col, expected_items=n_new,
+                m_bits=m_bits, n_hashes=n_hashes,
+            )
+            bloom_write_epoch(spark, batch_bloom, bloom_path, int(epoch_id))
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

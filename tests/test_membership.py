@@ -121,3 +121,56 @@ def test_bloom_handles_nulls_and_empty_blocklist(spark):
     nblock = spark.createDataFrame([(None,)], "k string")
     out2 = B.bloom_decontaminate(corpus, nblock, "k")
     assert out2.count() == 3
+
+
+def test_bloom_or_merge_and_artifact_geometry(spark, tmp_path):
+    """OR-merge: union membership, geometry enforced; the growable
+    artifact pins its geometry in the manifest metadata and carries it
+    through compaction (manifest extras forwarding)."""
+    from gcf_corima_parquet_converter_spark.operators import (
+        manifest as M,
+    )
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "k string")
+    b = spark.createDataFrame([("y1",), ("y2",)], "k string")
+    m_bits, n_hashes = B.bloom_params(100, 0.01)
+    ba = B.bloom_build(a, "k", m_bits=m_bits, n_hashes=n_hashes)
+    bb = B.bloom_build(b, "k", m_bits=m_bits, n_hashes=n_hashes)
+    merged = B.bloom_or([ba, bb])
+    corpus = spark.createDataFrame(
+        [("x1",), ("y2",), ("z9",)], "k string"
+    )
+    got = {
+        r["k"] for r in B.bloom_filter_members(corpus, "k", merged).collect()
+    }
+    assert {"x1", "y2"} <= got and ("z9" in got) is False
+    with pytest.raises(ValueError, match="geometry"):
+        B.bloom_or([ba, B.bloom_build(b, "k", expected_items=5)])
+    with pytest.raises(ValueError):
+        B.bloom_build(a, "k", m_bits=m_bits)  # n_hashes missing
+
+    # growable artifact: init pins geometry; epochs + compaction keep it
+    p = str(tmp_path / "grow")
+    B.bloom_artifact_init(spark, p, expected_items=100, fpp=0.01)
+    assert B.bloom_artifact_geometry(spark, p) == (m_bits, n_hashes)
+    B.bloom_write_epoch(spark, ba, p, 0)
+    B.bloom_write_epoch(spark, bb, p, 1)
+    loaded = B.bloom_artifact_load(spark, p)
+    assert loaded["words"] == merged["words"]
+    # replay isolation: as-of batch 1, epoch 1's own keys are unseen
+    asof = B.bloom_artifact_load(spark, p, before_epoch=1)
+    assert asof["words"] == ba["words"]
+    out = B.bloom_compact(spark, p)
+    assert out["version"] == 1 and out["rows"] == 1
+    # geometry survived the fold (extras forwarded through the commit)
+    assert B.bloom_artifact_geometry(spark, p) == (m_bits, n_hashes)
+    assert B.bloom_artifact_load(spark, p)["words"] == merged["words"]
+    # wrong-geometry epoch refused
+    with pytest.raises(ValueError, match="geometry"):
+        B.bloom_write_epoch(
+            spark, B.bloom_build(a, "k", expected_items=5), p, 2
+        )
+    # empty artifact loads as None
+    q = str(tmp_path / "empty")
+    B.bloom_artifact_init(spark, q, expected_items=10)
+    assert B.bloom_artifact_load(spark, q) is None

@@ -1823,3 +1823,84 @@ def test_serve_ann_queries_sees_midstream_appends_and_compaction(
     b0 = {r["vec_id"] for r in got.where(F.col("epoch") == 0).collect()}
     b1 = {r["vec_id"] for r in got.where(F.col("epoch") == 1).collect()}
     assert 250 not in b0 and 250 in b1
+
+
+def test_bloom_dedup_stream_first_wins_exactly_once(spark, tmp_path):
+    """Bloom seen-keys gate: across micro-batches only first-seen keys
+    emit (bounded-memory lifetime dedup); a fresh-checkpoint replay
+    rewrites its own epochs instead of re-deciding (the before_epoch
+    read), and a graceful-stop -> bloom_compact -> resume cycle keeps
+    gating correctly against the folded base."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import (
+        manifest as M,
+    )
+    from gcf_corima_parquet_converter_spark.operators import (
+        membership as B,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        bloom_dedup_stream,
+    )
+
+    sch = "k string, payload long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, ids):
+        stage = str(tmp_path / ("s_" + name))
+        spark.createDataFrame(
+            [(f"url-{i}", i) for i in ids], sch
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    out_p, bloom_p = str(tmp_path / "out"), str(tmp_path / "seen")
+
+    def run(ckpt):
+        q = bloom_dedup_stream(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "k", out_p, bloom_p, str(tmp_path / ckpt),
+            expected_items=400, fpp=0.001,
+        )
+        q.awaitTermination(180)
+
+    add_file("a", range(0, 100))
+    add_file("b", range(50, 150))
+    add_file("c", list(range(100, 200)) + list(range(0, 50)))
+    run("ck1")
+
+    def emitted():
+        df = M.read_artifact(spark, out_p)
+        return {
+            e: sorted(r["payload"] for r in rows)
+            for e, rows in (
+                (e, df.where(F.col("epoch") == e).collect())
+                for e in (0, 1, 2, 3)
+            )
+        }
+
+    got = emitted()
+    assert got[0] == list(range(0, 100))     # all novel
+    assert got[1] == list(range(100, 150))   # 50-99 gated
+    assert got[2] == list(range(150, 200))   # repeats + seen gated
+    total = M.read_artifact(spark, out_p).count()
+    assert total == 200  # every key exactly once, lifetime-wide
+
+    # fresh-checkpoint replay: same files -> same epochs -> same
+    # decisions (before_epoch read) -> byte-identical overwrite
+    run("ck2")
+    assert emitted() == got
+
+    # graceful stop happened (availableNow terminated): fold the
+    # epoch blooms, then keep streaming on the EXISTING checkpoint
+    outc = B.bloom_compact(spark, bloom_p)
+    assert outc["version"] == 1 and outc["rows"] == 1
+    merged = B.bloom_artifact_load(spark, bloom_p)
+    assert merged["n_items"] == 200
+    add_file("d", list(range(150, 250)))
+    run("ck2")
+    got2 = emitted()
+    assert got2[3] == list(range(200, 250))  # 150-199 gated by the base
+    assert M.read_artifact(spark, out_p).count() == 250
