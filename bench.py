@@ -936,10 +936,30 @@ def bench_membership(spark) -> dict:
     }
 
 
+def _speed_canary() -> float:
+    """Fixed single-core CPU work (a sha256 chain — no JVM, no alloc
+    churn) timed per worker: the machine-speed control variable the
+    loadavg can't see on a VM (host contention, frequency scaling).
+    Two bench runs whose canaries differ by 20% are measuring two
+    different machines — discount the query-time diff accordingly.
+    r10 motivation: three same-code runs in one evening read 13.9s /
+    15.8s / 18.0s cold totals with idle loadavg; per-query spreads were
+    DISJOINT but uniformly shifted — ambient, not engine, and this
+    number is how the artifact proves it."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-canary"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def worker(sf_dir: str, with_streaming: bool) -> None:
     """One fresh-JVM sample: warmup, one cold pass, N_WARM_PER_RUN warm
     passes (+ optionally the streaming probe).  Emits one JSON line."""
     load_at_start = round(os.getloadavg()[0], 2)
+    canary = _speed_canary()
 
     from gcf_corima_parquet_converter_spark.session import get_spark
     from gcf_corima_parquet_converter_spark import queries as Q
@@ -986,7 +1006,10 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
             file=sys.stderr,
         )
 
-    out = {"cold": cold, "warm": warm, "loadavg_1m": load_at_start}
+    out = {
+        "cold": cold, "warm": warm, "loadavg_1m": load_at_start,
+        "canary_sec": canary,
+    }
     # The streaming probe runs in EVERY worker (median-of-3 across fresh
     # JVMs, r5 verdict: a single sample read 30% lower on unchanged code
     # and was indistinguishable from a regression); the heavier one-shot
@@ -1086,6 +1109,7 @@ def main() -> None:
         # is visible in the artifact instead of masquerading as a
         # regression
         "loadavg_per_run": [s.get("loadavg_1m") for s in samples],
+        "canary_per_run": [s.get("canary_sec") for s in samples],
         "cpus": os.cpu_count(),
     }
     # Durability (r5 verdict "What's wrong" #1): the driver captures only a

@@ -750,7 +750,10 @@ def serve_ann_queries(
     vectors list-partitioned, re-resolved per batch the same way) the
     batch is instead served by ``ivfpq_topk_rerank_batch`` — ADC
     shortlist then ONE probe-pruned exact re-rank job, the full
-    serving recipe.
+    serving recipe.  One freshness boundary remains by design: a full
+    OFFLINE REBUILD (``ivfpq_save`` — new centroids/codebooks) changes
+    the model state this query loaded at start, so restart serving
+    after a rebuild; epoch appends and compactions need no restart.
 
     RECALL CONTRACT: without ``raw_index_path`` the rankings are pure
     ADC — quantization error is the ranking error, and measured

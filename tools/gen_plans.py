@@ -181,6 +181,16 @@ QUERIES = [
         "over the broadcast Q x shortlist pair table; two-phase "
         "local/global per-query top-k, no q_id funnel",
     ),
+    (
+        "q104_bloom_blocklist",
+        "bloom blocklist decontamination: the corpus scans carry the "
+        "k-hash bit probe as a narrow filter joined to ONE broadcast "
+        "row (BroadcastNestedLoopJoin of a single words-array row, "
+        "bit_get codegen — no Python stage); only the maybe-set rides "
+        "the verify anti-join exchange, the clean branch never "
+        "shuffles — exact left_anti semantics at ~fpp-of-corpus "
+        "shuffle cost",
+    ),
 ]
 
 
