@@ -31,12 +31,16 @@ Readers take ``base(v) ∪ {epochs ∉ folded_epochs}``:
 * an epoch appended while the fold ran is NOT in ``E`` → stays visible
   through the epochs union (nothing lost, no pause);
 * a foreachBatch replay that re-materializes an already-folded epoch
-  directory IS in ``folded_epochs`` → filtered out (nothing doubled).
-  This covers the only replay Structured Streaming produces with an
-  existing checkpoint: the last uncommitted micro-batch.  A FRESH
-  checkpoint would restart batch ids at 0 and collide with folded ids
-  — resume with the existing checkpoint, which is also what avoids
-  re-reading the whole source.
+  directory is filtered out (nothing doubled) — by the
+  ``folded_epochs`` list while its directory survives, and FOREVER by
+  the ``folded_watermark``: batch ids are monotonic per stream and
+  foreachBatch executes serially, so every epoch a fold consumed has
+  id <= max(E), and readers drop live epochs <= watermark — O(1)
+  state that outlives the GC of the id list, so even a pathologically
+  late replay (an epoch folded many compactions ago) cannot
+  double-count.  A FRESH checkpoint would restart batch ids at 0 and
+  collide below the watermark — resume with the existing checkpoint,
+  which is also what avoids re-reading the whole source.
 
 GC after the commit is ONE CYCLE DEFERRED for epochs — a compaction
 deletes the epochs folded by the *previous* compaction, never its own
@@ -124,6 +128,7 @@ def manifest_resolve(spark: SparkSession, root: str) -> dict | None:
             continue  # torn write: fall back to the previous commit
         if isinstance(m, dict) and "version" in m:
             m["folded_epochs"] = list(m.get("folded_epochs", []))
+            m["folded_watermark"] = int(m.get("folded_watermark", -1))
             return m
     return None
 
@@ -134,6 +139,7 @@ def manifest_commit(
     version: int,
     folded_epochs: list[int],
     extra: dict | None = None,
+    folded_watermark: int = -1,
 ) -> dict:
     """Commit a new manifest version: ONE new small-file create —
     atomic visibility on object stores (PUT) and a single write+close
@@ -144,6 +150,7 @@ def manifest_commit(
     meta = dict(extra or {})
     meta["version"] = int(version)
     meta["folded_epochs"] = sorted(int(e) for e in folded_epochs)
+    meta["folded_watermark"] = int(folded_watermark)
     out = fs.create(hpath(f"{mdir}/manifest-v{int(version):08d}.json"), True)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
@@ -211,11 +218,15 @@ def read_artifact(
     if m is None:
         return spark.read.parquet(root)
     folded = set(m["folded_epochs"])
+    watermark = int(m.get("folded_watermark", -1))
     parts = []
     bdir = base_dir(root, m["version"])
     if _exists(spark, bdir):
         parts.append(spark.read.parquet(bdir))
-    live = [e for e in list_epochs(spark, root) if e not in folded]
+    live = [
+        e for e in list_epochs(spark, root)
+        if e not in folded and e > watermark
+    ]
     if live:
         parts.append(_read_epochs(spark, root, live))
     if not parts:
@@ -347,13 +358,24 @@ def compact_artifact(
     if _pre_commit_hook is not None:
         _pre_commit_hook()
     new_folded = sorted((folded_prev & present) | set(to_fold))
+    # the watermark only moves forward: everything this fold consumed
+    # has id <= max(to_fold) (batch ids are monotonic, foreachBatch is
+    # serial), so any later re-materialization below it is a replay
+    new_wm = max(
+        int(m.get("folded_watermark", -1)),
+        max(to_fold, default=-1),
+    )
     # artifact-level metadata (anything init_artifact/manifest_commit
-    # recorded beyond the two protocol fields) survives every fold —
-    # e.g. a bloom artifact's pinned (m_bits, n_hashes) geometry
+    # recorded beyond the protocol fields) survives every fold — e.g.
+    # a bloom artifact's pinned (m_bits, n_hashes) geometry
     extra = {
-        k: v for k, v in m.items() if k not in ("version", "folded_epochs")
+        k: v for k, v in m.items()
+        if k not in ("version", "folded_epochs", "folded_watermark")
     }
-    manifest_commit(spark, root, new_version, new_folded, extra=extra)
+    manifest_commit(
+        spark, root, new_version, new_folded, extra=extra,
+        folded_watermark=new_wm,
+    )
     # GC — best-effort; anything that survives is masked by the
     # manifest (folded filter / version pointer) and retried next run.
     # Epoch deletion is deferred one cycle: only LAST cycle's folds go
@@ -385,9 +407,11 @@ def _migrate_legacy(
     from .scale import atomic_swap_dir
 
     df = spark.read.parquet(root)
-    n_epochs = 0
+    n_epochs, wm = 0, -1
     if "epoch" in df.columns:
-        n_epochs = df.select("epoch").distinct().count()
+        epochs = [r[0] for r in df.select("epoch").distinct().collect()]
+        n_epochs = len(epochs)
+        wm = max((e for e in epochs if e is not None), default=-1)
         df = df.drop("epoch")
     folded = fold_fn(df)
     tmp = root + ".migrate.tmp"
@@ -399,7 +423,10 @@ def _migrate_legacy(
         .parquet(base_dir(tmp, 1))
     )
     rows = spark.read.parquet(base_dir(tmp, 1)).count()
-    manifest_commit(spark, tmp, 1, [])
+    # the legacy epochs were folded into this base: the watermark
+    # carries their max id so a resumed stream's replay of the last
+    # pre-migration batch is filtered, not double-counted
+    manifest_commit(spark, tmp, 1, [], folded_watermark=int(wm))
     atomic_swap_dir(spark, root, tmp)
     return {"version": 1, "epochs_folded": n_epochs, "rows": rows,
             "migrated": True}

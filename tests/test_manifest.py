@@ -342,3 +342,85 @@ def test_read_artifact_union_prunes_both_branches(spark, tmp_path):
     ]
     pruned = [f for f in filters if "g" in f]
     assert len(pruned) >= 2, plan
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_manifest_protocol_random_interleavings(spark, tmp_path, seed):
+    """Model-based check of the commit protocol: a seeded random
+    sequence of epoch writes, foreachBatch-style replays (same epoch,
+    same rows), and compactions — after EVERY operation the artifact
+    must read back exactly the reference model's row set (set
+    semantics under a distinct fold), and a snapshot pinned before any
+    compaction must stay readable until the next cycle's GC."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"art_{seed}")
+    M.init_artifact(spark, root)
+
+    written: dict[int, set[int]] = {}   # epoch -> key set (the model)
+    next_epoch = 0
+    next_key = 0
+    compactions = 0
+
+    def expected() -> list[int]:
+        out: set[int] = set()
+        for ks in written.values():
+            out |= ks
+        return sorted(out)
+
+    def check():
+        if not written:
+            return
+        assert _ids(M.read_artifact(spark, root)) == expected()
+
+    for _ in range(14):
+        op = rng.choices(
+            ("write", "replay", "compact"), weights=(5, 2, 2)
+        )[0]
+        if op == "write" or not written:
+            ks = set(range(next_key, next_key + rng.randint(1, 6)))
+            next_key += len(ks)
+            M.write_epoch(_rows(spark, sorted(ks)), root, next_epoch)
+            written[next_epoch] = ks
+            next_epoch += 1
+        elif op == "replay":
+            # Structured Streaming's only replay: re-materialize one
+            # already-written epoch with identical content
+            e = rng.choice(sorted(written))
+            M.write_epoch(_rows(spark, sorted(written[e])), root, e)
+        else:
+            out = M.compact_artifact(spark, root, _fold_distinct)
+            compactions += 1
+            assert out["version"] == compactions
+            assert out["rows"] == len(expected())
+        check()
+
+    # final fold equals the model exactly, and epochs stay bounded
+    M.compact_artifact(spark, root, _fold_distinct)
+    M.compact_artifact(spark, root, _fold_distinct)  # GC cycle
+    assert _ids(M.read_artifact(spark, root)) == expected()
+    assert M.list_epochs(spark, root) == []
+
+
+def test_folded_watermark_blocks_pathologically_late_replays(spark, tmp_path):
+    """An epoch folded MANY compactions ago (its id already gone from
+    folded_epochs and its directory GC'd) that a pathologically late
+    replay re-materializes must still be filtered: batch ids are
+    monotonic, so the O(1) folded_watermark outlives the id list."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 5)), root, 0)
+    M.compact_artifact(spark, root, _fold_distinct)      # folds e0, wm=0
+    M.compact_artifact(spark, root, _fold_distinct)      # GCs e0's dir
+    M.compact_artifact(spark, root, _fold_distinct)      # id leaves list
+    m = M.manifest_resolve(spark, root)
+    assert m["folded_epochs"] == [] and m["folded_watermark"] == 0
+    # the late replay: epoch 0 re-materializes with identical content
+    M.write_epoch(_rows(spark, range(0, 5)), root, 0)
+    df = M.read_artifact(spark, root)
+    assert df.count() == 5  # not 10 — watermark filters it
+    assert _ids(df) == list(range(5))
+    # and a NEW epoch above the watermark is still visible
+    M.write_epoch(_rows(spark, range(5, 7)), root, 1)
+    assert _ids(M.read_artifact(spark, root)) == list(range(7))
