@@ -1347,8 +1347,7 @@ def load_dedup_index(spark, path: str):
     only."""
     from .manifest import read_artifact
 
-    df = read_artifact(spark, path)
-    return df.drop("epoch") if "epoch" in df.columns else df
+    return read_artifact(spark, path, drop_epoch=True)
 
 
 def lsh_tuning_report(

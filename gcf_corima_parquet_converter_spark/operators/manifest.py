@@ -69,6 +69,13 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _KEEP_MANIFESTS = 3  # current + history for debugging/rollback
+# Per-epoch commit marker: a Spark write materializes an epoch's task
+# files one rename at a time at job commit, so "the directory exists"
+# is NOT "the epoch is complete".  write_epoch PUTs this zero-byte
+# file AFTER the data write succeeds; list_epochs counts only marked
+# epochs, so neither a reader nor a concurrent compaction can consume
+# (and then mask via folded_epochs/watermark) a half-committed epoch.
+_EPOCH_MARKER = "_EPOCH_COMMITTED"
 
 
 def _hadoop(spark: SparkSession, path: str):
@@ -178,8 +185,16 @@ def init_artifact(spark: SparkSession, root: str, extra: dict | None = None) -> 
     return manifest_commit(spark, root, 0, [], extra)
 
 
-def list_epochs(spark: SparkSession, root: str) -> list[int]:
-    """Epoch ids currently materialized under ``<root>/epochs``."""
+def list_epochs(
+    spark: SparkSession, root: str, committed_only: bool = True
+) -> list[int]:
+    """Epoch ids materialized under ``<root>/epochs``.  By default only
+    COMMITTED epochs (``_EPOCH_COMMITTED`` marker present) are
+    returned — a directory mid-write is invisible to readers and, more
+    importantly, to ``compact_artifact``'s snapshot, which would
+    otherwise fold a partial epoch and mask its late-landing files
+    forever.  ``committed_only=False`` lists every directory
+    (diagnostics)."""
     edir = epochs_dir(root)
     fs, hpath = _hadoop(spark, edir)
     if not fs.exists(hpath(edir)):
@@ -189,9 +204,14 @@ def list_epochs(spark: SparkSession, root: str) -> list[int]:
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("epoch="):
             try:
-                out.append(int(name[len("epoch="):]))
+                e = int(name[len("epoch="):])
             except ValueError:
                 continue
+            if committed_only and not fs.exists(
+                hpath(f"{edir}/{name}/{_EPOCH_MARKER}")
+            ):
+                continue
+            out.append(e)
     return sorted(out)
 
 
@@ -204,7 +224,10 @@ def _read_epochs(
 
 
 def read_artifact(
-    spark: SparkSession, root: str, manifest: dict | None = None
+    spark: SparkSession,
+    root: str,
+    manifest: dict | None = None,
+    drop_epoch: bool = False,
 ) -> DataFrame:
     """Read an artifact through its manifest: ``base/v<N>`` UNION the
     epochs not yet folded — lazy, partition-prunable on every partition
@@ -212,11 +235,18 @@ def read_artifact(
     Pass ``manifest`` to pin a snapshot already resolved; otherwise the
     current manifest is resolved (one small-file read + one listing).
     A legacy directory (no ``_manifests/``) reads as-is, so every
-    pre-manifest artifact keeps working unchanged."""
+    pre-manifest artifact keeps working unchanged.  ``drop_epoch=True``
+    removes the ``epoch`` bookkeeping column when present — the shared
+    idiom of every row-consuming loader (``dedup.load_dedup_index``,
+    ``sketches.load_sketch_shards``)."""
     root = root.rstrip("/")
     m = manifest if manifest is not None else manifest_resolve(spark, root)
     if m is None:
-        return spark.read.parquet(root)
+        _recover_interrupted_swap(spark, root)
+        df = spark.read.parquet(root)
+        if drop_epoch and "epoch" in df.columns:
+            df = df.drop("epoch")
+        return df
     folded = set(m["folded_epochs"])
     watermark = int(m.get("folded_watermark", -1))
     parts = []
@@ -234,6 +264,8 @@ def read_artifact(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if drop_epoch and "epoch" in df.columns:
+        df = df.drop("epoch")
     return df
 
 
@@ -257,7 +289,13 @@ def write_epoch(
     no base — the maintenance-from-nothing birth path); a root that
     already holds pre-manifest data refuses the write, because its
     legacy readers scan the whole root and a nested ``epochs/`` tree
-    would break them — run ``compact_artifact`` once to migrate."""
+    would break them — run ``compact_artifact`` once to migrate.
+
+    Epoch-level commit: the ``_EPOCH_COMMITTED`` marker is PUT only
+    after the data write succeeds (and a replay's dynamic overwrite
+    removes the stale marker with the old directory before the
+    rewrite), so concurrent readers and compactions — which only
+    trust marked epochs — can never consume a half-written one."""
     spark = df.sparkSession
     if manifest_resolve(spark, root) is None:
         if _exists(spark, root):
@@ -279,6 +317,9 @@ def write_epoch(
             .partitionBy("epoch", *partition_cols)
             .parquet(epochs_dir(root))
         )
+    marker = f"{epochs_dir(root)}/epoch={int(epoch_id)}/{_EPOCH_MARKER}"
+    fs, hpath = _hadoop(spark, marker)
+    fs.create(hpath(marker), True).close()
 
 
 def compact_artifact(
@@ -393,6 +434,21 @@ def compact_artifact(
     }
 
 
+def _recover_interrupted_swap(spark: SparkSession, root: str) -> None:
+    """A legacy migration that died between ``atomic_swap_dir``'s two
+    renames leaves no live directory and the data parked at
+    ``<root>.compact.old`` — restore it BEFORE any read, so the
+    retried migration (and every plain legacy read) self-heals instead
+    of failing on the missing path."""
+    old = root + ".compact.old"
+    fs, hpath = _hadoop(spark, root)
+    if not fs.exists(hpath(root)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(root)):
+            raise IOError(
+                f"could not restore {old!r} over the missing {root!r}"
+            )
+
+
 def _migrate_legacy(
     spark: SparkSession,
     root: str,
@@ -406,6 +462,7 @@ def _migrate_legacy(
     once; every compaction after it is manifest-committed."""
     from .scale import atomic_swap_dir
 
+    _recover_interrupted_swap(spark, root)
     df = spark.read.parquet(root)
     n_epochs, wm = 0, -1
     if "epoch" in df.columns:

@@ -93,21 +93,16 @@ def bloom_build(
     keys = df.select(F.col(key_col).alias("_k"))
     if (m_bits is None) != (n_hashes is None):
         raise ValueError("pass m_bits and n_hashes together, or neither")
+    n = (
+        int(expected_items)
+        if expected_items is not None
+        else keys.distinct().count()
+    )
     if m_bits is not None:
         if m_bits % 64 or not 0 < m_bits <= _MAX_BITS:
             raise ValueError(f"m_bits must be a multiple of 64 <= {_MAX_BITS}")
-        n = (
-            int(expected_items)
-            if expected_items is not None
-            else keys.distinct().count()
-        )
         m_bits, n_hashes = int(m_bits), int(n_hashes)
     else:
-        n = (
-            int(expected_items)
-            if expected_items is not None
-            else keys.distinct().count()
-        )
         m_bits, n_hashes = bloom_params(n, fpp)
     pos = keys.select(
         F.explode(
@@ -228,11 +223,7 @@ def bloom_decontaminate(
 def bloom_save(spark: SparkSession, bloom: dict, path: str) -> None:
     """Persist a built filter as one parquet row (like the ANN model
     artifacts: small state, any filesystem the session reaches)."""
-    spark.createDataFrame(
-        [(int(bloom["m_bits"]), int(bloom["n_hashes"]),
-          int(bloom["n_items"]), bloom["words"])],
-        "m_bits long, n_hashes int, n_items long, words array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    _bloom_row_df(spark, bloom).write.mode("overwrite").parquet(path)
 
 
 def bloom_load(spark: SparkSession, path: str) -> dict:

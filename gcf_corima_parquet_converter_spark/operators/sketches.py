@@ -366,8 +366,7 @@ def load_sketch_shards(spark, path: str) -> DataFrame:
     column is dropped — the merge functions see shard rows only."""
     from .manifest import read_artifact
 
-    df = read_artifact(spark, path)
-    return df.drop("epoch") if "epoch" in df.columns else df
+    return read_artifact(spark, path, drop_epoch=True)
 
 
 def compact_sketch_shards(spark, path: str, fold_fn) -> dict:

@@ -424,3 +424,37 @@ def test_folded_watermark_blocks_pathologically_late_replays(spark, tmp_path):
     # and a NEW epoch above the watermark is still visible
     M.write_epoch(_rows(spark, range(5, 7)), root, 1)
     assert _ids(M.read_artifact(spark, root)) == list(range(7))
+
+
+def test_uncommitted_epoch_invisible_to_readers_and_compaction(
+    spark, tmp_path
+):
+    """The epoch-marker contract: an epoch directory whose data landed
+    but whose _EPOCH_COMMITTED marker hasn't been PUT (a write still
+    in its job-commit window) is invisible to readers AND to
+    compact_artifact's snapshot — folding it would mask its
+    late-landing files forever via folded_epochs/watermark."""
+    root = str(tmp_path / "art")
+    M.init_artifact(spark, root)
+    M.write_epoch(_rows(spark, range(0, 4)), root, 0)
+    # epoch 1: data files present, marker absent = mid-commit
+    _rows(spark, range(4, 8)).write.parquet(
+        M.epochs_dir(root) + "/epoch=1"
+    )
+    assert M.list_epochs(spark, root) == [0]
+    assert M.list_epochs(spark, root, committed_only=False) == [0, 1]
+    assert _ids(M.read_artifact(spark, root)) == [0, 1, 2, 3]
+
+    out = M.compact_artifact(spark, root, _fold_distinct)
+    assert out["epochs_folded"] == 1 and out["rows"] == 4
+    m = M.manifest_resolve(spark, root)
+    assert m["folded_epochs"] == [0] and m["folded_watermark"] == 0
+
+    # the write completes (write_epoch replay-rewrites its own epoch
+    # and PUTs the marker): the epoch becomes visible, nothing masked
+    M.write_epoch(_rows(spark, range(4, 8)), root, 1)
+    assert M.list_epochs(spark, root) == [0, 1]
+    assert _ids(M.read_artifact(spark, root)) == list(range(8))
+    out2 = M.compact_artifact(spark, root, _fold_distinct)
+    assert out2["rows"] == 8
+    assert _ids(M.read_artifact(spark, root)) == list(range(8))
