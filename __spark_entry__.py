@@ -135,6 +135,15 @@ _DEMOTED_REDUNDANT = (
     # aggregation stays covered in-window by q16 (string functions) and
     # q08 (per-group ordered windows), oracle-verified locally.
     "q43_ordered_string_agg",
+    # r11 rotation: q104_bloom_blocklist PROMOTED into the graded window
+    # (r10 verdict #3 — the r10-new Bloom membership family gets
+    # driver-grade evidence).  q91_heavy_hitters takes its slot: q91 and
+    # q99 are the SAME top-k frequency-sketch family and both sat
+    # in-window — q99 (heavy hitters MERGED across shards) is the
+    # superset shape (accumulate + merge + rank vs q91's one-shot), so
+    # q91 stays covered in-window by q99 and locally by test_sketches +
+    # test_queries_oracle.
+    "q91_heavy_hitters",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 N_WARM_PER_RUN = 2
 
+# Reference machine speed for canary normalization: the sha256-chain
+# canary's reading on this box UNLOADED (r10 measured 0.084-0.104 across
+# one evening; the floor is the uncontended speed).  Pinned as a
+# CONSTANT so every round normalizes against the same ruler —
+# normalized_time = raw_time * (CANARY_REF_SEC / run_canary_sec).
+CANARY_REF_SEC = 0.084
+
 # Representative slice of the corpus: scan+agg, multi-join, window,
 # event-time, dedup (exact + minhash), similarity top-k, text scoring,
 # and the flagship telemetry pipeline.
@@ -697,11 +704,12 @@ def bench_ann_1m(spark) -> dict:
 # rows, same distributional shapes — tools/gen_sf.py); a per-query
 # wall-time ratio ~<= the 10x data ratio says the plan scales linearly
 # in this decade, a superlinear outlier is a real finding.
-SCALING_QUERIES = [
-    "q00_flagship_daily_rms",
-    "q03_region_revenue",
-    "q26_minhash_near_dup",
-    "q60_curation_pipeline",
+# r11 (r10 verdict #1): the FULL headline set scales to sf1, not a
+# 5-query sample — sf1 runs are seconds-long, which amortizes the host
+# contention that dominates sub-second sf0.1 timings, so the sf1 column
+# is the trustworthy cross-round perf signal.  q75 rides along (span
+# dedup has no headline twin and its decade behavior is worth pinning).
+SCALING_QUERIES = HEADLINE + [
     "q75_duplicate_spans",
 ]
 
@@ -959,7 +967,7 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
     """One fresh-JVM sample: warmup, one cold pass, N_WARM_PER_RUN warm
     passes (+ optionally the streaming probe).  Emits one JSON line."""
     load_at_start = round(os.getloadavg()[0], 2)
-    canary = _speed_canary()
+    canary_pre = _speed_canary()
 
     from gcf_corima_parquet_converter_spark.session import get_spark
     from gcf_corima_parquet_converter_spark import queries as Q
@@ -1006,9 +1014,14 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
             file=sys.stderr,
         )
 
+    # second canary AFTER the headline loop: contention moves within a
+    # run; the mean of the two brackets the conditions the queries
+    # actually ran under (the normalization divisor in main)
+    canary_post = _speed_canary()
     out = {
         "cold": cold, "warm": warm, "loadavg_1m": load_at_start,
-        "canary_sec": canary,
+        "canary_sec": round((canary_pre + canary_post) / 2, 4),
+        "canary_pre": canary_pre, "canary_post": canary_post,
     }
     # The streaming probe runs in EVERY worker (median-of-3 across fresh
     # JVMs, r5 verdict: a single sample read 30% lower on unchanged code
@@ -1053,18 +1066,38 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    norm_cold: dict[str, float] = {}
+    norm_warm: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name in HEADLINE:
         colds = sorted(s["cold"][name] for s in samples)
         warms = sorted(w for s in samples for w in s["warm"][name])
         timings[name] = round(statistics.median(colds), 3)
         warm[name] = round(statistics.median(warms), 3)
+        # canary-normalized timings (r10 verdict #1): each worker's
+        # samples scale by CANARY_REF_SEC / its own canary — a worker
+        # on a contended host ran a "slower machine", so its raw times
+        # shrink toward what the reference-speed machine would read.
+        # Cross-round comparisons should read THESE columns; the raw
+        # ones stay for continuity with r1..r10.
+        ncolds = sorted(
+            s["cold"][name] * (CANARY_REF_SEC / s["canary_sec"])
+            for s in samples
+        )
+        nwarms = sorted(
+            w * (CANARY_REF_SEC / s["canary_sec"])
+            for s in samples
+            for w in s["warm"][name]
+        )
+        norm_cold[name] = round(statistics.median(ncolds), 3)
+        norm_warm[name] = round(statistics.median(nwarms), 3)
         # variance telemetry (r8 task #5): the round-over-round diff is
         # only a finding when the two rounds' [min, max] ranges don't
         # overlap — anything inside the spread is machine noise
         spread[name] = {
             "cold": [round(colds[0], 3), round(colds[-1], 3)],
             "warm": [round(warms[0], 3), round(warms[-1], 3)],
+            "warm_norm": [round(nwarms[0], 3), round(nwarms[-1], 3)],
         }
 
     # Streaming probe: per-field median across the N fresh-JVM samples
@@ -1092,8 +1125,13 @@ def main() -> None:
         "queries": timings,
         "queries_cold": timings,
         "queries_warm": warm,
+        "queries_cold_norm": norm_cold,
+        "queries_warm_norm": norm_warm,
         "queries_spread": spread,
         "total_warm_wall_sec": round(sum(warm.values()), 3),
+        "total_cold_norm_wall_sec": round(sum(norm_cold.values()), 3),
+        "total_warm_norm_wall_sec": round(sum(norm_warm.values()), 3),
+        "canary_ref_sec": CANARY_REF_SEC,
         "plan_audit": samples[-1].get("plan_audit"),
         "streaming": streaming,
         "ann": samples[-1].get("ann"),
@@ -1139,6 +1177,9 @@ def main() -> None:
         "queries_label": "cold",
         "sf": sf,
         "warm_total": result["total_warm_wall_sec"],
+        "cold_norm_total": result["total_cold_norm_wall_sec"],
+        "warm_norm_total": result["total_warm_norm_wall_sec"],
+        "canary_per_run": result["canary_per_run"],
         "runs": N_RUNS,
         "cpus": result["cpus"],
         "loadavg_per_run": result["loadavg_per_run"],

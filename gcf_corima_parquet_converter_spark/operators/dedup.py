@@ -457,10 +457,33 @@ def minhash_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     target_threshold: float | None = None,
+    max_bucket: int | None = 1024,
     _validate: bool = True,
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
     some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
+
+    HOT-BUCKET CAP (``max_bucket``, default 1024): the band self-join
+    emits B(B-1)/2 pairs per band-hash bucket — quadratic in bucket
+    size, and real corpora ARE skewed (mass-produced boilerplate puts
+    thousands of near-identical docs in the SAME bucket of EVERY band:
+    one 50k-doc template family is 1.25B pairs x bands without a cap).
+    Buckets over the cap switch to STAR LINKING: every member pairs
+    with the bucket's min-id representative only — O(B) pairs, and the
+    mass-duplicate cluster that CAUSED the hotness stays fully
+    connected through the rep (identical/near-identical docs all
+    verify against it; downstream ``dedup_components`` /
+    ``dedup_keep_first`` see one component either way).  What star
+    linking can miss: a pair inside a hot bucket where BOTH sides are
+    near-dups of each other but NOT of the rep — rare by construction
+    (they share a full band with the rep to be in its bucket) and the
+    price of boundedness; recall on planted clusters is pinned by
+    tests.  ``max_bucket=None`` disables the cap (exact legacy
+    behavior).  Cold buckets are untouched — the cap changes nothing
+    until a bucket actually goes hot.  Sizing: the cap bounds
+    worst-case pair growth at ``max_bucket`` x rows instead of rows²;
+    1024 keeps any bucket under ~0.5M pairs while staying far above
+    organic collision rates.
 
     ``target_threshold`` replaces hand-picked banding with intent:
     when set, ``bands``/``rows_per_band`` are IGNORED and derived via
@@ -519,14 +542,41 @@ def minhash_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
-    return (
+    if max_bucket is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+        return (
+            a.join(b, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    if int(max_bucket) < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    # bucket stats shuffle on the SAME (band, bh) key as the self-join
+    # below, so AQE reuses the exchange; the join-back is a shuffle
+    # hash join on the already-partitioned data
+    stats = banded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
+    )
+    tagged = banded.join(stats, ["band", "bh"])
+    cold = tagged.where(F.col("_bsz") <= int(max_bucket))
+    a = cold.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = cold.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cold_pairs = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # star linking: _rep is the bucket min, so id_a < id_b holds
+    hot_pairs = (
+        tagged.where(
+            (F.col("_bsz") > int(max_bucket))
+            & (F.col(id_col) != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def minhash_dedup_pairs(
@@ -538,9 +588,15 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     target_threshold: float | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup: cheap recall phase, exact precision phase).
+
+    ``max_bucket`` is :func:`minhash_candidate_pairs`' hot-bucket cap
+    (star linking above it — see there); the exact verify phase then
+    trims the star pairs like any other candidate, so precision is
+    unaffected, only worst-case pair VOLUME is bounded.
 
     ``target_threshold`` derives ``bands`` from ``k`` via
     :func:`lsh_params_for_threshold` so the recall phase's S-curve
@@ -568,7 +624,8 @@ def minhash_dedup_pairs(
     # _validate=False: _signature_array(k) always yields length k >=
     # bands*(k//bands), so the length guard cannot fire here
     cand = minhash_candidate_pairs(
-        sigs, id_col, bands=bands, rows_per_band=k // bands, _validate=False
+        sigs, id_col, bands=bands, rows_per_band=k // bands,
+        max_bucket=max_bucket, _validate=False
     )
     return _verify_exact_jaccard(sets, cand, id_col, threshold)
 
@@ -690,9 +747,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str, max_bucket: int | None = 1024
+) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit chunk of the
-    simhash (pigeonhole: catches all pairs with Hamming distance <= 3)."""
+    simhash (pigeonhole: catches all pairs with Hamming distance <= 3).
+
+    ``max_bucket`` caps hot chunk buckets exactly like
+    :func:`minhash_candidate_pairs`' band buckets (the failure mode is
+    identical: a mass-duplicate family shares every chunk, so one
+    bucket goes quadratic): buckets over the cap emit star pairs
+    against the bucket's min-id representative instead of the full
+    self-join — the cluster stays connected (identical docs have
+    hamming 0 to the rep), worst-case volume is linear.  ``None``
+    disables."""
     chunks = F.array(
         *[
             F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
@@ -700,15 +768,46 @@ def simhash_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
         ]
     )
     e = sig_df.select(F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk", "cv"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
-    pairs = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    if max_bucket is None:
+        a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
+        b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
+        pairs = (
+            a.join(b, ["chunk", "cv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
+        )
+        return pairs.withColumn("hamming", hamming)
+    if int(max_bucket) < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    stats = e.groupBy("chunk", "cv").agg(
+        F.count(F.lit(1)).alias("_bsz"),
+        F.min(id_col).alias("_rep"),
+        F.min_by("simhash", F.col(id_col)).alias("_rep_sh"),
+    )
+    tagged = e.join(stats, ["chunk", "cv"])
+    cold = tagged.where(F.col("_bsz") <= int(max_bucket))
+    a = cold.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
+    b = cold.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
+    cold_pairs = (
         a.join(b, ["chunk", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hot_pairs = (
+        tagged.where(
+            (F.col("_bsz") > int(max_bucket))
+            & (F.col(id_col) != F.col("_rep"))
+        )
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_rep_sh").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+    )
+    pairs = cold_pairs.unionByName(hot_pairs).distinct()
     return pairs.withColumn("hamming", hamming)
 
 

@@ -292,10 +292,19 @@ def write_epoch(
     would break them — run ``compact_artifact`` once to migrate.
 
     Epoch-level commit: the ``_EPOCH_COMMITTED`` marker is PUT only
-    after the data write succeeds (and a replay's dynamic overwrite
-    removes the stale marker with the old directory before the
-    rewrite), so concurrent readers and compactions — which only
-    trust marked epochs — can never consume a half-written one."""
+    after the data write succeeds, and on the overwrite (replay) path
+    the stale marker is EXPLICITLY deleted before the rewrite starts.
+    The explicit delete matters for partitioned epochs: with
+    ``partition_cols`` non-empty, dynamic partition overwrite replaces
+    only the LEAF dirs (``epoch=N/centroid_id=.../``) and leaves a
+    marker sitting at ``epoch=N/`` untouched — relying on the
+    overwrite to clear it (as the flat ``partitionBy('epoch')`` case
+    happens to) would let a concurrent ``compact_artifact`` snapshot a
+    half-rewritten epoch as "committed" and mask the rest of the
+    replay behind the folded watermark forever.  With the delete, the
+    epoch is unmarked for the whole rewrite window, so readers and
+    compactions — which only trust marked epochs — can never consume a
+    half-written one."""
     spark = df.sparkSession
     if manifest_resolve(spark, root) is None:
         if _exists(spark, root):
@@ -305,20 +314,25 @@ def write_epoch(
                 "epochs"
             )
         init_artifact(spark, root)
+    marker = f"{epochs_dir(root)}/epoch={int(epoch_id)}/{_EPOCH_MARKER}"
+    fs, hpath = _hadoop(spark, marker)
     w = df.withColumn("epoch", F.lit(int(epoch_id))).write
     if append:
         w.mode("append").partitionBy("epoch", *partition_cols).parquet(
             epochs_dir(root)
         )
     else:
+        # un-commit the epoch BEFORE the rewrite (see docstring): the
+        # dynamic overwrite does not reliably remove a marker above
+        # partition_cols leaves, and the epoch must read as
+        # uncommitted for the whole rewrite window
+        fs.delete(hpath(marker), False)
         (
             w.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch", *partition_cols)
             .parquet(epochs_dir(root))
         )
-    marker = f"{epochs_dir(root)}/epoch={int(epoch_id)}/{_EPOCH_MARKER}"
-    fs, hpath = _hadoop(spark, marker)
     fs.create(hpath(marker), True).close()
 
 

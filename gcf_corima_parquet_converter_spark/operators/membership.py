@@ -38,6 +38,7 @@ artifact here (centroids, codebooks).
 from __future__ import annotations
 
 import math
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -179,6 +180,7 @@ def bloom_decontaminate(
     fpp: float = 0.01,
     expected_items: int | None = None,
     bloom: dict | None = None,
+    persist_corpus: bool = False,
 ) -> DataFrame:
     """Drop every corpus row whose key appears in ``blocklist`` —
     EXACT anti-join semantics at narrow-map cost: rows the filter
@@ -199,6 +201,17 @@ def bloom_decontaminate(
     twice (clean branch + maybe branch), both narrow; only the
     maybe-set crosses the wire.
 
+    DETERMINISM REQUIREMENT: because the two branches are
+    complementary predicates over separate scans, the corpus must
+    evaluate identically on both — true for any parquet/table source,
+    FALSE for a non-deterministic frame (``sample()`` without a seed,
+    ``limit`` without an order, a source mutating between scans),
+    where the branches can disagree and drop or duplicate rows
+    relative to the single-pass anti-join.  For such inputs pass
+    ``persist_corpus=True`` (pins one materialization both branches
+    read; unpersist is the caller's job via the returned frame's
+    lineage — or persist upstream yourself).
+
     Measured regime (bench ``membership``): on a single JVM the plain
     anti-join WINS (~0.5-0.6x at 4-8M rows) — a local shuffle is
     RAM-speed, so the avoided Exchange saves nothing while the second
@@ -209,6 +222,9 @@ def bloom_decontaminate(
     limit, where the plan contract (zero corpus Exchange, test-pinned)
     is the difference between touching 100 TB once and shipping it."""
     bcol = block_col or key_col
+    _advise_if_antijoin_cheaper(corpus, blocklist, "bloom_decontaminate")
+    if persist_corpus:
+        corpus = corpus.persist()
     block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()
     if bloom is None:
         bloom = bloom_build(
@@ -218,6 +234,96 @@ def bloom_decontaminate(
     maybe = bloom_filter_members(corpus, key_col, bloom, "maybe")
     survivors = maybe.join(block_keys, key_col, "left_anti")
     return clean.unionByName(survivors)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame — file-stat-based for table
+    scans, computed for generated relations.  No job runs; the same
+    number the planner itself uses for broadcast decisions."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip()
+    try:  # plain (possibly negative: -1 = disabled) byte count
+        return int(raw)
+    except ValueError:
+        pass
+    return int(
+        spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw)
+    )
+
+
+def _advise_if_antijoin_cheaper(
+    corpus: DataFrame, blocklist: DataFrame, caller: str
+) -> None:
+    """The measured regime (bench ``membership``, r10): when the
+    blocklist fits the broadcast threshold, the plain broadcast
+    anti-join beats the bloom path EVERYWHERE (no shuffle to avoid, and
+    the k-hash probe + second corpus scan are pure cost).  Callers who
+    reach for the bloom in that regime get one warning with the fix —
+    estimate from Catalyst plan stats, zero jobs run."""
+    try:
+        spark = corpus.sparkSession
+        thresh = _broadcast_threshold_bytes(spark)
+        if thresh > 0 and _plan_size_bytes(blocklist) <= thresh:
+            warnings.warn(
+                f"{caller}: the blocklist's estimated size fits the "
+                "broadcast threshold — a plain "
+                "corpus.join(blocklist, key, 'left_anti') broadcasts it "
+                "and wins (no corpus shuffle to avoid, and the bloom "
+                "probe + second scan are pure overhead).  Use "
+                "decontaminate_auto() to pick the path from size "
+                "estimates automatically.",
+                stacklevel=3,
+            )
+    except Exception:
+        pass  # advisory only — never fail the operator over telemetry
+
+
+def decontaminate_auto(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    key_col: str,
+    block_col: str | None = None,
+    fpp: float = 0.01,
+    corpus_factor: float = 4.0,
+) -> DataFrame:
+    """Exact blocklist decontamination with the PATH chosen from size
+    estimates (Catalyst plan stats — no job runs):
+
+    1. blocklist fits the broadcast threshold → plain ``left_anti``
+       (the planner broadcasts it; nothing for a bloom to save);
+    2. blocklist too big to broadcast, corpus estimated at least
+       ``corpus_factor`` x larger, and the bloom's bit array fits the
+       broadcast premise → :func:`bloom_decontaminate` (the corpus
+       never shuffles; only the maybe-set pays the verify join);
+    3. otherwise → plain shuffle ``left_anti`` (comparable sizes: both
+       sides shuffle once, the bloom's second scan buys nothing).
+
+    All three paths return EXACTLY ``corpus.join(blocklist, key,
+    'left_anti')`` rows; the choice is a plan decision only."""
+    bcol = block_col or key_col
+    block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()
+    spark = corpus.sparkSession
+    thresh = _broadcast_threshold_bytes(spark)
+    block_bytes = _plan_size_bytes(blocklist)
+    if thresh > 0 and block_bytes <= thresh:
+        return corpus.join(F.broadcast(block_keys), key_col, "left_anti")
+    corpus_bytes = _plan_size_bytes(corpus)
+    # ~10 bits/key at 1%: estimate keys from bytes via a conservative
+    # 16 B/key, so the bloom-size check errs toward "too big"
+    est_keys = max(1, block_bytes // 16)
+    m_bits, _ = bloom_params(est_keys, fpp)
+    if corpus_bytes >= corpus_factor * block_bytes and m_bits < _MAX_BITS:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the advisory doesn't apply
+            return bloom_decontaminate(
+                corpus, blocklist, key_col, block_col=block_col, fpp=fpp
+            )
+    return corpus.join(block_keys, key_col, "left_anti")
 
 
 def bloom_save(spark: SparkSession, bloom: dict, path: str) -> None:

@@ -19,6 +19,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+# "Driver-sized by contract" is ENFORCED, not hoped: the batch-serving
+# entry points that .collect() a query table cap it here.  The cap is a
+# count of QUERY ROWS, not bytes — at typical dims (64-1536 doubles) a
+# 100k-row batch is 50 MB-1.2 GB of driver heap; past that the caller
+# should chunk the batch (the serving shape amortizes the corpus scan
+# per chunk just as well) rather than grow the driver.
+DEFAULT_MAX_QUERY_BATCH = 100_000
+
+
+def _require_driver_sized(
+    queries: DataFrame, max_query_batch: int, fn_name: str
+) -> None:
+    """Fail fast — BEFORE any collect — when the query batch exceeds
+    the driver-sized contract.  One cheap ``limit(n+1).count()`` job
+    (reads at most n+1 rows, never materializes vectors driver-side)."""
+    cap = int(max_query_batch)
+    if cap <= 0:
+        raise ValueError(f"max_query_batch must be positive, got {cap}")
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{fn_name}: query batch exceeds max_query_batch={cap} rows "
+            "— the batch is collected to the driver by contract; chunk "
+            "the query table and call per chunk, or raise the cap "
+            "explicitly if the driver has the heap for it"
+        )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Exact dot product of two float array columns, accumulated in
     double, sequential order (matches DuckDB list_dot_product on
@@ -1125,12 +1152,14 @@ def ivfpq_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     residual: bool = False,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """ADC search for a BATCH of queries in one pass over the codes —
     :func:`ivfpq_topk`'s pruning composed with :func:`ivf_topk_batch`'s
-    serving shape.  The query batch is driver-sized by contract: per
-    query the driver computes the probe list AND the flattened
-    ``m*n_codes`` ADC LUT; two broadcast joins attach them to the codes
+    serving shape.  The query batch is driver-sized by contract
+    (enforced — over ``max_query_batch`` rows raises before any
+    collect): per query the driver computes the probe list AND the
+    flattened ``m*n_codes`` ADC LUT; two broadcast joins attach them to the codes
     scan — probes on ``centroid_id`` (so each code row is scored only
     against the queries probing its list, and the scan prunes to the
     union of probed partitions), LUTs on ``q_id`` (so the LUT is
@@ -1155,6 +1184,7 @@ def ivfpq_topk_batch(
         StructType,
     )
 
+    _require_driver_sized(queries, max_query_batch, "ivfpq_topk_batch")
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
@@ -1232,6 +1262,7 @@ def ivfpq_topk_rerank_batch(
     q_vec_col: str = "q_vec",
     residual: bool = False,
     scale: int = 1_000_000,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """The full IVF-PQ serving recipe for a query BATCH: one ADC pass
     over the pruned codes yields every query's ``shortlist`` (default
@@ -1249,6 +1280,7 @@ def ivfpq_topk_rerank_batch(
         base, centroids, codebooks, queries,
         k=shortlist, n_probe=n_probe, id_col=id_col,
         q_id_col=q_id_col, q_vec_col=q_vec_col, residual=residual,
+        max_query_batch=max_query_batch,
     ).select(q_id_col, id_col)
     if "centroid_id" in emb.columns:
         cents = np.asarray(centroids, dtype=np.float64)
@@ -1435,12 +1467,15 @@ def ivf_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     scale: int = 1_000_000,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """IVF search for a BATCH of queries in one pass — ``ivf_topk``'s
     probe pruning composed with ``batch_cosine_topk``'s serving shape.
 
-    The query batch is driver-sized by contract (it broadcasts whole),
-    so per-query probe lists are computed driver-side against the
+    The query batch is driver-sized by contract (it broadcasts whole)
+    and the contract is enforced: batches over ``max_query_batch`` rows
+    raise before anything is collected — chunk the query table instead.
+    Per-query probe lists are computed driver-side against the
     codebook; their (q_id, centroid_id, q_vec) rows broadcast-join the
     assigned corpus on ``centroid_id``.  Each corpus row is therefore
     scored ONLY against the queries probing its centroid — the scan is
@@ -1451,6 +1486,7 @@ def ivf_topk_batch(
     """
     from pyspark.sql import Window
 
+    _require_driver_sized(queries, max_query_batch, "ivf_topk_batch")
     cents = np.asarray(centroids, dtype=np.float64)
     qrows = queries.select(q_id_col, q_vec_col).collect()
     probe_rows = []

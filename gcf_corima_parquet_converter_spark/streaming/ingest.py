@@ -985,7 +985,14 @@ def bloom_dedup_stream(
     (availableNow completion) or between runs, never concurrently:
     unlike the additive artifacts, this one makes decisions, so a
     replay of a folded-but-then-replayed epoch would read its own keys
-    from the base.  Returns the started StreamingQuery."""
+    from the base.  That rule is ALSO enforced mechanically: the batch
+    fn consults the bloom artifact's ``folded_watermark`` and turns a
+    replay of an already-folded epoch into a NO-OP — without the
+    guard, the replay would load its own keys from the folded base
+    (``epoch=-1`` passes the ``before_epoch`` filter), compute an
+    empty ``fresh``, and dynamic-overwrite its output epoch as empty,
+    permanently losing that batch's emitted rows.  Returns the started
+    StreamingQuery."""
     from ..operators.membership import (
         bloom_artifact_geometry,
         bloom_artifact_init,
@@ -1003,6 +1010,16 @@ def bloom_dedup_stream(
 
     def _batch(df, epoch_id):
         if not df.head(1):
+            return
+        # replay-of-a-folded-epoch guard: once a compaction's
+        # folded_watermark passes this batch id, the batch's keys live
+        # in the base (epoch=-1) and its output epoch already exists —
+        # re-deciding would see its own keys and overwrite the output
+        # with nothing.  The replay must be a no-op.
+        m_now = manifest_resolve(spark, bloom_path)
+        if m_now is not None and (
+            int(m_now.get("folded_watermark", -1)) >= int(epoch_id)
+        ):
             return
         seen = bloom_artifact_load(
             spark, bloom_path, before_epoch=int(epoch_id)

@@ -1674,3 +1674,129 @@ def test_lsh_params_for_threshold_derivation(spark):
         df, "doc_id", "text", k=16, threshold=0.5, target_threshold=0.4
     )
     assert out.count() > 0
+
+
+# --------------------------------------------- LSH hot-bucket capping
+
+
+@pytest.fixture(scope="module")
+def hot_cluster(spark):
+    """A mass-boilerplate corpus: 400 IDENTICAL docs (every band of
+    every doc lands in the same bucket) plus 40 distinct docs — the
+    skew shape where the uncapped band self-join goes quadratic."""
+    boiler = "terms of service apply to all users of this site please read carefully"
+    rows = [(i, boiler) for i in range(400)]
+    rows += [
+        (1000 + i, f"unique document number {i} about topic {i * 7} with words {i * 13}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark, hot_cluster):
+    sets = D._shingle_sets(hot_cluster, "doc_id", "text", 3)
+    sigs = sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+    capped = D.minhash_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=50
+    )
+    n_capped = capped.count()
+    # star linking: the 400-doc cluster emits 399 pairs, not 400*399/2
+    assert n_capped < 1000, f"capped pair count {n_capped} is not linear"
+    uncapped = D.minhash_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=None
+    )
+    assert uncapped.count() >= 400 * 399 // 2  # quadratic without the cap
+
+
+def test_minhash_hot_bucket_cap_keeps_cluster_connected(spark, hot_cluster):
+    # end-to-end through the exact-verify phase + keep-first: the 400
+    # identical docs must still collapse to ONE survivor under the cap
+    pairs = D.minhash_dedup_pairs(
+        hot_cluster, "doc_id", "text", k=16, bands=4, threshold=0.5,
+        max_bucket=50,
+    )
+    kept = D.dedup_keep_first(pairs, hot_cluster, "doc_id")
+    cluster_survivors = kept.where(F.col("doc_id") < 1000).count()
+    assert cluster_survivors == 1
+    # and none of the 40 distinct docs were harmed
+    assert kept.where(F.col("doc_id") >= 1000).count() == 40
+
+
+def test_minhash_cap_is_noop_on_cold_buckets(spark, mutated):
+    sets = D._shingle_sets(mutated, "doc_id", "text", 3)
+    sigs = sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+    with_cap = {
+        tuple(r)
+        for r in D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=1024
+        ).collect()
+    }
+    without = {
+        tuple(r)
+        for r in D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=None
+        ).collect()
+    }
+    assert with_cap == without and with_cap
+
+
+def test_simhash_hot_bucket_cap(spark, hot_cluster):
+    sig = D.simhash(hot_cluster, "doc_id", "text")
+    capped = D.simhash_candidate_pairs(sig, "doc_id", max_bucket=50)
+    n = capped.count()
+    assert n < 1000, f"capped simhash pair count {n} is not linear"
+    # identical docs: hamming 0 to the representative — the whole
+    # cluster is still flagged after the hamming<=3 trim
+    dup_ids = {
+        r["id_b"]
+        for r in capped.where(F.col("hamming") <= 3).collect()
+    } | {
+        r["id_a"]
+        for r in capped.where(F.col("hamming") <= 3).collect()
+    }
+    assert set(range(400)) <= dup_ids
+    uncapped = D.simhash_candidate_pairs(sig, "doc_id", max_bucket=None)
+    assert uncapped.count() >= 400 * 399 // 2
+
+
+def test_minhash_cap_rejects_degenerate_value(spark, hot_cluster):
+    sets = D._shingle_sets(hot_cluster, "doc_id", "text", 3)
+    sigs = sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+    with pytest.raises(ValueError, match="max_bucket"):
+        D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=1
+        ).collect()
+
+
+# ------------------------------------------- driver-batch contract
+
+
+def test_ivf_topk_batch_rejects_oversized_batch(spark, emb):
+    cents = S.train_centroids_sample(emb, n_centroids=8)
+    assigned = S.ivf_assign(emb, cents)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        S.ivf_topk_batch(
+            assigned, cents, queries, k=3, n_probe=2, max_query_batch=4
+        )
+    # at exactly the cap the call proceeds
+    out = S.ivf_topk_batch(
+        assigned, cents, queries, k=3, n_probe=8, max_query_batch=5
+    )
+    assert out.select("q_id").distinct().count() == 5
+
+
+def test_ivfpq_topk_batch_rejects_oversized_batch(spark, emb):
+    cents = S.train_centroids_sample(emb, n_centroids=4)
+    books = S.pq_train(emb, m=4, n_codes=8)
+    assigned = S.ivf_assign(emb, cents)
+    base = S.ivfpq_encode(assigned, cents, books)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        S.ivfpq_topk_batch(
+            base, cents, books, queries, k=2, max_query_batch=2
+        )

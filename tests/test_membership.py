@@ -174,3 +174,80 @@ def test_bloom_or_merge_and_artifact_geometry(spark, tmp_path):
     q = str(tmp_path / "empty")
     B.bloom_artifact_init(spark, q, expected_items=10)
     assert B.bloom_artifact_load(spark, q) is None
+
+
+# ------------------------------------------------ path auto-selection
+
+
+def test_decontaminate_auto_broadcasts_small_blocklist(spark):
+    """Regime 1: a broadcastable blocklist → plain broadcast anti-join
+    (no bloom machinery in the plan), exact anti-join rows."""
+    corpus = _corpus(spark, 2000)
+    block = spark.range(0, 2000, 10).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    out = B.decontaminate_auto(corpus, block, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "bit_get" not in plan  # no bloom probe on this path
+    assert out.count() == corpus.join(block, "k", "left_anti").count()
+
+
+def test_decontaminate_auto_bloom_when_blocklist_unbroadcastable(spark):
+    """Regime 2: broadcast disabled (the stand-in for a blocklist past
+    the threshold) + corpus >> blocklist → the bloom path, still exact."""
+    corpus = _corpus(spark, 4000)
+    block = spark.range(0, 4000, 100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = B.decontaminate_auto(corpus, block, "k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bit_get" in plan  # bloom probe present
+        assert out.count() == corpus.join(block, "k", "left_anti").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_decontaminate_auto_plain_anti_join_when_sizes_comparable(spark):
+    """Regime 3: comparable sizes with broadcast off → plain shuffle
+    anti-join (both sides shuffle once; a bloom's second scan buys
+    nothing)."""
+    corpus = _corpus(spark, 1000)
+    block = corpus.select("k")  # same size as the corpus
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = B.decontaminate_auto(corpus, block, "k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bit_get" not in plan
+        assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_decontaminate_advises_when_antijoin_cheaper(spark):
+    """The measured-regime advisory: reaching for the bloom while the
+    blocklist would broadcast warns (once) with the fix."""
+    import warnings as W
+
+    corpus = _corpus(spark, 500)
+    block = spark.range(0, 500, 5).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        B.bloom_decontaminate(corpus, block, "k")
+    assert any("left_anti" in str(w.message) for w in got)
+    # and stays SILENT when broadcast is off (the operator's regime)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with W.catch_warnings(record=True) as got2:
+            W.simplefilter("always")
+            B.bloom_decontaminate(corpus, block, "k")
+        assert not [w for w in got2 if "left_anti" in str(w.message)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
