@@ -764,6 +764,20 @@ def bench_scaling(spark, sf_dir: str) -> dict:
             }
             cp = out[name]["candidate_pairs"]
             cp["pairs_ratio"] = round(cp["sf1"] / max(cp["sf0.1"], 1), 2)
+            # r11: bucket-size telemetry (dedup.lsh_bucket_stats) —
+            # distinguishes HOT-BUCKET growth (a template family; the
+            # max_bucket star-cap is the fix) from DIFFUSE growth
+            # (sub-threshold collision volume; the banding threshold is
+            # the lever).  Measured on this corpus: max bucket size 6
+            # at BOTH scales — the superlinear pairs_ratio is entirely
+            # diffuse, which is why q26 runs UNCAPPED (the cap's
+            # stats+join-back costs ~1.8x and cannot trim diffuse
+            # pairs; the cap stays available for real skewed corpora,
+            # pinned by the planted-cluster tests).
+            cp["bucket_stats"] = {
+                "sf0.1": _q26_bucket_stats(spark, sf_dir),
+                "sf1": _q26_bucket_stats(spark, sf1_dir),
+            }
             # relate the measured pair growth to the banding's STATED
             # intent (r8 task #4): the S-curve threshold this (k=16,
             # bands=4) config actually encodes — pair growth above the
@@ -779,10 +793,8 @@ def bench_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
-def _q26_candidate_pairs(spark, d: str) -> int:
-    """Candidate-pair count of q26's exact LSH configuration at sf dir
-    ``d`` — the pre-verify banded-join output size that drives the
-    query's cost."""
+def _q26_sigs(spark, d: str):
+    """q26's exact signature frame (same corpus mutation, k=16)."""
     import pyspark.sql.functions as F
 
     from gcf_corima_parquet_converter_spark import queries as Q
@@ -801,9 +813,25 @@ def _q26_candidate_pairs(spark, d: str) -> int:
         ).alias("text"),
     )
     sets = D._shingle_sets(doc.unionByName(mut), "doc_id", "text", 3)
-    sigs = sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+    return sets.select(F.col("doc_id"), D._signature_array(16).alias("_sig"))
+
+
+def _q26_bucket_stats(spark, d: str) -> dict:
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
+    return D.lsh_bucket_stats(
+        _q26_sigs(spark, d), "doc_id", bands=4, rows_per_band=4
+    )
+
+
+def _q26_candidate_pairs(spark, d: str) -> int:
+    """Candidate-pair count of q26's exact LSH configuration at sf dir
+    ``d`` — the pre-verify banded-join output size that drives the
+    query's cost."""
+    from gcf_corima_parquet_converter_spark.operators import dedup as D
+
     return D.minhash_candidate_pairs(
-        sigs, "doc_id", bands=4, rows_per_band=4
+        _q26_sigs(spark, d), "doc_id", bands=4, rows_per_band=4
     ).count()
 
 
@@ -925,13 +953,33 @@ def bench_membership(spark) -> dict:
                 corpus, block, "k", bloom=bloom
             ).count()
         )
+        # r11: what decontaminate_auto would pick with broadcast off
+        # (the operator's cluster regime stand-in) — size-estimate path
+        # selection, recorded so the artifact shows the auto choice
+        auto_plan_off = (
+            B.decontaminate_auto(corpus, block, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     if n_bloom != n_anti:
         raise RuntimeError(
             f"bloom_decontaminate changed the answer: {n_bloom} != {n_anti}"
         )
+    # and with the default threshold: the blocklist broadcasts, so the
+    # auto path must be the plain broadcast anti-join (the regime the
+    # bloom_decontaminate advisory warns about)
+    auto_plan_dflt = (
+        B.decontaminate_auto(corpus, block, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     return {
+        "auto_path_broadcast_off": (
+            "bloom" if "bit_get" in auto_plan_off else "anti_join"
+        ),
+        "auto_path_default": (
+            "bloom" if "bit_get" in auto_plan_dflt else "anti_join"
+        ),
         "corpus_rows": n,
         "blocklist_keys": n // step,
         "fpp": 0.01,

@@ -451,21 +451,69 @@ def lsh_params_for_threshold(k: int, target_threshold: float) -> dict:
     }
 
 
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> dict:
+    """Bucket-size telemetry for a banding configuration — the
+    measure-first step before enabling ``max_bucket``: one distributed
+    aggregate returning ``{"n_buckets", "max_bucket_size",
+    "avg_bucket_size", "pairs_uncapped", "buckets_gt": {64: n, 256: n,
+    1024: n}}``.  ``pairs_uncapped`` is the exact banded-join output
+    size (sum of B(B-1)/2); ``max_bucket_size`` in the thousands means
+    a template family is present and the cap will bite — single-digit
+    max with large ``pairs_uncapped`` means growth is DIFFUSE
+    sub-threshold collisions, where the lever is the banding threshold
+    (``target_threshold``), not a cap.  Accepts the same two signature
+    forms as :func:`minhash_candidate_pairs`."""
+    k = bands * rows_per_band
+    if "_sig" not in sigs.columns:
+        sigs = sigs.select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("_sig"),
+        )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(_band_hashes(bands, rows_per_band)).alias("band", "bh"),
+    )
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("mx"),
+        F.avg("n").alias("avg"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+        *[
+            F.sum(F.when(F.col("n") > t, 1).otherwise(0)).alias(f"gt{t}")
+            for t in (64, 256, 1024)
+        ],
+    ).collect()[0]
+    return {
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket_size": int(row["mx"]),
+        "avg_bucket_size": round(float(row["avg"]), 3),
+        "pairs_uncapped": int(row["pairs"]),
+        "buckets_gt": {t: int(row[f"gt{t}"]) for t in (64, 256, 1024)},
+    }
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
     target_threshold: float | None = None,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
     _validate: bool = True,
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
     some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
 
-    HOT-BUCKET CAP (``max_bucket``, default 1024): the band self-join
-    emits B(B-1)/2 pairs per band-hash bucket — quadratic in bucket
-    size, and real corpora ARE skewed (mass-produced boilerplate puts
+    HOT-BUCKET CAP (``max_bucket``, opt-in like
+    :func:`ngram_jaccard_pairs`' ``max_df``): the band self-join emits
+    B(B-1)/2 pairs per band-hash bucket — quadratic in bucket size,
+    and real corpora ARE skewed (mass-produced boilerplate puts
     thousands of near-identical docs in the SAME bucket of EVERY band:
     one 50k-doc template family is 1.25B pairs x bands without a cap).
     Buckets over the cap switch to STAR LINKING: every member pairs
@@ -478,12 +526,23 @@ def minhash_candidate_pairs(
     near-dups of each other but NOT of the rep — rare by construction
     (they share a full band with the rep to be in its bucket) and the
     price of boundedness; recall on planted clusters is pinned by
-    tests.  ``max_bucket=None`` disables the cap (exact legacy
-    behavior).  Cold buckets are untouched — the cap changes nothing
-    until a bucket actually goes hot.  Sizing: the cap bounds
-    worst-case pair growth at ``max_bucket`` x rows instead of rows²;
-    1024 keeps any bucket under ~0.5M pairs while staying far above
-    organic collision rates.
+    tests.  Cold buckets are untouched — the cap changes nothing until
+    a bucket actually goes hot.
+
+    Why opt-in: the capped plan pays the bucket-stats aggregate + a
+    join-back per candidate branch (~1.8x the uncapped wall at sf0.1,
+    measured; a broadcast-hot-keys variant measured worse — the
+    BroadcastExchange cannot reuse the banded exchange, so the
+    signature pipeline recomputes).  Measure first:
+    :func:`lsh_bucket_stats` reports the max/quantile bucket sizes of
+    a configuration — enable the cap when corpora show template
+    families (bucket sizes in the thousands), leave it off for
+    organically-distributed text (the driver corpus measures max
+    bucket 6 at BOTH sf0.1 and sf1; its pair growth is diffuse
+    sub-threshold collisions, which a bucket cap cannot and should
+    not trim — raise the banding threshold instead via
+    ``target_threshold``).  Set it to ~10x the largest legitimate
+    near-dup cluster you expect; 1024 is a sane production default.
 
     ``target_threshold`` replaces hand-picked banding with intent:
     when set, ``bands``/``rows_per_band`` are IGNORED and derived via
@@ -555,7 +614,11 @@ def minhash_candidate_pairs(
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     # bucket stats shuffle on the SAME (band, bh) key as the self-join
     # below, so AQE reuses the exchange; the join-back is a shuffle
-    # hash join on the already-partitioned data
+    # hash join on already-co-partitioned data.  (A broadcast-the-hot-
+    # keys variant was measured WORSE here: the BroadcastExchange
+    # materializes eagerly and cannot reuse the banded exchange, so the
+    # expensive shingle/signature pipeline recomputes for the build
+    # side — +1s vs the join-back's +0.2s at sf0.1.)
     stats = banded.groupBy("band", "bh").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
     )
@@ -588,7 +651,7 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     target_threshold: float | None = None,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup: cheap recall phase, exact precision phase).
@@ -748,19 +811,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_candidate_pairs(
-    sig_df: DataFrame, id_col: str, max_bucket: int | None = 1024
+    sig_df: DataFrame, id_col: str, max_bucket: int | None = None
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit chunk of the
     simhash (pigeonhole: catches all pairs with Hamming distance <= 3).
 
-    ``max_bucket`` caps hot chunk buckets exactly like
+    ``max_bucket`` (opt-in) caps hot chunk buckets exactly like
     :func:`minhash_candidate_pairs`' band buckets (the failure mode is
     identical: a mass-duplicate family shares every chunk, so one
     bucket goes quadratic): buckets over the cap emit star pairs
     against the bucket's min-id representative instead of the full
     self-join — the cluster stays connected (identical docs have
-    hamming 0 to the rep), worst-case volume is linear.  ``None``
-    disables."""
+    hamming 0 to the rep), worst-case volume is linear.  Same
+    cost/when-to-enable guidance as there."""
     chunks = F.array(
         *[
             F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
@@ -781,13 +844,22 @@ def simhash_candidate_pairs(
         return pairs.withColumn("hamming", hamming)
     if int(max_bucket) < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
-    stats = e.groupBy("chunk", "cv").agg(
-        F.count(F.lit(1)).alias("_bsz"),
-        F.min(id_col).alias("_rep"),
-        F.min_by("simhash", F.col(id_col)).alias("_rep_sh"),
+    # hot-keys-only broadcast shape (see minhash_candidate_pairs): the
+    # usually-empty hot set is the only thing materialized; cold rows
+    # pay a broadcast anti-join, never a shuffle join-back
+    hot_keys = (
+        e.groupBy("chunk", "cv")
+        .agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_rep"),
+            F.min_by("simhash", F.col(id_col)).alias("_rep_sh"),
+        )
+        .where(F.col("_bsz") > int(max_bucket))
     )
-    tagged = e.join(stats, ["chunk", "cv"])
-    cold = tagged.where(F.col("_bsz") <= int(max_bucket))
+    cold = e.join(
+        F.broadcast(hot_keys.select("chunk", "cv")), ["chunk", "cv"],
+        "left_anti",
+    )
     a = cold.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
     b = cold.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
     cold_pairs = (
@@ -796,10 +868,8 @@ def simhash_candidate_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
     )
     hot_pairs = (
-        tagged.where(
-            (F.col("_bsz") > int(max_bucket))
-            & (F.col(id_col) != F.col("_rep"))
-        )
+        e.join(F.broadcast(hot_keys), ["chunk", "cv"])
+        .where(F.col(id_col) != F.col("_rep"))
         .select(
             F.col("_rep").alias("id_a"),
             F.col(id_col).alias("id_b"),

@@ -181,6 +181,7 @@ def bloom_decontaminate(
     expected_items: int | None = None,
     bloom: dict | None = None,
     persist_corpus: bool = False,
+    advise: bool = True,
 ) -> DataFrame:
     """Drop every corpus row whose key appears in ``blocklist`` —
     EXACT anti-join semantics at narrow-map cost: rows the filter
@@ -220,9 +221,14 @@ def bloom_decontaminate(
     operator is for the cluster regime — a corpus whose shuffle means
     network+disk, and a blocklist (100M+ keys) past the broadcast
     limit, where the plan contract (zero corpus Exchange, test-pinned)
-    is the difference between touching 100 TB once and shipping it."""
+    is the difference between touching 100 TB once and shipping it.
+
+    ``advise=False`` silences the broadcastable-blocklist advisory —
+    for callers exercising the bloom path deliberately at small scale
+    (demos, tests) rather than choosing it for performance."""
     bcol = block_col or key_col
-    _advise_if_antijoin_cheaper(corpus, blocklist, "bloom_decontaminate")
+    if advise:
+        _advise_if_antijoin_cheaper(corpus, blocklist, "bloom_decontaminate")
     if persist_corpus:
         corpus = corpus.persist()
     block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()

@@ -1904,3 +1904,75 @@ def test_bloom_dedup_stream_first_wins_exactly_once(spark, tmp_path):
     got2 = emitted()
     assert got2[3] == list(range(200, 250))  # 150-199 gated by the base
     assert M.read_artifact(spark, out_p).count() == 250
+
+
+def test_bloom_dedup_stream_replay_of_folded_epoch_is_noop(spark, tmp_path):
+    """The r11 mechanical guard for the decision-making artifact: a
+    batch whose checkpoint commit is LOST and whose epoch was then
+    FOLDED by bloom_compact replays as a NO-OP on resume.  Without the
+    guard the replay loads its own keys from the folded base
+    (epoch=-1 passes before_epoch), computes an empty novel set, and
+    dynamic-overwrites its output epoch to EMPTY — permanent loss."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import (
+        manifest as M,
+    )
+    from gcf_corima_parquet_converter_spark.operators import (
+        membership as B,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        bloom_dedup_stream,
+    )
+
+    sch = "k string, payload long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, ids):
+        stage = str(tmp_path / ("s_" + name))
+        spark.createDataFrame(
+            [(f"url-{i}", i) for i in ids], sch
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    out_p, bloom_p = str(tmp_path / "out"), str(tmp_path / "seen")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = bloom_dedup_stream(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "k", out_p, bloom_p, ckpt,
+            expected_items=400, fpp=0.001,
+        )
+        q.awaitTermination(180)
+
+    add_file("a", range(0, 100))
+    add_file("b", range(50, 150))
+    run()  # epoch 0 emits 0-99, epoch 1 emits 100-149
+
+    # crash window: batch 1's decisions and output are on disk but its
+    # checkpoint commit is lost -> the next start replays batch 1
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # the seen-keys artifact compacts between runs (graceful-stop rule)
+    outc = B.bloom_compact(spark, bloom_p)
+    assert outc["epochs_folded"] == 2
+
+    add_file("c", list(range(100, 200)))
+    run()  # replays batch 1 (guard: no-op), then batch 2 processes c
+
+    df = M.read_artifact(spark, out_p)
+    # epoch 1's output SURVIVED the replay (the guard made it a no-op)
+    assert sorted(
+        r["payload"] for r in df.where(F.col("epoch") == 1).collect()
+    ) == list(range(100, 150))
+    # batch 2 gated correctly against the folded base
+    assert sorted(
+        r["payload"] for r in df.where(F.col("epoch") == 2).collect()
+    ) == list(range(150, 200))
+    assert df.count() == 200  # lifetime exactly-once held end to end
