@@ -21,6 +21,16 @@ cold); "queries_warm"/"total_warm_wall_sec" is the per-query median of
 the 6 warm samples: steady-state execution only, the honest proxy for
 at-scale throughput — on a 100 TB corpus codegen is microseconds against
 minutes of scan, so warm deltas are what plan changes actually move.
+
+Canary normalization (round 11): r10's cold totals spread 13.9-18.0s on
+IDENTICAL code in one evening — host contention the loadavg can't see.
+Each worker times a fixed sha256 chain before AND after its headline
+loop; all its samples scale by CANARY_REF_SEC / canary so the
+"queries_cold_norm"/"queries_warm_norm" columns read as if the run
+happened on the reference-speed (uncontended) machine.  Cross-round
+comparisons should use the NORMALIZED columns and the full-headline sf1
+"scaling" section (seconds-long runs amortize contention that dominates
+sub-second sf0.1 timings); raw columns remain for r1-r10 continuity.
 """
 
 from __future__ import annotations

@@ -740,6 +740,7 @@ def verify_flagged_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Lambda-architecture precision companion to
     ``streaming.ingest.near_dup_stream``: re-run the batch LSH + exact-
@@ -766,7 +767,8 @@ def verify_flagged_pairs(
     sets = _shingle_sets(df, id_col, text_col, n)
     sigs = sets.select(F.col(id_col), _signature_array(k).alias("_sig"))
     cand = minhash_candidate_pairs(
-        sigs, id_col, bands=bands, rows_per_band=k // bands, _validate=False
+        sigs, id_col, bands=bands, rows_per_band=k // bands,
+        max_bucket=max_bucket, _validate=False
     )
     fl = flagged.select(F.col(id_col)).distinct()
     touches = cand.join(

@@ -17,8 +17,8 @@ runs stay on the driver's read-only data.  Determinism: one fixed seed
 per sf, so repeated bench runs see byte-identical inputs.  region and
 nation are dimension tables (fixed 5/25 rows) and are copied verbatim
 from the profile dir.  Only the tables the scaling queries touch are
-generated (events, documents, customer, orders, lineitem + the two
-dims); part/supplier/embeddings are not.
+generated (events, documents, embeddings, customer, orders, lineitem +
+the two dims); part/supplier are not.
 """
 
 from __future__ import annotations
@@ -41,6 +41,9 @@ ROWS_AT_PROFILE = {
     "lineitem": 600_000,
     "events": 100_000,
     "documents": 5_000,
+    "embeddings": 2_000,
+    "part": 20_000,
+    "supplier": 1_000,
 }
 
 EVENT_TYPES = np.array(["click", "view", "purchase", "signup", "error"])
@@ -155,6 +158,46 @@ def generate(sf: float, out_dir: str, seed: int = 4242) -> str:
         "lang": pa.array(LANGS[rng.choice(len(LANGS), nd, p=LANG_P)]),
         "source": pa.array([f"src{i}" for i in rng.integers(0, 20, nd)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # -- part / supplier (r11: the SQL-facade scaling queries register
+    # every view, so the corpus must be table-complete) ----------------
+    npart = n["part"]
+    colors = np.array(["blue", "green", "red", "white", "yellow",
+                       "black", "pink", "gray"])
+    nouns = np.array(["anvil", "bolt", "gear", "gizmo", "plate", "ring",
+                      "sprocket", "widget"])
+    _write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(np.arange(npart), pa.int64()),
+        "p_name": pa.array([
+            f"{colors[i % 8]} {nouns[(i // 8) % 8]}"
+            for i in rng.integers(0, 64, npart)
+        ]),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, npart)]),
+        "p_type": pa.array(np.array(
+            ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+        )[rng.integers(0, 6, npart)]),
+        "p_size": pa.array(rng.integers(1, 51, npart).astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(900.0 + rng.random(npart) * 99.9, 2), pa.float64()),
+    }))
+    nsupp = n["supplier"]
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(nsupp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(nsupp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, nsupp).astype(np.int32), pa.int32()),
+        "s_acctbal": pa.array(
+            np.round(-999.0 + rng.random(nsupp) * 10998.0, 2), pa.float64()),
+    }))
+
+    # -- embeddings (r11: the full-headline scaling set needs q25) -----
+    ne = n["embeddings"]
+    vecs = rng.normal(size=(ne, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(ne), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, ne).astype(np.int32), pa.int32()),
     }))
 
     with open(marker, "w") as f:
