@@ -897,6 +897,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With ``block_col`` the self-join is
     equi on the block (e.g. an LSH bucket from similarity.with_lsh_bucket
@@ -907,6 +908,14 @@ def embedding_near_dup_pairs(
     cross join survives only behind an explicit ``allow_brute=True``
     (oracle/testing use: it is O(n^2) shuffle and a scale-killer on any
     real embedding table).
+
+    ``max_bucket`` (opt-in) is the hot-bucket star-cap of
+    :func:`minhash_candidate_pairs` applied to the LSH/block buckets —
+    the hazard is identical (a mass-duplicate embedding family shares
+    every table's bucket, so one bucket goes quadratic): buckets over
+    the cap pair members against the bucket's min-id representative
+    only, and since an identical-embedding cluster has cos(rep, x)=1,
+    the exact cosine verify still flags the whole cluster.
     """
     from .similarity import dot, with_lsh_bucket  # local import, avoids cycle
 
@@ -946,12 +955,49 @@ def embedding_near_dup_pairs(
         b = ex.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_tbl", "_bkt"
         )
-        cand = (
-            a.join(b, ["_tbl", "_bkt"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .distinct()
-        )
+        if max_bucket is not None:
+            if int(max_bucket) < 2:
+                raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+            stats = ex.groupBy("_tbl", "_bkt").agg(
+                F.count(F.lit(1)).alias("_bsz"),
+                F.min(id_col).alias("_rep"),
+                F.min_by(vec_col, F.col(id_col)).alias("_repv"),
+            )
+            tagged = ex.join(stats, ["_tbl", "_bkt"])
+            cold = tagged.where(F.col("_bsz") <= int(max_bucket))
+            a = cold.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                "_tbl", "_bkt",
+            )
+            b = cold.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                "_tbl", "_bkt",
+            )
+            cold_cand = (
+                a.join(b, ["_tbl", "_bkt"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "va", "vb")
+            )
+            hot_cand = (
+                tagged.where(
+                    (F.col("_bsz") > int(max_bucket))
+                    & (F.col(id_col) != F.col("_rep"))
+                )
+                .select(
+                    F.col("_rep").alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_repv").alias("va"),
+                    F.col(vec_col).alias("vb"),
+                )
+            )
+            cand = cold_cand.unionByName(hot_cand).distinct()
+        else:
+            cand = (
+                a.join(b, ["_tbl", "_bkt"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "va", "vb")
+                .distinct()
+            )
     else:
         a = emb.select(
             F.col(id_col).alias("id_a"),

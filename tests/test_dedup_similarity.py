@@ -1800,3 +1800,32 @@ def test_ivfpq_topk_batch_rejects_oversized_batch(spark, emb):
         S.ivfpq_topk_batch(
             base, cents, books, queries, k=2, max_query_batch=2
         )
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """Mass-duplicate embedding family: the opt-in star-cap bounds the
+    LSH-bucket self-join linearly and the exact cosine verify still
+    flags the whole cluster (cos(rep, member) == 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v0 = rng.normal(size=16)
+    v0 /= np.linalg.norm(v0)
+    rows = [(i, [float(x) for x in v0]) for i in range(300)]  # identical
+    for i in range(40):  # distinct unit vectors
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = D.embedding_near_dup_pairs(
+        emb, threshold=0.99, dim=16, max_bucket=50
+    )
+    got = capped.collect()
+    flagged = {r["id_b"] for r in got} | {r["id_a"] for r in got}
+    assert set(range(300)) <= flagged  # whole cluster flagged via rep
+    # linear, not quadratic: 300*299/2 = 44850 without the cap
+    assert len(got) < 1500
+    uncapped_n = D.embedding_near_dup_pairs(
+        emb, threshold=0.99, dim=16
+    ).count()
+    assert uncapped_n >= 300 * 299 // 2
