@@ -190,6 +190,68 @@ def ngram_contamination(
     )
 
 
+def bloom_ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    fpp: float = 0.001,
+    expected_grams: int | None = None,
+    bloom: dict | None = None,
+) -> DataFrame:
+    """Drop every corpus doc sharing a token ``n``-gram with the
+    benchmark — :func:`ngram_contamination`'s DROP decision at Bloom
+    cost, for benchmark suites whose raw gram set is past the broadcast
+    limit (a full eval-suite union reaches 10^8+ distinct 13-grams =
+    many GB of strings; the bloom is ~1.7 GB/10^8 keys at fpp=0.001
+    bits -> ~170 MB, broadcastable).  EXACT: equivalent to::
+
+        grams(corpus) SEMI JOIN grams(benchmark) -> contaminated ids
+        corpus LEFT ANTI contaminated ids
+
+    because the filter has no false negatives — clean grams pass
+    without touching the benchmark, and only the maybe-grams (true
+    overlaps + ~fpp of the corpus gram stream) pay the exact verify
+    join against the benchmark grams.  The corpus text itself never
+    shuffles: grams explode narrow, the probe is codegen'd bit math
+    (``membership.bloom_might_contain``), the verify join ships only
+    maybe-grams, and the final anti-join broadcasts the contaminated-id
+    set (small by construction — it is the thing being removed).
+
+    Gram kernel is byte-identical to :func:`ngram_contamination` /
+    minhash dedup (``_tokenized`` + ``_shingles``), so the drop set
+    matches the flag operator's ids exactly.  Pass a prebuilt
+    ``bloom`` (``membership.bloom_build`` over the benchmark gram
+    strings, saved/loaded like any model artifact) to amortize one
+    suite's filter across many corpora; ``expected_grams`` skips the
+    sizing count when the suite's gram cardinality is known.
+    """
+    from .membership import bloom_build, bloom_filter_members
+    from .scale import ensure_min_parallelism
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toked = _tokenized(df, id_col, text_col)
+        return toked.select(
+            F.col(id_col).alias(out_id),
+            F.explode(_shingles(F.col("_toks"), n)).alias("gram"),
+        ).where(F.length("gram") > 0)
+
+    bench_grams = grams(benchmark, "bench_id").select("gram").distinct()
+    if bloom is None:
+        bloom = bloom_build(
+            bench_grams, "gram", expected_items=expected_grams, fpp=fpp
+        )
+    c = grams(ensure_min_parallelism(corpus, id_col), id_col)
+    maybe = bloom_filter_members(c, "gram", bloom, "maybe")
+    contaminated = (
+        maybe.join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     score_col: str,

@@ -3547,3 +3547,47 @@ def q104(spark, sf_dir):
     # at demo scale, where the advisory would rightly say "anti-join")
     out = B.bloom_decontaminate(corpus, block, "fp", fpp=0.01, advise=False)
     return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+# ==================================== Bloom n-gram decontamination (r11)
+# -- q105: q52's GPT-3-style n-gram contamination rule executed as a
+#    DROP at Bloom cost (pipeline.bloom_ngram_decontaminate): the
+#    benchmark grams compress into a bloom, clean corpus grams pass
+#    without touching the benchmark (no false negatives), only the
+#    maybe-grams pay the exact verify semi-join — EXACT NOT-EXISTS
+#    semantics, so the oracle is q52's gram CTE with NOT EXISTS.  n=4
+#    for the same small-vocabulary reason as q52 (production 8..13).
+#    At 100 TB: a full eval-suite union's raw 13-grams are many GB
+#    (past broadcast); its bloom is ~10 bits/gram and the corpus text
+#    never shuffles.
+@query(
+    "q105_bloom_ngram_decontaminate",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')))
+               AS gram
+      FROM docs),
+    g AS (SELECT DISTINCT doc_id, gram FROM g_raw WHERE length(gram) > 0),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM g c JOIN bench b ON c.gram = b.gram
+        WHERE c.doc_id = d.doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q105(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    clean = P.bloom_ngram_decontaminate(
+        corpus, bench, "doc_id", "text", n=4, fpp=0.001
+    )
+    return clean.select("doc_id", "n_chars").orderBy("doc_id")

@@ -251,3 +251,34 @@ def test_bloom_decontaminate_advises_when_antijoin_cheaper(spark):
         assert not [w for w in got2 if "left_anti" in str(w.message)]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_decontaminate_auto_with_parquet_backed_sizes(spark, tmp_path):
+    """At real scale the size estimates come from FILE stats, not
+    in-memory relations — pin the auto-selector's behavior on
+    parquet-backed frames: small file blocklist broadcasts; with
+    broadcast off and a corpus many times the blocklist's bytes, the
+    bloom path engages; answers stay exact either way."""
+    cp, bp = str(tmp_path / "corpus"), str(tmp_path / "block")
+    _corpus(spark, 20_000).write.parquet(cp)
+    spark.range(0, 20_000, 40).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    ).write.parquet(bp)
+    corpus = spark.read.parquet(cp)
+    block = spark.read.parquet(bp)
+    want = corpus.join(block, "k", "left_anti").count()
+
+    out = B.decontaminate_auto(corpus, block, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "bit_get" not in plan
+    assert out.count() == want
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = B.decontaminate_auto(corpus, block, "k")
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "bit_get" in plan2
+        assert out2.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -746,3 +746,60 @@ def test_storage_curation_capstone_composition(spark, tmp_path):
     assert set(agg) <= {"train", "val", "test"}
     # dedup kept exactly one row per distinct text
     assert deduped.count() == merged.select("text").distinct().count()
+
+
+def test_bloom_ngram_decontaminate_matches_flag_operator(spark, sf_dir):
+    """EXACT parity: the bloom-path DROP must keep precisely the docs
+    the flag operator (ngram_contamination) leaves unflagged — same
+    gram kernel, same NOT-EXISTS semantics, only the plan differs."""
+    from gcf_corima_parquet_converter_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    flagged = (
+        P.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in corpus.join(flagged, "doc_id", "left_anti").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in P.bloom_ngram_decontaminate(
+            corpus, bench, "doc_id", "text", n=4, fpp=0.001
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_bloom_ngram_decontaminate_reuses_prebuilt_bloom(spark):
+    """A suite's filter artifact amortizes across corpora: prebuilt
+    bloom gives the same answer, and the benchmark grams are still
+    verified exactly (no fpp leakage into the final drop set)."""
+    from gcf_corima_parquet_converter_spark.operators import membership as B
+    from gcf_corima_parquet_converter_spark.operators.dedup import (
+        _shingles,
+        _tokenized,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon {i} zeta") for i in range(50)]
+    rows += [(100 + i, f"unrelated text number {i} here okay") for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon 7 zeta")], "doc_id long, text string"
+    )
+    toked = _tokenized(bench, "doc_id", "text")
+    bg = toked.select(
+        F.explode(_shingles(F.col("_toks"), 4)).alias("gram")
+    ).distinct()
+    bloom = B.bloom_build(bg, "gram", fpp=0.001)
+    out = P.bloom_ngram_decontaminate(
+        corpus, bench, "doc_id", "text", n=4, bloom=bloom
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # every "alpha beta gamma delta" doc shares the 4-gram -> dropped;
+    # the unrelated docs all survive
+    assert kept == sorted(100 + i for i in range(20))
