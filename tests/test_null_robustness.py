@@ -148,3 +148,50 @@ def test_dsir_and_compression_null_docs(spark):
     # null/empty docs have no features -> absent from the weight table
     dw = {r["doc_id"] for r in dsir_logweight(df, "doc_id", "text", target).collect()}
     assert dw == {1}
+
+
+def test_bloom_ngram_decontaminate_null_and_short_docs(spark):
+    """Null/empty/short corpus text produces no grams, so such docs can
+    never be contaminated (NOT EXISTS over an empty gram set is true) —
+    they must SURVIVE, not crash the tokenizer or vanish."""
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    corpus = _docs(spark)
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["a b c d e f g"]})
+    )
+    kept = {
+        r["doc_id"]
+        for r in P.bloom_ngram_decontaminate(
+            corpus, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    # docs 1/2 share the 4-gram "a b c d" with the benchmark -> dropped;
+    # null/empty/whitespace/short docs all survive
+    assert kept == {3, 4, 5, 6, 7}
+    # a null-text BENCHMARK contributes no grams and blocks nothing
+    nb = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [None]})
+    )
+    assert P.bloom_ngram_decontaminate(
+        corpus, nb, "doc_id", "text", n=4
+    ).count() == 7
+
+
+def test_embedding_near_dup_cap_with_null_vectors(spark):
+    """Null embeddings must not break the capped LSH path (they carry
+    no buckets and pair with nothing)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = []
+    v = rng.normal(size=8); v /= np.linalg.norm(v)
+    for i in range(80):  # identical family
+        rows.append((i, [float(x) for x in v]))
+    rows.append((900, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = D.embedding_near_dup_pairs(
+        emb, threshold=0.99, dim=8, max_bucket=20
+    ).collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert 900 not in ids and set(range(80)) <= ids
