@@ -1374,6 +1374,20 @@ def strip_duplicate_spans(
     tiny and arrives via one small aggregate join — the heavy text
     column again never rides an exchange."""
     spans = duplicate_spans(df, id_col, text_col, width=width, min_docs=min_docs)
+    return apply_span_strip(df, spans, id_col, text_col)
+
+
+def apply_span_strip(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rewrite ``text_col`` dropping every token covered by a
+    ``(id, span_start, span_end)`` row — the shared strip kernel of
+    :func:`strip_duplicate_spans` and
+    ``pipeline.strip_contaminated_spans``.  Tokens outside every span
+    re-join with single spaces; docs with no spans pass through with
+    their ORIGINAL text (byte-untouched).  The span list per doc is
+    tiny and arrives via one small aggregate join — the heavy text
+    column never rides an exchange."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

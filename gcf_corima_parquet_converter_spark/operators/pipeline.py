@@ -252,6 +252,94 @@ def bloom_ngram_decontaminate(
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 50,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Token spans of corpus text that EXACTLY match some
+    ``width``-token window of the benchmark — the span-level
+    contamination rule (drop the overlapping window, keep the doc)
+    used when whole-doc removal (:func:`ngram_contamination` /
+    :func:`bloom_ngram_decontaminate`) would throw away a long
+    document over one quoted benchmark item.
+
+    Returns ``(id, span_start, span_end)`` token indices (end
+    exclusive), consecutive contaminated window positions merged via
+    the same gaps-and-islands pass as ``dedup.duplicate_spans`` — the
+    window kernel (``_window_structs``: stride-1, md5 of the
+    space-joined window) is byte-identical to the substring-dedup
+    family, so detection is exact for any shared run >= ``width``
+    tokens and the hashes stay portable to the SQL oracle.
+
+    100 TB shape: corpus text never shuffles — only (id, pos, 16-byte
+    hash) triples move, once for the membership semi-join (benchmark
+    window-hash set broadcasts by default; set
+    ``broadcast_benchmark=False`` for suites past the broadcast limit
+    — the semi-join then shuffles hashes, still never text) and once
+    keyed by doc for the island merge."""
+    from .dedup import _tokenized, _window_structs
+    from .scale import ensure_min_parallelism
+
+    def wins(df: DataFrame) -> DataFrame:
+        ne = df.where(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        toked = _tokenized(ne, id_col, text_col)
+        return toked.select(
+            F.col(id_col),
+            F.explode(_window_structs(F.col("_toks"), width)).alias("w"),
+        ).select(
+            F.col(id_col),
+            F.col("w.pos").alias("pos"),
+            F.col("w.whash").alias("whash"),
+        )
+
+    bh = wins(benchmark).select("whash").distinct()
+    if broadcast_benchmark:
+        bh = F.broadcast(bh)
+    hit = wins(ensure_min_parallelism(corpus, id_col)).join(
+        bh, "whash", "left_semi"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w)
+    return (
+        hit.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(width))).cast("long").alias("span_end"),
+        )
+        .drop("_g")
+    )
+
+
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 50,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: rewrite corpus text with every
+    benchmark-matching span removed (:func:`contaminated_spans` +
+    ``dedup.apply_span_strip``) — the doc survives minus the quoted
+    window, instead of being dropped whole.  Docs with no
+    contamination pass through byte-untouched."""
+    from .dedup import apply_span_strip
+
+    spans = contaminated_spans(
+        corpus, benchmark, id_col, text_col, width=width,
+        broadcast_benchmark=broadcast_benchmark,
+    )
+    return apply_span_strip(corpus, spans, id_col, text_col)
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     score_col: str,

@@ -3591,3 +3591,116 @@ def q105(spark, sf_dir):
         corpus, bench, "doc_id", "text", n=4, fpp=0.001
     )
     return clean.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+# ============================ span-level decontamination (r11)
+# Shared fixture for q106/q107: benchmark = every 50th doc; corpus =
+# other docs (<=300) plus PLANTED contaminated docs that quote each
+# benchmark doc's 12-token prefix and append a unique token — so every
+# planted doc carries a known [0, ~12) contaminated span and organic
+# 8-token collisions are ~impossible at the corpus vocabulary.  ONE
+# definition each for the Spark corpus and the oracle CTE chain.
+_CONTAM_FIXTURE_CTES = r"""WITH raw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    bench AS (SELECT * FROM raw WHERE doc_id % 50 = 0),
+    base AS (SELECT * FROM raw WHERE doc_id % 50 <> 0 AND doc_id <= 300),
+    plant AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             list_concat(toks[1:12], ['zz' || CAST(doc_id AS VARCHAR)]) AS toks
+      FROM bench),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+    bwr AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+             i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' '))))
+               AS whash
+      FROM bench),
+    bw AS (SELECT DISTINCT whash FROM bwr),
+    cwr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+                    i -> struct_pack(pos := i-1,
+                                     whash := md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' ')))))
+               AS w
+      FROM corpus),
+    cw AS (SELECT doc_id, w.pos AS pos, w.whash AS whash FROM cwr),
+    hit AS (SELECT doc_id, pos FROM cw WHERE whash IN (SELECT whash FROM bw)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM hit)"""
+
+
+def _contam_fixture(spark, sf_dir):
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", "text")
+    )
+    toks = X.tokens("text")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    base = d.where((F.col("doc_id") % 50 != 0) & (F.col("doc_id") <= 300))
+    plant = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.slice(toks, 1, 12),
+                F.array(F.concat(F.lit("zz"), F.col("doc_id").cast("string"))),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return base.unionByName(plant), bench
+
+
+# -- q106: span-level contamination detection (pipeline.
+#    contaminated_spans): corpus token spans exactly matching an
+#    8-token benchmark window, islands-merged — the "strip the quoted
+#    window, keep the doc" rule's detection half.  Corpus text never
+#    shuffles; only (id, pos, md5) triples move.
+@query(
+    "q106_contaminated_spans",
+    _CONTAM_FIXTURE_CTES
+    + """
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+)
+def q106(spark, sf_dir):
+    corpus, bench = _contam_fixture(spark, sf_dir)
+    return P.contaminated_spans(
+        corpus, bench, "doc_id", "text", width=8
+    ).orderBy("doc_id", "span_start")
+
+
+# -- q107: the strip REWRITE (pipeline.strip_contaminated_spans,
+#    sharing dedup.apply_span_strip with q78): per-doc text with the
+#    benchmark-matching spans removed.  Same normalization contract as
+#    q78 — both sides re-join kept tokens with single spaces; docs
+#    stripped to nothing drop on both sides.
+@query(
+    "q107_strip_contaminated_spans",
+    _CONTAM_FIXTURE_CTES
+    + """,
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, g),
+    tok_pos AS (
+      SELECT c.doc_id, unnest(range(1, len(c.toks)+1)) AS i, c.toks AS toks
+      FROM corpus c),
+    toksf AS (SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok FROM tok_pos),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toksf t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e))
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q107(spark, sf_dir):
+    corpus, bench = _contam_fixture(spark, sf_dir)
+    stripped = P.strip_contaminated_spans(corpus, bench, "doc_id", "text", width=8)
+    norm = F.array_join(X.tokens("text"), " ")
+    return (
+        stripped.select("doc_id", norm.alias("text"))
+        .where(F.length("text") > 0)
+        .orderBy("doc_id")
+    )

@@ -803,3 +803,38 @@ def test_bloom_ngram_decontaminate_reuses_prebuilt_bloom(spark):
     # every "alpha beta gamma delta" doc shares the 4-gram -> dropped;
     # the unrelated docs all survive
     assert kept == sorted(100 + i for i in range(20))
+
+
+def test_contaminated_spans_and_strip(spark):
+    """Planted benchmark quote inside a long doc: the span covers
+    exactly the quoted window run; the strip removes it and keeps the
+    rest; uncontaminated docs pass through byte-untouched."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here the quick brown fox jumps over the lazy dog tonight and more trailing content"),
+            (2, "completely unrelated document text with other words entirely"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = P.contaminated_spans(docs, bench, "doc_id", "text", width=8).collect()
+    assert {r["doc_id"] for r in spans} == {1}
+    [s] = spans
+    # quote starts at token 3; 10-token quote -> windows at 3..5, span [3, 13)
+    assert (s["span_start"], s["span_end"]) == (3, 13)
+    out = {r["doc_id"]: r["text"] for r in P.strip_contaminated_spans(
+        docs, bench, "doc_id", "text", width=8
+    ).collect()}
+    assert out[1] == "intro words here and more trailing content"
+    assert out[2] == "completely unrelated document text with other words entirely"
+    assert out[3] is None  # null text passes through
+
+    # unbroadcast path: identical result for suites past the broadcast limit
+    out2 = {r["doc_id"]: r["text"] for r in P.strip_contaminated_spans(
+        docs, bench, "doc_id", "text", width=8, broadcast_benchmark=False
+    ).collect()}
+    assert out2 == out
