@@ -946,6 +946,73 @@ def windowed_fft_stream(
     )
 
 
+def decontaminate_stream(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    checkpoint: str,
+    n: int = 8,
+    fpp: float = 0.001,
+    expected_grams: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of ``pipeline.bloom_ngram_decontaminate``: gate a
+    continuously-ingested document stream against a STATIC benchmark
+    suite, landing only uncontaminated docs — so contamination is
+    enforced at ingest time instead of by a later full-corpus sweep.
+
+    The benchmark's gram bloom builds ONCE at start (the suite is the
+    stable side; rebuild the stream to pick up a new suite — same
+    model-reload contract as ``serve_ann_queries``'s codebooks) and its
+    packed words ride each micro-batch as the usual one-row broadcast;
+    the EXACT verify joins the batch's maybe-grams against the static
+    benchmark gram frame (stream side stays tiny: true overlaps + ~fpp
+    of the batch's gram stream).  Per batch the survivors land via
+    ``manifest.write_epoch`` — epoch-owned dynamic overwrite, so
+    replays rewrite exactly their own epoch and the output artifact is
+    exactly-once (decisions depend only on the STATIC suite, so unlike
+    ``bloom_dedup_stream`` a replay re-decides identically and needs no
+    watermark guard).  Returns the started StreamingQuery."""
+    from ..operators.dedup import _shingles, _tokenized
+    from ..operators.manifest import write_epoch
+    from ..operators.membership import bloom_build
+    from ..operators.pipeline import bloom_ngram_decontaminate
+
+    bench_grams = (
+        _tokenized(
+            benchmark.where(
+                F.col(text_col).isNotNull()
+                & (F.length(F.trim(F.col(text_col))) > 0)
+            ),
+            id_col, text_col,
+        )
+        .select(F.explode(_shingles(F.col("_toks"), n)).alias("gram"))
+        .where(F.length("gram") > 0)
+        .distinct()
+    )
+    bloom = bloom_build(
+        bench_grams, "gram", expected_items=expected_grams, fpp=fpp
+    )
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        clean = bloom_ngram_decontaminate(
+            df, benchmark, id_col, text_col, n=n, bloom=bloom
+        )
+        write_epoch(clean, output_path, int(epoch_id))
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bloom_dedup_stream(
     stream: DataFrame,
     key_col: str,

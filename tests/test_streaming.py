@@ -1976,3 +1976,72 @@ def test_bloom_dedup_stream_replay_of_folded_epoch_is_noop(spark, tmp_path):
         r["payload"] for r in df.where(F.col("epoch") == 2).collect()
     ) == list(range(150, 200))
     assert df.count() == 200  # lifetime exactly-once held end to end
+
+
+def test_decontaminate_stream_matches_batch_and_replays_clean(spark, tmp_path):
+    """Streaming decontamination gate: survivors across micro-batches
+    equal the batch operator over the same rows, and a fresh-checkpoint
+    replay rewrites its own epochs byte-identically (decisions depend
+    only on the static suite)."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import (
+        manifest as M,
+    )
+    from gcf_corima_parquet_converter_spark.operators import (
+        pipeline as P,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        decontaminate_stream,
+    )
+
+    sch = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], sch
+    )
+    batch_a = [(i, f"clean doc number {i} with words {i*3}") for i in range(40)]
+    batch_a += [(100 + i, f"prefix {i} alpha beta gamma delta more") for i in range(10)]
+    batch_b = [(200 + i, f"other clean text {i} here") for i in range(30)]
+    batch_b += [(300, "x alpha beta gamma delta y"), (301, None), (302, "")]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, rows):
+        stage = str(tmp_path / ("s_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    add_file("a", batch_a)
+    add_file("b", batch_b)
+    out_p = str(tmp_path / "clean")
+
+    def run(ckpt):
+        q = decontaminate_stream(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            bench, "doc_id", "text", out_p, str(tmp_path / ckpt), n=4,
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    got = sorted(
+        r["doc_id"] for r in M.read_artifact(spark, out_p).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in P.bloom_ngram_decontaminate(
+            spark.createDataFrame(batch_a + batch_b, sch),
+            bench, "doc_id", "text", n=4,
+        ).collect()
+    )
+    assert got == want
+    # contaminated docs really were gated
+    assert not ({100, 300} & set(got)) and 301 in got
+
+    # fresh-checkpoint replay: same files -> same epochs -> same rows
+    run("ck2")
+    assert sorted(
+        r["doc_id"] for r in M.read_artifact(spark, out_p).collect()
+    ) == want
