@@ -199,6 +199,7 @@ def bloom_ngram_decontaminate(
     fpp: float = 0.001,
     expected_grams: int | None = None,
     bloom: dict | None = None,
+    broadcast_contaminated: bool = True,
 ) -> DataFrame:
     """Drop every corpus doc sharing a token ``n``-gram with the
     benchmark — :func:`ngram_contamination`'s DROP decision at Bloom
@@ -249,7 +250,9 @@ def bloom_ngram_decontaminate(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    if broadcast_contaminated:
+        contaminated = F.broadcast(contaminated)
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def contaminated_spans(
