@@ -144,6 +144,13 @@ _DEMOTED_REDUNDANT = (
     # q91 stays covered in-window by q99 and locally by test_sketches +
     # test_queries_oracle.
     "q91_heavy_hitters",
+    # r11 (same-round promotion, precedent r7/q100): the NEW
+    # q105_bloom_ngram_decontaminate takes q98's slot so the round's
+    # new oracle-backed operator family gets driver-grade evidence
+    # immediately.  q98's embedding-cosine retrieval-join family stays
+    # covered in-window by q25 (cosine ranking) and locally by
+    # q29/q56 + test_queries_oracle.
+    "q98_retrieval_join",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

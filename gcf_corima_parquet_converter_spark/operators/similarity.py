@@ -400,6 +400,7 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
 def ivf_compact(
     spark, path: str, shard_lists: int = 1, id_col: str = "vec_id",
     keep_versions: int = 2, count_rows: bool = True,
+    delete_ids: DataFrame | None = None,
     _pre_commit_hook=None,
 ) -> dict:
     """Fold a grown index's streaming epochs back into the next base
@@ -430,12 +431,26 @@ def ivf_compact(
     A legacy pre-manifest artifact is migrated in place (one
     rename-based commit, once).
 
+    DELETION (``delete_ids`` — a one-column frame of ``id_col`` values
+    to remove): merge-on-compact.  An append+fold artifact has no
+    in-place delete, so removals take effect HERE — the fold anti-joins
+    the ids out of base ∪ epochs before the rewrite, exactly the
+    merge-on-read -> rewrite-on-compact contract of lakehouse deletes.
+    The id set broadcasts (deletions are small by construction; for a
+    mass purge, rebuild offline).  Until the compaction runs, exclude
+    deleted ids at serve time yourself: anti-join the probe RESULT
+    against the pending-delete list (tiny — it joins k rows per query),
+    or pre-filter the assignments frame the same way.
+
     Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
     from . import manifest as M
 
     apath = path.rstrip("/") + "/assignments"
 
     def _fold(df: DataFrame) -> DataFrame:
+        if delete_ids is not None:
+            dels = delete_ids.select(F.col(delete_ids.columns[0]).alias(id_col))
+            df = df.join(F.broadcast(dels), id_col, "left_anti")
         data_cols = [c for c in df.columns if c != "centroid_id"]
         return df.select(*data_cols, "centroid_id").repartition(
             F.col("centroid_id"),

@@ -1829,3 +1829,47 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
         emb, threshold=0.99, dim=16
     ).count()
     assert uncapped_n >= 300 * 299 // 2
+
+
+def test_ivf_compact_deletes_ids_merge_on_compact(spark, tmp_path):
+    """Lakehouse-style deletion for the ANN index: removals take effect
+    at compaction (the fold anti-joins them out of base + epochs);
+    probes afterwards never return the deleted ids and everything else
+    survives exactly once."""
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    sch = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, sch)
+    cents = S.train_centroids_sample(full, n_centroids=4)
+    idx = str(tmp_path / "ivf_del")
+    S.ivf_save(
+        S.ivf_assign(spark.createDataFrame(rows[:150], sch), cents), cents, idx
+    )
+    # a streamed epoch on top of the base
+    M.write_epoch(
+        S.ivf_assign(spark.createDataFrame(rows[150:], sch), cents),
+        idx + "/assignments", 0, partition_cols=("centroid_id",),
+    )
+    dead = [3, 42, 160]  # from the base AND from the epoch
+    out = S.ivf_compact(
+        spark, idx,
+        delete_ids=spark.createDataFrame([(i,) for i in dead], "vec_id long"),
+    )
+    assert out["rows"] == n - len(dead)
+    loaded, cents2 = S.ivf_load(spark, idx)
+    got = sorted(r["vec_id"] for r in loaded.select("vec_id").collect())
+    assert got == sorted(set(range(n)) - set(dead))
+    # probe at full coverage returns brute-force order over the survivors
+    qvec = pts[3]  # query BY a deleted vector: it must not return itself
+    top = [
+        r["vec_id"]
+        for r in S.ivf_topk(loaded, cents2, qvec, k=5, n_probe=4).collect()
+    ]
+    assert 3 not in top and len(top) == 5
