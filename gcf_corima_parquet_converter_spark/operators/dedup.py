@@ -1509,6 +1509,8 @@ def compact_dedup_indexes(
     digest_path: str | None = None,
     band_path: str | None = None,
     target_files: int = 8,
+    delete_digests: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
 ) -> dict:
     """Compact the persisted dedup indexes that
     ``streaming.ingest.maintain_dedup_indexes`` grows append-only —
@@ -1530,6 +1532,17 @@ def compact_dedup_indexes(
     A legacy flat-append index directory is migrated in place on its
     first compaction.
 
+    DELETION (merge-on-compact, mirroring ``similarity.ivf_compact``):
+    when documents are purged from the corpus their index rows must go
+    too — otherwise every future ingest deduplicates against GHOSTS
+    and silently drops legitimate re-additions.  ``delete_digests`` (a
+    one-column frame matching the digest index's ``digest`` values)
+    and ``delete_ids`` (a one-column frame of doc ids for the band
+    index) are anti-joined out during the fold; both broadcast
+    (deletions are small by construction).  Until the compaction runs,
+    exclude pending deletes at query time by anti-joining the loaded
+    index yourself.
+
     Returns per-index ``{"version", "epochs_folded", "rows":
     distinct_rows, "migrated", "files_before"}``."""
     import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
@@ -1550,19 +1563,32 @@ def compact_dedup_indexes(
     out: dict = {}
     if digest_path is not None:
         before = _files(digest_path)
-        res = compact_artifact(
-            spark, digest_path,
-            lambda df: df.distinct().repartition(int(target_files)),
-        )
+
+        def _fold_digest(df: DataFrame) -> DataFrame:
+            if delete_digests is not None:
+                dels = delete_digests.select(
+                    F.col(delete_digests.columns[0]).alias(df.columns[0])
+                )
+                df = df.join(F.broadcast(dels), df.columns[0], "left_anti")
+            return df.distinct().repartition(int(target_files))
+
+        res = compact_artifact(spark, digest_path, _fold_digest)
         out["digest"] = {**res, "files_before": before}
     if band_path is not None:
         before = _files(band_path)
-        res = compact_artifact(
-            spark, band_path,
-            lambda df: df.distinct().repartition(
+
+        def _fold_band(df: DataFrame) -> DataFrame:
+            if delete_ids is not None:
+                idc = [c for c in df.columns if c not in ("band", "bh")][0]
+                dels = delete_ids.select(
+                    F.col(delete_ids.columns[0]).alias(idc)
+                )
+                df = df.join(F.broadcast(dels), idc, "left_anti")
+            return df.distinct().repartition(
                 int(target_files), F.col("band")
-            ),
-        )
+            )
+
+        res = compact_artifact(spark, band_path, _fold_band)
         out["band"] = {**res, "files_before": before}
     return out
 

@@ -1873,3 +1873,43 @@ def test_ivf_compact_deletes_ids_merge_on_compact(spark, tmp_path):
         for r in S.ivf_topk(loaded, cents2, qvec, k=5, n_probe=4).collect()
     ]
     assert 3 not in top and len(top) == 5
+
+
+def test_compact_dedup_indexes_deletes_purged_docs(spark, tmp_path):
+    """Merge-on-compact deletion for the dedup indexes: purged docs'
+    rows leave both indexes at the fold, so a re-ingested copy of a
+    purged doc is NOVEL again (no ghost dedup)."""
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+
+    rows = [(i, f"document body number {i} stays") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dig_p = str(tmp_path / "digidx")
+    band_p = str(tmp_path / "bandidx")
+    fresh = D.exact_dedup_incremental(df, ["text"], "doc_id")
+    M.write_epoch(fresh.select("digest"), dig_p, 0, append=True)
+    M.write_epoch(
+        D.minhash_index(df, "doc_id", "text", k=16, bands=4), band_p, 0,
+        append=True,
+    )
+    purged = df.where(F.col("doc_id") == 7)
+    purged_digest = D.exact_dedup_incremental(
+        purged, ["text"], "doc_id"
+    ).select("digest")
+    out = D.compact_dedup_indexes(
+        spark, digest_path=dig_p, band_path=band_p,
+        delete_digests=purged_digest,
+        delete_ids=purged.select("doc_id"),
+    )
+    assert out["digest"]["rows"] == 29
+    assert out["band"]["rows"] == 29 * 4  # 4 bands per doc
+    # the re-ingested copy of the purged doc is novel against the index
+    seen = D.load_dedup_index(spark, dig_p)
+    again = D.exact_dedup_incremental(purged, ["text"], "doc_id", seen=seen)
+    assert again.count() == 1
+    # and a non-purged doc is still deduped
+    dup = df.where(F.col("doc_id") == 3)
+    assert D.exact_dedup_incremental(dup, ["text"], "doc_id", seen=seen).count() == 0
+    # band index: id 7 gone, everything else intact
+    band = D.load_dedup_index(spark, band_p)
+    assert band.where(F.col("doc_id") == 7).count() == 0
+    assert band.select("doc_id").distinct().count() == 29
