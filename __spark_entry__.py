@@ -151,6 +151,22 @@ _DEMOTED_REDUNDANT = (
     # covered in-window by q25 (cosine ranking) and locally by
     # q29/q56 + test_queries_oracle.
     "q98_retrieval_join",
+    # r12 rotation: q106_contaminated_spans / q107_strip_contaminated_
+    # spans PROMOTED into the graded window (r11 verdict #1 — the ONLY
+    # oracle-backed queries never driver-graded; created in r11 with the
+    # window full).  Two family-redundant veterans take their slots,
+    # each still covered by an in-window family twin and by
+    # test_queries_oracle: q76's width_bucket length-bucketing family
+    # stays covered by q88 (histogram percentiles — the same JVM
+    # width_bucket grid, graded exact at both SFs) and q23 (text
+    # feature projections); q79's mixture-sampling family by q77
+    # (stratified sample — the same md5-rank window kernel, graded) and
+    # q81 (mixture audit — the same target-weights broadcast, graded).
+    # q75/q78 stay in-window so BOTH span kernels (_window_structs
+    # detect, apply_span_strip rewrite) are graded on the dedup AND the
+    # decontamination operator surfaces.
+    "q76_length_buckets",
+    "q79_mixture_sample",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",
