@@ -26,6 +26,8 @@ JVM-side, codegen'd, partially aggregable.  No Python in the hot path.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -498,20 +500,95 @@ def lsh_bucket_stats(
     }
 
 
+# The production star-cap applied when the auto probe detects a hot
+# bucket: ~10x the largest legitimate near-dup cluster most corpora
+# carry, so the cap changes nothing until a template family actually
+# appears (see minhash_candidate_pairs docstring).
+AUTO_MAX_BUCKET = 1024
+# The probe counts bucket membership over a deterministic 1/_PROBE_MOD
+# hash-sample of DOC IDS (the filter is on the id column alone, so
+# Catalyst pushes it below the shingle/signature projections — the
+# probe never pays the full signature pipeline).  A bucket of true
+# size B retains ~B/_PROBE_MOD sampled members, so triggering at
+# AUTO_MAX_BUCKET / _PROBE_MOD / 2 detects buckets from ~AUTO/2 with
+# near-certainty (a 5k template family samples to ~625 >> 64).  The
+# trigger is deliberately BELOW the cap: a false-positive probe only
+# selects the capped PLAN — the cap itself still touches nothing
+# under AUTO_MAX_BUCKET members, so recall is never at stake, only
+# the ~1.8x capped-plan overhead on a corpus that turned out cold.
+_PROBE_MOD = 8
+_PROBE_TRIGGER = AUTO_MAX_BUCKET // _PROBE_MOD // 2
+
+
+def _resolve_max_bucket(
+    exploded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_bucket: int | str | None,
+    label: str,
+) -> int | None:
+    """Resolve ``max_bucket='auto'`` (the default) into a concrete cap
+    via a measure-first probe: one cheap Spark job counts bucket sizes
+    over a deterministic 1/8 id-sample of ``exploded`` (the banded /
+    chunked / bucketed (id, key...) frame) and enables the
+    :data:`AUTO_MAX_BUCKET` star-cap only when a sampled bucket
+    crosses :data:`_PROBE_TRIGGER` — so uniform corpora keep the
+    EXACT uncapped plan (probe cost only) while a planted template
+    family gets bounded pair volume without the caller doing anything.
+    The decision is surfaced with ``warnings.warn`` (hot) /
+    silently (cold).  ``None`` = explicitly uncapped, no probe;
+    an int = forced cap, no probe; streaming frames skip the probe
+    (a batch job cannot run on them) and stay uncapped."""
+    if max_bucket is None or isinstance(max_bucket, int):
+        return max_bucket
+    if max_bucket != "auto":
+        raise ValueError(
+            f"max_bucket must be an int, None, or 'auto'; got {max_bucket!r}"
+        )
+    if exploded.isStreaming:
+        return None
+    sampled = exploded.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PROBE_MOD)) == 0
+    )
+    row = (
+        sampled.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    mx = 0 if row is None or row["mx"] is None else int(row["mx"])
+    if mx > _PROBE_TRIGGER:
+        warnings.warn(
+            f"{label}: hot-bucket probe sampled a bucket of {mx} members "
+            f"(~{mx * _PROBE_MOD} true size) — star-cap enabled at "
+            f"max_bucket={AUTO_MAX_BUCKET}.  Pass max_bucket=None to "
+            "force the uncapped quadratic plan, or an int to tune the "
+            "cap; see lsh_bucket_stats for full telemetry.",
+            stacklevel=3,
+        )
+        return AUTO_MAX_BUCKET
+    return None
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
     target_threshold: float | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
     _validate: bool = True,
 ) -> DataFrame:
     """LSH banding: equi-join docs whose signature agrees on ALL rows of
     some band.  Returns distinct (id_a, id_b) candidates, id_a < id_b.
 
-    HOT-BUCKET CAP (``max_bucket``, opt-in like
-    :func:`ngram_jaccard_pairs`' ``max_df``): the band self-join emits
+    HOT-BUCKET CAP (``max_bucket``, measure-first by DEFAULT —
+    ``'auto'`` runs :func:`_resolve_max_bucket`'s cheap sampled probe
+    and enables the :data:`AUTO_MAX_BUCKET` star-cap only when a
+    bucket actually crosses the trigger, warning with the decision;
+    uniform corpora keep the exact uncapped plan.  ``None`` forces
+    uncapped with no probe, an int forces that cap): the band
+    self-join emits
     B(B-1)/2 pairs per band-hash bucket — quadratic in bucket size,
     and real corpora ARE skewed (mass-produced boilerplate puts
     thousands of near-identical docs in the SAME bucket of EVERY band:
@@ -529,20 +606,23 @@ def minhash_candidate_pairs(
     tests.  Cold buckets are untouched — the cap changes nothing until
     a bucket actually goes hot.
 
-    Why opt-in: the capped plan pays the bucket-stats aggregate + a
-    join-back per candidate branch (~1.8x the uncapped wall at sf0.1,
-    measured; a broadcast-hot-keys variant measured worse — the
-    BroadcastExchange cannot reuse the banded exchange, so the
-    signature pipeline recomputes).  Measure first:
-    :func:`lsh_bucket_stats` reports the max/quantile bucket sizes of
-    a configuration — enable the cap when corpora show template
-    families (bucket sizes in the thousands), leave it off for
-    organically-distributed text (the driver corpus measures max
-    bucket 6 at BOTH sf0.1 and sf1; its pair growth is diffuse
-    sub-threshold collisions, which a bucket cap cannot and should
-    not trim — raise the banding threshold instead via
-    ``target_threshold``).  Set it to ~10x the largest legitimate
-    near-dup cluster you expect; 1024 is a sane production default.
+    Why the capped plan is not unconditional: it pays the bucket-stats
+    aggregate + a join-back per candidate branch (~1.8x the uncapped
+    wall at sf0.1, measured; a broadcast-hot-keys variant measured
+    worse — the BroadcastExchange cannot reuse the banded exchange, so
+    the signature pipeline recomputes).  The ``'auto'`` default makes
+    the measure-first step automatic: a one-job probe over a
+    deterministic 1/8 id-sample (filter pushed below the signature
+    pipeline — the probe does NOT recompute it for every row) decides
+    between the exact uncapped plan (cold corpora — the driver corpus
+    measures max bucket 6 at BOTH sf0.1 and sf1; its pair growth is
+    diffuse sub-threshold collisions, which a bucket cap cannot and
+    should not trim — raise the banding threshold instead via
+    ``target_threshold``) and the :data:`AUTO_MAX_BUCKET` = 1024 cap
+    (template families — bucket sizes in the thousands).  For full
+    telemetry before hand-tuning, :func:`lsh_bucket_stats` reports
+    max/quantile bucket sizes; set an explicit cap to ~10x the largest
+    legitimate near-dup cluster you expect.
 
     ``target_threshold`` replaces hand-picked banding with intent:
     when set, ``bands``/``rows_per_band`` are IGNORED and derived via
@@ -601,6 +681,9 @@ def minhash_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
+    max_bucket = _resolve_max_bucket(
+        banded, id_col, ["band", "bh"], max_bucket, "minhash_candidate_pairs"
+    )
     if max_bucket is None:
         a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
         b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -651,13 +734,15 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     target_threshold: float | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup: cheap recall phase, exact precision phase).
 
     ``max_bucket`` is :func:`minhash_candidate_pairs`' hot-bucket cap
-    (star linking above it — see there); the exact verify phase then
+    (star linking above it; ``'auto'`` — the default — probes first
+    and caps only when a bucket is actually hot — see there); the
+    exact verify phase then
     trims the star pairs like any other candidate, so precision is
     unaffected, only worst-case pair VOLUME is bounded.
 
@@ -740,7 +825,7 @@ def verify_flagged_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Lambda-architecture precision companion to
     ``streaming.ingest.near_dup_stream``: re-run the batch LSH + exact-
@@ -813,12 +898,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_candidate_pairs(
-    sig_df: DataFrame, id_col: str, max_bucket: int | None = None
+    sig_df: DataFrame, id_col: str, max_bucket: int | str | None = "auto"
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit chunk of the
     simhash (pigeonhole: catches all pairs with Hamming distance <= 3).
 
-    ``max_bucket`` (opt-in) caps hot chunk buckets exactly like
+    ``max_bucket`` (``'auto'`` by default — measure-first, see
+    :func:`_resolve_max_bucket`) caps hot chunk buckets exactly like
     :func:`minhash_candidate_pairs`' band buckets (the failure mode is
     identical: a mass-duplicate family shares every chunk, so one
     bucket goes quadratic): buckets over the cap emit star pairs
@@ -834,6 +920,9 @@ def simhash_candidate_pairs(
     )
     e = sig_df.select(F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk", "cv"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    max_bucket = _resolve_max_bucket(
+        e, id_col, ["chunk", "cv"], max_bucket, "simhash_candidate_pairs"
+    )
     if max_bucket is None:
         a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv")
         b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv")
@@ -897,7 +986,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With ``block_col`` the self-join is
     equi on the block (e.g. an LSH bucket from similarity.with_lsh_bucket
@@ -909,7 +998,10 @@ def embedding_near_dup_pairs(
     (oracle/testing use: it is O(n^2) shuffle and a scale-killer on any
     real embedding table).
 
-    ``max_bucket`` (opt-in) is the hot-bucket star-cap of
+    ``max_bucket`` (``'auto'`` by default — measure-first, see
+    :func:`_resolve_max_bucket`; applies to the multi-table array-
+    bucket path, where the quadratic hazard lives — a scalar
+    ``block_col`` self-join ignores it) is the hot-bucket star-cap of
     :func:`minhash_candidate_pairs` applied to the LSH/block buckets —
     the hazard is identical (a mass-duplicate embedding family shares
     every table's bucket, so one bucket goes quadratic): buckets over
@@ -954,6 +1046,10 @@ def embedding_near_dup_pairs(
         )
         b = ex.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_tbl", "_bkt"
+        )
+        max_bucket = _resolve_max_bucket(
+            ex.select(id_col, "_tbl", "_bkt"), id_col, ["_tbl", "_bkt"],
+            max_bucket, "embedding_near_dup_pairs",
         )
         if max_bucket is not None:
             if int(max_bucket) < 2:

@@ -1913,3 +1913,110 @@ def test_compact_dedup_indexes_deletes_purged_docs(spark, tmp_path):
     band = D.load_dedup_index(spark, band_p)
     assert band.where(F.col("doc_id") == 7).count() == 0
     assert band.select("doc_id").distinct().count() == 29
+
+
+# ------------------------------------------- measure-first auto cap (r12)
+
+
+def _flat_sigs(spark, n_hot, n_cold, k=16):
+    """Signature frame with a planted identical-signature family of
+    ``n_hot`` docs (every band collides) plus ``n_cold`` docs whose
+    signatures are id-derived (no collisions) — built directly so the
+    auto-probe tests don't pay the shingle pipeline."""
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(7777 + j) for j in range(k)]).alias("_sig"),
+    )
+    cold = spark.range(n_cold).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.array(
+            *[F.xxhash64(F.col("id") + F.lit(j * 104729)) for j in range(k)]
+        ).alias("_sig"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_minhash_auto_cap_bounds_planted_family_without_caller_opt_in(spark):
+    """r11 verdict #3's acceptance: a planted multi-thousand-identical
+    corpus completes with LINEAR pair volume under the DEFAULT call —
+    no max_bucket argument — and the decision is surfaced."""
+    sigs = _flat_sigs(spark, n_hot=5000, n_cold=200)
+    with pytest.warns(UserWarning, match="star-cap enabled"):
+        pairs = D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, _validate=False
+        )
+        n = pairs.count()
+    # star linking: 4999 pairs against the min-id rep, not 12.5M
+    assert n < 6000, f"auto cap did not bound the planted family: {n}"
+    # the family stays fully connected through the representative
+    reps = pairs.where(F.col("id_a") == 0)
+    assert reps.count() == 4999
+
+
+def test_minhash_auto_probe_is_noop_on_uniform_corpus(spark):
+    """Cold corpus: the probe resolves to the EXACT uncapped plan (no
+    _bsz stats join anywhere) and emits no advisory."""
+    import warnings as W
+
+    sigs = _flat_sigs(spark, n_hot=0, n_cold=500)
+    with W.catch_warnings():
+        W.simplefilter("error")  # any advisory fails the test
+        auto = D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, _validate=False
+        )
+    explicit = D.minhash_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=None,
+        _validate=False,
+    )
+    auto_plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    none_plan = explicit._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bsz" not in auto_plan
+    assert auto_plan.count("Join") == none_plan.count("Join")
+    assert auto.count() == explicit.count()
+
+
+def test_auto_cap_rejects_unknown_string(spark):
+    sigs = _flat_sigs(spark, n_hot=0, n_cold=10)
+    with pytest.raises(ValueError, match="'auto'"):
+        D.minhash_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, max_bucket="always",
+            _validate=False,
+        )
+
+
+def test_simhash_auto_cap_bounds_planted_family(spark):
+    rows = [(i, 0x1234_5678_9ABC_DEF0) for i in range(2000)]
+    rows += [(10_000 + i, (i * 0x9E3779B97F4A7C15) & 0x7FFF_FFFF_FFFF_FFFF) for i in range(100)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    with pytest.warns(UserWarning, match="star-cap enabled"):
+        pairs = D.simhash_candidate_pairs(sig, "doc_id")
+        n = pairs.count()
+    assert n < 5000, f"auto cap did not bound the simhash family: {n}"
+    # identical signatures: hamming 0 to the rep, whole family flagged
+    flagged = pairs.where(F.col("hamming") == 0)
+    got = {r["id_b"] for r in flagged.collect()} | {
+        r["id_a"] for r in flagged.collect()
+    }
+    assert set(range(2000)) <= got
+
+
+def test_embedding_auto_cap_bounds_planted_family(spark):
+    hot = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.array(F.lit(1)).alias("lsh_bucket"),
+    )
+    cold = spark.range(100).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(F.lit(0.0), F.lit(1.0)).alias("embedding"),
+        F.array((F.col("id") + 100).cast("int")).alias("lsh_bucket"),
+    )
+    emb = hot.unionByName(cold)
+    with pytest.warns(UserWarning, match="star-cap enabled"):
+        pairs = D.embedding_near_dup_pairs(
+            emb, threshold=0.99, block_col="lsh_bucket"
+        )
+        n = pairs.count()
+    assert n < 3000, f"auto cap did not bound the embedding family: {n}"
+    flagged = pairs.select("id_a").union(pairs.select("id_b")).distinct()
+    assert flagged.where(F.col("id_a") < 2000).count() == 2000
