@@ -84,6 +84,7 @@ def exact_dedup_incremental(
     id_col: str,
     seen: DataFrame | None = None,
     digest_col: str = "digest",
+    pending_deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against all history using only a
     persisted digest index — never rescanning historical text.
@@ -101,11 +102,26 @@ def exact_dedup_incremental(
     digest — never the payload — when not), and the streaming twin of
     this contract is ``streaming.ingest.dedup_stream`` (watermark-
     bounded state instead of a persisted index).
+
+    ``pending_deletes`` (one-column frame of ``digest_col`` values —
+    the same shape ``compact_dedup_indexes(delete_digests=)`` takes)
+    is the BETWEEN-compactions deletion overlay: digests of purged
+    documents are voided out of ``seen`` before the anti-join, so a
+    purged doc re-ingests as novel immediately — the physical index
+    rows die at the next compaction, the logical deletion is already
+    correct here.  Deletions are small by construction, so the
+    overlay broadcasts.
     """
     dig = F.md5(F.concat_ws("\x1f", *content_cols))
     fresh = exact_dedup(df, content_cols, id_col).withColumn(digest_col, dig)
     if seen is not None:
-        fresh = fresh.join(seen.select(digest_col), digest_col, "left_anti")
+        seen = seen.select(digest_col)
+        if pending_deletes is not None:
+            dels = pending_deletes.select(
+                F.col(pending_deletes.columns[0]).alias(digest_col)
+            )
+            seen = seen.join(F.broadcast(dels), digest_col, "left_anti")
+        fresh = fresh.join(seen, digest_col, "left_anti")
     return fresh
 
 
@@ -1537,6 +1553,7 @@ def minhash_dedup_incremental(
     n: int = 3,
     threshold: float = 0.5,
     history: DataFrame | None = None,
+    pending_deletes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against all history via the
     persisted :func:`minhash_index` — the batch-incremental member of
@@ -1560,7 +1577,21 @@ def minhash_dedup_incremental(
     ``k``/``bands``/``n`` MUST match the values the index was built
     with — a mismatch silently yields disjoint bucket spaces (zero
     recall), so pin them in the index table's metadata.
+
+    ``pending_deletes`` (one-column frame of purged doc ids — the
+    same shape ``compact_dedup_indexes(delete_ids=)`` takes) is the
+    BETWEEN-compactions deletion overlay: band rows belonging to
+    purged docs are voided out of ``index`` before the bucket join,
+    so a purged doc's ghost can no longer flag (and suppress) its own
+    re-ingest — the physical rows die at the next compaction, the
+    logical deletion is already correct here.  Broadcast (deletions
+    are small by construction).
     """
+    if pending_deletes is not None:
+        dels = pending_deletes.select(
+            F.col(pending_deletes.columns[0]).alias(id_col)
+        )
+        index = index.join(F.broadcast(dels), id_col, "left_anti")
     new_index = minhash_index(new_df, id_col, text_col, k=k, bands=bands, n=n)
     pairs = (
         new_index.withColumnRenamed(id_col, "new_id")
@@ -1636,8 +1667,9 @@ def compact_dedup_indexes(
     and ``delete_ids`` (a one-column frame of doc ids for the band
     index) are anti-joined out during the fold; both broadcast
     (deletions are small by construction).  Until the compaction runs,
-    exclude pending deletes at query time by anti-joining the loaded
-    index yourself.
+    pass the SAME frames as ``pending_deletes=`` to
+    ``exact_dedup_incremental`` / ``minhash_dedup_incremental`` — the
+    query-time overlay that makes the deletion logically immediate.
 
     Returns per-index ``{"version", "epochs_folded", "rows":
     distinct_rows, "migrated", "files_before"}``."""

@@ -1022,6 +1022,7 @@ def bloom_dedup_stream(
     expected_items: int,
     fpp: float = 0.01,
     available_now: bool = True,
+    pending_deletes: DataFrame | None = None,
 ):
     """Unbounded-horizon seen-keys gate with BOUNDED memory: emit only
     rows whose key has never been seen across the stream's whole
@@ -1058,7 +1059,20 @@ def bloom_dedup_stream(
     guard, the replay would load its own keys from the folded base
     (``epoch=-1`` passes the ``before_epoch`` filter), compute an
     empty ``fresh``, and dynamic-overwrite its output epoch as empty,
-    permanently losing that batch's emitted rows.  Returns the started
+    permanently losing that batch's emitted rows.
+
+    ``pending_deletes`` (one-column frame of purged keys) is the
+    deletion overlay for the one artifact class that can NEVER
+    physically delete — a Bloom filter cannot unset bits, so a purged
+    key would otherwise be swallowed as "seen" forever.  Listed keys
+    bypass the filter's verdict (their prior sightings are void);
+    within-batch first-wins still applies, and the re-ingested key
+    lands in that batch's bloom like any other.  The exemption is
+    STANDING while the key is listed — drop keys from the list once
+    their re-ingest is confirmed in ``output_path``, or later
+    duplicates of the key pass the gate too.  Replays re-evaluate
+    against the CURRENT list, so only shrink it after the epochs that
+    re-admitted the key are committed.  Returns the started
     StreamingQuery."""
     from ..operators.membership import (
         bloom_artifact_geometry,
@@ -1091,10 +1105,24 @@ def bloom_dedup_stream(
         seen = bloom_artifact_load(
             spark, bloom_path, before_epoch=int(epoch_id)
         )
-        fresh = (
-            bloom_filter_members(df, key_col, seen, "definitely_not")
-            if seen is not None else df
-        )
+        if seen is None:
+            fresh = df
+        elif pending_deletes is not None:
+            # purge overlay: listed keys skip the bloom verdict (their
+            # prior sightings are void), everything else is gated
+            dels = F.broadcast(
+                pending_deletes.select(
+                    F.col(pending_deletes.columns[0]).alias(key_col)
+                ).distinct()
+            )
+            exempt = df.join(dels, key_col, "left_semi")
+            gated = bloom_filter_members(
+                df.join(dels, key_col, "left_anti"),
+                key_col, seen, "definitely_not",
+            )
+            fresh = gated.unionByName(exempt)
+        else:
+            fresh = bloom_filter_members(df, key_col, seen, "definitely_not")
         # exact first-wins INSIDE the batch (the filter only knows
         # about previous batches)
         fresh = fresh.dropDuplicates([key_col])

@@ -2045,3 +2045,63 @@ def test_decontaminate_stream_matches_batch_and_replays_clean(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in M.read_artifact(spark, out_p).collect()
     ) == want
+
+
+def test_bloom_dedup_stream_pending_deletes_readmits_purged_key(spark, tmp_path):
+    """r12 purge overlay for the gate that can never physically delete:
+    a key purged from the corpus re-ingests as novel when listed in
+    pending_deletes (its bloom sightings are void), while unlisted
+    duplicate keys stay gated in the same run."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        bloom_dedup_stream,
+    )
+
+    sch = "k string, payload long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, ids):
+        stage = str(tmp_path / ("s_" + name))
+        spark.createDataFrame(
+            [(f"url-{i}", i) for i in ids], sch
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        [f] = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    out_p, bloom_p = str(tmp_path / "out"), str(tmp_path / "seen")
+
+    def run(ckpt, pend=None):
+        q = bloom_dedup_stream(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "k", out_p, bloom_p, str(tmp_path / ckpt),
+            expected_items=200, fpp=0.001,
+            pending_deletes=pend,
+        )
+        q.awaitTermination(180)
+
+    add_file("a", range(0, 50))
+    run("ck1")
+    assert M.read_artifact(spark, out_p).count() == 50
+
+    # corpus purge of url-7 happened; its re-ingest arrives with
+    # duplicates of unpurged keys in the same file
+    add_file("b", [7, 8, 9])
+    pend = spark.createDataFrame([("url-7",)], "k string")
+    run("ck1", pend=pend)
+    df = M.read_artifact(spark, out_p)
+    ep1 = sorted(r["payload"] for r in df.where(F.col("epoch") == 1).collect())
+    assert ep1 == [7], f"purged key must re-admit, others stay gated: {ep1}"
+    # and the re-admitted sighting is in the artifact again: a THIRD
+    # appearance without the overlay is gated as seen
+    add_file("c", [7, 60])
+    run("ck1")
+    ep2 = sorted(
+        r["payload"]
+        for r in M.read_artifact(spark, out_p)
+        .where(F.col("epoch") == 2).collect()
+    )
+    assert ep2 == [60], f"re-admitted key must gate again once re-seen: {ep2}"
