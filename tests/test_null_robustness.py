@@ -195,3 +195,85 @@ def test_embedding_near_dup_cap_with_null_vectors(spark):
     ).collect()
     ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
     assert 900 not in ids and set(range(80)) <= ids
+
+
+def test_contaminated_spans_null_empty_whitespace_docs(spark):
+    """r12: the span-decontamination family on degenerate text.
+    Null/empty/whitespace-only docs produce no token windows, so they
+    can never carry a contaminated span — no rows in the span frame,
+    and the strip rewrite passes them through UNTOUCHED (null stays
+    null, '' stays '')."""
+    from gcf_corima_parquet_converter_spark.operators import pipeline as P
+
+    corpus = _docs(spark)
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["a b c d e f g h"]})
+    )
+    spans = P.contaminated_spans(corpus, bench, "doc_id", "text", width=4)
+    span_ids = {r["doc_id"] for r in spans.collect()}
+    assert span_ids == {1, 2}  # only the real overlap; 3/4/5/6/7 never appear
+
+    stripped = P.strip_contaminated_spans(
+        corpus, bench, "doc_id", "text", width=4
+    )
+    by_id = {r["doc_id"]: r["text"] for r in stripped.collect()}
+    assert len(by_id) == 7  # every doc survives, none dropped
+    assert by_id[3] is None and by_id[4] == "" and by_id[5] == "   "
+    assert by_id[6] == "solo" and by_id[7] == "two words"
+    assert by_id[1] == "" and by_id[2] == ""  # fully-contaminated: text gone, doc kept
+
+    # a null/empty-text BENCHMARK contributes no windows and strips nothing
+    nb = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": [None, "  "]})
+    )
+    assert P.contaminated_spans(corpus, nb, "doc_id", "text", width=4).count() == 0
+    untouched = {
+        r["doc_id"]: r["text"]
+        for r in P.strip_contaminated_spans(
+            corpus, nb, "doc_id", "text", width=4
+        ).collect()
+    }
+    assert untouched == {
+        1: "a b c d e f", 2: "a b c d e f", 3: None, 4: "", 5: "   ",
+        6: "solo", 7: "two words",
+    }
+
+
+def test_decontaminate_stream_null_empty_whitespace_docs(spark, tmp_path):
+    """r12: the ingest-time gate lands null/empty/whitespace docs
+    untouched — an empty gram set can never be contaminated."""
+    import glob
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        decontaminate_stream,
+    )
+
+    sch = "doc_id long, text string"
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], sch)
+    rows = [
+        (1, "a b c d e f g h and more"),  # contaminated
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "clean words only here"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+    [f] = glob.glob(stage + "/part-*.parquet")
+    shutil.copy(f, os.path.join(src, "a.parquet"))
+
+    out_p = str(tmp_path / "clean")
+    q = decontaminate_stream(
+        spark.readStream.schema(sch).parquet(src),
+        bench, "doc_id", "text", out_p, str(tmp_path / "ck"), n=8,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["text"] for r in M.read_artifact(spark, out_p).collect()
+    }
+    assert got == {2: None, 3: "", 4: "   ", 5: "clean words only here"}
