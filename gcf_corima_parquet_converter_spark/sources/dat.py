@@ -8,9 +8,13 @@ no timestamps at all.  Incomplete trailing bytes are carried to the
 next chunk (``incoming_data`` buffer in the reference; ``PacketFramer``
 here).
 
-Scale design: each ``.dat`` file is one ``binaryFile`` row decoded by a
-``mapInPandas`` kernel (numpy ``frombuffer``, zero-copy reshape) — one
-task per file, embarrassingly parallel across acquisitions, no shuffle.
+Scale design: fixed packet length means any multiple of it is a clean
+framing boundary, so files decode as packet-aligned BYTE RANGES — a
+``mapInPandas`` kernel (numpy ``frombuffer``, zero-copy reshape) per
+range, ranged reads (local seek / ``pyarrow.fs`` object-store GET),
+no shuffle of sample data; parallel across acquisitions AND within a
+large file (one 1-hour 96M-sample acquisition is ~10 ranges, so a
+single hot file can never serialize a stage).
 Per-sample timestamps are derived from packet timestamps (the packet
 stamp is the time of its last sample [inferred from the missing-core
 converter's per-sample Time output, main.py:84-101]) so clock drift
@@ -155,45 +159,129 @@ def decode_schema(params: DecodeParams) -> StructType:
     )
 
 
+def _read_range(path: str, start: int, length: int) -> bytes:
+    """Read ``length`` bytes at ``start`` from a binaryFile path URI.
+    Local ``file:`` URIs use plain seek/read; anything else (gs://,
+    s3://, hdfs://) goes through ``pyarrow.fs`` — the same ranged-GET
+    primitive every object store serves, so a split never downloads
+    the whole blob."""
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        with open(local, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+    if "://" not in path and path.startswith("/"):
+        with open(path, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(path)
+    with fs.open_input_file(rel) as f:
+        f.seek(start)
+        return f.read(length)
+
+
 def decode_dat(
     spark: SparkSession,
     path: str,
     params: DecodeParams,
     chunk_rows: int = 262_144,
+    split_bytes: int | None = 64 << 20,
 ) -> DataFrame:
-    """Distributed ``.dat`` scan: binaryFile rows -> mapInPandas decode.
+    """Distributed ``.dat`` scan decoded over PACKET-ALIGNED byte
+    ranges: packets are fixed-length (``params.packet_len``), so any
+    multiple of it is a clean framing boundary — a large file splits
+    into ``split_bytes``-sized ranges decoded in parallel instead of
+    serializing on one whole-file task (the reference decodes one file
+    per process, main.py:84-85; a 1-hour 96M-sample acquisition here
+    is ~10 ranges across the cluster, and a multi-GB file can never
+    bottleneck a stage).  Per-packet timestamps make every range
+    self-contained; the spts==0 stampless format gets its time grid
+    from the range's global packet offset instead.
 
     Output: relative ``Time`` (float64 s) + one double column per axis
-    + ``_file`` provenance.  One decode task per file; downstream
-    enrichment (sanitize/abs-time/alias) stays lazy on top.
-    ``chunk_rows`` bounds the per-yield Arrow batch so a 1-hour 96M-
-    sample acquisition never materializes as one pandas frame.
-    """
+    + ``_file`` provenance.  Downstream enrichment (sanitize/abs-time/
+    alias) stays lazy on top.  ``chunk_rows`` bounds the per-yield
+    Arrow batch so a range never materializes as one pandas frame.
+    ``split_bytes=None`` falls back to one-task-per-file via
+    binaryFile content rows (no seekable reads needed).
+
+    The listing pass projects binaryFile's (path, length) only —
+    content is never read twice; range tasks fetch their own bytes
+    with ranged reads (local seek or ``pyarrow.fs`` for object
+    stores).  The tiny (path, start) frame repartitions so ranges
+    spread across the cluster rather than inheriting the listing's
+    single task."""
     schema = decode_schema(params)
+    plen = params.packet_len
 
-    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                samples, ts, leftover = frame_packets(bytes(content), params)
-                if leftover:
-                    # trailing partial packet: legal mid-stream (file cut);
-                    # decoded rows are unaffected
-                    pass
-                n = len(samples)
-                if n == 0:
-                    continue
-                t = sample_times(ts, params, n)
-                for s in range(0, n, chunk_rows):
-                    e = min(s + chunk_rows, n)
-                    out = {"Time": t[s:e]}
-                    for d, name in enumerate(params.axis_names):
-                        out[name] = samples[s:e, d]
-                    out["_file"] = fpath
-                    yield pd.DataFrame(out)
+    def _decode_buf(fpath, content, base_packet: int):
+        samples, ts, leftover = frame_packets(content, params)
+        if leftover:
+            # trailing partial packet: legal mid-stream (file cut);
+            # decoded rows are unaffected
+            pass
+        n = len(samples)
+        if n == 0:
+            return
+        if ts.size == 0 and params.samples_per_ts == 0:
+            # stampless wire format: the k/odr grid must use the
+            # GLOBAL sample index, not the range-local one
+            t = (
+                np.arange(base_packet, base_packet + n, dtype=np.float64)
+                / params.odr
+            )
+        else:
+            t = sample_times(ts, params, n)
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            out = {"Time": t[s:e]}
+            for d, name in enumerate(params.axis_names):
+                out[name] = samples[s:e, d]
+            out["_file"] = fpath
+            yield pd.DataFrame(out)
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .mapInPandas(_decode, schema)
+    if split_bytes is None:
+
+        def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    yield from _decode_buf(fpath, bytes(content), 0)
+
+        return (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "content")
+            .mapInPandas(_decode, schema)
+        )
+
+    per = max(int(split_bytes) // plen, 1) * plen
+    files = spark.read.format("binaryFile").load(path).select("path", "length")
+    ranges = (
+        files.select(
+            "path",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.col("length") / F.lit(per)).cast("long")
+                        - F.lit(1),
+                        F.lit(0),
+                    ),
+                )
+            ).alias("_ri"),
+        )
+        .select("path", (F.col("_ri") * F.lit(per)).alias("_start"))
+        .repartition(F.col("path"), F.col("_start"))
     )
+
+    def _decode_ranges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, start in zip(pdf["path"], pdf["_start"]):
+                buf = _read_range(str(fpath), int(start), per)
+                yield from _decode_buf(fpath, buf, int(start) // plen)
+
+    return ranges.mapInPandas(_decode_ranges, schema)

@@ -275,14 +275,77 @@ def test_process_acquisition_decodes_once(spark, tmp_path, monkeypatch):
         df = real_decode(spark_, path, params)
 
         def tick(it):
-            acc.add(1)
-            yield from it
+            # tick once per NON-EMPTY partition: the ranged decode
+            # repartitions over shuffle.partitions, so empty partitions
+            # exist and must not count as decode work
+            first = True
+            for pdf in it:
+                if first:
+                    acc.add(1)
+                    first = False
+                yield pdf
 
         return df.mapInPandas(tick, df.schema)
 
     monkeypatch.setattr(acq, "decode_dat", counting_decode)
     res = acq.process_acquisition(spark, str(tmp_path / "G"), str(tmp_path / "outG"))
     assert res is not None and res["rms_written"]
-    # one .dat file -> binaryFile scan is a single partition; a second
-    # lineage execution would double the tick count
+    # one small .dat file -> one packet-aligned range -> one non-empty
+    # decode partition; a second lineage execution would double it
     assert acc.value == 1
+
+
+def test_decode_dat_ranged_split_parity(spark, tmp_path):
+    """r12 packet-aligned range decode: forcing many small ranges over
+    one file yields exactly the whole-file decode — samples, per-packet
+    stamp times, trailing-garbage tolerance."""
+    from gcf_corima_parquet_converter_spark.sources.dat import decode_dat
+
+    in_g, t = write_acquisition(str(tmp_path / "R"), trailing_garbage=37)
+    path = str(tmp_path / "R" / f"{SENSOR}.dat")
+    whole = (
+        decode_dat(spark, path, P, split_bytes=None)
+        .toPandas().sort_values("Time").reset_index(drop=True)
+    )
+    # split at ~4 packets per range -> dozens of ranges
+    ranged = (
+        decode_dat(spark, path, P, split_bytes=P.packet_len * 4)
+        .toPandas().sort_values("Time").reset_index(drop=True)
+    )
+    assert len(ranged) == len(whole) == len(in_g)
+    np.testing.assert_array_equal(
+        ranged["A_x [g]"].to_numpy(), whole["A_x [g]"].to_numpy()
+    )
+    np.testing.assert_allclose(ranged["Time"].to_numpy(), t, atol=1e-12)
+    # unaligned split_bytes rounds DOWN to a packet boundary
+    odd = (
+        decode_dat(spark, path, P, split_bytes=P.packet_len * 4 + 17)
+        .toPandas().sort_values("Time").reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        odd["A_x [g]"].to_numpy(), whole["A_x [g]"].to_numpy()
+    )
+
+
+def test_decode_dat_ranged_spts_zero_global_grid(spark, tmp_path):
+    """The stampless (spts=0) format's k/odr time grid must use GLOBAL
+    sample indexes across ranges, not restart at 0 per range."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.sources.dat import decode_dat
+
+    p0 = DecodeParams(
+        dim=2, data_type="float32", samples_per_ts=0, odr=100.0,
+        axis_names=("a", "b"),
+    )
+    arr = np.arange(40, dtype=np.float32).reshape(20, 2)
+    d = tmp_path / "Z"
+    os.makedirs(d)
+    (d / "s.dat").write_bytes(arr.tobytes())
+    out = (
+        decode_dat(spark, str(d / "s.dat"), p0, split_bytes=p0.packet_len * 3)
+        .toPandas().sort_values("Time").reset_index(drop=True)
+    )
+    assert len(out) == 20
+    np.testing.assert_allclose(out["Time"].to_numpy(), np.arange(20) / 100.0)
+    np.testing.assert_allclose(out["a"].to_numpy(), arr[:, 0])
