@@ -182,6 +182,7 @@ def bloom_decontaminate(
     bloom: dict | None = None,
     persist_corpus: bool = False,
     advise: bool = True,
+    strategy: str = "union",
 ) -> DataFrame:
     """Drop every corpus row whose key appears in ``blocklist`` —
     EXACT anti-join semantics at narrow-map cost: rows the filter
@@ -225,8 +226,31 @@ def bloom_decontaminate(
 
     ``advise=False`` silences the broadcastable-blocklist advisory —
     for callers exercising the bloom path deliberately at small scale
-    (demos, tests) rather than choosing it for performance."""
+    (demos, tests) rather than choosing it for performance.
+
+    ``strategy`` picks how the maybe-set is verified:
+
+    * ``"union"`` (default, the r10 shape): two complementary WIDE
+      scans — definitely-clean rows pass untouched, maybe rows verify
+      with a real anti-join.  Never broadcasts anything derived from
+      the corpus, so it works whatever the true-hit count is.
+    * ``"hits"`` (r12 — the wide-payload winner): one NARROW scan
+      (``key_col`` only — parquet column pruning makes it a fraction
+      of the wide scan) bloom-filters the key stream to maybe-keys,
+      a semi-join against the blocklist reduces those to the TRUE-HIT
+      key list, and the hit list broadcasts back into a single
+      anti-join over ONE wide scan.  The wide payload is scanned once
+      and never shuffled (and never SORTED — the plain anti-join's
+      SMJ sort of the wide side is what spills first) — measured
+      ~1.8x the plain anti-join on an 8M x 1KB corpus (bench
+      ``membership.wide``), where ``"union"``'s second wide scan
+      loses.  Requires the true-hit list to fit
+      a broadcast (decontamination corpora: hits are the rare case by
+      construction); fall back to ``"union"`` when a large fraction
+      of the corpus is blocked."""
     bcol = block_col or key_col
+    if strategy not in ("union", "hits"):
+        raise ValueError(f"strategy must be 'union' or 'hits', got {strategy!r}")
     if advise:
         _advise_if_antijoin_cheaper(corpus, blocklist, "bloom_decontaminate")
     if persist_corpus:
@@ -236,6 +260,12 @@ def bloom_decontaminate(
         bloom = bloom_build(
             block_keys, key_col, expected_items=expected_items, fpp=fpp
         )
+    if strategy == "hits":
+        maybe_keys = bloom_filter_members(
+            corpus.select(F.col(key_col)), key_col, bloom, "maybe"
+        )
+        hit_keys = block_keys.join(maybe_keys, key_col, "left_semi")
+        return corpus.join(F.broadcast(hit_keys), key_col, "left_anti")
     clean = bloom_filter_members(corpus, key_col, bloom, "definitely_not")
     maybe = bloom_filter_members(corpus, key_col, bloom, "maybe")
     survivors = maybe.join(block_keys, key_col, "left_anti")
@@ -304,8 +334,11 @@ def decontaminate_auto(
        (the planner broadcasts it; nothing for a bloom to save);
     2. blocklist too big to broadcast, corpus estimated at least
        ``corpus_factor`` x larger, and the bloom's bit array fits the
-       broadcast premise → :func:`bloom_decontaminate` (the corpus
-       never shuffles; only the maybe-set pays the verify join);
+       broadcast premise → :func:`bloom_decontaminate` with
+       ``strategy="hits"`` (the wide corpus is scanned once and never
+       shuffles — the narrow key stream bloom-filters down to the
+       true-hit list, which broadcasts back; the measured winner in
+       the wide-payload regime, bench ``membership.wide``);
     3. otherwise → plain shuffle ``left_anti`` (comparable sizes: both
        sides shuffle once, the bloom's second scan buys nothing).
 
@@ -327,7 +360,8 @@ def decontaminate_auto(
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")  # the advisory doesn't apply
             return bloom_decontaminate(
-                corpus, blocklist, key_col, block_col=block_col, fpp=fpp
+                corpus, blocklist, key_col, block_col=block_col, fpp=fpp,
+                strategy="hits",
             )
     return corpus.join(block_keys, key_col, "left_anti")
 

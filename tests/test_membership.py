@@ -282,3 +282,70 @@ def test_decontaminate_auto_with_parquet_backed_sizes(spark, tmp_path):
         assert out2.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ----------------------------------------- hits strategy (r12)
+
+
+def test_bloom_decontaminate_hits_strategy_exact(spark):
+    """strategy='hits' (narrow key scan -> maybe filter -> true-hit
+    semi-join -> broadcast anti-join) returns EXACTLY the union
+    strategy's / plain anti-join's rows, nulls included."""
+    corpus = _corpus(spark, 5000).unionByName(
+        spark.createDataFrame([(None, 99999)], "k string, rid long")
+    )
+    block = spark.range(0, 5000, 7).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("bk")
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1])
+    want = sorted(
+        (
+            (r["k"], r["rid"])
+            for r in corpus.join(
+                block.select(F.col("bk").alias("k")), "k", "left_anti"
+            ).collect()
+        ),
+        key=key,
+    )
+    got = sorted(
+        (
+            (r["k"], r["rid"])
+            for r in B.bloom_decontaminate(
+                corpus, block, "k", block_col="bk", strategy="hits", advise=False
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == want
+    assert (None, 99999) in got  # null key never blocked
+
+
+def test_bloom_decontaminate_hits_plan_never_shuffles_wide_corpus(spark):
+    """The hits plan's contract: the wide corpus column reaches ONE
+    scan feeding a BROADCAST anti-join — every hash-partitioned
+    exchange carries keys only, never the payload."""
+    corpus = _corpus(spark, 2000).withColumn(
+        "payload", F.rpad(F.col("k"), 200, "x")
+    )
+    block = spark.range(0, 2000, 3).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = B.bloom_decontaminate(
+            corpus, block, "k", strategy="hits", advise=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "bit_get" in plan  # the narrow maybe-filter is a bloom probe
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload" not in line, line
+
+
+def test_bloom_decontaminate_rejects_unknown_strategy(spark):
+    corpus = _corpus(spark, 10)
+    block = _corpus(spark, 2).select(F.col("k"))
+    with pytest.raises(ValueError, match="strategy"):
+        B.bloom_decontaminate(corpus, block, "k", strategy="magic")
