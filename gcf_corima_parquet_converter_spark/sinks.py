@@ -6,7 +6,10 @@ parquet writer pins SNAPPY + data-page v2 + per-column encodings
 (``main.py:107-119,186-194``).  Spark writes straight to the object
 store (no local staging + upload step, S9 disappears), and per-column
 encoding choice is delegated to parquet-mr — value-level output is
-identical, encodings are chosen per column chunk.
+identical, encodings are chosen per column chunk.  Consumers that
+byte-diff files against the reference get the opt-in
+:func:`write_parquet_pinned` (r12): a distributed pyarrow final stage
+that pins the reference's exact per-column encodings.
 
 The Hive-partitioned layout sink (S8) lives with the telemetry
 operators: :func:`..operators.telemetry.write_hive_partitioned`.
@@ -93,6 +96,103 @@ def write_parquet(
         .option("parquet.writer.version", page_version)
         .parquet(path)
     )
+
+
+def write_parquet_pinned(
+    df: DataFrame,
+    path: str,
+    column_encodings: dict[str, str] | None = None,
+    dictionary_cols: list[str] | None = None,
+    compression: str = "snappy",
+    sort_by: list[str] | None = None,
+    overwrite: bool = True,
+) -> dict:
+    """Opt-in BYTE-PARITY parquet sink (S7's last gap): pins PER-COLUMN
+    encodings exactly like the reference's pyarrow writer —
+    ``Time → DELTA_BINARY_PACKED`` + dictionary ``alias``
+    (/root/reference/main.py:107-119) — which Spark's parquet-mr writer
+    cannot express (it picks encodings per column chunk itself;
+    :func:`write_parquet` gets EQUIVALENT encodings via v2 pages +
+    sorted writes, and that is the default sink).  Reach for this one
+    only when a downstream consumer byte-diffs files against the
+    reference's output.
+
+    Distributed: each Spark partition streams its Arrow batches into
+    ONE pyarrow ``ParquetWriter`` via ``mapInPandas`` — no driver
+    collect, no single-writer funnel; files land as
+    ``part-<partition>-<uuid>.parquet`` plus a ``_SUCCESS`` marker.
+    Defaults mirror the reference: snappy, data-page v2,
+    ``column_encodings={"Time": "DELTA_BINARY_PACKED"}``,
+    ``dictionary_cols=["alias"]`` (each applied only when the column
+    exists).  Local-path sink (the reference's staging contract);
+    object-store consumers should use :func:`write_parquet`.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if column_encodings is None:
+        column_encodings = (
+            {"Time": "DELTA_BINARY_PACKED"} if "Time" in df.columns else {}
+        )
+    if dictionary_cols is None:
+        dictionary_cols = ["alias"] if "alias" in df.columns else []
+    missing = [
+        c
+        for c in list(column_encodings) + list(dictionary_cols)
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"pinned columns not in frame: {missing}")
+    arrow_schema = to_arrow_schema(df.schema)
+    out = df.sortWithinPartitions(*sort_by) if sort_by else df
+    if overwrite and os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    enc = dict(column_encodings)
+    dcols = list(dictionary_cols)
+    run_id = uuid.uuid4().hex[:12]
+
+    def _write(it):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer, n = None, 0
+        fname = os.path.join(path, f"part-{pid:05d}-{run_id}.parquet")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            batch = pa.Table.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    fname,
+                    arrow_schema,
+                    compression=compression,
+                    data_page_version="2.0",
+                    use_dictionary=dcols,
+                    column_encoding=enc,
+                )
+            writer.write_table(batch)
+            n += len(pdf)
+        if writer is not None:
+            writer.close()
+            yield pd.DataFrame({"file": [fname], "rows": [n]})
+
+    report = out.mapInPandas(_write, "file string, rows long").collect()
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return {
+        "files": len(report),
+        "rows": int(sum(r["rows"] for r in report)),
+        "path": path,
+    }
 
 
 def compact_partitions(

@@ -256,3 +256,63 @@ def test_generic_format_roundtrips(spark, tmp_path):
         G.infer_format("x.xyz")
     assert G.infer_format("dir/") == "parquet"
     assert G.infer_format("docs.jsonl.gz") == "json"
+
+
+def test_write_parquet_pinned_reference_encodings(spark, tmp_path):
+    """r12 S7 byte-parity escape hatch: the pyarrow final-stage writer
+    pins the reference's exact per-column encodings
+    (main.py:107-119 — Time=DELTA_BINARY_PACKED, alias=dictionary),
+    verified via ParquetFile metadata; values roundtrip exactly and
+    the write is one pyarrow file per Spark partition (distributed)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = 10_000
+    pdf = pd.DataFrame(
+        {
+            "Time": np.arange(n, dtype=np.int64) * 500_000 + 1_700_000_000_000_000_000,
+            "A_x_g": np.sin(np.arange(n) / 7.0),
+            "alias": ["LAF1"] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    path = str(tmp_path / "pinned")
+    res = sinks.write_parquet_pinned(df, path, sort_by=["Time"])
+    assert res["rows"] == n and res["files"] == 4
+
+    import glob
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        enc = {
+            md.row_group(g).column(i).path_in_schema: md.row_group(g)
+            .column(i)
+            .encodings
+            for g in range(md.num_row_groups)
+            for i in range(md.num_columns)
+        }
+        assert "DELTA_BINARY_PACKED" in enc["Time"], enc["Time"]
+        assert not any("DICTIONARY" in e for e in enc["Time"])
+        assert any("DICTIONARY" in e for e in enc["alias"]), enc["alias"]
+        # data-page v2 + snappy (the reference's writer posture)
+        col = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        assert col.compression == "SNAPPY"
+
+    back = spark.read.parquet(path).orderBy("Time").toPandas()
+    pd.testing.assert_frame_equal(
+        back[["Time", "A_x_g", "alias"]],
+        pdf.sort_values("Time").reset_index(drop=True),
+    )
+
+
+def test_write_parquet_pinned_rejects_unknown_column(spark, tmp_path):
+    df = _events(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pinned columns"):
+        sinks.write_parquet_pinned(
+            df, str(tmp_path / "x"), column_encodings={"nope": "PLAIN"}
+        )
