@@ -730,6 +730,12 @@ def bench_ann_1m(spark) -> dict:
 # dedup has no headline twin and its decade behavior is worth pinning).
 SCALING_QUERIES = HEADLINE + [
     "q75_duplicate_spans",
+    # r12 (r11 verdict #7): the operators whose scale posture is most
+    # novel get explicit decade rows — the binned interval join and
+    # both bloom tiers
+    "q94_interval_join_binned",
+    "q104_bloom_blocklist",
+    "q105_bloom_ngram_decontaminate",
 ]
 
 
@@ -807,6 +813,25 @@ def bench_scaling(spark, sf_dir: str) -> dict:
                 dedup as D,
             )
             cp["lsh_config"] = D.lsh_tuning_report(k=16, bands=4)
+        if name == "q94_interval_join_binned":
+            # r12: the decade ratio here is OUTPUT-bound, not
+            # operator-bound — "every event within 10 min after a
+            # signup" is quadratic in SF by construction (10x denser
+            # timeline x 10x more signup windows ~= 100x pairs), so
+            # record the join's output volume and the wall per emitted
+            # pair; flat-or-falling sec_per_1m_pairs = the bin-blocked
+            # plan scales, the SEMANTICS grow.
+            n_small = fn(spark, sf_dir).count()
+            n_big = fn(spark, sf1_dir).count()
+            out[name]["pairs_out"] = {
+                "sf0.1": n_small,
+                "sf1": n_big,
+                "pairs_ratio": round(n_big / max(n_small, 1), 2),
+                "sec_per_1m_pairs": {
+                    "sf0.1": round(t_small / max(n_small / 1e6, 1e-9), 3),
+                    "sf1": round(t_big / max(n_big / 1e6, 1e-9), 3),
+                },
+            }
         print(f"# scaling {name}: {t_small:.3f}s -> {t_big:.3f}s "
               f"({t_big / t_small:.1f}x)", file=sys.stderr)
     return out
@@ -889,6 +914,83 @@ def bench_facade(spark) -> dict:
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _jvm_peak_rss_mb() -> int | None:
+    """Peak RSS (VmHWM) of the local-mode JVM, read from /proc — the
+    'did the whole acquisition fit' note for the soak row.  Best-effort:
+    returns None when no java process is found (non-Linux, remote)."""
+    best = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            best = max(best, int(line.split()[1]) // 1024)
+            except OSError:
+                continue
+    except OSError:
+        return None
+    return best or None
+
+
+def bench_facade_full(spark) -> dict:
+    """Reference-SCALE facade soak (r11 verdict #4): one synthetic
+    1-HOUR IIS3DWB acquisition — 26 667 Hz x 3 axes = ~96M samples,
+    the exact workload BASELINE.md derives for the reference's 600 s
+    CI bound (test-conversion.yml:106-118) — through the full
+    process_acquisition pipeline: packet-aligned ranged .dat decode,
+    enrich, 1 s completeness-gated RMS, two Hive-partitioned sinks.
+    The fixture (~590 MB .dat) generates once into .scratch/ and is
+    reused across rounds (seeded — byte-identical).  One timed pass
+    (70 s-scale; a best-of-N would double bench wall for a number that
+    varies ~5%), generation outside the timing."""
+    import shutil
+    import tempfile
+
+    from gcf_corima_parquet_converter_spark.sources.acquisition import (
+        process_acquisition,
+    )
+    from gcf_corima_parquet_converter_spark.sources.synthetic import (
+        write_acquisition,
+    )
+
+    acq = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "soak_1h", "acq"
+    )
+    if not os.path.exists(os.path.join(acq, "acquisition_info.json")):
+        write_acquisition(acq, n_seconds=3600.0, odr=26667.0, spts=64)
+    n_samples = 96_001_152  # 3600 s * 26667 Hz, floored to whole packets
+    out = tempfile.mkdtemp(prefix="bench_soak_")
+    try:
+        t0 = time.perf_counter()
+        res = process_acquisition(spark, acq, out)
+        wall = time.perf_counter() - t0
+        assert res is not None and res["rms_written"], "soak wrote no RMS"
+        return {
+            "acq_seconds": 3600,
+            "odr_hz": 26667,
+            "samples": n_samples,
+            "dat_mb": round(
+                os.path.getsize(os.path.join(acq, "iis3dwb_acc.dat")) / 1e6
+            ),
+            "e2e_sec": round(wall, 1),
+            "samples_per_sec": int(n_samples / wall),
+            "rms_rows": res["rms_rows"],
+            "reference_bound_sec": 600,
+            "headroom_x": round(600 / wall, 1),
+            # how many acquisition-hours one node clears per wall-hour
+            "realtime_x": round(3600 / wall, 1),
+            "jvm_peak_rss_mb": _jvm_peak_rss_mb(),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def bench_plan_audit(spark, sf_dir: str) -> dict:
@@ -992,7 +1094,9 @@ def bench_membership(spark) -> dict:
         B.decontaminate_auto(corpus, block, "k")
         ._jdf.queryExecution().executedPlan().toString()
     )
+    wide = _bench_membership_wide(spark, B, best)
     return {
+        "wide": wide,
         "auto_path_broadcast_off": (
             "bloom" if "bit_get" in auto_plan_off else "anti_join"
         ),
@@ -1008,6 +1112,95 @@ def bench_membership(spark) -> dict:
         "bloom_sec": round(t_bloom, 3),
         "bloom_speedup": round(t_anti / t_bloom, 2),
         "rows_kept": n_anti,
+    }
+
+
+def _bench_membership_wide(spark, B, best) -> dict:
+    """r12 (r11 verdict #2): the bloom-WINS regime, measured — a WIDE
+    incompressible corpus (6M rows x 1 KB sha2-derived payload = ~6 GB
+    in 128 small files — row groups sized so the unmanaged parquet read
+    buffers stay clear of the sort's managed-memory pressure,
+    parquet on disk so the scan is real IO+decompress, lz4 can't fold
+    the shuffle away, and the SMJ sort of the wide side genuinely
+    exceeds execution memory — the spill a hot page cache cannot hide)
+    x a past-broadcast blocklist.  Three exact-identical
+    plans race: the plain shuffle anti-join (ships every payload byte),
+    the r10 union-strategy bloom (two WIDE scans — structurally loses
+    whenever scan ~ shuffle), and the r12 hits-strategy bloom (one
+    narrow column-pruned key scan -> maybe filter -> true-hit semi-join
+    -> BROADCAST anti-join over ONE wide scan: the payload is scanned
+    once and never shuffles).  decontaminate_auto routes this regime to
+    the hits plan; ``hits_speedup`` is the row the auto-selector's
+    bloom branch stands on."""
+    import pyspark.sql.functions as F
+
+    n, step, payload_b = 6_000_000, 10, 1024
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bloom_wide_6m"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        payload = F.concat(
+            *[
+                F.sha2(F.concat(F.lit(str(i)), F.col("id").cast("string")), 256)
+                for i in range(payload_b // 64)
+            ]
+        )
+        spark.range(n).select(
+            F.concat(F.lit("url://site-"), F.col("id")).alias("k"),
+            payload.alias("payload"),
+        ).repartition(128).write.mode("overwrite").parquet(path)
+    wide = spark.read.parquet(path)
+    block = spark.range(0, n, step).select(
+        F.concat(F.lit("url://site-"), F.col("id")).alias("k")
+    )
+
+    def obs(df):  # the consumer must NEED the payload or pruning fakes it
+        return df.agg(F.sum(F.length("payload"))).collect()[0][0]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v_anti, t_anti = best(
+            lambda: obs(wide.join(block, "k", "left_anti")), reps=3
+        )
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            bloom = B.bloom_build(block, "k", expected_items=n // step, fpp=0.01)
+            v_union, t_union = best(
+                lambda: obs(B.bloom_decontaminate(wide, block, "k", bloom=bloom)),
+                reps=3,
+            )
+            v_hits, t_hits = best(
+                lambda: obs(
+                    B.bloom_decontaminate(
+                        wide, block, "k", bloom=bloom, strategy="hits"
+                    )
+                ),
+                reps=3,
+            )
+        auto_plan = (
+            B.decontaminate_auto(wide, block, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if not (v_anti == v_union == v_hits):
+        raise RuntimeError(
+            f"wide decontamination answers diverged: {v_anti} / {v_union} / {v_hits}"
+        )
+    return {
+        "corpus_rows": n,
+        "payload_bytes": payload_b,
+        "blocklist_keys": n // step,
+        "anti_join_sec": round(t_anti, 3),
+        "bloom_union_sec": round(t_union, 3),
+        "bloom_hits_sec": round(t_hits, 3),
+        "union_speedup": round(t_anti / t_union, 2),
+        "hits_speedup": round(t_anti / t_hits, 2),
+        "auto_path": "bloom" if "bit_get" in auto_plan else "anti_join",
+        "auto_broadcast_back": "BroadcastHashJoin" in auto_plan,
     }
 
 
@@ -1101,7 +1294,10 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
         out["ann_scale"] = bench_ann_scale(spark)
         out["scaling"] = bench_scaling(spark, sf_dir)
         out["facade"] = bench_facade(spark)
+        # membership BEFORE the 1-hour soak: the soak's ~5 GB of decode
+        # output churns the page cache the wide-corpus timings sit on
         out["membership"] = bench_membership(spark)
+        out["facade_sf_full"] = bench_facade_full(spark)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
 
@@ -1234,6 +1430,7 @@ def main() -> None:
         "ann_scale": samples[-1].get("ann_scale"),
         "scaling": samples[-1].get("scaling"),
         "facade": samples[-1].get("facade"),
+        "facade_sf_full": samples[-1].get("facade_sf_full"),
         "membership": samples[-1].get("membership"),
         "runs": N_RUNS,
         "aggregation": "median",
@@ -1292,6 +1489,12 @@ def main() -> None:
         ).get("ivfpq_rerank_speedup"),
         "bloom_vs_antijoin": (result.get("membership") or {}).get(
             "bloom_speedup"
+        ),
+        "bloom_hits_speedup": (
+            (result.get("membership") or {}).get("wide") or {}
+        ).get("hits_speedup"),
+        "facade_full_e2e_sec": (result.get("facade_sf_full") or {}).get(
+            "e2e_sec"
         ),
         "scaling_max_ratio": max(
             (
