@@ -1554,6 +1554,7 @@ def minhash_dedup_incremental(
     threshold: float = 0.5,
     history: DataFrame | None = None,
     pending_deletes: DataFrame | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against all history via the
     persisted :func:`minhash_index` — the batch-incremental member of
@@ -1586,6 +1587,17 @@ def minhash_dedup_incremental(
     re-ingest — the physical rows die at the next compaction, the
     logical deletion is already correct here.  Broadcast (deletions
     are small by construction).
+
+    ``max_bucket`` (``'auto'`` by default) is the star-cap of
+    :func:`minhash_candidate_pairs` applied to the INDEX side of the
+    bucket join — the hazard is the cross product: a template family
+    present in history AND in the batch makes one bucket emit
+    |new| x |old| pairs.  Hot index buckets collapse to their min-id
+    REPRESENTATIVE, so every colliding new doc is still flagged (gate
+    completeness is per new-doc, and an identical-family member
+    verifies against the rep) while pair volume stays O(|new|) per
+    bucket.  The auto probe is an aggregation over the persisted
+    (band, bh) rows on a 1/8 id-sample — no signature recompute.
     """
     if pending_deletes is not None:
         dels = pending_deletes.select(
@@ -1593,9 +1605,28 @@ def minhash_dedup_incremental(
         )
         index = index.join(F.broadcast(dels), id_col, "left_anti")
     new_index = minhash_index(new_df, id_col, text_col, k=k, bands=bands, n=n)
+    old = index.withColumnRenamed(id_col, "old_id")
+    max_bucket = _resolve_max_bucket(
+        old.select("old_id", "band", "bh"), "old_id", ["band", "bh"],
+        max_bucket, "minhash_dedup_incremental",
+    )
+    if max_bucket is not None:
+        if int(max_bucket) < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        stats = old.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("old_id").alias("_rep")
+        )
+        old = (
+            old.join(stats, ["band", "bh"])
+            .where(
+                (F.col("_bsz") <= int(max_bucket))
+                | (F.col("old_id") == F.col("_rep"))
+            )
+            .select("old_id", "band", "bh")
+        )
     pairs = (
         new_index.withColumnRenamed(id_col, "new_id")
-        .join(index.withColumnRenamed(id_col, "old_id"), ["band", "bh"])
+        .join(old, ["band", "bh"])
         .select("new_id", "old_id")
         .distinct()
     )

@@ -327,6 +327,7 @@ def interval_join_binned(
     start_col: str = "t_start",
     end_col: str = "t_end",
     how: str = "inner",
+    max_bins_per_interval: int | None = None,
 ) -> DataFrame:
     """Interval join for a NON-broadcastable interval side — the scale
     completion of :func:`label_samples` (J3): when the interval table
@@ -344,8 +345,12 @@ def interval_join_binned(
     ``bin_width`` tunes the blow-up: interval side replicates
     ~(len/bin_width + 1)x, points never replicate.  Pick it near the
     TYPICAL interval length; a pathological interval spanning the
-    whole axis would explode into axis/bin_width rows, so clamp
-    upstream if your spans are unbounded.  Works on any int64 axis
+    whole axis would explode into axis/bin_width rows —
+    ``max_bins_per_interval`` (r12) turns that silent replication
+    storm into a FAIL-FAST ``assert_true`` on the offending row (set
+    it to ~10x your expected span/bin_width ratio; the error names
+    the limit so the fix — clamp the span or widen the bin — is in
+    the message).  Works on any int64 axis
     (epoch-ns, µs, ids) — pure integer arithmetic, no double
     round-trip.  Time semantics match ``label_samples``:
     ``start <= t < end``.
@@ -372,12 +377,31 @@ def interval_join_binned(
     # last covered bin: intervals are half-open, so end-1 is the last
     # contained point; guard empty intervals (end <= start -> no bins)
     last_bin = (e - 1) - F.pmod(e - 1, F.lit(w))
+    seq = F.sequence(first_bin, last_bin, F.lit(w))
+    if max_bins_per_interval is not None:
+        mb = int(max_bins_per_interval)
+        if mb < 1:
+            raise ValueError("max_bins_per_interval must be >= 1")
+        n_bins = (last_bin - first_bin) / F.lit(w) + 1
+        seq = F.when(
+            F.assert_true(
+                n_bins <= F.lit(mb),
+                F.concat(
+                    F.lit(
+                        "interval_join_binned: an interval spans more than "
+                        f"max_bins_per_interval={mb} bins of width {w} "
+                        "(span "
+                    ),
+                    (e - s).cast("string"),
+                    F.lit("); clamp the span upstream or widen bin_width"),
+                ),
+            ).isNull(),
+            seq,
+        )
     ivs = intervals.withColumn(
         "_bin",
         F.explode(
-            F.when(e > s, F.sequence(first_bin, last_bin, F.lit(w))).otherwise(
-                F.array().cast("array<long>")
-            )
+            F.when(e > s, seq).otherwise(F.array().cast("array<long>"))
         ),
     )
     cond = (

@@ -2091,3 +2091,54 @@ def test_minhash_dedup_incremental_pending_deletes_overlay(spark):
         pending_deletes=pend,
     )
     assert flagged3.where(F.col("old_id") == 6).count() == 1
+
+
+def test_minhash_incremental_auto_cap_bounds_hot_index_bucket(spark):
+    """r12: the incremental band join's cross-product hazard — a
+    template family in history AND in the batch — is star-capped by
+    default: hot index buckets collapse to their min-id rep, every
+    colliding new doc is still flagged, pair volume is O(|new|)."""
+    boiler = "terms of service apply to all users of this site please read"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(1500)]
+        + [(50_000 + i, f"organic doc {i} about {i * 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    index = D.minhash_index(hist, "doc_id", "text", k=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100_000 + i, boiler) for i in range(100)], "doc_id long, text string"
+    )
+    with pytest.warns(UserWarning, match="star-cap enabled"):
+        flagged, _ = D.minhash_dedup_incremental(
+            batch, index, "doc_id", "text", k=16, bands=4
+        )
+        got = flagged.collect()
+    # every new doc flagged (gate completeness)...
+    assert {r["new_id"] for r in got} == {100_000 + i for i in range(100)}
+    # ...against the representative only, not 100 x 1500 pairs
+    assert len(got) < 1000
+    assert {r["old_id"] for r in got} == {0}
+    # and the exact verify confirms the family through the rep
+    verified, _ = D.minhash_dedup_incremental(
+        batch, index, "doc_id", "text", k=16, bands=4, history=hist,
+        max_bucket=1024,
+    )
+    assert verified.where(F.col("old_id") == 0).count() == 100
+
+
+def test_minhash_incremental_auto_probe_noop_on_cold_index(spark):
+    """Cold index: auto resolves uncapped — flagged pairs equal the
+    explicit max_bucket=None run exactly."""
+    hist = spark.createDataFrame(
+        [(i, f"history doc {i} with topic {i * 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    index = D.minhash_index(hist, "doc_id", "text", k=16, bands=4)
+    batch = hist.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    auto, _ = D.minhash_dedup_incremental(batch, index, "doc_id", "text", k=16, bands=4)
+    plain, _ = D.minhash_dedup_incremental(
+        batch, index, "doc_id", "text", k=16, bands=4, max_bucket=None
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))

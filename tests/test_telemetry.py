@@ -307,13 +307,13 @@ def test_interval_join_binned_matches_broadcast_path(spark):
         tm.label_samples(points, ivals, how="inner").collect()
     )
     got = key(
-        tm.interval_join_binned(points, ivals, bin_width=512).collect()
+        TM.interval_join_binned(points, ivals, bin_width=512).collect()
     )
     assert got == want and len(got) > 0
 
     # left semantics: unmatched points survive with null interval cols
     wl = tm.label_samples(points, ivals, how="left")
-    gl = tm.interval_join_binned(points, ivals, bin_width=512, how="left")
+    gl = TM.interval_join_binned(points, ivals, bin_width=512, how="left")
     assert gl.count() == wl.count()
     assert (
         gl.where(F.col("iv").isNull()).count()
@@ -322,7 +322,7 @@ def test_interval_join_binned_matches_broadcast_path(spark):
 
     # scale shape: equi-join on the bin, never cartesian/nested-loop
     plan = (
-        tm.interval_join_binned(points, ivals, bin_width=512)
+        TM.interval_join_binned(points, ivals, bin_width=512)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -389,7 +389,7 @@ def test_interval_join_binned_left_with_null_columns(spark):
     ivals = spark.createDataFrame(
         [(7, 0, 100, "tag")], "iv long, t_start long, t_end long, label string"
     )
-    out = tm.interval_join_binned(points, ivals, bin_width=64, how="left")
+    out = TM.interval_join_binned(points, ivals, bin_width=64, how="left")
     rows = out.collect()
     assert len(rows) == 2  # no duplicate of the null-bearing matched row
     by_pid = {r["pid"]: r for r in rows}
@@ -413,7 +413,7 @@ def test_interval_join_binned_left_is_single_join_plan(spark):
     )
 
     def plan(how):
-        df = tm.interval_join_binned(points, ivals, bin_width=256, how=how)
+        df = TM.interval_join_binned(points, ivals, bin_width=256, how=how)
         return df._jdf.queryExecution().executedPlan().toString()
 
     pl, pi = plan("left"), plan("inner")
@@ -434,9 +434,37 @@ def test_interval_join_binned_null_time_point(spark):
     ivals = spark.createDataFrame(
         [(7, 0, 100)], "iv long, t_start long, t_end long"
     )
-    inner = tm.interval_join_binned(points, ivals, bin_width=64)
+    inner = TM.interval_join_binned(points, ivals, bin_width=64)
     assert [r["pid"] for r in inner.collect()] == [1]
     left = {r["pid"]: r["iv"]
-            for r in tm.interval_join_binned(
+            for r in TM.interval_join_binned(
                 points, ivals, bin_width=64, how="left").collect()}
     assert left == {1: 7, 2: None}
+
+
+def test_interval_join_binned_max_bins_guard(spark):
+    """r12: a pathological interval spanning the whole axis fails fast
+    with the named limit instead of silently exploding to axis/width
+    bins; well-behaved intervals pass unchanged under the guard."""
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") * 10).alias("t")
+    )
+    ok_ivs = spark.createDataFrame(
+        [(1, 100, 150), (2, 300, 420)], "iv_id long, t_start long, t_end long"
+    )
+    guarded = TM.interval_join_binned(
+        pts, ok_ivs, bin_width=100, time_col="t", max_bins_per_interval=10
+    )
+    plain = TM.interval_join_binned(pts, ok_ivs, bin_width=100, time_col="t")
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    bad = ok_ivs.unionByName(
+        spark.createDataFrame(
+            [(3, 0, 10_000_000)], "iv_id long, t_start long, t_end long"
+        )
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        TM.interval_join_binned(
+            pts, bad, bin_width=100, time_col="t", max_bins_per_interval=10
+        ).collect()
