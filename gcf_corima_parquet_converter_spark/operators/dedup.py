@@ -527,12 +527,17 @@ AUTO_MAX_BUCKET = 1024
 # probe never pays the full signature pipeline).  A bucket of true
 # size B retains ~B/_PROBE_MOD sampled members, so triggering at
 # AUTO_MAX_BUCKET / _PROBE_MOD / 2 detects buckets from ~AUTO/2 with
-# near-certainty (a 5k template family samples to ~625 >> 64).  The
-# trigger is deliberately BELOW the cap: a false-positive probe only
-# selects the capped PLAN — the cap itself still touches nothing
-# under AUTO_MAX_BUCKET members, so recall is never at stake, only
-# the ~1.8x capped-plan overhead on a corpus that turned out cold.
-_PROBE_MOD = 8
+# near-certainty (a bucket the cap could even touch — >= 1024 — has
+# sampled mean 64, sigma ~8, trigger 32 is 4 sigma below; a 5k
+# template family samples to ~312 >> 32).  The trigger is
+# deliberately BELOW the cap: a false-positive probe only selects the
+# capped PLAN — the cap itself still touches nothing under
+# AUTO_MAX_BUCKET members, so recall is never at stake, only the
+# ~1.8x capped-plan overhead on a corpus that turned out cold.
+# (1/16 halves the probe's share of the signature pipeline vs the r12
+# initial 1/8 — measured ~+0.6s cold on q26's sf0.1 shingle chain at
+# 1/8, the probe being the only bench delta vs r11.)
+_PROBE_MOD = 16
 _PROBE_TRIGGER = AUTO_MAX_BUCKET // _PROBE_MOD // 2
 
 
