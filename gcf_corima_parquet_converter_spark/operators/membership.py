@@ -326,6 +326,7 @@ def decontaminate_auto(
     block_col: str | None = None,
     fpp: float = 0.01,
     corpus_factor: float = 4.0,
+    bloom_strategy: str = "hits",
 ) -> DataFrame:
     """Exact blocklist decontamination with the PATH chosen from size
     estimates (Catalyst plan stats — no job runs):
@@ -343,7 +344,16 @@ def decontaminate_auto(
        sides shuffle once, the bloom's second scan buys nothing).
 
     All three paths return EXACTLY ``corpus.join(blocklist, key,
-    'left_anti')`` rows; the choice is a plan decision only."""
+    'left_anti')`` rows; the choice is a plan decision only.
+
+    ``bloom_strategy`` is the verify shape the bloom branch uses —
+    ``"hits"`` (default) assumes the TRUE-HIT key list broadcasts,
+    which is the decontamination posture this branch exists for
+    (corpus >> blocklist and blocked keys are the rare case); pass
+    ``"union"`` when a large fraction of the corpus may be blocked
+    (the hit list then approaches the past-broadcast blocklist
+    itself, and the union shape never broadcasts anything derived
+    from the data)."""
     bcol = block_col or key_col
     block_keys = blocklist.select(F.col(bcol).alias(key_col)).distinct()
     spark = corpus.sparkSession
@@ -361,7 +371,7 @@ def decontaminate_auto(
             warnings.simplefilter("ignore")  # the advisory doesn't apply
             return bloom_decontaminate(
                 corpus, blocklist, key_col, block_col=block_col, fpp=fpp,
-                strategy="hits",
+                strategy=bloom_strategy,
             )
     return corpus.join(block_keys, key_col, "left_anti")
 
