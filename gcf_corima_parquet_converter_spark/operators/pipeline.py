@@ -255,6 +255,31 @@ def bloom_ngram_decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def _doc_windows(
+    df: DataFrame, id_col: str, text_col: str, width: int
+) -> DataFrame:
+    """(id, pos, whash) rows: every ``width``-token sliding window of
+    each non-degenerate doc, via the ``dedup._window_structs`` kernel
+    (md5 of the space-joined window — byte-shared with the substring-
+    dedup family and portable to the SQL oracle).  Null/empty/
+    whitespace-only docs contribute no windows."""
+    from .dedup import _tokenized, _window_structs
+
+    ne = df.where(
+        F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    toked = _tokenized(ne, id_col, text_col)
+    return toked.select(
+        F.col(id_col),
+        F.explode(_window_structs(F.col("_toks"), width)).alias("w"),
+    ).select(
+        F.col(id_col),
+        F.col("w.pos").alias("pos"),
+        F.col("w.whash").alias("whash"),
+    )
+
+
 def contaminated_spans(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -284,23 +309,10 @@ def contaminated_spans(
     ``broadcast_benchmark=False`` for suites past the broadcast limit
     — the semi-join then shuffles hashes, still never text) and once
     keyed by doc for the island merge."""
-    from .dedup import _tokenized, _window_structs
     from .scale import ensure_min_parallelism
 
     def wins(df: DataFrame) -> DataFrame:
-        ne = df.where(
-            F.col(text_col).isNotNull()
-            & (F.length(F.trim(F.col(text_col))) > 0)
-        )
-        toked = _tokenized(ne, id_col, text_col)
-        return toked.select(
-            F.col(id_col),
-            F.explode(_window_structs(F.col("_toks"), width)).alias("w"),
-        ).select(
-            F.col(id_col),
-            F.col("w.pos").alias("pos"),
-            F.col("w.whash").alias("whash"),
-        )
+        return _doc_windows(df, id_col, text_col, width)
 
     bh = wins(benchmark).select("whash").distinct()
     if broadcast_benchmark:
@@ -341,6 +353,51 @@ def strip_contaminated_spans(
         broadcast_benchmark=broadcast_benchmark,
     )
     return apply_span_strip(corpus, spans, id_col, text_col)
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 50,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Contamination PROVENANCE (r12): which benchmark document each
+    contaminated corpus doc quotes, and how much — the audit artifact
+    the detection/strip pair (:func:`contaminated_spans` /
+    :func:`strip_contaminated_spans`) can't produce because they
+    deliberately drop the benchmark ids after the membership test.
+    One row per (corpus doc, benchmark doc) pair sharing at least one
+    exact ``width``-token window:
+
+    ``(id_col, bench_id, n_windows, first_pos, last_pos)`` —
+    ``n_windows`` counts the matching window ATTRIBUTIONS (a corpus
+    window quoting a passage present in two benchmark docs yields a
+    row for each — that is the point of a provenance report),
+    ``first_pos``/``last_pos`` bound the quoted region in corpus
+    token coordinates (end exclusive, same convention as
+    ``contaminated_spans``).
+
+    100 TB shape: the same window kernel — corpus text never
+    shuffles, only (id, pos, 16-byte hash) triples move; the
+    benchmark side carries (bench_id, whash) pairs (broadcast by
+    default, shuffled hash join with ``broadcast_benchmark=False``
+    for suites past the limit), and the aggregate is a plain
+    partial-aggregable groupBy."""
+    bw = (
+        _doc_windows(benchmark, id_col, text_col, width)
+        .select(F.col(id_col).alias("bench_id"), "whash")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bw = F.broadcast(bw)
+    hit = _doc_windows(corpus, id_col, text_col, width).join(bw, "whash")
+    return hit.groupBy(id_col, "bench_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("pos").alias("first_pos"),
+        (F.max("pos") + F.lit(int(width))).cast("long").alias("last_pos"),
+    )
 
 
 def quantile_threshold_filter(

@@ -3745,3 +3745,37 @@ def q108(spark, sf_dir):
         corpus, block, "fp", fpp=0.01, advise=False, strategy="hits"
     )
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+# ====================================== contamination provenance (r12)
+# -- q109: contamination REPORT (pipeline.contamination_report) — the
+#    audit half of the span-decontamination family: which benchmark
+#    document each contaminated corpus doc quotes (bench ids survive
+#    the window join), how many width-token windows match, and the
+#    quoted region's bounds.  Same window kernel as q106/q75; the
+#    oracle re-derives the attribution join over the shared fixture
+#    CTEs.
+@query(
+    "q109_contamination_report",
+    _CONTAM_FIXTURE_CTES
+    + """,
+    bwd_r AS (
+      SELECT doc_id AS bench_id,
+             unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+                    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' '))))
+               AS whash
+      FROM bench),
+    bwd AS (SELECT DISTINCT bench_id, whash FROM bwd_r)
+    SELECT c.doc_id, b.bench_id, count(*) AS n_windows,
+           min(c.pos) AS first_pos, max(c.pos) + 8 AS last_pos
+    FROM cw c JOIN bwd b USING (whash)
+    GROUP BY c.doc_id, b.bench_id
+    ORDER BY c.doc_id, b.bench_id
+    """,
+)
+def q109(spark, sf_dir):
+    corpus, bench = _contam_fixture(spark, sf_dir)
+    rep = P.contamination_report(corpus, bench, "doc_id", "text", width=8)
+    return rep.select(
+        "doc_id", "bench_id", "n_windows", "first_pos", "last_pos"
+    ).orderBy("doc_id", "bench_id")

@@ -838,3 +838,43 @@ def test_contaminated_spans_and_strip(spark):
         docs, bench, "doc_id", "text", width=8, broadcast_benchmark=False
     ).collect()}
     assert out2 == out
+
+
+def test_contamination_report_attributes_benchmark_sources(spark):
+    """r12 provenance: each contaminated doc maps to the benchmark
+    doc(s) it quotes, with window counts and span bounds; a passage
+    present in TWO benchmark docs attributes to both; clean and
+    null/empty docs produce no rows."""
+    bench = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            # doc 3 shares its window set with doc 1's tail
+            (3, "beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma delta epsilon y"),   # quotes bench 1
+            (11, "start one two three four five end"),    # quotes bench 2
+            (12, "beta gamma delta epsilon zeta trail"),  # quotes bench 1 AND 3
+            (13, "totally clean document here"),
+            (14, None),
+            (15, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rep = P.contamination_report(corpus, bench, "doc_id", "text", width=5)
+    got = {
+        (r["doc_id"], r["bench_id"]): (
+            r["n_windows"], r["first_pos"], r["last_pos"]
+        )
+        for r in rep.collect()
+    }
+    assert (10, 1) in got and got[(10, 1)] == (1, 1, 6)
+    assert (11, 2) in got and got[(11, 2)] == (1, 1, 6)
+    # doc 12's window "beta gamma delta epsilon zeta" exists in bench 1
+    # (positions 1..5) AND bench 3 (positions 0..4): both attributed
+    assert (12, 1) in got and (12, 3) in got
+    assert {d for d, _ in got} == {10, 11, 12}
