@@ -475,8 +475,11 @@ def lsh_bucket_stats(
     bands: int = 8,
     rows_per_band: int = 4,
 ) -> dict:
-    """Bucket-size telemetry for a banding configuration — the
-    measure-first step before enabling ``max_bucket``: one distributed
+    """Bucket-size telemetry for a banding configuration — the FULL
+    measurement behind ``max_bucket`` (r12: the candidate-pair
+    functions run a cheap sampled subset of this automatically via
+    ``max_bucket='auto'``; reach for this function when hand-tuning a
+    cap or diagnosing pair growth): one distributed
     aggregate returning ``{"n_buckets", "max_bucket_size",
     "avg_bucket_size", "pairs_uncapped", "buckets_gt": {64: n, 256: n,
     1024: n}}``.  ``pairs_uncapped`` is the exact banded-join output
