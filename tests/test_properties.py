@@ -462,3 +462,73 @@ def test_apply_corpus_update_matches_dict_model(spark, data):
         else:
             model[i] = f"u{i}"
     assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    dim=st.integers(1, 4),
+    spts=st.sampled_from([0, 4, 16]),
+    dtype=st.sampled_from(["int16", "float32"]),
+    n_packets=st.integers(1, 40),
+    tail=st.integers(0, 30),
+    split_packets=st.integers(1, 7),
+)
+def test_ranged_decode_equals_whole_file(
+    spark, tmp_path_factory, dim, spts, dtype, n_packets, tail,
+    split_packets,
+):
+    """r12 S4 invariant: for ANY wire format (dim/spts/dtype), trailing
+    garbage, and packet-aligned split size, the ranged decode emits
+    exactly the whole-file decode's rows."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.sources.dat import decode_dat
+
+    p = DecodeParams(
+        dim=dim,
+        data_type=dtype,
+        samples_per_ts=spts,
+        sensitivity=0.5,
+        odr=64.0,
+        axis_names=tuple(f"c{i}" for i in range(dim)),
+    )
+    rng = np.random.default_rng(n_packets * 31 + dim)
+    rows_per_packet = spts if spts else 1
+    if spts == 0:
+        # stampless wire format: every plen bytes IS a sample, so
+        # "trailing garbage" is indistinguishable from data — keep the
+        # tail sub-packet so the expected row count stays exact
+        tail = tail % (dim * (2 if dtype == "int16" else 4))
+    n = n_packets * rows_per_packet
+    width = np.dtype("int16" if dtype == "int16" else "float32")
+    raw = (rng.normal(0, 3, (n, dim)) * 100).astype(width)
+    chunks = []
+    for k in range(n_packets):
+        chunks.append(raw[k * rows_per_packet : (k + 1) * rows_per_packet].tobytes())
+        if spts:
+            chunks.append(
+                np.float64((k + 1) * rows_per_packet / p.odr).tobytes()
+            )
+    buf = b"".join(chunks) + b"\x7f" * tail
+    d = tmp_path_factory.mktemp("rng")
+    f = os.path.join(str(d), "s.dat")
+    with open(f, "wb") as fh:
+        fh.write(buf)
+
+    def rows(split):
+        out = (
+            decode_dat(spark, f, p, split_bytes=split)
+            .toPandas().sort_values("Time").reset_index(drop=True)
+        )
+        return out
+
+    whole = rows(None)
+    ranged = rows(p.packet_len * split_packets)
+    assert len(whole) == len(ranged) == n
+    np.testing.assert_allclose(
+        ranged["Time"].to_numpy(), whole["Time"].to_numpy(), atol=1e-12
+    )
+    for i in range(dim):
+        np.testing.assert_array_equal(
+            ranged[f"c{i}"].to_numpy(), whole[f"c{i}"].to_numpy()
+        )
