@@ -400,6 +400,92 @@ def contamination_report(
     )
 
 
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    broadcast_benchmark: bool = True,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC decontamination: drop every corpus row whose embedding
+    is within cosine >= ``threshold`` of ANY benchmark embedding — the
+    paraphrase rule the n-gram family (:func:`bloom_ngram_decontaminate`
+    / :func:`contaminated_spans`) cannot catch, because a reworded
+    benchmark item shares no exact token window with its source.
+    Completes the decontamination tier: exact grams (q52/q105), exact
+    spans (q106/q107), provenance (:func:`contamination_report`), and
+    now embedding-space neighbors.
+
+    Default path (``broadcast_benchmark=True``, the usual regime — an
+    eval suite is thousands of vectors, the corpus is the 100 TB side):
+    the benchmark vectors broadcast and the drop is ONE left-anti
+    nested-loop pass over the corpus with the dot product as the join
+    predicate — no shuffle, no second scan, EXACT.  Null corpus
+    embeddings can never match and pass through (same null contract as
+    the whole family).
+
+    Scale path (``broadcast_benchmark=False``): both sides bucket with
+    the SAME sign-LSH hyperplanes (``similarity.with_lsh_bucket``,
+    ``n_planes`` x ``n_tables`` OR-amplified), candidates equi-join on
+    (table, bucket), the exact cosine trims them, and the matched
+    corpus-id set — small by the decontamination premise — broadcasts
+    back into the final anti-join.  APPROXIMATE recall like every LSH
+    tier (a true neighbor colliding in no table is missed; at
+    cos >= 0.9 with the defaults the per-table collision rate is high
+    and OR-amplification covers the rest — recall is pinned on planted
+    copies in tests); precision is exact (cosine verifies every
+    candidate)."""
+    from .similarity import dot, with_lsh_bucket
+
+    bench = bench_emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("_bv")
+    )
+    if broadcast_benchmark:
+        cond = dot(F.col(vec_col), F.col("_bv")) >= F.lit(float(threshold))
+        return corpus_emb.join(F.broadcast(bench), cond, "left_anti")
+    if dim is None:
+        row = (
+            corpus_emb.select(vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .first()
+        )
+        if row is None:
+            return corpus_emb
+        dim = len(row[0])
+    kw = dict(
+        n_planes=n_planes, n_tables=n_tables, vec_col=vec_col,
+        dim=dim, seed=seed,
+    )
+    cb = with_lsh_bucket(
+        corpus_emb.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        **kw,
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        F.posexplode("lsh_bucket").alias("_tbl", "_bkt"),
+    )
+    bb = with_lsh_bucket(
+        bench.select(F.col("_bv").alias(vec_col)), **kw
+    ).select(
+        F.col(vec_col).alias("_bv"),
+        F.posexplode("lsh_bucket").alias("_tbl", "_bkt"),
+    )
+    flagged = (
+        cb.join(bb, ["_tbl", "_bkt"])
+        .where(dot(F.col("_cv"), F.col("_bv")) >= F.lit(float(threshold)))
+        .select(id_col)
+        .distinct()
+    )
+    return corpus_emb.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     score_col: str,

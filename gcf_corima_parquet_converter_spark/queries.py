@@ -3779,3 +3779,39 @@ def q109(spark, sf_dir):
     return rep.select(
         "doc_id", "bench_id", "n_windows", "first_pos", "last_pos"
     ).orderBy("doc_id", "bench_id")
+
+
+# ======================================= semantic decontamination (r12)
+# -- q110: embedding-space decontamination (pipeline.
+#    semantic_decontaminate) — the paraphrase rule the n-gram tier
+#    can't catch: drop corpus vectors within cosine >= 0.9 of any
+#    benchmark vector.  Fixture plants exact benchmark copies (cos=1)
+#    under new ids so true contamination exists; the broadcast path is
+#    EXACT, so the oracle is a NOT-EXISTS over the same dot products.
+@query(
+    "q110_semantic_decontaminate",
+    """
+    WITH bench AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 25 = 0),
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 25 <> 0),
+    plant AS (SELECT vec_id + 1000000 AS vec_id, v FROM bench),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM plant)
+    SELECT c.vec_id FROM corpus c
+    WHERE NOT EXISTS (SELECT 1 FROM bench b
+                      WHERE list_dot_product(c.v, b.v) >= 0.9)
+    ORDER BY c.vec_id
+    """,
+)
+def q110(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    base = e.where(F.col("vec_id") % 25 != 0).select("vec_id", "embedding")
+    plant = bench.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(plant)
+    clean = P.semantic_decontaminate(corpus, bench, threshold=0.9)
+    return clean.select("vec_id").orderBy("vec_id")

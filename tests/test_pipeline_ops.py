@@ -878,3 +878,50 @@ def test_contamination_report_attributes_benchmark_sources(spark):
     # (positions 1..5) AND bench 3 (positions 0..4): both attributed
     assert (12, 1) in got and (12, 3) in got
     assert {d for d, _ in got} == {10, 11, 12}
+
+
+def test_semantic_decontaminate_broadcast_and_lsh_paths(spark):
+    """r12 embedding-space decontamination: planted benchmark copies
+    (cos=1) drop on BOTH paths, organic vectors survive, null
+    embeddings pass through; the broadcast plan never shuffles the
+    corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    def unit(v):
+        v = v / np.linalg.norm(v)
+        return [float(x) for x in v]
+
+    bench_rows = [(i, unit(rng.normal(size=16))) for i in range(5)]
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<double>"
+    )
+    corpus_rows = [
+        (100 + i, unit(rng.normal(size=16))) for i in range(60)
+    ]
+    # planted contamination: exact copies of every benchmark vector
+    corpus_rows += [(1000 + i, v) for i, v in bench_rows]
+    corpus_rows.append((9999, None))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    bc = P.semantic_decontaminate(corpus, bench, threshold=0.95)
+    got_bc = {r["vec_id"] for r in bc.collect()}
+    assert not any(1000 <= v < 2000 for v in got_bc)  # plants dropped
+    assert 9999 in got_bc  # null embedding survives
+    assert len(got_bc) >= 55  # organic vectors overwhelmingly survive
+
+    lsh = P.semantic_decontaminate(
+        corpus, bench, threshold=0.95, broadcast_benchmark=False,
+        n_planes=6, n_tables=8, dim=16,
+    )
+    got_lsh = {r["vec_id"] for r in lsh.collect()}
+    # exact copies collide in every table -> all plants recalled
+    assert not any(1000 <= v < 2000 for v in got_lsh)
+    assert 9999 in got_lsh
+    # precision exact on both paths: anything LSH kept, broadcast kept
+    assert got_bc <= got_lsh
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
