@@ -3815,3 +3815,171 @@ def q110(spark, sf_dir):
     corpus = base.unionByName(plant)
     clean = P.semantic_decontaminate(corpus, bench, threshold=0.9)
     return clean.select("vec_id").orderBy("vec_id")
+
+
+# ================================== decontamination capstone (r12)
+# -- q111: the decontamination TIER composed end-to-end on one corpus,
+#    every stage oracle-proven individually elsewhere: (1) heavy-
+#    contamination DROP — docs sharing >= 10 distinct 4-grams with the
+#    benchmark union (q52's gram kernel, the whole-doc rule); (2) span
+#    STRIP on the survivors — exact 8-token benchmark windows removed,
+#    doc kept (q106/q107); (3) SEMANTIC drop — survivors whose
+#    embedding is cosine >= 0.9 to any benchmark embedding (q110's
+#    paraphrase rule; docs without embeddings pass).  Fixture plants
+#    one doc per class from the real tables: verbatim bench copies
+#    (die at 1), 12-token quotes + unique tail (stripped at 2, tail
+#    survives), clean-text docs carrying bench embeddings (die at 3).
+#    100 TB shape: bench grams/windows/vectors all broadcast; corpus
+#    text shuffles only as (id, pos, hash) triples in stage 2.
+@query(
+    "q111_decontamination_pipeline",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    bench AS (SELECT * FROM raw WHERE doc_id % 50 = 0),
+    organic AS (SELECT * FROM raw WHERE doc_id % 50 <> 0),
+    ph AS (SELECT doc_id + 2000000 AS doc_id, toks FROM bench),
+    ps AS (SELECT doc_id + 1000000 AS doc_id,
+                  list_concat(toks[1:12], ['qq' || CAST(doc_id AS VARCHAR)]) AS toks
+           FROM bench),
+    pm AS (SELECT doc_id + 3000000 AS doc_id,
+                  ['clean', 'unique', 'zz' || CAST(doc_id AS VARCHAR)] AS toks
+           FROM bench),
+    corpus AS (SELECT * FROM organic UNION ALL SELECT * FROM ph
+               UNION ALL SELECT * FROM ps UNION ALL SELECT * FROM pm),
+    cg_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')))
+               AS gram
+      FROM corpus),
+    cg AS (SELECT DISTINCT doc_id, gram FROM cg_raw WHERE length(gram) > 0),
+    bg_raw AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+                    i -> array_to_string(toks[CAST(i AS INT):CAST(i+3 AS INT)], ' ')))
+               AS gram
+      FROM bench),
+    bg AS (SELECT DISTINCT gram FROM bg_raw WHERE length(gram) > 0),
+    tot AS (SELECT doc_id, count(*) AS n FROM cg
+            WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id),
+    s1 AS (SELECT * FROM corpus
+           WHERE doc_id NOT IN (SELECT doc_id FROM tot WHERE n >= 10)),
+    bw_raw AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+                    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' '))))
+               AS whash
+      FROM bench),
+    bw AS (SELECT DISTINCT whash FROM bw_raw),
+    cw_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-8+1, 0)+1),
+                    i -> struct_pack(pos := i-1,
+                                     whash := md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' ')))))
+               AS w
+      FROM s1),
+    cw AS (SELECT doc_id, w.pos AS pos, w.whash AS whash FROM cw_raw),
+    hit AS (SELECT doc_id, pos FROM cw WHERE whash IN (SELECT whash FROM bw)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM hit),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+              FROM isl GROUP BY doc_id, g),
+    tok_pos AS (
+      SELECT c.doc_id, unnest(range(1, len(c.toks)+1)) AS i, c.toks AS toks
+      FROM s1 c),
+    toksf AS (SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok FROM tok_pos),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toksf t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e)),
+    stripped AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+                 FROM kept GROUP BY doc_id),
+    bv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+    cv AS (SELECT vec_id AS doc_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 50 <> 0
+           UNION ALL
+           SELECT vec_id + 3000000 AS doc_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+    sem_bad AS (SELECT DISTINCT c.doc_id FROM cv c, bv b
+                WHERE list_dot_product(c.v, b.v) >= 0.9)
+    SELECT doc_id, text FROM stripped
+    WHERE length(text) > 0
+      AND doc_id NOT IN (SELECT doc_id FROM sem_bad)
+    ORDER BY doc_id
+    """,
+)
+def q111(spark, sf_dir):
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", "text")
+    )
+    toks = X.tokens("text")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    organic = d.where(F.col("doc_id") % 50 != 0)
+    ph = bench.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    ps = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.slice(toks, 1, 12),
+                F.array(F.concat(F.lit("qq"), F.col("doc_id").cast("string"))),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    pm = bench.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("clean unique zz"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    corpus = organic.unionByName(ph).unionByName(ps).unionByName(pm)
+
+    # stage 1: heavy-contamination drop (>= 10 distinct shared 4-grams)
+    def grams(df):
+        toked = D._tokenized(df, "doc_id", "text")
+        return toked.select(
+            "doc_id", F.explode(D._shingles(F.col("_toks"), 4)).alias("gram")
+        ).where(F.length("gram") > 0)
+
+    bg = F.broadcast(grams(bench).select("gram").distinct())
+    heavy = (
+        grams(corpus)
+        .join(bg, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n"))
+        .where(F.col("n") >= 10)
+        .select("doc_id")
+    )
+    s1 = corpus.join(F.broadcast(heavy), "doc_id", "left_anti")
+
+    # stage 2: surgical span strip (exact 8-token benchmark windows)
+    s2 = P.strip_contaminated_spans(s1, bench, "doc_id", "text", width=8)
+
+    # stage 3: semantic drop on the survivors that have embeddings
+    emb = T(spark, sf_dir, "embeddings")
+    bemb = emb.where(F.col("vec_id") % 50 == 0)
+    cemb = (
+        emb.where(F.col("vec_id") % 50 != 0)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .unionByName(
+            bemb.select(
+                (F.col("vec_id") + 3_000_000).alias("doc_id"), "embedding"
+            )
+        )
+    )
+    with_emb = s2.join(cemb, "doc_id")
+    no_emb = s2.join(cemb.select("doc_id"), "doc_id", "left_anti")
+    clean_emb = P.semantic_decontaminate(
+        with_emb, bemb, id_col="doc_id", vec_col="embedding", threshold=0.9
+    ).drop("embedding")
+    final = no_emb.unionByName(clean_emb)
+    norm = F.array_join(X.tokens("text"), " ")
+    return (
+        final.select("doc_id", norm.alias("text"))
+        .where(F.length("text") > 0)
+        .orderBy("doc_id")
+    )
