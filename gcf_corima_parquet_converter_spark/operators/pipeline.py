@@ -1171,3 +1171,54 @@ def apply_corpus_update(
     # for ids that never existed (idempotent deletes)
     keep = F.col("_tomb").isNull() | ~F.col("_tomb")
     return joined.where(keep).select(*[out(c) for c in base.columns])
+
+
+def corpus_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One-pass dataset DATASHEET (r12): the summary a curation run
+    records next to its output — row/id cardinalities, degenerate-text
+    counts, EXACT duplicate pressure (distinct md5 digests — the same
+    content key :func:`~.dedup.exact_dedup` groups on, so
+    ``n_rows - n_distinct_texts`` is exactly the row count that dedup
+    would remove), and size totals (chars + whitespace tokens).
+
+    Returns ``(profile, by_lang)``: ``profile`` is ONE row —
+    ``(n_rows, n_ids, n_null_text, n_blank_text, n_distinct_texts,
+    total_chars, total_tokens)`` — computed as a single
+    partial-aggregable pass (the two count-distincts expand to one
+    extra exchange each, still no driver funnel and no text movement:
+    only 16-byte digests / ids shuffle).  ``by_lang`` (when
+    ``lang_col`` is given) is the per-language breakdown
+    ``(lang, n_rows, n_distinct_texts, total_tokens)`` — one groupBy
+    keyed on the language.  All counts are EXACT (oracle-checkable);
+    for billion-distinct regimes where exact distincts are not worth
+    their shuffle, the sketch tier (``sketches.hll_shard_sketch``) is
+    the approximate, persistable alternative."""
+    from .text import token_count
+
+    t = F.col(text_col)
+    blank = t.isNotNull() & (F.length(F.trim(t)) == 0)
+    toks = F.when(
+        t.isNotNull() & ~blank, token_count(t)
+    ).otherwise(F.lit(0))
+    profile = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(F.when(blank, 1).otherwise(0)).alias("n_blank_text"),
+        F.count_distinct(F.md5(t)).alias("n_distinct_texts"),
+        F.sum(F.coalesce(F.length(t), F.lit(0))).alias("total_chars"),
+        F.sum(toks).alias("total_tokens"),
+    )
+    if lang_col is None:
+        return profile, None
+    by_lang = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.md5(t)).alias("n_distinct_texts"),
+        F.sum(toks).alias("total_tokens"),
+    )
+    return profile, by_lang

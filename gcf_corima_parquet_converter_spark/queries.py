@@ -3983,3 +3983,51 @@ def q111(spark, sf_dir):
         .where(F.length("text") > 0)
         .orderBy("doc_id")
     )
+
+
+# ========================================== corpus datasheet (r12)
+# -- q112: one-pass dataset profile (pipeline.corpus_profile) — the
+#    datasheet a curation run records next to its output: exact
+#    cardinalities, degenerate-text counts, duplicate pressure via the
+#    same md5 content key exact_dedup groups on, size totals, plus the
+#    per-language breakdown.  Both frames union into one result (kind
+#    column) so the oracle is a pair of plain SQL aggregate blocks.
+@query(
+    "q112_corpus_profile",
+    """
+    SELECT 'all' AS kind, '' AS lang,
+           count(*) AS n_rows,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT 'lang' AS kind, lang,
+           count(*) AS n_rows,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           CAST(0 AS BIGINT) AS n_null_text,
+           CAST(0 AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    ORDER BY kind, lang
+    """,
+)
+def q112(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    profile, by_lang = P.corpus_profile(d, "doc_id", "text", lang_col="lang")
+    top = profile.select(
+        F.lit("all").alias("kind"),
+        F.lit("").alias("lang"),
+        "n_rows",
+        "n_distinct_texts",
+        "n_null_text",
+        "total_chars",
+    )
+    langs = by_lang.select(
+        F.lit("lang").alias("kind"),
+        "lang",
+        "n_rows",
+        "n_distinct_texts",
+        F.lit(0).cast("long").alias("n_null_text"),
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+    return top.unionByName(langs).orderBy("kind", "lang")

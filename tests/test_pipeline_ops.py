@@ -925,3 +925,30 @@ def test_semantic_decontaminate_broadcast_and_lsh_paths(spark):
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_corpus_profile_exact_counts(spark):
+    """r12 datasheet: exact cardinalities, degenerate-text counts, dup
+    pressure via the exact_dedup content key, token/char totals, and
+    the per-language breakdown."""
+    rows = [
+        (1, "alpha beta", "en"),
+        (2, "alpha beta", "en"),       # exact dup of 1
+        (3, "gamma delta epsilon", "en"),
+        (4, None, "de"),
+        (5, "   ", "de"),
+        (6, "uno dos", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    profile, by_lang = P.corpus_profile(df, "doc_id", "text", lang_col="lang")
+    p = profile.collect()[0]
+    assert p["n_rows"] == 6 and p["n_ids"] == 6
+    assert p["n_null_text"] == 1 and p["n_blank_text"] == 1
+    # distinct texts: "alpha beta", "gamma...", "   ", "uno dos" = 4
+    assert p["n_distinct_texts"] == 4
+    assert p["total_chars"] == 10 + 10 + 19 + 0 + 3 + 7
+    assert p["total_tokens"] == 2 + 2 + 3 + 0 + 0 + 2
+    bl = {r["lang"]: r for r in by_lang.collect()}
+    assert bl["en"]["n_rows"] == 3 and bl["en"]["n_distinct_texts"] == 2
+    assert bl["en"]["total_tokens"] == 7
+    assert bl["de"]["n_rows"] == 2 and bl["es"]["total_tokens"] == 2
