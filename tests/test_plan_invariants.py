@@ -46,6 +46,11 @@ SINGLE_PARTITION_ALLOWED = {
     # global (keys=[]) top-k sketch: partial sketches merge map-side,
     # one <= max_items struct per task reaches the single partition
     "q91_heavy_hitters": 1,
+    # whole-corpus datasheet: the keys=[] final aggregate of 7 scalar
+    # metrics — partials combine map-side, one constant-size row per
+    # task crosses the funnel (the count-distincts expand keyed, not
+    # single-partition)
+    "q112_corpus_profile": 1,
 }
 
 
