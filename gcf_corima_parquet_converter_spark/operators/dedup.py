@@ -553,7 +553,8 @@ def _resolve_max_bucket(
 ) -> int | None:
     """Resolve ``max_bucket='auto'`` (the default) into a concrete cap
     via a measure-first probe: one cheap Spark job counts bucket sizes
-    over a deterministic 1/8 id-sample of ``exploded`` (the banded /
+    over a deterministic 1/``_PROBE_MOD`` (= 1/16) id-sample of
+    ``exploded`` (the banded /
     chunked / bucketed (id, key...) frame) and enables the
     :data:`AUTO_MAX_BUCKET` star-cap only when a sampled bucket
     crosses :data:`_PROBE_TRIGGER` — so uniform corpora keep the
@@ -636,7 +637,7 @@ def minhash_candidate_pairs(
     worse — the BroadcastExchange cannot reuse the banded exchange, so
     the signature pipeline recomputes).  The ``'auto'`` default makes
     the measure-first step automatic: a one-job probe over a
-    deterministic 1/8 id-sample (filter pushed below the signature
+    deterministic 1/``_PROBE_MOD`` (= 1/16) id-sample (filter pushed below the signature
     pipeline — the probe does NOT recompute it for every row) decides
     between the exact uncapped plan (cold corpora — the driver corpus
     measures max bucket 6 at BOTH sf0.1 and sf1; its pair growth is
@@ -1601,11 +1602,26 @@ def minhash_dedup_incremental(
     bucket join — the hazard is the cross product: a template family
     present in history AND in the batch makes one bucket emit
     |new| x |old| pairs.  Hot index buckets collapse to their min-id
-    REPRESENTATIVE, so every colliding new doc is still flagged (gate
-    completeness is per new-doc, and an identical-family member
-    verifies against the rep) while pair volume stays O(|new|) per
-    bucket.  The auto probe is an aggregation over the persisted
-    (band, bh) rows on a 1/8 id-sample — no signature recompute.
+    REPRESENTATIVE, keeping pair volume O(|new|) per bucket.  With
+    ``history`` (verification on) FLAG completeness is EXACT despite
+    the cap: a new doc that collides into a hot bucket but fails the
+    exact-Jaccard verify against every candidate it was paired with
+    gets a RESCUE pass — it re-joins the FULL membership of its hot
+    buckets and those pairs are verified exactly too, so a doc whose
+    true near-dup is a non-rep bucket member is still flagged.  The
+    rescue set is new docs with zero verified partners (band-hash
+    coincidences into the hot bucket — rare by construction, since
+    template families verify against their rep), so the common case
+    stays O(|new|) and only the rescued stragglers pay
+    O(rescued x bucket).  Pair-level output inside hot buckets
+    remains rep-first (a rescued doc contributes its full verified
+    pair set; a rep-verified doc reports the rep pair only) — that
+    bound IS the cap's purpose.  Without ``history`` there is no
+    verify phase to anchor a rescue, so capped buckets emit rep-only
+    CANDIDATES — pass ``max_bucket=None`` for strict uncapped gating
+    when you cannot supply history texts.  The auto probe is an
+    aggregation over the persisted (band, bh) rows on a
+    1/``_PROBE_MOD`` (= 1/16) id-sample — no signature recompute.
     """
     if pending_deletes is not None:
         dels = pending_deletes.select(
@@ -1618,13 +1634,18 @@ def minhash_dedup_incremental(
         old.select("old_id", "band", "bh"), "old_id", ["band", "bh"],
         max_bucket, "minhash_dedup_incremental",
     )
+    hot_buckets = None
+    old_joinable = old
     if max_bucket is not None:
         if int(max_bucket) < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
         stats = old.groupBy("band", "bh").agg(
             F.count(F.lit(1)).alias("_bsz"), F.min("old_id").alias("_rep")
         )
-        old = (
+        hot_buckets = stats.where(F.col("_bsz") > int(max_bucket)).select(
+            "band", "bh"
+        )
+        old_joinable = (
             old.join(stats, ["band", "bh"])
             .where(
                 (F.col("_bsz") <= int(max_bucket))
@@ -1634,7 +1655,7 @@ def minhash_dedup_incremental(
         )
     pairs = (
         new_index.withColumnRenamed(id_col, "new_id")
-        .join(old, ["band", "bh"])
+        .join(old_joinable, ["band", "bh"])
         .select("new_id", "old_id")
         .distinct()
     )
@@ -1658,6 +1679,38 @@ def minhash_dedup_incremental(
     verified = _verify_exact_jaccard(
         sets_new, cand, id_col, threshold, sets_b=sets_old
     )
+    if hot_buckets is not None:
+        # RESCUE pass (see docstring): new docs that collided into a
+        # hot bucket but verified against nothing re-join the FULL
+        # bucket membership; their pairs get the same exact-Jaccard
+        # verify, restoring flag completeness under the cap.  The
+        # rescue set is band-hash coincidences only (family members
+        # verify against the rep), so this branch is empty on the
+        # corpora that made the bucket hot in the first place.
+        new_hot = (
+            new_index.withColumnRenamed(id_col, "new_id")
+            .join(F.broadcast(hot_buckets), ["band", "bh"])
+        )
+        flagged = verified.select(F.col("id_a").alias("new_id")).distinct()
+        rescue_pairs = (
+            new_hot.join(flagged, "new_id", "left_anti")
+            .join(old, ["band", "bh"])
+            .select("new_id", "old_id")
+            .distinct()
+            .join(pairs, ["new_id", "old_id"], "left_anti")
+        )
+        old_ids2 = rescue_pairs.select(F.col("old_id").alias(id_col)).distinct()
+        suspects2 = history.join(F.broadcast(old_ids2), id_col, "left_semi")
+        sets_old2 = _shingle_sets(
+            suspects2.select(F.col(id_col), F.col(text_col)), id_col, text_col, n
+        )
+        cand2 = rescue_pairs.select(
+            F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+        )
+        verified2 = _verify_exact_jaccard(
+            sets_new, cand2, id_col, threshold, sets_b=sets_old2
+        )
+        verified = verified.unionByName(verified2)
     return (
         verified.select(
             F.col("id_a").alias("new_id"),

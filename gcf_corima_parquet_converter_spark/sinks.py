@@ -18,6 +18,7 @@ operators: :func:`..operators.telemetry.write_hive_partitioned`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 #: file_format values accepted by the reference's converter [inferred
 #: from the API name "xsv" + the file_format="PARQUET" call site]
@@ -134,9 +135,27 @@ def write_parquet_pinned(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if column_encodings is None:
-        column_encodings = (
-            {"Time": "DELTA_BINARY_PACKED"} if "Time" in df.columns else {}
+        # Default only when Time is integral: the reference pins
+        # DELTA_BINARY_PACKED *after* converting Time to int64 ns
+        # (main.py:101-119); on a raw float64-seconds frame pyarrow
+        # would fail executor-side ("DELTA_BINARY_PACKED encoder only
+        # supports INT32 and INT64"), so a float Time falls back to {}.
+        time_integral = any(
+            f.name == "Time" and isinstance(f.dataType, (T.LongType, T.IntegerType))
+            for f in df.schema.fields
         )
+        column_encodings = {"Time": "DELTA_BINARY_PACKED"} if time_integral else {}
+    else:
+        for col, encoding in column_encodings.items():
+            if encoding.upper() == "DELTA_BINARY_PACKED":
+                dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get(col)
+                if dt is not None and not isinstance(dt, (T.LongType, T.IntegerType)):
+                    raise ValueError(
+                        f"column_encodings[{col!r}] = DELTA_BINARY_PACKED requires an "
+                        f"int32/int64 column; {col!r} is {dt.simpleString()} — cast it "
+                        "first (the reference converts Time to int64 ns before pinning,"
+                        " main.py:101-119)"
+                    )
     if dictionary_cols is None:
         dictionary_cols = ["alias"] if "alias" in df.columns else []
     missing = [

@@ -166,7 +166,14 @@ def _read_range(path: str, start: int, length: int) -> bytes:
     primitive every object store serves, so a split never downloads
     the whole blob."""
     if path.startswith("file:"):
-        local = path[5:]
+        # binaryFile path values are Hadoop URIs: special characters
+        # arrive percent-encoded (space -> %20), so decode before open
+        # or ranged reads fail on such filenames while the
+        # whole-file path (which never round-trips through a URI)
+        # works.
+        from urllib.parse import unquote
+
+        local = unquote(path[5:])
         while local.startswith("//"):
             local = local[1:]
         with open(local, "rb") as f:

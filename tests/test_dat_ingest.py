@@ -327,6 +327,28 @@ def test_decode_dat_ranged_split_parity(spark, tmp_path):
     )
 
 
+def test_decode_dat_ranged_handles_percent_encoded_paths(spark, tmp_path):
+    """r13 (ADVICE): binaryFile hands executors Hadoop URIs with
+    percent-encoded special characters (space -> %20); the ranged
+    decoder must unquote before open() or it FileNotFoundErrors on
+    such filenames while the whole-file path works."""
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.sources.dat import decode_dat
+
+    in_g, t = write_acquisition(str(tmp_path / "S"))
+    src = tmp_path / "S" / f"{SENSOR}.dat"
+    spaced = tmp_path / "S" / "my sensor.dat"
+    shutil.copy(src, spaced)
+    ranged = (
+        decode_dat(spark, str(spaced), P, split_bytes=P.packet_len * 4)
+        .toPandas().sort_values("Time").reset_index(drop=True)
+    )
+    assert len(ranged) == len(in_g)
+    np.testing.assert_array_equal(ranged["A_x [g]"].to_numpy(), in_g[:, 0])
+    np.testing.assert_allclose(ranged["Time"].to_numpy(), t, atol=1e-12)
+
+
 def test_decode_dat_ranged_spts_zero_global_grid(spark, tmp_path):
     """The stampless (spts=0) format's k/odr time grid must use GLOBAL
     sample indexes across ranges, not restart at 0 per range."""

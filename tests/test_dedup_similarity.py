@@ -2126,6 +2126,60 @@ def test_minhash_incremental_auto_cap_bounds_hot_index_bucket(spark):
     assert verified.where(F.col("old_id") == 0).count() == 100
 
 
+def test_minhash_incremental_capped_bucket_rescue_flags_non_rep_dup(spark):
+    """r13 (ADVICE): a new doc whose true near-dup is a NON-REP member
+    of a capped hot bucket must still be flagged when history
+    verification is on — the rescue pass re-joins unverified hot-bucket
+    colliders against the FULL bucket membership.  Constructed
+    deterministically: the hot bucket is fabricated from one of the new
+    doc's real (band, bh) rows, with the min-id rep's text UNRELATED to
+    the new doc and a higher-id member a true near-dup."""
+    new_df = _mk_docs(spark, [(100, _distinct_text(7))])
+    one = D.minhash_index(new_df, "doc_id", "text").first()
+    band, bh = one["band"], one["bh"]
+    # bucket {1 (rep, unrelated), 2 (near-dup of 100), 3 (unrelated)}:
+    # size 3 > max_bucket=2 -> hot -> capped join pairs 100 with rep 1
+    # only, whose exact Jaccard FAILS — pre-rescue this doc went novel.
+    index = spark.createDataFrame(
+        [(band, bh, 1), (band, bh, 2), (band, bh, 3)],
+        D.minhash_index(new_df, "doc_id", "text").schema,
+    )
+    near = _distinct_text(7).split()
+    near[3] = "tweak"
+    history = _mk_docs(
+        spark,
+        [(1, _distinct_text(111)), (2, " ".join(near)), (3, _distinct_text(333))],
+    )
+    verified, _ = D.minhash_dedup_incremental(
+        new_df, index, "doc_id", "text", history=history, threshold=0.5,
+        max_bucket=2,
+    )
+    pairs = {(r["new_id"], r["old_id"]) for r in verified.collect()}
+    assert pairs == {(100, 2)}
+    # a rep-verified new doc stays on the common path: rep pair only,
+    # no rescue expansion into the rest of the bucket
+    rep_dup = _distinct_text(111).split()
+    rep_dup[5] = "edit"
+    new2 = _mk_docs(spark, [(100, _distinct_text(7)), (200, " ".join(rep_dup))])
+    one2 = D.minhash_index(
+        _mk_docs(spark, [(200, " ".join(rep_dup))]), "doc_id", "text"
+    ).first()
+    index2 = index.unionByName(
+        spark.createDataFrame(
+            [(one2["band"], one2["bh"], 1), (one2["band"], one2["bh"], 2),
+             (one2["band"], one2["bh"], 3)],
+            index.schema,
+        )
+    ).distinct()
+    verified2, _ = D.minhash_dedup_incremental(
+        new2, index2, "doc_id", "text", history=history, threshold=0.5,
+        max_bucket=2,
+    )
+    pairs2 = {(r["new_id"], r["old_id"]) for r in verified2.collect()}
+    assert (200, 1) in pairs2 and (100, 2) in pairs2
+    assert (200, 2) not in pairs2 and (200, 3) not in pairs2
+
+
 def test_minhash_incremental_auto_probe_noop_on_cold_index(spark):
     """Cold index: auto resolves uncapped — flagged pairs equal the
     explicit max_bucket=None run exactly."""

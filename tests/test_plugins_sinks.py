@@ -308,6 +308,31 @@ def test_write_parquet_pinned_reference_encodings(spark, tmp_path):
     )
 
 
+def test_write_parquet_pinned_float_time_skips_delta_default(spark, tmp_path):
+    """r13 (ADVICE): the Time->DELTA_BINARY_PACKED default applies only
+    when Time is integral — on a raw float64-seconds decode frame the
+    default falls back to {} (the write succeeds) instead of failing
+    executor-side inside pyarrow, and an EXPLICIT delta request on a
+    float column raises a clear driver-side error naming the dtype."""
+    import pandas as pd
+    import pytest as _pytest
+
+    pdf = pd.DataFrame({"Time": [0.001, 0.002, 0.003], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "float_time")
+    res = sinks.write_parquet_pinned(df, path)  # default: no delta pin
+    assert res["rows"] == 3
+    back = spark.read.parquet(path).orderBy("Time").toPandas()
+    pd.testing.assert_frame_equal(back[["Time", "v"]], pdf)
+
+    with _pytest.raises(ValueError, match="double.*cast it first|requires an"):
+        sinks.write_parquet_pinned(
+            df,
+            str(tmp_path / "x"),
+            column_encodings={"Time": "DELTA_BINARY_PACKED"},
+        )
+
+
 def test_write_parquet_pinned_rejects_unknown_column(spark, tmp_path):
     df = _events(spark)
     import pytest as _pytest

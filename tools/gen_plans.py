@@ -27,8 +27,9 @@ QUERIES = [
         "collapses them at runtime — measured: full pipeline 3.4s vs "
         "2.5s for the shingle stage alone at sf0.1, impossible if each "
         "branch re-scanned.  r12: max_bucket='auto' runs a one-job "
-        "hot-bucket probe (1/8 id-sample) BEFORE this plan builds — "
-        "+~0.6s cold at sf0.1 (bench r12 vs r11), buying default "
+        "hot-bucket probe (1/16 id-sample, dedup._PROBE_MOD) BEFORE "
+        "this plan builds — the initial 1/8 probe cost ~+0.6s cold at "
+        "sf0.1 (bench r12 vs r11), halved since, buying default "
         "boundedness on template-heavy corpora; this corpus probes "
         "cold (max bucket 6) so the plan below is the exact uncapped "
         "one",
