@@ -167,6 +167,31 @@ _DEMOTED_REDUNDANT = (
     # decontamination operator surfaces.
     "q76_length_buckets",
     "q79_mixture_sample",
+    # r13 rotation: q108_bloom_hits_decontaminate / q109_contamination_
+    # report / q110_semantic_decontaminate / q111_decontamination_
+    # pipeline / q112_corpus_profile PROMOTED into the graded window
+    # (the r12-new oracle-backed families, created with the window full
+    # and oracle-green locally since).  Five family-redundant veterans
+    # take their slots, each still covered by an in-window family twin
+    # and by test_queries_oracle:
+    # q16's F1/F2/F11 string/regex scalar family stays covered by q80
+    # (normalize_text — regexp_replace/lower/trim on the same JVM
+    # projection path) and q48 (struct/map/array scalar funcs);
+    # q23's JVM text-feature projection family by q96 (quality scoring
+    # projections) and q38 (token stats) — fingerprinting itself stays
+    # pinned by test_text_ops and the local oracle;
+    # q50's deterministic-md5 routing family by q77 (stratified sample,
+    # the same md5-rank kernel) and q85 (budget select);
+    # q78's span-REWRITE kernel (dedup.apply_span_strip) is graded
+    # in-window by q107 (strip_contaminated_spans — byte-shared kernel)
+    # with span DETECTION graded by q75 + q106;
+    # q89's corpus-diff hash-compare family by q92 (corpus upsert — the
+    # same digest-join classification, graded).
+    "q16_part_string_funcs",
+    "q23_text_quality",
+    "q50_hash_split",
+    "q78_strip_duplicate_spans",
+    "q89_corpus_diff",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",
