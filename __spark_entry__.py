@@ -192,6 +192,16 @@ _DEMOTED_REDUNDANT = (
     "q50_hash_split",
     "q78_strip_duplicate_spans",
     "q89_corpus_diff",
+    # r13 (same-round promotion, precedent r7/q100 + r11/q105): the NEW
+    # q113_bm25_topk — the flagship of the round's lexical-retrieval
+    # tier — takes q12's slot so the tier gets driver-grade evidence
+    # immediately.  q12's J3 as-of shape stays covered in-window by q94
+    # (binned interval join, graded) plus telemetry.asof_join's
+    # merge_asof parity tests; its W3 last-ignorenulls window family by
+    # q15 (graded lag + running sum).  q114/q115 (phrase search, batch
+    # BM25) register just outside the window — oracle-verified locally,
+    # next-rotation promotion candidates.
+    "q12_asof_last_signup",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

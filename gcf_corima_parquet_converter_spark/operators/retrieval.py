@@ -1,0 +1,336 @@
+"""Lexical retrieval — positional inverted index, phrase search, BM25.
+
+The search surface a training-data pipeline needs next to its
+embedding ANN tier (`operators/similarity.py`): attribute a quoted
+span to the document it came from, mine the corpus for query-matching
+documents, audit what a benchmark's wording actually retrieves.  The
+reference engine has no retrieval twin (its pipeline is telemetry
+conversion, main.py:84-119); this tier follows the classic IR shape —
+postings lists, positional adjacency, Okapi BM25 — re-expressed as
+Spark relational plans.
+
+Scale posture (the 100 TB story):
+
+* **Index build** is one narrow tokenize + posexplode and ONE shuffle
+  on ``(term, doc)``; document length (``dl``) is DENORMALIZED into
+  every posting row, the classic postings-payload trick, so scoring
+  never joins a per-document side table (at 10^11 docs that join is a
+  second full-corpus shuffle).
+* **The persisted index** partitions by an md5 term bucket
+  (:func:`write_inverted_index`), and :func:`load_postings` computes
+  the query terms' buckets DRIVER-SIDE (md5 is engine-portable — the
+  same kernel as ``pipeline.shuffle_shards``) so a query's scan
+  carries static ``tbucket`` partition filters: Spark reads only the
+  buckets its terms live in, never the corpus-wide index.
+* **Query time touches postings, never documents**: BM25 scores are
+  computed entirely from ``(term, doc, tf, dl)`` rows; the query-terms
+  frame broadcasts (queries are human-sized), the only shuffle is the
+  per-``(q_id, doc)`` score aggregation, and top-k is a per-query
+  window over scored docs.  Document text is joined back (if at all)
+  AFTER the top-k, k rows per query.
+* **Phrase search** is (#terms - 1) equi-joins on ``doc_id`` over the
+  already-term-filtered postings with a JVM ``array_contains``
+  adjacency predicate on the positions arrays — no position explode
+  for the non-anchor terms, no regex over text.
+
+Float parity (the repo's graded-oracle contract, queries.py module
+docstring): BM25's standard Robertson idf is ``ln``-based and libm
+``ln`` is not bit-portable across engines, so the scorers accept
+``idf='rational'`` (the same dodge as ``text.tfidf_topk(idf='inv')``)
+plus a ``scale`` fixed-point knob that makes the cross-term sum an
+exact integer sum.  Production defaults are the standard
+``idf='robertson'`` with plain double sums.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import text as X
+
+__all__ = [
+    "inverted_index",
+    "index_stats",
+    "phrase_search",
+    "bm25_topk",
+    "bm25_topk_batch",
+    "write_inverted_index",
+    "read_inverted_index",
+    "load_postings",
+]
+
+
+def _tokens(text_col: str):
+    # Whitespace tokenization shared with the text tier; empty strings
+    # (blank/whitespace-only docs split to ['']) are dropped so they
+    # never become postings.
+    return F.filter(X.tokens(text_col), lambda t: t != F.lit(""))
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one row per ``(term, doc)`` with
+    ``tf`` (term frequency), ``positions`` (sorted, 1-based token
+    offsets — 1-based to match SQL ordinality) and ``dl`` (the doc's
+    token count, denormalized into the posting so scoring never joins
+    a doc-length table).  Null/blank docs carry no postings.
+
+    One narrow projection + posexplode, one shuffle on ``(term, id)``.
+    """
+    t = _tokens(text_col)
+    exploded = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col),
+        F.size(t).alias("dl"),
+        F.posexplode(t).alias("_p", "term"),
+    )
+    return exploded.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list(F.col("_p") + 1)).alias("positions"),
+        F.first("dl").alias("dl"),
+    )
+
+
+def index_stats(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row frame ``(n_docs, avgdl)`` derived from the index itself
+    (so a loaded artifact is self-contained).  ``avgdl`` is an exact
+    integer sum divided once — bit-identical across engines."""
+    per_doc = index.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+# ------------------------------------------------------------- phrase
+
+
+def phrase_search(
+    index: DataFrame,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match via positional adjacency: returns one row per
+    matching document — ``(id, n_matches, first_pos)`` — where the
+    phrase's tokens occur at consecutive positions.
+
+    Plan: the anchor term's positions explode (its postings only);
+    every subsequent term joins on ``id`` and filters with a JVM
+    ``array_contains(positions, anchor_pos + offset)`` — the
+    non-anchor positions arrays never explode, and all joins run over
+    postings already filtered to the phrase's terms (partition-pruned
+    when the index is loaded via :func:`load_postings`)."""
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    cur = (
+        index.where(F.col("term") == terms[0])
+        .select(F.col(id_col), F.explode("positions").alias("_p"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = index.where(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"_pos{i}")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .where(F.array_contains(F.col(f"_pos{i}"), F.col("_p") + i))
+            .drop(f"_pos{i}")
+        )
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("_p").alias("first_pos"),
+    )
+
+
+# --------------------------------------------------------------- BM25
+
+
+def _idf(n_docs, df, kind: str):
+    ratio = (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    if kind == "robertson":
+        # Lucene's non-negative variant: ln(1 + (N - df + .5)/(df + .5))
+        return F.log(F.lit(1.0) + ratio)
+    if kind == "rational":
+        # ln-free surrogate: same per-term monotonicity in df, exact
+        # IEEE arithmetic on both engines (the graded-oracle variant —
+        # precedent: text.tfidf_topk(idf='inv'))
+        return F.lit(1.0) + ratio
+    raise ValueError(f"idf must be 'robertson' or 'rational', got {kind!r}")
+
+
+def bm25_topk_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "robertson",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    stats: DataFrame | None = None,
+    scale: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for EVERY query in ``queries``
+    (``(q_id, terms array<string>)``) in one pass: the exploded query
+    terms broadcast into the postings join, scores aggregate per
+    ``(q_id, doc)``, and a per-query window takes the top k — ranked
+    by ``(score desc, id)`` so ties are deterministic.
+
+    Returns ``(q_id, rank, id, score)``.  Repeated terms within one
+    query count once (set semantics).
+
+    ``stats`` — pass a precomputed/persisted :func:`index_stats` row to
+    skip re-deriving ``n_docs``/``avgdl`` from the index.  ``scale`` —
+    when set, per-term contributions are fixed-pointed
+    (``floor(x*scale + 0.5)``) before the cross-term sum and ``score``
+    is that exact integer sum divided by ``scale``: hash-stable across
+    engines (the graded-oracle mode; see module docstring)."""
+    qterms = queries.select(
+        F.col(q_id_col), F.explode(terms_col).alias("term")
+    ).distinct()
+    uniq = qterms.select("term").distinct()
+    if stats is None:
+        stats = index_stats(index, id_col)
+    dfreq = (
+        index.join(F.broadcast(uniq), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    post = (
+        index.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = _idf(F.col("n_docs"), F.col("df"), idf) * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    if scale is not None:
+        part = F.floor(contrib * F.lit(float(scale)) + F.lit(0.5))
+        score = (F.sum(part) / F.lit(float(scale))).alias("score")
+    else:
+        score = F.sum(contrib).alias("score")
+    scores = post.groupBy(q_id_col, id_col).agg(score)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(q_id_col, "rank", id_col, "score")
+    )
+
+
+def bm25_topk(
+    index: DataFrame,
+    terms: str | list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Single-query BM25 top-k — a one-row :func:`bm25_topk_batch`.
+    Returns ``(rank, id, score)``."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    spark = index.sparkSession
+    queries = spark.createDataFrame([(0, tl)], "q_id long, terms array<string>")
+    return bm25_topk_batch(index, queries, k=k, **kwargs).drop("q_id")
+
+
+# ----------------------------------------------------- persisted index
+
+_STATS_SUBDIR = "_index_stats"
+_POSTINGS_SUBDIR = "postings"
+
+
+def _term_bucket_col(n_buckets: int):
+    # Engine-portable md5 routing (same kernel family as
+    # pipeline.shuffle_shards): leading 32 bits of md5(term) mod
+    # n_buckets — reproducible DRIVER-SIDE in _term_bucket_py, which is
+    # what lets load_postings compute static partition filters without
+    # a Spark job.
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % int(
+        n_buckets
+    )
+
+
+def write_inverted_index(
+    index: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the index partitioned by md5 term bucket (`tbucket`) so
+    term lookups prune partitions, plus a one-row stats artifact
+    (``n_docs``, ``avgdl``, ``n_buckets``) scoring reads instead of
+    re-aggregating the postings."""
+    (
+        index.withColumn("tbucket", _term_bucket_col(n_buckets))
+        .repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .mode("overwrite")
+        .parquet(f"{path}/{_POSTINGS_SUBDIR}")
+    )
+    stats = index_stats(index, id_col).withColumn(
+        "n_buckets", F.lit(int(n_buckets))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_STATS_SUBDIR}"
+    )
+    row = stats.first()
+    return {
+        "path": path,
+        "n_docs": int(row["n_docs"]),
+        "avgdl": float(row["avgdl"]),
+        "n_buckets": int(n_buckets),
+    }
+
+
+def read_inverted_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted index: ``(postings, stats)``.  For term-bounded
+    access (phrase/BM25 queries) prefer :func:`load_postings`, which
+    partition-prunes."""
+    return (
+        spark.read.parquet(f"{path}/{_POSTINGS_SUBDIR}"),
+        spark.read.parquet(f"{path}/{_STATS_SUBDIR}").drop("n_buckets"),
+    )
+
+
+def load_postings(
+    spark: SparkSession, path: str, terms: list[str] | str
+) -> DataFrame:
+    """Postings for ``terms`` only, with STATIC partition pruning: the
+    terms' md5 buckets are computed driver-side (no Spark job) and the
+    scan filters ``tbucket IN (...) AND term IN (...)`` — Spark lists
+    and reads only those bucket directories, however many terms the
+    full index holds."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    if not tl:
+        raise ValueError("terms must be non-empty")
+    stats = spark.read.parquet(f"{path}/{_STATS_SUBDIR}").first()
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in tl})
+    return (
+        spark.read.parquet(f"{path}/{_POSTINGS_SUBDIR}")
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
+        .drop("tbucket")
+    )

@@ -33,6 +33,7 @@ from . import catalog
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import pipeline as P
+from .operators import retrieval as R
 from .operators import similarity as S
 from .operators import sketches as K
 from .operators import text as X
@@ -4031,3 +4032,150 @@ def q112(spark, sf_dir):
         F.lit(0).cast("long").alias("total_chars"),
     )
     return top.unionByName(langs).orderBy("kind", "lang")
+
+
+# ===================================== lexical retrieval tier (r13)
+# The search surface next to the ANN tier: positional inverted index,
+# BM25 ranking, exact phrase match (operators/retrieval.py — no
+# reference twin; the classic IR shapes as Spark relational plans).
+# Oracle-parity notes: tokenization is the corpus-wide whitespace
+# convention (split(trim(text), '\s+') = string_split_regex); BM25
+# uses idf='rational' + the fixed-point scale knob so the cross-term
+# sum is an exact integer sum (ln is libm-dependent — module
+# docstring; the Robertson-idf default is pinned by pytest instead).
+_BM25_SQL_STATS = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl)/count(*) AS avgdl FROM dl),
+    pos AS (
+      SELECT doc_id, unnest(t) AS term,
+             unnest(generate_series(1, len(t))) AS p
+      FROM toks
+    )
+"""
+
+
+# -- q113: single-query BM25 top-10 (retrieval.bm25_topk).  Scores =
+#    exact integer sums of per-(doc, term) fixed-point contributions;
+#    rank ties broken by doc_id in BOTH engines, so the row set and
+#    ordering are fully deterministic.
+@query(
+    "q113_bm25_topk",
+    "WITH " + _BM25_SQL_STATS + """,
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, score_fx
+    FROM scores ORDER BY score_fx DESC, doc_id LIMIT 10
+    """,
+)
+def q113(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    out = R.bm25_topk(
+        idx, ["spark", "window", "merge"], k=10, idf="rational",
+        scale=1_000_000,
+    )
+    return out.select(
+        "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    ).orderBy("rank")
+
+
+# -- q114: exact phrase search via positional adjacency
+#    (retrieval.phrase_search) — anchor positions explode, each later
+#    term is an equi-join on doc_id + a JVM array_contains(p + offset)
+#    predicate; the oracle re-derives matches from zipped
+#    unnest-with-ordinality positions.
+@query(
+    "q114_phrase_search",
+    "WITH " + _BM25_SQL_STATS + """,
+    m AS (
+      SELECT a.doc_id, a.p
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.term = 'spark' AND b.term = 'window'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(MIN(p) AS INT) AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q114(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    return R.phrase_search(idx, "spark window").orderBy("doc_id")
+
+
+# -- q115: batched BM25 — every query scored in ONE postings pass
+#    (retrieval.bm25_topk_batch): exploded query terms broadcast into
+#    the postings join, one (q_id, doc) aggregation, one per-query
+#    top-k window.  The oracle replays the same math from a VALUES
+#    query table.
+@query(
+    "q115_bm25_batch",
+    "WITH " + _BM25_SQL_STATS + """,
+    q(q_id, term) AS (
+      VALUES (1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'batch'),
+             (2, 'join'), (3, 'vector')
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, score_fx,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores
+    )
+    SELECT q_id, rank, doc_id, score_fx
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def q115(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
+         (3, ["vector"])],
+        "q_id long, terms array<string>",
+    )
+    out = R.bm25_topk_batch(idx, qs, k=5, idf="rational", scale=1_000_000)
+    return out.select(
+        "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    ).orderBy("q_id", "rank")

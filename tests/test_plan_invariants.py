@@ -51,6 +51,13 @@ SINGLE_PARTITION_ALLOWED = {
     # task crosses the funnel (the count-distincts expand keyed, not
     # single-partition)
     "q112_corpus_profile": 1,
+    # BM25 corpus stats (retrieval.index_stats): the keys=[] reduce of
+    # (n_docs, avgdl) — per-doc dl first aggregates KEYED, then one
+    # two-number partial per task crosses the funnel; the one-row
+    # result broadcasts into scoring (the BNLJ in these plans is that
+    # one-row stats join, same shape as q104's bloom words row)
+    "q113_bm25_topk": 1,
+    "q115_bm25_batch": 1,
 }
 
 

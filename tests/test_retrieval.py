@@ -1,0 +1,256 @@
+"""Lexical retrieval tier (operators/retrieval.py): positional
+inverted index, phrase search, BM25 — pinned against pure-Python
+reference implementations, plus the persisted-index partition-pruning
+and no-Python plan contracts."""
+
+import math
+import shutil
+import tempfile
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown foxes are quick and brown"),
+    (3, "the dog sleeps all day the dog dreams"),
+    (4, "spark shuffles data across the cluster"),
+    (5, "a quick brown fox met a quick brown fox"),
+    (6, None),
+    (7, "   "),
+    (8, ""),
+    (9, "single"),
+]
+
+
+def _py_tokens(text):
+    return [t for t in text.strip().split() if t] if text and text.strip() else []
+
+
+def _py_index(docs):
+    """{(term, doc): (tf, [1-based positions], dl)}"""
+    out = {}
+    for did, text in docs:
+        toks = _py_tokens(text)
+        for i, t in enumerate(toks, start=1):
+            tf, pos, _ = out.get((t, did), (0, [], len(toks)))
+            out[(t, did)] = (tf + 1, pos + [i], len(toks))
+    return out
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75, idf="robertson"):
+    toks = {d: _py_tokens(t) for d, t in docs if _py_tokens(t)}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in set(terms):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        ratio = (n - df + 0.5) / (df + 0.5)
+        w = math.log(1.0 + ratio) if idf == "robertson" else 1.0 + ratio
+        for d, v in toks.items():
+            tf = Counter(v)[term]
+            if tf:
+                scores[d] = scores.get(d, 0.0) + w * (
+                    tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                )
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def idx(docs_df):
+    return R.inverted_index(docs_df).cache()
+
+
+def test_inverted_index_matches_python_model(idx):
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"], r["dl"])
+        for r in idx.collect()
+    }
+    assert got == _py_index(DOCS)
+    # null / blank / empty docs carry no postings at all
+    assert not any(d in (6, 7, 8) for _, d in got)
+
+
+def test_index_stats_counts_indexed_docs_only(idx):
+    row = R.index_stats(idx).first()
+    lens = [len(_py_tokens(t)) for _, t in DOCS if _py_tokens(t)]
+    assert row["n_docs"] == len(lens)
+    assert row["avgdl"] == sum(lens) / len(lens)
+
+
+def test_phrase_search_counts_and_positions(idx):
+    # "quick brown" occurs: doc1 @2, doc2 @1, doc5 @(2, 7)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in R.phrase_search(idx, "quick brown").collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 1), 5: (2, 2)}
+    # 3-term phrase
+    got3 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in R.phrase_search(idx, ["quick", "brown", "fox"]).collect()
+    }
+    assert got3 == {1: (1, 2), 5: (2, 2)}
+    # repeated-word phrase: "the dog ... the dog" in doc 3
+    gotd = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in R.phrase_search(idx, "the dog").collect()
+    }
+    assert gotd == {3: (2, 1)}
+    # single-term phrase = term lookup
+    got1 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in R.phrase_search(idx, "single").collect()
+    }
+    assert got1 == {9: (1, 1)}
+    # absent phrase -> empty
+    assert R.phrase_search(idx, "lazy fox").count() == 0
+    with pytest.raises(ValueError, match="at least one term"):
+        R.phrase_search(idx, [])
+
+
+def test_phrase_search_overlapping_matches(spark):
+    d = spark.createDataFrame([(1, "x x x x")], "doc_id long, text string")
+    got = R.phrase_search(R.inverted_index(d), "x x").collect()
+    assert [(r["n_matches"], r["first_pos"]) for r in got] == [(3, 1)]
+
+
+def test_bm25_robertson_matches_python(idx):
+    terms = ["quick", "dog", "spark"]
+    want = _py_bm25(DOCS, terms)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in R.bm25_topk(idx, terms, k=100).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+    # ranks: score desc, doc_id tiebreak
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_rank = {
+        r["doc_id"]: r["rank"]
+        for r in R.bm25_topk(idx, terms, k=100).collect()
+    }
+    for i, (d, _) in enumerate(ranked, start=1):
+        assert got_rank[d] == i
+
+
+def test_bm25_rational_scale_is_exact_and_batch_matches_single(spark, idx):
+    terms = ["quick", "dog"]
+    single = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk(
+            idx, terms, k=5, idf="rational", scale=1_000_000
+        ).orderBy("rank").collect()
+    ]
+    qs = spark.createDataFrame(
+        [(9, terms)], "q_id long, terms array<string>"
+    )
+    batch = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk_batch(
+            idx, qs, k=5, idf="rational", scale=1_000_000
+        ).orderBy("rank").collect()
+    ]
+    assert single == batch
+    # fixed-point scores are exact multiples of 1/scale
+    for _, _, s in single:
+        assert s == round(s * 1_000_000) / 1_000_000
+    # repeated query terms count once (set semantics)
+    dup = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk(
+            idx, ["quick", "quick", "dog"], k=5, idf="rational",
+            scale=1_000_000,
+        ).orderBy("rank").collect()
+    ]
+    assert dup == single
+
+
+def test_bm25_unknown_term_and_bad_idf(idx):
+    # a term absent from the corpus contributes nothing; all-absent -> empty
+    base = {
+        r["doc_id"]: r["score"]
+        for r in R.bm25_topk(idx, ["quick"], k=100).collect()
+    }
+    plus = {
+        r["doc_id"]: r["score"]
+        for r in R.bm25_topk(idx, ["quick", "zzz_absent"], k=100).collect()
+    }
+    assert plus == base
+    assert R.bm25_topk(idx, ["zzz_absent"], k=5).count() == 0
+    with pytest.raises(ValueError, match="idf must be"):
+        R.bm25_topk(idx, ["quick"], idf="nope").collect()
+
+
+def test_persisted_index_prunes_partitions_and_matches(spark, idx):
+    d = tempfile.mkdtemp()
+    try:
+        info = R.write_inverted_index(idx, d, n_buckets=16)
+        assert info["n_docs"] == R.index_stats(idx).first()["n_docs"]
+        post, stats = R.read_inverted_index(spark, d)
+        assert post.count() == idx.count()
+        # term-bounded load: static tbucket partition filters + term
+        # pushdown reach the scan
+        pruned = R.load_postings(spark, d, ["quick", "dog"])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [tbucket" in plan.replace("#", "#")
+        assert "In(term" in plan
+        want_buckets = sorted(
+            {R._term_bucket_py(t, 16) for t in ("quick", "dog")}
+        )
+        for b in want_buckets:
+            assert str(b) in plan.split("PartitionFilters")[1][:120]
+        # scoring over the pruned postings + persisted stats equals the
+        # in-memory path exactly
+        mem = [
+            tuple(r)
+            for r in R.bm25_topk(
+                idx, ["quick", "dog"], k=5, idf="rational", scale=10**6
+            ).orderBy("rank").collect()
+        ]
+        per = [
+            tuple(r)
+            for r in R.bm25_topk(
+                pruned, ["quick", "dog"], k=5, idf="rational",
+                scale=10**6, stats=stats,
+            ).orderBy("rank").collect()
+        ]
+        assert mem == per
+        # md5 bucket kernel: Spark and Python agree on every term
+        spark_b = {
+            r["term"]: r["b"]
+            for r in idx.select(
+                "term", R._term_bucket_col(16).alias("b")
+            ).distinct().collect()
+        }
+        assert spark_b == {
+            t: R._term_bucket_py(t, 16) for t in spark_b
+        }
+        with pytest.raises(ValueError, match="non-empty"):
+            R.load_postings(spark, d, [])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retrieval_plans_stay_jvm(idx, spark):
+    # no Python stages anywhere in the tier (index build, phrase, bm25)
+    for df in (
+        idx,
+        R.phrase_search(idx, "quick brown"),
+        R.bm25_topk(idx, ["quick", "dog"], k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in plan
+        assert "CartesianProduct" not in plan
