@@ -186,6 +186,16 @@ def bm25_topk_batch(
     Returns ``(q_id, rank, id, score)``.  Repeated terms within one
     query count once (set semantics).
 
+    INLINE vs PERSISTED: this function consumes ``index`` three times
+    (postings, per-term ``df``, corpus stats) and per-branch column
+    pruning makes the three aggregates non-identical, so Spark's
+    exchange reuse does NOT collapse them — an inline
+    :func:`inverted_index` lineage is re-derived per consumer.  Fine
+    for ad-hoc corpora; at scale, build the index ONCE with
+    :func:`write_inverted_index` and score over
+    :func:`load_postings` (partition-pruned scan) with the persisted
+    ``stats=`` row — then nothing is recomputed.
+
     ``stats`` — pass a precomputed/persisted :func:`index_stats` row to
     skip re-deriving ``n_docs``/``avgdl`` from the index.  ``scale`` —
     when set, per-term contributions are fixed-pointed

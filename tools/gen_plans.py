@@ -197,6 +197,33 @@ QUERIES = [
         "shuffles — exact left_anti semantics at ~fpp-of-corpus "
         "shuffle cost",
     ),
+    (
+        "q113_bm25_topk",
+        "BM25 retrieval (r13): query terms + per-term df broadcast "
+        "into the postings join (never the reverse), corpus stats are "
+        "a one-row broadcast (the single benign "
+        "BroadcastNestedLoopJoin + SinglePartition scalar reduce), "
+        "scores aggregate keyed by doc, top-k is a bounded window — "
+        "document text is never read by the scorer.  The INLINE "
+        "composition below re-derives the index for each of its three "
+        "consumers (postings / df / stats) because per-branch column "
+        "pruning makes the aggregates non-identical — deliberately "
+        "NOT hidden behind a checkpoint: the production path at scale "
+        "is the PERSISTED index (write_inverted_index once, "
+        "load_postings + stats= per query), where the scan partition-"
+        "prunes to the query terms' md5 buckets and nothing is "
+        "recomputed — measured in test_persisted_index_prunes_"
+        "partitions_and_matches",
+    ),
+    (
+        "q114_phrase_search",
+        "positional phrase match (r13): postings pre-filtered to the "
+        "phrase's terms, the anchor term's positions explode, each "
+        "later term equi-joins on doc_id with an array_contains "
+        "adjacency predicate evaluated in codegen — non-anchor "
+        "position arrays never explode and the text column is never "
+        "read",
+    ),
 ]
 
 
