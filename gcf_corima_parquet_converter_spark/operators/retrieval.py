@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import manifest as M
 from . import text as X
 
 __all__ = [
@@ -61,6 +62,10 @@ __all__ = [
     "write_inverted_index",
     "read_inverted_index",
     "load_postings",
+    "index_append",
+    "read_index_artifact",
+    "load_postings_artifact",
+    "index_compact",
 ]
 
 
@@ -344,3 +349,228 @@ def load_postings(
         .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
         .drop("tbucket")
     )
+
+
+# --------------------------------------- incremental index (epochs)
+#
+# The manifest-versioned twin of the one-shot write_inverted_index —
+# the same artifact contract as the dedup band indexes and the IVF
+# lists (operators/manifest.py): each ingested batch lands as a
+# committed epoch, readers serve base ∪ live epochs (partition-
+# prunable on tbucket in BOTH branches), compaction folds epochs into
+# the next base version behind one manifest PUT while appends continue,
+# and purged documents die via merge-on-compact deletion with a
+# pending-deletes overlay covering the window between compactions.
+#
+# Incremental contract: epochs carry DISJOINT document sets (each doc
+# indexed exactly once — re-ingest after purge is a NEW epoch).  Under
+# that contract postings are set-semantics rows (union is the merge)
+# and the stats artifact is SUM-mergeable: one (n_docs, total_dl) row
+# per epoch, corpus stats = the column sums, avgdl derived at read.
+
+_STATS_ART = "stats"
+
+
+def _batch_stats(idx: DataFrame, id_col: str) -> DataFrame:
+    per_doc = idx.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+    )
+
+
+def index_append(
+    idx: DataFrame,
+    root: str,
+    epoch_id: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> None:
+    """Land one batch's postings (+ its SUM-mergeable stats row) as
+    committed epoch ``epoch_id``.  ``n_buckets`` is pinned in the
+    postings manifest on first append and read back thereafter — a
+    mismatched later value is ignored, so every epoch buckets terms
+    identically (the same must-match contract as the dedup index's
+    ``k``/``bands``).  Replay-safe: ``write_epoch``'s epoch-owned
+    overwrite makes a foreachBatch retry rewrite exactly its own
+    epoch."""
+    spark = idx.sparkSession
+    proot = f"{root}/{_POSTINGS_SUBDIR}"
+    m = M.manifest_resolve(spark, proot)
+    if m is None:
+        M.init_artifact(spark, proot, extra={"n_buckets": int(n_buckets)})
+    else:
+        n_buckets = int(m.get("n_buckets", n_buckets))
+    with_bucket = idx.withColumn(
+        "tbucket", _term_bucket_col(n_buckets)
+    ).repartition("tbucket")
+    M.write_epoch(with_bucket, proot, epoch_id, partition_cols=("tbucket",))
+    M.write_epoch(
+        _batch_stats(idx, id_col).coalesce(1),
+        f"{root}/{_STATS_ART}",
+        epoch_id,
+    )
+
+
+def _overlay_deletes(
+    post: DataFrame,
+    stats_rows: DataFrame,
+    pending_deletes: DataFrame,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    dels = pending_deletes.select(
+        F.col(pending_deletes.columns[0]).alias(id_col)
+    )
+    removed = (
+        post.join(F.broadcast(dels), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+    )
+    neg = removed.agg(
+        (-F.count(F.lit(1))).alias("n_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+    )
+    return (
+        post.join(F.broadcast(dels), id_col, "left_anti"),
+        stats_rows.select("n_docs", "total_dl").unionByName(neg),
+    )
+
+
+def read_index_artifact(
+    spark: SparkSession,
+    root: str,
+    pending_deletes: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Read the incremental index through its manifests:
+    ``(postings, stats)`` with ``stats`` in the one-row
+    ``(n_docs, avgdl)`` shape the scorers take via ``stats=``.
+
+    ``pending_deletes`` (one-column frame of purged doc ids — the
+    same overlay shape as ``dedup.*_incremental``) voids purged docs
+    out of the postings AND corrects the stats (their doc count and
+    token mass subtract exactly), so retrieval is correct BETWEEN
+    compactions; the physical rows die at the next
+    :func:`index_compact` with ``delete_ids=``."""
+    post = M.read_artifact(
+        spark, f"{root}/{_POSTINGS_SUBDIR}", drop_epoch=True
+    ).drop("tbucket")
+    stats_rows = M.read_artifact(
+        spark, f"{root}/{_STATS_ART}", drop_epoch=True
+    )
+    if pending_deletes is not None:
+        post, stats_rows = _overlay_deletes(
+            post, stats_rows, pending_deletes, id_col
+        )
+    stats = stats_rows.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    return post, stats
+
+
+def load_postings_artifact(
+    spark: SparkSession,
+    root: str,
+    terms: list[str] | str,
+    pending_deletes: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Term-bounded read of the incremental index — the static
+    ``tbucket`` filters prune BOTH the base and the live epochs (the
+    manifest reader unions two partition-prunable scans).  Returns
+    ``(postings, stats)`` like :func:`read_index_artifact`.  A
+    ``pending_deletes`` overlay anti-joins the PRUNED postings, but
+    its stats correction derives from the FULL postings — a deleted
+    doc whose postings sit outside the query's terms must still
+    subtract its (1, dl) from the corpus stats.  That correction scan
+    column-prunes to ``(id, dl)`` (two narrow columns, no positions),
+    and it only exists while deletions are pending — they die at the
+    next :func:`index_compact`."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    if not tl:
+        raise ValueError("terms must be non-empty")
+    proot = f"{root}/{_POSTINGS_SUBDIR}"
+    m = M.manifest_resolve(spark, proot)
+    if m is None or "n_buckets" not in m:
+        raise ValueError(f"{root!r} is not an incremental index artifact")
+    n_buckets = int(m["n_buckets"])
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in tl})
+    post = (
+        M.read_artifact(spark, proot, manifest=m, drop_epoch=True)
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
+        .drop("tbucket")
+    )
+    stats_rows = M.read_artifact(
+        spark, f"{root}/{_STATS_ART}", drop_epoch=True
+    )
+    if pending_deletes is not None:
+        dels = pending_deletes.select(
+            F.col(pending_deletes.columns[0]).alias(id_col)
+        )
+        post = post.join(F.broadcast(dels), id_col, "left_anti")
+        full = M.read_artifact(
+            spark, proot, manifest=m, drop_epoch=True
+        ).select(id_col, "dl")
+        removed = (
+            full.join(F.broadcast(dels), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+        )
+        neg = removed.agg(
+            (-F.count(F.lit(1))).alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias(
+                "total_dl"
+            ),
+        )
+        stats_rows = stats_rows.select("n_docs", "total_dl").unionByName(neg)
+    stats = stats_rows.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    return post, stats
+
+
+def index_compact(
+    spark: SparkSession,
+    root: str,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold the index's streamed epochs into the next base version
+    (one manifest PUT per artifact; appends continue through it —
+    ``manifest.compact_artifact``'s pause-free contract).  With
+    ``delete_ids`` the fold anti-joins purged docs out of the postings
+    (merge-on-compact deletion — the physical death of what the
+    pending-deletes overlay masked logically), and the stats artifact
+    is REBUILT from the folded postings, so deletions can never leave
+    the corpus stats drifted."""
+    dels = (
+        delete_ids.select(F.col(delete_ids.columns[0]).alias(id_col))
+        if delete_ids is not None
+        else None
+    )
+
+    def fold_post(df: DataFrame) -> DataFrame:
+        out = df
+        if dels is not None:
+            out = out.join(F.broadcast(dels), id_col, "left_anti")
+        return out.repartition("tbucket")
+
+    res = M.compact_artifact(
+        spark,
+        f"{root}/{_POSTINGS_SUBDIR}",
+        fold_post,
+        partition_cols=("tbucket",),
+    )
+    folded_post = M.read_artifact(
+        spark, f"{root}/{_POSTINGS_SUBDIR}", drop_epoch=True
+    )
+
+    def fold_stats(_: DataFrame) -> DataFrame:
+        # ignore the epoch stats rows: exact stats re-derive from the
+        # just-folded postings (one row), which bakes delete_ids in
+        return _batch_stats(folded_post, id_col).coalesce(1)
+
+    M.compact_artifact(spark, f"{root}/{_STATS_ART}", fold_stats)
+    return res

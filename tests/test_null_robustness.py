@@ -277,3 +277,31 @@ def test_decontaminate_stream_null_empty_whitespace_docs(spark, tmp_path):
         r["doc_id"]: r["text"] for r in M.read_artifact(spark, out_p).collect()
     }
     assert got == {2: None, 3: "", 4: "   ", 5: "clean words only here"}
+
+
+def test_retrieval_null_empty_whitespace_docs(spark):
+    """r13 retrieval tier: null/empty/whitespace docs carry no postings,
+    are excluded from n_docs/avgdl, and can never match a phrase or
+    score in BM25; a corpus that is ALL degenerate yields empty results,
+    not a crash (index_stats on an empty index returns n_docs=0)."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+    d = _docs(spark)
+    idx = R.inverted_index(d)
+    assert {r.doc_id for r in idx.collect()} == {1, 2, 6, 7}
+    stats = R.index_stats(idx).first()
+    assert stats["n_docs"] == 4
+    assert stats["avgdl"] == (6 + 6 + 1 + 2) / 4
+    assert {
+        r.doc_id for r in R.phrase_search(idx, "a b").collect()
+    } == {1, 2}
+    got = {r.doc_id for r in R.bm25_topk(idx, ["solo"], k=10).collect()}
+    assert got == {6}
+    # all-degenerate corpus
+    allbad = d.where(F.col("doc_id").isin(3, 4, 5))
+    empty_idx = R.inverted_index(allbad)
+    assert empty_idx.count() == 0
+    row = R.index_stats(empty_idx).first()
+    assert row["n_docs"] == 0
+    assert R.phrase_search(empty_idx, "a b").count() == 0
+    assert R.bm25_topk(empty_idx, ["a"], k=3).count() == 0

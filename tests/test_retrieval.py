@@ -254,3 +254,110 @@ def test_retrieval_plans_stay_jvm(idx, spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
             assert marker not in plan
         assert "CartesianProduct" not in plan
+
+
+# ----------------------------------- incremental index (manifest epochs)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_append_read_equals_oneshot(spark, tmp_path):
+    """Two disjoint epochs read back as exactly the one-shot index of
+    their union — postings rows, stats, and BM25 results all equal."""
+    root = str(tmp_path / "inc_idx")
+    day1 = DOCS[:5]
+    day2 = [(10, "brown dog fox quick"), (11, "spark quick spark")]
+    R.index_append(R.inverted_index(_batch(spark, day1)), root, 0, n_buckets=8)
+    R.index_append(R.inverted_index(_batch(spark, day2)), root, 1)
+    post, stats = R.read_index_artifact(spark, root)
+    oneshot = R.inverted_index(_batch(spark, day1 + day2))
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"], r["dl"])
+        for r in post.collect()
+    }
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"], r["dl"])
+        for r in oneshot.collect()
+    }
+    assert got == want
+    srow, orow = stats.first(), R.index_stats(oneshot).first()
+    assert (srow["n_docs"], srow["avgdl"]) == (orow["n_docs"], orow["avgdl"])
+    art = [
+        tuple(r)
+        for r in R.bm25_topk(
+            post, ["quick", "spark"], k=5, idf="rational", scale=10**6,
+            stats=stats,
+        ).orderBy("rank").collect()
+    ]
+    mem = [
+        tuple(r)
+        for r in R.bm25_topk(
+            oneshot, ["quick", "spark"], k=5, idf="rational", scale=10**6
+        ).orderBy("rank").collect()
+    ]
+    assert art == mem
+
+
+def test_index_pending_deletes_overlay_and_compaction(spark, tmp_path):
+    """A purged doc disappears logically via the overlay (postings AND
+    stats), physically at compaction with delete_ids; appends continue
+    through the compaction and a post-compaction epoch is served."""
+    root = str(tmp_path / "inc_del")
+    R.index_append(
+        R.inverted_index(_batch(spark, DOCS[:5])), root, 0, n_buckets=8
+    )
+    dels = spark.createDataFrame([(2,)], "doc_id long")
+    post, stats = R.read_index_artifact(spark, root, pending_deletes=dels)
+    assert post.where(F.col("doc_id") == 2).count() == 0
+    srow = stats.first()
+    lens = {d: len(_py_tokens(t)) for d, t in DOCS[:5] if _py_tokens(t)}
+    want_n = len(lens) - 1
+    want_avg = (sum(lens.values()) - lens[2]) / want_n
+    assert (srow["n_docs"], srow["avgdl"]) == (want_n, want_avg)
+    # pruned loader: same overlay semantics even when the deleted doc's
+    # postings are OUTSIDE the pruned term set ('spark' is only in doc 4;
+    # deleted doc 2 has no 'spark' posting, yet stats must still shrink)
+    dels4 = spark.createDataFrame([(1,)], "doc_id long")
+    ppost, pstats = R.load_postings_artifact(
+        spark, root, ["spark"], pending_deletes=dels4
+    )
+    assert {r["doc_id"] for r in ppost.collect()} == {4}
+    prow = pstats.first()
+    assert prow["n_docs"] == len(lens) - 1
+    assert prow["avgdl"] == (sum(lens.values()) - lens[1]) / (len(lens) - 1)
+    # merge-on-compact deletion: physical rows die, stats rebuilt exact
+    res = R.index_compact(spark, root, delete_ids=dels)
+    assert res["version"] == 1 and res["epochs_folded"] == 1
+    post2, stats2 = R.read_index_artifact(spark, root)
+    assert post2.where(F.col("doc_id") == 2).count() == 0
+    s2 = stats2.first()
+    assert (s2["n_docs"], s2["avgdl"]) == (want_n, want_avg)
+    # re-ingest after purge: doc 2's text returns under a new epoch and
+    # is novel again (no ghost suppression anywhere in this tier)
+    R.index_append(R.inverted_index(_batch(spark, [DOCS[1]])), root, 2)
+    post3, stats3 = R.read_index_artifact(spark, root)
+    assert post3.where(F.col("doc_id") == 2).count() > 0
+    assert stats3.first()["n_docs"] == len(lens)
+    # pruned load serves base + live epoch through one manifest read
+    p3, _ = R.load_postings_artifact(spark, root, ["quick"])
+    assert {r["doc_id"] for r in p3.collect()} == {1, 2, 5}
+
+
+def test_index_append_pins_n_buckets(spark, tmp_path):
+    root = str(tmp_path / "inc_pin")
+    idx = R.inverted_index(_batch(spark, DOCS[:3]))
+    R.index_append(idx, root, 0, n_buckets=4)
+    # a later mismatched n_buckets is ignored: the manifest's value wins
+    R.index_append(R.inverted_index(_batch(spark, [(20, "new doc")])), root, 1,
+                   n_buckets=999)
+    post, _ = R.read_index_artifact(spark, root)
+    spark_b = post.select(
+        "term", R._term_bucket_col(4).alias("b")
+    ).distinct()
+    # every persisted row sits in the bucket the PINNED config assigns
+    raw = spark.read.parquet(f"{root}/postings/epochs")
+    got = {(r["term"], r["tbucket"]) for r in raw.select("term", "tbucket").collect()}
+    want = {(r["term"], r["b"]) for r in spark_b.collect()}
+    assert got == want
