@@ -736,6 +736,8 @@ SCALING_QUERIES = HEADLINE + [
     "q94_interval_join_binned",
     "q104_bloom_blocklist",
     "q105_bloom_ngram_decontaminate",
+    # r13: the lexical-retrieval flagship (inline index + BM25)
+    "q113_bm25_topk",
 ]
 
 
@@ -1009,6 +1011,72 @@ def bench_facade_full(spark) -> dict:
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_retrieval(spark) -> dict:
+    """r13 lexical-retrieval probe: does the persisted term-bucketed
+    index actually pay for itself?  Over the sf1 documents corpus
+    (50k docs, ~2.7M postings) the same 3-term BM25 top-10 runs (a)
+    INLINE — index derived from text, re-derived per consumer (the
+    q113 composition), and (b) PERSISTED — load_postings'
+    partition-pruned scan + the one-row stats artifact.  The index
+    builds once into .scratch/ and is reused across rounds; build time
+    reported the round it happens.  Best-of-2 per path, same JVM."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from tools.gen_sf import generate
+
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or generate(
+        1.0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1.0"),
+    )
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "retrieval_idx_sf1"
+    )
+    build_sec = None
+    if not os.path.exists(os.path.join(root, "postings", "_SUCCESS")):
+        t0 = time.perf_counter()
+        R.write_inverted_index(R.inverted_index(docs), root, n_buckets=64)
+        build_sec = round(time.perf_counter() - t0, 3)
+    terms = ["spark", "window", "merge"]
+
+    def best(mk) -> tuple[float, int]:
+        ts, n = [], 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = mk().count()
+            ts.append(time.perf_counter() - t0)
+        return min(ts), n
+
+    inline_sec, n_inline = best(
+        lambda: R.bm25_topk(R.inverted_index(docs), terms, k=10)
+    )
+    _, stats = R.read_inverted_index(spark, root)
+    persisted_sec, n_pers = best(
+        lambda: R.bm25_topk(
+            R.load_postings(spark, root, terms), terms, k=10, stats=stats
+        )
+    )
+    assert n_inline == n_pers == 10
+    phrase_sec, n_phrase = best(
+        lambda: R.phrase_search(
+            R.load_postings(spark, root, ["spark", "window"]), "spark window"
+        )
+    )
+    out = {
+        "corpus_docs": docs.count(),
+        "postings_rows": spark.read.parquet(
+            os.path.join(root, "postings")
+        ).count(),
+        "inline_bm25_sec": round(inline_sec, 3),
+        "persisted_bm25_sec": round(persisted_sec, 3),
+        "persisted_speedup": round(inline_sec / persisted_sec, 2),
+        "phrase_persisted_sec": round(phrase_sec, 3),
+        "phrase_docs": n_phrase,
+    }
+    if build_sec is not None:
+        out["index_build_sec"] = build_sec
+    return out
 
 
 def bench_plan_audit(spark, sf_dir: str) -> dict:
@@ -1315,6 +1383,7 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
         # membership BEFORE the 1-hour soak: the soak's ~5 GB of decode
         # output churns the page cache the wide-corpus timings sit on
         out["membership"] = bench_membership(spark)
+        out["retrieval"] = bench_retrieval(spark)
         out["facade_sf_full"] = bench_facade_full(spark)
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
@@ -1513,6 +1582,9 @@ def main() -> None:
         ).get("hits_speedup"),
         "facade_full_e2e_sec": (result.get("facade_sf_full") or {}).get(
             "e2e_sec"
+        ),
+        "retrieval_persisted_speedup": (result.get("retrieval") or {}).get(
+            "persisted_speedup"
         ),
         # work-normalized where the query measures its output volume
         # (ratio_work_norm, see bench_scaling's q94 note) — the raw max

@@ -86,7 +86,13 @@ def inverted_index(
     a doc-length table).  Null/blank docs carry no postings.
 
     One narrow projection + posexplode, one shuffle on ``(term, id)``.
+    ``ensure_min_parallelism`` spreads a file-poor scan before the
+    CPU-heavy tokenize/explode chain (the same guard as the shingle
+    and gram kernels; a real at-scale scan makes it a no-op).
     """
+    from .scale import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
     t = _tokens(text_col)
     exploded = docs.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
