@@ -627,6 +627,56 @@ def maintain_sketch_shards(
     return writer.start()
 
 
+def maintain_inverted_index(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Continuously grow the incremental INVERTED INDEX
+    (``retrieval.index_append`` artifact) from a document stream — the
+    lexical-retrieval freshness loop: documents ingested today are
+    phrase-searchable and BM25-rankable today, no nightly rebuild.
+
+    Per micro-batch, the batch's postings land as a committed epoch
+    under ``root/postings`` and its SUM-mergeable ``(n_docs,
+    total_dl)`` stats row under ``root/stats``.  Exactly-once follows
+    the sketch-stream contract, NOT the dedup-index one: the stats
+    artifact is SUM-semantics (a replayed batch appended twice would
+    double-count corpus stats and silently deflate every BM25 idf), so
+    ``index_append`` rides ``write_epoch``'s epoch-OWNED overwrite — a
+    foreachBatch replay rewrites exactly its own epoch for both
+    artifacts.  ``n_buckets`` is pinned in the postings manifest on
+    the first epoch; epoch sliver files fold back periodically with
+    ``retrieval.index_compact`` (pause-free — this stream resumes on
+    its existing checkpoint).  Incremental contract: each doc appears
+    in ONE batch (re-ingest after purge is a new batch; see
+    ``read_index_artifact``'s pending-deletes overlay)."""
+    from ..operators.retrieval import index_append, inverted_index
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        index_append(
+            inverted_index(df, id_col, text_col),
+            root,
+            int(epoch_id),
+            n_buckets=n_buckets,
+            id_col=id_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ivf_index(
     stream: DataFrame,
     index_path: str,

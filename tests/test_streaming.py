@@ -2105,3 +2105,78 @@ def test_bloom_dedup_stream_pending_deletes_readmits_purged_key(spark, tmp_path)
         .where(F.col("epoch") == 2).collect()
     )
     assert ep2 == [60], f"re-admitted key must gate again once re-seen: {ep2}"
+
+
+def test_maintain_inverted_index_matches_batch_built(spark, tmp_path):
+    """r13: the stream-maintained inverted index over a 2-file replay
+    equals the one-shot index of the union — postings AND corpus stats
+    — and serves BM25/phrase queries; a compaction folds the stream's
+    epochs without changing answers."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_inverted_index,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    rows1 = [(i, f"stream doc {i} quick brown words w{i % 7}")
+             for i in range(12)]
+    rows2 = [(100 + i, f"late doc {i} spark window merge w{i % 5}")
+             for i in range(8)]
+    sch = "doc_id long, text string"
+    for name, rows in (("a", rows1), ("b", rows2)):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    root = str(tmp_path / "lexidx")
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_inverted_index(
+        stream, root, checkpoint=str(tmp_path / "ckpt_lex"), n_buckets=8
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(rows1 + rows2, sch)
+    oneshot = R.inverted_index(all_rows)
+    def rows(df):
+        return {
+            (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]), r["dl"])
+            for r in df.collect()
+        }
+
+    post, stats = R.read_index_artifact(spark, root)
+    assert rows(post) == rows(oneshot)
+    srow, orow = stats.first(), R.index_stats(oneshot).first()
+    assert (srow["n_docs"], srow["avgdl"]) == (orow["n_docs"], orow["avgdl"])
+    mem = [
+        tuple(r)
+        for r in R.bm25_topk(
+            oneshot, ["spark", "quick"], k=5, idf="rational", scale=10**6
+        ).orderBy("rank").collect()
+    ]
+    art = [
+        tuple(r)
+        for r in R.bm25_topk(
+            post, ["spark", "quick"], k=5, idf="rational", scale=10**6,
+            stats=stats,
+        ).orderBy("rank").collect()
+    ]
+    assert mem == art
+    # fold the stream's epochs; answers unchanged, version bumped
+    res = R.index_compact(spark, root)
+    assert res["version"] == 1 and res["epochs_folded"] == 2
+    post2, stats2 = R.read_index_artifact(spark, root)
+    assert rows(post2) == rows(oneshot)
+    assert stats2.first()["n_docs"] == orow["n_docs"]
+    ph = {r["doc_id"] for r in R.phrase_search(post2, "spark window").collect()}
+    assert ph == {100 + i for i in range(8)}
