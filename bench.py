@@ -738,6 +738,12 @@ SCALING_QUERIES = HEADLINE + [
     "q105_bloom_ngram_decontaminate",
     # r13: the lexical-retrieval flagship (inline index + BM25)
     "q113_bm25_topk",
+    # r13: decade rows for the r12/r13-promoted window newcomers whose
+    # scale posture is newest — span-level decontamination, the
+    # drop->strip->semantic pipeline capstone, the one-pass datasheet
+    "q106_contaminated_spans",
+    "q111_decontamination_pipeline",
+    "q112_corpus_profile",
 ]
 
 

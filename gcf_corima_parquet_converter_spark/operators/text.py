@@ -633,6 +633,85 @@ def word_counts(
     return wc
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining — the phrase-discovery pass tokenizer
+    and vocabulary builders run before merging multiword units: which
+    adjacent word pairs co-occur far more than chance.
+
+    Returns ``(w1, w2, pair_count, c1, c2, lift)`` where ``lift`` is
+    the PMI ratio WITHOUT the log (exact rational arithmetic — the
+    same engine-portability dodge as BM25's ``idf='rational'``; rank
+    order is identical since log is monotone)::
+
+        lift = (pair_count / N_pairs) / ((c1 / N_uni) * (c2 / N_uni))
+
+    Plan: bigrams derive NARROWLY from each doc's token array (two
+    shifted ``slice``s zipped — no positional self-join, no shuffle
+    before the counting groupBys); unigram counts and the two scalar
+    totals broadcast back over the vocab-sized pair table.  Everything
+    stays whole-stage-codegen JVM.  ``min_count`` prunes the hapax
+    pair tail map-side-aggregated anyway but keeps the lift table
+    honest — lift is noise below a handful of observations."""
+    t = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    docs = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(t.alias("_t"))
+    sz = F.size("_t")
+    pairs = docs.where(sz >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, sz - 1).alias("w1"),
+                F.slice("_t", 2, sz - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_count))
+    )
+    uni = docs.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_uni"),
+    ).crossJoin(
+        pairs.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    out = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # fixed left-to-right IEEE shape: each double multiply/divide is
+    # correctly rounded, so ANY engine evaluating this exact expression
+    # order produces bit-identical results (products may exceed 2^53 at
+    # corpus scale — they round, identically, with ~1e-16 relative
+    # error, far below lift's meaningful precision)
+    lift = (
+        F.col("pair_count").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_pairs").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return out.select(
+        "w1", "w2", "pair_count", "c1", "c2", lift.alias("lift")
+    )
+
+
 _EOW = "</w>"
 
 

@@ -4179,3 +4179,61 @@ def q115(spark, sf_dir):
     return out.select(
         "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
     ).orderBy("q_id", "rank")
+
+
+# -- q116: bigram collocation mining (text.collocations) — the phrase-
+#    discovery pass a tokenizer/vocab build runs: adjacent pairs
+#    co-occurring far above chance, ranked by the log-free PMI ratio
+#    (lift; rank-equivalent to PMI since log is monotone — the same
+#    rational dodge as q113's idf).  Bigrams derive narrowly from two
+#    shifted slices of each token array (no positional self-join); the
+#    oracle zips two shifted unnests.  Ties broken by (w1, w2) in both
+#    engines; lift's one double division has an identical IEEE shape.
+@query(
+    "q116_collocations",
+    """
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bi AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM bi GROUP BY w1, w2 HAVING count(*) >= 20
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(count(*) AS BIGINT) FROM bi) AS n_pairs
+    )
+    SELECT pc.w1, pc.w2, pc.pair_count, u1.c AS c1, u2.c AS c2,
+           CAST(floor(
+             (CAST(pc.pair_count AS DOUBLE) * CAST(tot.n_uni AS DOUBLE)
+              * CAST(tot.n_uni AS DOUBLE))
+             / (CAST(tot.n_pairs AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                * CAST(u2.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS lift_fx
+    FROM pc
+    JOIN uc u1 ON u1.w = pc.w1
+    JOIN uc u2 ON u2.w = pc.w2
+    CROSS JOIN tot
+    ORDER BY lift_fx DESC, w1, w2 LIMIT 30
+    """,
+)
+def q116(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    out = X.collocations(d, "text", min_count=20)
+    return (
+        out.select(
+            "w1", "w2", "pair_count", "c1", "c2",
+            fx("lift", 1_000_000).alias("lift_fx"),
+        )
+        .orderBy(F.desc("lift_fx"), "w1", "w2")
+        .limit(30)
+    )

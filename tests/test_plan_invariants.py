@@ -58,6 +58,11 @@ SINGLE_PARTITION_ALLOWED = {
     # one-row stats join, same shape as q104's bloom words row)
     "q113_bm25_topk": 1,
     "q115_bm25_batch": 1,
+    # collocation totals: TWO keys=[] scalar reduces (unigram total,
+    # bigram total) — each is one bigint partial per task crossing the
+    # funnel; their one-row product broadcasts back over the
+    # vocab-sized pair table (the BNLJs in this plan)
+    "q116_collocations": 2,
 }
 
 
