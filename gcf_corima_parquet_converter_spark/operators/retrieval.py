@@ -66,6 +66,7 @@ __all__ = [
     "read_index_artifact",
     "load_postings_artifact",
     "index_compact",
+    "rrf_fuse",
 ]
 
 
@@ -580,3 +581,58 @@ def index_compact(
 
     M.compact_artifact(spark, f"{root}/{_STATS_ART}", fold_stats)
     return res
+
+
+# ------------------------------------------------------- hybrid fusion
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+    scale: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    (Cormack et al., SIGIR 2009) now that BOTH retrieval tiers exist:
+    fuse a lexical (BM25) top-k list with a vector (cosine/ANN) top-k
+    list (or any number of rankings) without score calibration:
+
+        rrf(d) = sum over rankings r of 1 / (k + rank_r(d))
+
+    Each input carries ``(id_col, rank)`` (1-based; absent = no
+    contribution).  Returns ``(rank, id, rrf_score, n_sources)``, the
+    fused top-``topk`` ranked by ``(rrf_score desc, id)``.
+
+    Scale posture: inputs are top-k lists by construction, so the
+    union is at most ``sum(len(r))`` rows however large the corpus —
+    the groupBy and the final ranking window run over a bounded frame
+    (the window's constant partition key is deliberate: its input is
+    already k·|rankings| rows, not corpus-sized).  ``scale`` fixes
+    each 1/(k+rank) contribution to an exact integer before the
+    cross-ranking sum (the graded hash-stable mode, as in BM25)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        c = F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))
+        if scale is not None:
+            c = F.floor(c * F.lit(float(scale)) + F.lit(0.5))
+        parts.append(r.select(F.col(id_col), c.alias("_c")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score = F.sum("_c")
+    if scale is not None:
+        score = score / F.lit(float(scale))
+    fused = u.groupBy(id_col).agg(
+        score.alias("rrf_score"), F.count(F.lit(1)).alias("n_sources")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("rrf_score"), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select("rank", id_col, "rrf_score", "n_sources")
+    )

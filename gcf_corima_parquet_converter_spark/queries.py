@@ -4237,3 +4237,104 @@ def q116(spark, sf_dir):
         .orderBy(F.desc("lift_fx"), "w1", "w2")
         .limit(30)
     )
+
+
+# -- q117: hybrid retrieval via reciprocal-rank fusion
+#    (retrieval.rrf_fuse, Cormack et al. 2009) — the capstone tying the
+#    lexical tier (q113's BM25) to the vector tier (q25's cosine):
+#    both top-50 lists fuse score-calibration-free as
+#    sum(1/(60+rank)).  Each 1/(60+rank) contribution fixes to an
+#    exact integer before the cross-list sum; both engines rank every
+#    stage by (fx desc, id), so list membership, ranks, and the fused
+#    order are all deterministic.  The ranking windows run over
+#    already-top-k'd 50-row frames (constant partition key — bounded
+#    by construction, not corpus-sized).
+@query(
+    "q117_hybrid_rrf",
+    "WITH " + _BM25_SQL_STATS + """,
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores ORDER BY score_fx DESC, doc_id LIMIT 50
+    ),
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(floor(list_dot_product(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.qv
+                )*1000000 + 0.5) AS BIGINT) AS sim_fx
+      FROM embeddings e, qv
+    ),
+    cos AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sim_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM sims ORDER BY sim_fx DESC, doc_id LIMIT 50
+    ),
+    u AS (
+      SELECT doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM bm
+      UNION ALL
+      SELECT doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM cos
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_fx DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, rrf_fx, n_sources
+    FROM fused ORDER BY rrf_fx DESC, doc_id LIMIT 10
+    """,
+)
+def q117(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    idx = R.inverted_index(d)
+    bm = R.bm25_topk(
+        idx, ["spark", "window", "merge"], k=50, idf="rational",
+        scale=1_000_000,
+    ).select("doc_id", "rank")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sims = e.select(
+        F.col("vec_id").alias("doc_id"),
+        fx(S.dot(F.col("embedding"), S.lit_vec(qvec)), 1_000_000).alias(
+            "sim_fx"
+        ),
+    )
+    top50 = sims.orderBy(F.desc("sim_fx"), "doc_id").limit(50)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("sim_fx"), F.col("doc_id"))
+    cos = top50.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    out = R.rrf_fuse([bm, cos], topk=10, scale=1_000_000_000)
+    return out.select(
+        "rank", "doc_id",
+        fx("rrf_score", 1_000_000_000).alias("rrf_fx"),
+        "n_sources",
+    ).orderBy("rank")

@@ -63,6 +63,10 @@ SINGLE_PARTITION_ALLOWED = {
     # funnel; their one-row product broadcasts back over the
     # vocab-sized pair table (the BNLJs in this plan)
     "q116_collocations": 2,
+    # hybrid RRF: the BM25 branch's corpus-stats scalar reduce (same
+    # funnel as q113); both top-50 selections are TakeOrderedAndProject
+    # and the fusion windows run over <= 100 pre-bounded rows
+    "q117_hybrid_rrf": 1,
 }
 
 

@@ -361,3 +361,53 @@ def test_index_append_pins_n_buckets(spark, tmp_path):
     got = {(r["term"], r["tbucket"]) for r in raw.select("term", "tbucket").collect()}
     want = {(r["term"], r["b"]) for r in spark_b.collect()}
     assert got == want
+
+
+# --------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    """Fused ranks/scores equal the Python RRF over two hand-made
+    rankings, including docs present in only one list."""
+    bm = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 4)], "doc_id long, rank int"
+    )
+    cos = spark.createDataFrame(
+        [(12, 1), (10, 2), (99, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_score"], r["n_sources"])
+        for r in R.rrf_fuse([bm, cos], k=60, topk=10).collect()
+    }
+    want_scores = {}
+    for ranking in ([(10, 1), (11, 2), (12, 3), (13, 4)],
+                    [(12, 1), (10, 2), (99, 3)]):
+        for d, rk in ranking:
+            want_scores[d] = want_scores.get(d, 0.0) + 1.0 / (60 + rk)
+    order = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, (d, s) in enumerate(order, start=1):
+        rk, score, ns = got[d]
+        assert rk == i, d
+        assert score == pytest.approx(s, rel=1e-15)
+    assert got[10][2] == 2 and got[99][2] == 1
+    # doc in both lists outranks single-list docs with better single
+    # ranks here: 12 (ranks 3+1) beats 11 (rank 2 only)
+    assert got[12][0] < got[11][0]
+    # fixed-point mode: scores exact multiples of 1/scale, same order
+    fxd = [
+        (r["rank"], r["doc_id"])
+        for r in R.rrf_fuse([bm, cos], k=60, topk=10, scale=10**9).collect()
+    ]
+    assert fxd == [(got[d][0], d) for d, _ in order]
+    with pytest.raises(ValueError, match="non-empty"):
+        R.rrf_fuse([])
+
+
+def test_rrf_fuse_topk_and_single_ranking(spark):
+    one = spark.createDataFrame(
+        [(i, i) for i in range(1, 8)], "doc_id long, rank int"
+    )
+    got = R.rrf_fuse([one], topk=3).collect()
+    assert [(r["rank"], r["doc_id"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (1, 1), (2, 2), (3, 3)
+    ]
