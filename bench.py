@@ -1525,6 +1525,7 @@ def main() -> None:
         "facade": samples[-1].get("facade"),
         "facade_sf_full": samples[-1].get("facade_sf_full"),
         "membership": samples[-1].get("membership"),
+        "retrieval": samples[-1].get("retrieval"),
         "runs": N_RUNS,
         "aggregation": "median",
         "sf": sf,

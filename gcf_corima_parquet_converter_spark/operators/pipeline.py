@@ -440,6 +440,7 @@ def semantic_decontaminate(
     and OR-amplification covers the rest — recall is pinned on planted
     copies in tests); precision is exact (cosine verifies every
     candidate)."""
+    from .scale import ensure_min_parallelism
     from .similarity import dot, with_lsh_bucket
 
     bench = bench_emb.where(F.col(vec_col).isNotNull()).select(
@@ -447,7 +448,32 @@ def semantic_decontaminate(
     )
     if broadcast_benchmark:
         cond = dot(F.col(vec_col), F.col("_bv")) >= F.lit(float(threshold))
-        return corpus_emb.join(F.broadcast(bench), cond, "left_anti")
+        # Matched-id broadcast-back, NOT a direct left-anti NLJ: the
+        # O(corpus x bench) dot-product pass runs as an INNER NLJ over
+        # a parallelism-guarded scan, the (small by the
+        # decontamination premise) flagged-id set broadcasts into an
+        # equi anti-join.  A direct `left_anti` NLJ here CANNOT be
+        # parallelism-guarded: Catalyst's PushDownLeftSemiAntiJoin
+        # pushes the anti-join below any Repartition/Union under it,
+        # so the quadratic probe re-inherits the raw scan's splits —
+        # measured at sf1 (20k x 400, one small file -> 2-4 splits):
+        # ~85 s pinned to 4 of 32 cores, vs the inner+broadcast-back
+        # shape spreading the same work cluster-wide.  Same
+        # architecture as the LSH scale path below; semantics
+        # unchanged (drop iff SOME benchmark neighbor >= threshold;
+        # null embeddings never match and pass through).
+        guarded = ensure_min_parallelism(
+            corpus_emb.where(F.col(vec_col).isNotNull()).select(
+                F.col(id_col), F.col(vec_col)
+            ),
+            id_col,
+        )
+        flagged = (
+            guarded.join(F.broadcast(bench), cond, "inner")
+            .select(id_col)
+            .distinct()
+        )
+        return corpus_emb.join(F.broadcast(flagged), id_col, "left_anti")
     if dim is None:
         row = (
             corpus_emb.select(vec_col)

@@ -922,9 +922,22 @@ def test_semantic_decontaminate_broadcast_and_lsh_paths(spark):
     # precision exact on both paths: anything LSH kept, broadcast kept
     assert got_bc <= got_lsh
 
+    # r13 plan contract (matched-id broadcast-back): the quadratic
+    # dot-product probe is an INNER NLJ (a direct LeftAnti NLJ cannot
+    # be parallelism-guarded — PushDownLeftSemiAntiJoin shoves it below
+    # any Repartition), the flagged-id set broadcasts into an equi
+    # anti-join, and the only ENSURE_REQUIREMENTS hash exchange carries
+    # bare ids (the distinct), never the embedding payload.
     plan = bc._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" not in plan
+    for line in plan.splitlines():
+        if (
+            "Exchange hashpartitioning" in line
+            and "REPARTITION_BY_NUM" not in line
+        ):
+            assert "embedding" not in line, line
 
 
 def test_corpus_profile_exact_counts(spark):
