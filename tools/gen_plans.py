@@ -224,6 +224,23 @@ QUERIES = [
         "position arrays never explode and the text column is never "
         "read",
     ),
+    (
+        "q116_collocations",
+        "bigram collocation mining (r13): bigrams derive NARROWLY from "
+        "two shifted slices zipped per token array — no positional "
+        "self-join, no pre-count shuffle; unigram counts + the two "
+        "scalar totals broadcast back over the vocab-sized pair table "
+        "(the two benign SinglePartition scalar reduces + one-row "
+        "BNLJs), lift is one codegen division",
+    ),
+    (
+        "q117_hybrid_rrf",
+        "hybrid retrieval fusion (r13): BM25 and cosine top-50 lists "
+        "each end in TakeOrderedAndProject (never a global sort); "
+        "fusion unions two <= 50-row frames, so its groupBy and "
+        "ranking window are bounded by construction — corpus-sized "
+        "data never reaches the fusion stage",
+    ),
 ]
 
 
