@@ -411,3 +411,31 @@ def test_rrf_fuse_topk_and_single_ranking(spark):
     assert [(r["rank"], r["doc_id"]) for r in sorted(got, key=lambda r: r["rank"])] == [
         (1, 1), (2, 2), (3, 3)
     ]
+
+
+def test_index_artifact_prunes_both_branches(spark, tmp_path):
+    """The manifest reader's base ∪ live-epochs union must partition-
+    prune on tbucket in BOTH branches — a pruned term lookup reads only
+    its buckets from the compacted base AND from epochs appended after
+    the compaction."""
+    root = str(tmp_path / "prune2")
+    R.index_append(R.inverted_index(_batch(spark, DOCS[:5])), root, 0,
+                   n_buckets=8)
+    R.index_compact(spark, root)  # epoch 0 -> base/v1
+    R.index_append(
+        R.inverted_index(_batch(spark, [(30, "quick spark post epoch")])),
+        root, 1,
+    )
+    post, _ = R.load_postings_artifact(spark, root, ["quick"])
+    # rows come from base (docs 1/2/5) AND the live epoch (doc 30)
+    assert {r["doc_id"] for r in post.collect()} == {1, 2, 5, 30}
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*tbucket[^\]]*\]", plan)
+    assert len(pfs) == 2, plan  # one pruned scan per union branch
+    b = R._term_bucket_py("quick", 8)
+    for pf in pfs:
+        assert str(b) in pf, pf
+    # term pushdown on both scans too (single term plans as EqualTo)
+    assert (plan.count("In(term") + plan.count("EqualTo(term,quick)")) == 2
