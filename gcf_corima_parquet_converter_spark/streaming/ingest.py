@@ -1195,3 +1195,99 @@ def bloom_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def serve_bm25_queries(
+    stream: DataFrame,
+    index_root: str,
+    output_path: str,
+    checkpoint: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "robertson",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    scale: int | None = None,
+    max_pruned_terms: int = 10_000,
+    available_now: bool = True,
+    _pre_batch_hook=None,
+):
+    """Streaming BM25 query serving: answer a STREAM of term queries
+    against the persisted incremental inverted index — the lexical
+    twin of :func:`serve_ann_queries`, completing the same lifecycle
+    (``retrieval.index_append``/:func:`maintain_inverted_index` keep
+    the index fresh, ``retrieval.index_compact`` folds it, this serves
+    it).
+
+    The index is re-resolved through its manifest at EVERY micro-batch
+    (one small-file read + one listing), so epochs a maintenance loop
+    appends and versions a compaction commits become searchable
+    MID-STREAM, no restart needed — and unlike the ANN tier there is
+    no offline-rebuild freshness boundary at all: the index has no
+    trained model state.
+
+    Term-bounded reads: each batch's distinct query terms are
+    collected driver-side (queries are human-sized) and the postings
+    scan partition-prunes to their md5 buckets via
+    ``retrieval.load_postings_artifact``; a degenerate batch with more
+    than ``max_pruned_terms`` distinct terms falls back to the
+    unpruned manifest read instead of shipping a huge IN-list into the
+    scan.  Corpus stats (n_docs/avgdl) come from the artifact's
+    SUM-mergeable stats rows — per-batch, so they too are always
+    current.
+
+    Results land under ``output_path/epoch=<id>/`` with dynamic
+    overwrite — the epoch-ownership contract of every loop here, so a
+    foreachBatch replay rewrites its own epoch and the result log is
+    exactly-once under retries.  Schema: (q_id, rank, doc_id, score).
+
+    ``_pre_batch_hook(batch_id)`` is the test seam shared with the ANN
+    server (inject an append/compaction, assert the batch sees it).
+    Returns the started StreamingQuery."""
+    from ..operators.retrieval import (
+        bm25_topk_batch,
+        load_postings_artifact,
+        read_index_artifact,
+    )
+
+    spark = stream.sparkSession
+
+    def _batch(df, epoch_id):
+        if _pre_batch_hook is not None:
+            _pre_batch_hook(int(epoch_id))
+        if not df.head(1):
+            return
+        term_rows = (
+            df.select(F.explode(terms_col).alias("t"))
+            .distinct()
+            .limit(int(max_pruned_terms) + 1)
+            .collect()
+        )
+        terms = sorted(r["t"] for r in term_rows)
+        if len(terms) > max_pruned_terms:
+            post, stats = read_index_artifact(spark, index_root, id_col=id_col)
+        else:
+            post, stats = load_postings_artifact(
+                spark, index_root, terms, id_col=id_col
+            )
+        out = bm25_topk_batch(
+            post, df, k=k, k1=k1, b=b, idf=idf, id_col=id_col,
+            q_id_col=q_id_col, terms_col=terms_col, stats=stats, scale=scale,
+        )
+        (
+            out.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2180,3 +2180,104 @@ def test_maintain_inverted_index_matches_batch_built(spark, tmp_path):
     assert stats2.first()["n_docs"] == orow["n_docs"]
     ph = {r["doc_id"] for r in R.phrase_search(post2, "spark window").collect()}
     assert ph == {100 + i for i in range(8)}
+
+
+def test_serve_bm25_queries_stream_matches_batch_and_sees_appends(
+    spark, tmp_path
+):
+    """r13 lexical serving loop: a stream of term queries answered
+    against the persisted incremental index equals the batch scorer;
+    an epoch appended between micro-batches (the _pre_batch_hook seam,
+    as in the ANN server test) is searchable in the NEXT batch with no
+    restart — including its effect on the corpus stats."""
+    import os
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_bm25_queries,
+    )
+
+    docs1 = [(i, f"base doc {i} quick brown words w{i % 5}")
+             for i in range(10)]
+    late = [(100, "quick quick quick late champion")]
+    root = str(tmp_path / "serve_idx")
+    R.index_append(
+        R.inverted_index(
+            spark.createDataFrame(docs1, "doc_id long, text string")
+        ),
+        root, 0, n_buckets=8,
+    )
+
+    qsrc = str(tmp_path / "qsrc")
+    os.makedirs(qsrc)
+    sch = "q_id long, terms array<string>"
+    for name, rows in (
+        ("a", [(1, ["quick", "brown"])]),
+        ("b", [(2, ["quick"]), (3, ["champion"])]),
+    ):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        import glob as _g
+        import shutil
+
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(qsrc, name + ".parquet"))
+
+    appended = {"done": False}
+
+    def hook(batch_id):
+        # before the SECOND batch, a maintenance append lands doc 100
+        if batch_id >= 1 and not appended["done"]:
+            R.index_append(
+                R.inverted_index(
+                    spark.createDataFrame(late, "doc_id long, text string")
+                ),
+                root, 99,
+            )
+            appended["done"] = True
+
+    out_path = str(tmp_path / "serve_out")
+    q = serve_bm25_queries(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "ckpt_serve"),
+        k=5, idf="rational", scale=10**6, _pre_batch_hook=hook,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_path)
+    # batch 0 (q1) was answered BEFORE the append: against docs1 only
+    post0, stats0 = R.read_index_artifact(spark, root)
+    idx1 = R.inverted_index(
+        spark.createDataFrame(docs1, "doc_id long, text string")
+    )
+    want1 = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk(
+            idx1, ["quick", "brown"], k=5, idf="rational", scale=10**6
+        ).collect()
+    }
+    got1 = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in got.where(F.col("q_id") == 1).collect()
+    }
+    assert got1 == want1
+    # batch 1 (q2, q3) sees the appended doc AND the updated stats
+    idx_all = R.inverted_index(
+        spark.createDataFrame(docs1 + late, "doc_id long, text string")
+    )
+    for qid, terms in ((2, ["quick"]), (3, ["champion"])):
+        want = {
+            (r["rank"], r["doc_id"], r["score"])
+            for r in R.bm25_topk(
+                idx_all, terms, k=5, idf="rational", scale=10**6
+            ).collect()
+        }
+        gotq = {
+            (r["rank"], r["doc_id"], r["score"])
+            for r in got.where(F.col("q_id") == qid).collect()
+        }
+        assert gotq == want, qid
+    # doc 100 (tf=3 for 'quick') outranks every base doc for q2
+    top2 = got.where((F.col("q_id") == 2) & (F.col("rank") == 1)).first()
+    assert top2["doc_id"] == 100
