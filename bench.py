@@ -1057,16 +1057,16 @@ def bench_retrieval(spark) -> dict:
     inline_sec, n_inline = best(
         lambda: R.bm25_topk(R.inverted_index(docs), terms, k=10)
     )
-    _, stats = R.read_inverted_index(spark, root)
-    persisted_sec, n_pers = best(
-        lambda: R.bm25_topk(
-            R.load_postings(spark, root, terms), terms, k=10, stats=stats
-        )
-    )
+    def _persisted():
+        post, stats = R.load_postings(spark, root, terms)
+        return R.bm25_topk(post, terms, k=10, stats=stats)
+
+    persisted_sec, n_pers = best(_persisted)
     assert n_inline == n_pers == 10
     phrase_sec, n_phrase = best(
         lambda: R.phrase_search(
-            R.load_postings(spark, root, ["spark", "window"]), "spark window"
+            R.load_postings(spark, root, ["spark", "window"])[0],
+            "spark window",
         )
     )
     out = {

@@ -343,6 +343,7 @@ def compact_artifact(
     partition_cols: tuple[str, ...] = (),
     keep_versions: int = 2,
     count_rows: bool = True,
+    align_manifest: dict | None = None,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> dict:
     """Fold an artifact's streamed epochs into the next base version
@@ -372,13 +373,25 @@ def compact_artifact(
     paid once per artifact, after which every future compaction is
     manifest-committed.
 
+    ``align_manifest`` pins the fold to a SIBLING artifact's committed
+    compaction: two artifacts that share epoch ids (an index's postings
+    and its stats rows, written together per batch) must mask the SAME
+    epoch set, or an epoch landing between their two compactions is
+    double-counted in one and live in the other.  With it set, this
+    fold consumes only epochs the sibling's commit already masks
+    (``folded_epochs`` ∪ ids ≤ its watermark) and commits the
+    sibling's mask verbatim — an epoch is folded here iff it is folded
+    there, by construction, however appends interleave.
+
     ``_pre_commit_hook`` is a test seam: called after the fold write,
     before the manifest commit (lets a test inject a concurrent append
     or a crash into the commit window).
 
-    Returns ``{"version", "epochs_folded", "rows", "migrated"}``
-    (``rows`` is -1 when ``count_rows=False`` — the count is a second
-    full scan of the fold output, telemetry worth skipping at 100 TB).
+    Returns ``{"version", "epochs_folded", "rows", "migrated",
+    "manifest"}`` (``rows`` is -1 when ``count_rows=False`` — the
+    count is a second full scan of the fold output, telemetry worth
+    skipping at 100 TB; ``manifest`` is the committed manifest dict,
+    the snapshot to pass as a sibling's ``align_manifest``).
     """
     root = root.rstrip("/")
     keep_versions = max(2, int(keep_versions))
@@ -388,7 +401,15 @@ def compact_artifact(
     version = int(m["version"])
     folded_prev = set(m["folded_epochs"])
     present = set(list_epochs(spark, root))
-    to_fold = sorted(present - folded_prev)
+    if align_manifest is not None:
+        align_folded = set(align_manifest["folded_epochs"])
+        align_wm = int(align_manifest.get("folded_watermark", -1))
+        to_fold = sorted(
+            e for e in present - folded_prev
+            if e in align_folded or e <= align_wm
+        )
+    else:
+        to_fold = sorted(present - folded_prev)
     parts = []
     bdir = base_dir(root, version)
     if _exists(spark, bdir):
@@ -415,11 +436,19 @@ def compact_artifact(
     new_folded = sorted((folded_prev & present) | set(to_fold))
     # the watermark only moves forward: everything this fold consumed
     # has id <= max(to_fold) (batch ids are monotonic, foreachBatch is
-    # serial), so any later re-materialization below it is a replay
-    new_wm = max(
-        int(m.get("folded_watermark", -1)),
-        max(to_fold, default=-1),
-    )
+    # serial), so any later re-materialization below it is a replay.
+    # Aligned folds take the SIBLING's watermark instead: an epoch the
+    # sibling folded whose row here lands late (mid-append crash
+    # window) is already accounted for in this fold's output — the
+    # aligned fold_fn derives from the sibling's folded data — so its
+    # late row must read as a replay, not as live.
+    if align_manifest is not None:
+        new_wm = max(int(m.get("folded_watermark", -1)), align_wm)
+    else:
+        new_wm = max(
+            int(m.get("folded_watermark", -1)),
+            max(to_fold, default=-1),
+        )
     # artifact-level metadata (anything init_artifact/manifest_commit
     # recorded beyond the protocol fields) survives every fold — e.g.
     # a bloom artifact's pinned (m_bits, n_hashes) geometry
@@ -427,7 +456,7 @@ def compact_artifact(
         k: v for k, v in m.items()
         if k not in ("version", "folded_epochs", "folded_watermark")
     }
-    manifest_commit(
+    committed = manifest_commit(
         spark, root, new_version, new_folded, extra=extra,
         folded_watermark=new_wm,
     )
@@ -445,6 +474,7 @@ def compact_artifact(
         "epochs_folded": len(to_fold),
         "rows": rows,
         "migrated": False,
+        "manifest": committed,
     }
 
 
@@ -497,7 +527,7 @@ def _migrate_legacy(
     # the legacy epochs were folded into this base: the watermark
     # carries their max id so a resumed stream's replay of the last
     # pre-migration batch is filtered, not double-counted
-    manifest_commit(spark, tmp, 1, [], folded_watermark=int(wm))
+    committed = manifest_commit(spark, tmp, 1, [], folded_watermark=int(wm))
     atomic_swap_dir(spark, root, tmp)
     return {"version": 1, "epochs_folded": n_epochs, "rows": rows,
-            "migrated": True}
+            "migrated": True, "manifest": committed}

@@ -67,6 +67,8 @@ __all__ = [
     "load_postings_artifact",
     "index_compact",
     "rrf_fuse",
+    "retrieval_eval",
+    "retrieval_eval_summary",
 ]
 
 
@@ -219,6 +221,16 @@ def bm25_topk_batch(
     ).distinct()
     uniq = qterms.select("term").distinct()
     if stats is None:
+        if getattr(index, "_gcfspark_pruned", False):
+            # A term-pruned frame holds only the query terms' postings:
+            # n_docs/avgdl derived from it would be corpus stats over a
+            # sliver — every idf, hence every score and rank, silently
+            # wrong.  The pruning loaders return (postings, stats)
+            # pairs; pass that stats row through.
+            raise ValueError(
+                "stats=None with term-pruned postings: pass the stats "
+                "frame returned by load_postings/load_postings_artifact"
+            )
         stats = index_stats(index, id_col)
     dfreq = (
         index.join(F.broadcast(uniq), "term")
@@ -339,23 +351,33 @@ def read_inverted_index(
 
 def load_postings(
     spark: SparkSession, path: str, terms: list[str] | str
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Postings for ``terms`` only, with STATIC partition pruning: the
     terms' md5 buckets are computed driver-side (no Spark job) and the
     scan filters ``tbucket IN (...) AND term IN (...)`` — Spark lists
     and reads only those bucket directories, however many terms the
-    full index holds."""
+    full index holds.
+
+    Returns ``(postings, stats)`` — the same pair as
+    :func:`load_postings_artifact` — because a PRUNED postings frame
+    must never be scored with scorer-derived stats: ``n_docs``/
+    ``avgdl`` re-derived from only the query terms' postings would be
+    silently wrong for every idf and score.  Pass the returned
+    ``stats`` straight to ``bm25_topk(..., stats=stats)`` (the scorers
+    also refuse ``stats=None`` on frames this loader marks pruned)."""
     tl = terms.split() if isinstance(terms, str) else list(terms)
     if not tl:
         raise ValueError("terms must be non-empty")
-    stats = spark.read.parquet(f"{path}/{_STATS_SUBDIR}").first()
-    n_buckets = int(stats["n_buckets"])
+    stats_row = spark.read.parquet(f"{path}/{_STATS_SUBDIR}")
+    n_buckets = int(stats_row.first()["n_buckets"])
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in tl})
-    return (
+    post = (
         spark.read.parquet(f"{path}/{_POSTINGS_SUBDIR}")
         .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
         .drop("tbucket")
     )
+    post._gcfspark_pruned = True
+    return post, stats_row.drop("n_buckets")
 
 
 # --------------------------------------- incremental index (epochs)
@@ -535,6 +557,7 @@ def load_postings_artifact(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
         (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
     )
+    post._gcfspark_pruned = True
     return post, stats
 
 
@@ -543,6 +566,7 @@ def index_compact(
     root: str,
     delete_ids: DataFrame | None = None,
     id_col: str = "doc_id",
+    _between_hook=None,
 ) -> dict:
     """Fold the index's streamed epochs into the next base version
     (one manifest PUT per artifact; appends continue through it —
@@ -551,7 +575,17 @@ def index_compact(
     (merge-on-compact deletion — the physical death of what the
     pending-deletes overlay masked logically), and the stats artifact
     is REBUILT from the folded postings, so deletions can never leave
-    the corpus stats drifted."""
+    the corpus stats drifted.
+
+    Concurrent-append consistency: the stats rebuild reads EXACTLY the
+    postings base the postings compaction committed (``base/v<N+1>``,
+    pinned by the returned manifest — never a re-resolved view that a
+    racing ``index_append`` could have grown), and the stats fold is
+    ``align_manifest``-pinned to that same commit, so an epoch landing
+    between the two compactions stays LIVE in both artifacts — counted
+    once via the epochs union, never double-counted in the rebuilt
+    base nor dropped by the fold.  ``_between_hook`` is the test seam
+    for that window (inject an append between the two folds)."""
     dels = (
         delete_ids.select(F.col(delete_ids.columns[0]).alias(id_col))
         if delete_ids is not None
@@ -564,22 +598,26 @@ def index_compact(
             out = out.join(F.broadcast(dels), id_col, "left_anti")
         return out.repartition("tbucket")
 
+    proot = f"{root}/{_POSTINGS_SUBDIR}"
     res = M.compact_artifact(
-        spark,
-        f"{root}/{_POSTINGS_SUBDIR}",
-        fold_post,
-        partition_cols=("tbucket",),
+        spark, proot, fold_post, partition_cols=("tbucket",)
     )
-    folded_post = M.read_artifact(
-        spark, f"{root}/{_POSTINGS_SUBDIR}", drop_epoch=True
-    )
+    if _between_hook is not None:
+        _between_hook()
+    m_post = res["manifest"]
+    folded_post = spark.read.parquet(
+        M.base_dir(proot, int(m_post["version"]))
+    ).drop("epoch")
 
     def fold_stats(_: DataFrame) -> DataFrame:
-        # ignore the epoch stats rows: exact stats re-derive from the
-        # just-folded postings (one row), which bakes delete_ids in
+        # ignore the input stats rows: exact stats re-derive from the
+        # committed postings base (one row), which bakes delete_ids in
+        # and covers exactly the epochs the postings fold consumed
         return _batch_stats(folded_post, id_col).coalesce(1)
 
-    M.compact_artifact(spark, f"{root}/{_STATS_ART}", fold_stats)
+    M.compact_artifact(
+        spark, f"{root}/{_STATS_ART}", fold_stats, align_manifest=m_post
+    )
     return res
 
 
@@ -635,4 +673,153 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(topk))
         .select("rank", id_col, "rrf_score", "n_sources")
+    )
+
+
+# --------------------------------------------------- retrieval evaluation
+
+
+def ndcg_discounts_fx(k: int, scale: int = 10**9) -> list[int]:
+    """The nDCG position discounts ``1/log2(rank+1)`` for ranks
+    ``1..k``, fixed-pointed DRIVER-side (``floor(x*scale + 0.5)``):
+    log2 is libm-dependent (not bit-portable across engines), so the
+    discounts become exact integer constants computed ONCE in Python
+    and inlined into both the Spark expression and the SQL oracle —
+    the same portability dodge as BM25's ``idf='rational'``, applied
+    to a table small enough (k entries) to hoist off the engines
+    entirely."""
+    import math
+
+    return [
+        int(math.floor(scale / math.log2(r + 1) + 0.5))
+        for r in range(1, int(k) + 1)
+    ]
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    rel_col: str = "rel",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Grade rankings against relevance judgments: per-query
+    recall@``k``, reciprocal rank, and nDCG@``k`` — the standard IR
+    eval triple (Järvelin & Kekäläinen 2002 for nDCG), closing the
+    retrieval tier's loop now that BM25, ANN, and RRF fusion can all
+    PRODUCE rankings: without an eval operator the engine cannot say
+    which of them is better on a corpus.
+
+    ``results``: ``(q_id, doc_id, rank)`` (1-based; extra columns
+    ignored) — any scorer's output (BM25/ANN top-k, an RRF fusion).
+    ``qrels``: ``(q_id, doc_id, rel)`` graded judgments, one row per
+    judged pair; ``rel >= 1`` is relevant (gains use the standard
+    ``2^rel - 1``, so binary qrels get gain 1).  Every query present
+    in ``qrels`` (with at least one relevant doc) is evaluated —
+    trec_eval's convention — including queries the results frame
+    missed entirely (they score 0); result-frame queries with no
+    judgments are dropped (recall/nDCG are undefined without a
+    positive set).
+
+    Returns one row per query::
+
+        (q_id, n_rel, n_hits, first_rel_rank, recall, rr, ndcg)
+
+    ``first_rel_rank`` is null when no relevant doc was retrieved
+    (``rr`` is 0.0 there).  Float parity: DCG and ideal DCG are EXACT
+    integer sums — gain ``2^rel - 1`` (an integer shift) times the
+    driver-side fixed-point discount table
+    (:func:`ndcg_discounts_fx`) — and each of ``recall``/``rr``/
+    ``ndcg`` is ONE correctly-rounded IEEE division of exact
+    integers, so every output is bit-identical across engines (the
+    graded-oracle contract).
+
+    Scale posture: every frame here is EVAL-sized by construction —
+    results are top-k lists (``k`` rows per query), qrels are curated
+    judgments — so the equi-joins on ``(q_id, doc)``, the per-query
+    ideal-ranking window, and the groupBys all run over bounded
+    inputs however large the corpus that produced the rankings; no
+    corpus scan appears anywhere in the plan."""
+    disc = ndcg_discounts_fx(k, scale)
+    disc_arr = F.array(*[F.lit(int(d)) for d in disc])
+    rel_pos = qrels.where(F.col(rel_col) >= 1).select(
+        F.col(q_id_col), F.col(id_col), F.col(rel_col).cast("int")
+    )
+    gain = F.shiftleft(F.lit(1).cast("long"), F.col(rel_col)) - 1
+
+    res_k = results.where(F.col("rank") <= int(k)).select(
+        q_id_col, id_col, "rank"
+    )
+    hit = F.col(rel_col).isNotNull()
+    per_res = (
+        res_k.join(rel_pos, [q_id_col, id_col], "left")
+        .groupBy(q_id_col)
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"),
+            F.min(F.when(hit, F.col("rank"))).alias("first_rel_rank"),
+            F.sum(
+                F.when(hit, gain * F.element_at(disc_arr, F.col("rank")))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("_dcg_fx"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc(rel_col), F.col(id_col)
+    )
+    per_rel = (
+        rel_pos.withColumn("_ir", F.row_number().over(w))
+        .groupBy(q_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("_ir") <= int(k),
+                    gain * F.element_at(disc_arr, F.col("_ir")),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("_idcg_fx"),
+        )
+    )
+    out = per_rel.join(per_res, q_id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    dcg = F.coalesce(F.col("_dcg_fx"), F.lit(0)).cast("double")
+    return out.select(
+        F.col(q_id_col),
+        F.col("n_rel"),
+        n_hits.alias("n_hits"),
+        F.col("first_rel_rank").cast("int"),
+        (n_hits.cast("double") / F.col("n_rel").cast("double")).alias(
+            "recall"
+        ),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+        (dcg / F.col("_idcg_fx").cast("double")).alias("ndcg"),
+    )
+
+
+def retrieval_eval_summary(
+    per_query: DataFrame,
+    q_id_col: str = "q_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Corpus-level eval from :func:`retrieval_eval`'s per-query rows:
+    one row ``(n_queries, recall_at_k, mrr, ndcg_at_k)`` — the means
+    over evaluated queries (MRR is by definition the mean of ``rr``).
+    Hash-stable: each per-query metric fixes to an integer before the
+    cross-query sum (the corpus's fixed-point mean contract —
+    ``queries.favg``'s shape), then divides twice (scale, count) in a
+    pinned order."""
+    n = F.count(F.lit(1))
+
+    def _favg(col):
+        s = F.sum(F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)))
+        return (s / F.lit(float(scale))) / n
+
+    return per_query.agg(
+        n.alias("n_queries"),
+        _favg("recall").alias("recall_at_k"),
+        _favg("rr").alias("mrr"),
+        _favg("ndcg").alias("ndcg_at_k"),
     )

@@ -149,12 +149,26 @@ def write_parquet_pinned(
         for col, encoding in column_encodings.items():
             if encoding.upper() == "DELTA_BINARY_PACKED":
                 dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get(col)
-                if dt is not None and not isinstance(dt, (T.LongType, T.IntegerType)):
+                # Valid on any type Arrow stores as parquet physical
+                # INT32/INT64: byte/short widen to INT32, date is
+                # INT32 days, timestamp is INT64 µs/ns — not just
+                # int/long.
+                ok_types = (
+                    T.LongType,
+                    T.IntegerType,
+                    T.ShortType,
+                    T.ByteType,
+                    T.DateType,
+                    T.TimestampType,
+                    T.TimestampNTZType,
+                )
+                if dt is not None and not isinstance(dt, ok_types):
                     raise ValueError(
-                        f"column_encodings[{col!r}] = DELTA_BINARY_PACKED requires an "
-                        f"int32/int64 column; {col!r} is {dt.simpleString()} — cast it "
-                        "first (the reference converts Time to int64 ns before pinning,"
-                        " main.py:101-119)"
+                        f"column_encodings[{col!r}] = DELTA_BINARY_PACKED requires a "
+                        f"column with parquet physical INT32/INT64 (byte/short/int/"
+                        f"long/date/timestamp); {col!r} is {dt.simpleString()} — cast "
+                        "it first (the reference converts Time to int64 ns before "
+                        "pinning, main.py:101-119)"
                     )
     if dictionary_cols is None:
         dictionary_cols = ["alias"] if "alias" in df.columns else []

@@ -1211,6 +1211,7 @@ def serve_bm25_queries(
     terms_col: str = "terms",
     scale: int | None = None,
     max_pruned_terms: int = 10_000,
+    pending_deletes_path: str | None = None,
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
@@ -1243,10 +1244,33 @@ def serve_bm25_queries(
     foreachBatch replay rewrites its own epoch and the result log is
     exactly-once under retries.  Schema: (q_id, rank, doc_id, score).
 
+    ``pending_deletes_path`` — an optional parquet path of purged doc
+    ids (first column), RE-READ per micro-batch and applied as the
+    pending-deletes overlay (``retrieval.load_postings_artifact``'s
+    ``pending_deletes=``): a purge loop lands ids there the moment a
+    doc must stop being served, they vanish from every later batch's
+    top-k immediately — postings AND corpus stats corrected — and the
+    physical rows die at the next ``index_compact(delete_ids=...)``,
+    after which the purge loop clears/rewrites the file.  A missing or
+    empty path is simply "no pending deletions".
+
+    Robustness: a query whose ``terms`` are null/empty (or contain
+    null/blank elements) cannot poison the stream — bad elements are
+    filtered, a batch with no usable terms (and queries arriving
+    before the first ``index_append`` initializes the artifact)
+    commits with no result rows instead of raising, because a raising
+    batch would replay from the checkpoint forever.
+
     ``_pre_batch_hook(batch_id)`` is the test seam shared with the ANN
     server (inject an append/compaction, assert the batch sees it).
     Returns the started StreamingQuery."""
+    import warnings
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.manifest import manifest_resolve
     from ..operators.retrieval import (
+        _POSTINGS_SUBDIR,
         bm25_topk_batch,
         load_postings_artifact,
         read_index_artifact,
@@ -1259,18 +1283,49 @@ def serve_bm25_queries(
             _pre_batch_hook(int(epoch_id))
         if not df.head(1):
             return
+        # Null/empty guard (a malformed batch must not poison the
+        # stream: the failed batch replays from the checkpoint forever).
+        # Null terms arrays explode to nothing; null/blank ELEMENTS are
+        # dropped here — they match no posting (the index never stores
+        # '') and a null would break sorted() below.  A batch with no
+        # usable terms at all is a valid no-answer batch: every query
+        # scores zero docs, so it commits with no result rows.
         term_rows = (
             df.select(F.explode(terms_col).alias("t"))
+            .where(F.col("t").isNotNull() & (F.col("t") != ""))
             .distinct()
             .limit(int(max_pruned_terms) + 1)
             .collect()
         )
         terms = sorted(r["t"] for r in term_rows)
+        if not terms:
+            return
+        if manifest_resolve(spark, f"{index_root}/{_POSTINGS_SUBDIR}") is None:
+            # Queries arriving before the first index_append: commit
+            # the batch with no results instead of wedging the stream
+            # on a missing artifact (documented freshness semantics —
+            # these queries are NOT retried once the index appears).
+            warnings.warn(
+                f"serve_bm25_queries: index artifact {index_root!r} not "
+                "initialized yet; batch served with no results"
+            )
+            return
+        dels = None
+        if pending_deletes_path is not None:
+            try:
+                dels = spark.read.parquet(pending_deletes_path)
+                if not dels.head(1):
+                    dels = None
+            except AnalysisException:
+                dels = None  # path absent/cleared: nothing pending
         if len(terms) > max_pruned_terms:
-            post, stats = read_index_artifact(spark, index_root, id_col=id_col)
+            post, stats = read_index_artifact(
+                spark, index_root, pending_deletes=dels, id_col=id_col
+            )
         else:
             post, stats = load_postings_artifact(
-                spark, index_root, terms, id_col=id_col
+                spark, index_root, terms, pending_deletes=dels,
+                id_col=id_col,
             )
         out = bm25_topk_batch(
             post, df, k=k, k1=k1, b=b, idf=idf, id_col=id_col,

@@ -47,8 +47,11 @@ def test_epoch_roundtrip_compact_and_versioning(spark, tmp_path):
     assert _ids(M.read_artifact(spark, root)) == list(range(8))
 
     out = M.compact_artifact(spark, root, _fold_distinct)
-    assert out == {"version": 1, "epochs_folded": 2, "rows": 8,
-                   "migrated": False}
+    assert {k: v for k, v in out.items() if k != "manifest"} == {
+        "version": 1, "epochs_folded": 2, "rows": 8, "migrated": False}
+    # the committed manifest rides along (the align_manifest handle)
+    assert out["manifest"]["version"] == 1
+    assert out["manifest"]["folded_epochs"] == [0, 1]
     assert _ids(M.read_artifact(spark, root)) == list(range(8))
     # fold landed under base/v1, epoch column pinned to -1
     assert glob.glob(M.base_dir(root, 1) + "/epoch=-1/*.parquet")

@@ -333,6 +333,50 @@ def test_write_parquet_pinned_float_time_skips_delta_default(spark, tmp_path):
         )
 
 
+def test_write_parquet_pinned_delta_on_short_and_date(spark, tmp_path):
+    """r13 advice: DELTA_BINARY_PACKED is valid on ANY type Arrow
+    stores as parquet physical INT32/INT64 — byte/short widen to
+    INT32, date is INT32 days — so explicit pins on those columns
+    write (and round-trip) instead of raising the int/long-only
+    error."""
+    import datetime
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "s": pd.array([1, 2, 3], dtype="int16"),
+            "d": [datetime.date(2026, 1, i + 1) for i in range(3)],
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "short_date")
+    res = sinks.write_parquet_pinned(
+        df,
+        path,
+        column_encodings={"s": "DELTA_BINARY_PACKED",
+                          "d": "DELTA_BINARY_PACKED"},
+        sort_by=["s"],
+    )
+    assert res["rows"] == 3
+    enc = {}
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                enc.setdefault(col.path_in_schema, set()).update(
+                    col.encodings
+                )
+    assert "DELTA_BINARY_PACKED" in enc["s"]
+    assert "DELTA_BINARY_PACKED" in enc["d"]
+    back = spark.read.parquet(path).orderBy("s").toPandas()
+    pd.testing.assert_frame_equal(back[["s", "d", "v"]], pdf)
+
+
 def test_write_parquet_pinned_rejects_unknown_column(spark, tmp_path):
     df = _events(spark)
     import pytest as _pytest

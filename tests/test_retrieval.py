@@ -202,7 +202,14 @@ def test_persisted_index_prunes_partitions_and_matches(spark, idx):
         assert post.count() == idx.count()
         # term-bounded load: static tbucket partition filters + term
         # pushdown reach the scan
-        pruned = R.load_postings(spark, d, ["quick", "dog"])
+        pruned, pruned_stats = R.load_postings(spark, d, ["quick", "dog"])
+        assert [tuple(r) for r in pruned_stats.collect()] == [
+            tuple(r) for r in stats.collect()
+        ]
+        # the at-scale footgun (stats silently derived from a pruned
+        # sliver) is refused, not mis-scored
+        with pytest.raises(ValueError, match="term-pruned"):
+            R.bm25_topk(pruned, ["quick", "dog"], k=5)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [tbucket" in plan.replace("#", "#")
         assert "In(term" in plan
@@ -343,6 +350,38 @@ def test_index_pending_deletes_overlay_and_compaction(spark, tmp_path):
     # pruned load serves base + live epoch through one manifest read
     p3, _ = R.load_postings_artifact(spark, root, ["quick"])
     assert {r["doc_id"] for r in p3.collect()} == {1, 2, 5}
+
+
+def test_index_compact_concurrent_append_stats_consistent(spark, tmp_path):
+    """The r13 drift window closed: an epoch appended BETWEEN the
+    postings compaction and the stats compaction is counted exactly
+    once.  The stats rebuild reads the postings base the compaction
+    COMMITTED (pinned manifest — not a re-resolved view the racing
+    append could have grown), and the stats fold is align_manifest-
+    pinned to that commit, so the racer stays LIVE in both artifacts."""
+    root = str(tmp_path / "inc_race")
+    R.index_append(
+        R.inverted_index(_batch(spark, DOCS[:5])), root, 0, n_buckets=8
+    )
+    day2 = [(30, "late epoch lands mid compaction"), (31, "quick spark")]
+
+    def _mid():
+        R.index_append(R.inverted_index(_batch(spark, day2)), root, 1)
+
+    R.index_compact(spark, root, _between_hook=_mid)
+    lens = {d: len(_py_tokens(t)) for d, t in DOCS[:5] if _py_tokens(t)}
+    lens.update({30: 5, 31: 2})
+    post, stats = R.read_index_artifact(spark, root)
+    srow = stats.first()
+    assert srow["n_docs"] == len(lens)  # racer counted ONCE, not 0 or 2x
+    assert srow["avgdl"] == sum(lens.values()) / len(lens)
+    assert {
+        r["doc_id"] for r in post.select("doc_id").distinct().collect()
+    } == set(lens)
+    # the next compaction folds the straggler; totals unchanged
+    R.index_compact(spark, root)
+    s2 = R.read_index_artifact(spark, root)[1].first()
+    assert (s2["n_docs"], s2["avgdl"]) == (srow["n_docs"], srow["avgdl"])
 
 
 def test_index_append_pins_n_buckets(spark, tmp_path):

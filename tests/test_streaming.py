@@ -2281,3 +2281,171 @@ def test_serve_bm25_queries_stream_matches_batch_and_sees_appends(
     # doc 100 (tf=3 for 'quick') outranks every base doc for q2
     top2 = got.where((F.col("q_id") == 2) & (F.col("rank") == 1)).first()
     assert top2["doc_id"] == 100
+
+
+def test_serve_bm25_queries_malformed_and_early_batches(spark, tmp_path):
+    """Poison-pill hardening (r13 advice): a batch whose queries all
+    carry null/empty terms, and a batch arriving BEFORE the first
+    index_append initializes the artifact, both COMMIT (no results)
+    instead of raising — a raising batch would replay from the
+    checkpoint forever and wedge the stream.  Null/blank term elements
+    inside an otherwise-good query are filtered, not fatal."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_bm25_queries,
+    )
+
+    docs = [(i, f"doc {i} quick brown w{i % 3}") for i in range(6)]
+    root = str(tmp_path / "late_idx")  # NOT initialized yet
+
+    qsrc = str(tmp_path / "qsrc")
+    os.makedirs(qsrc)
+    sch = "q_id long, terms array<string>"
+    batches = (
+        # batch 0: arrives before the index exists
+        ("a", [(1, ["quick"])]),
+        # batch 1: nothing usable — null array, empty array, null/blank
+        ("b", [(2, None), (3, []), (4, [None, ""])]),
+        # batch 2: good terms mixed with junk elements
+        ("c", [(5, ["quick", None, ""]), (6, [])]),
+    )
+    for name, rows in batches:
+        p = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(qsrc, name + ".parquet"))
+
+    state = {"init": False}
+
+    def hook(batch_id):
+        if batch_id >= 1 and not state["init"]:
+            R.index_append(
+                R.inverted_index(
+                    spark.createDataFrame(docs, "doc_id long, text string")
+                ),
+                root, 0, n_buckets=8,
+            )
+            state["init"] = True
+
+    out_path = str(tmp_path / "out")
+    q = serve_bm25_queries(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "ckpt"),
+        k=5, idf="rational", scale=10**6, _pre_batch_hook=hook,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # no batch poisoned the stream
+    got = spark.read.parquet(out_path)
+    # only q5 produced results; junk elements were dropped from it
+    assert {r["q_id"] for r in got.select("q_id").distinct().collect()} == {5}
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    want = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk(
+            idx, ["quick"], k=5, idf="rational", scale=10**6
+        ).collect()
+    }
+    assert {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in got.where(F.col("q_id") == 5).collect()
+    } == want
+
+
+def test_serve_bm25_queries_pending_deletes_overlay(spark, tmp_path):
+    """Serving correctness between a purge and its compaction (r13
+    verdict carry #8): a purged doc vanishes from served top-k the
+    moment its id lands at pending_deletes_path — postings AND corpus
+    stats corrected — and stays gone after index_compact folds the
+    deletion physically and the purge loop clears the overlay file."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_bm25_queries,
+    )
+
+    # doc 0 is the undisputed top-1 for 'quick' (tf=4)
+    docs = [(0, "quick quick quick quick")] + [
+        (i, f"doc {i} quick brown w{i % 3}") for i in range(1, 8)
+    ]
+    live = [d for d in docs if d[0] != 0]
+    root = str(tmp_path / "purge_idx")
+    R.index_append(
+        R.inverted_index(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ),
+        root, 0, n_buckets=8,
+    )
+    dels_path = str(tmp_path / "pending_dels")
+
+    qsrc = str(tmp_path / "qsrc")
+    os.makedirs(qsrc)
+    sch = "q_id long, terms array<string>"
+    for name, rows in (
+        ("a", [(1, ["quick"])]),
+        ("b", [(2, ["quick"])]),
+        ("c", [(3, ["quick"])]),
+    ):
+        p = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(qsrc, name + ".parquet"))
+
+    state = {"purged": False, "compacted": False}
+
+    def hook(batch_id):
+        if batch_id >= 1 and not state["purged"]:
+            spark.createDataFrame([(0,)], "doc_id long").write.parquet(
+                dels_path
+            )
+            state["purged"] = True
+        if batch_id >= 2 and not state["compacted"]:
+            R.index_compact(
+                spark, root,
+                delete_ids=spark.createDataFrame([(0,)], "doc_id long"),
+            )
+            shutil.rmtree(dels_path)  # purge loop clears the overlay
+            state["compacted"] = True
+
+    out_path = str(tmp_path / "out")
+    q = serve_bm25_queries(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "ckpt"),
+        k=5, idf="rational", scale=10**6,
+        pending_deletes_path=dels_path, _pre_batch_hook=hook,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(out_path)
+    # batch 0: doc 0 served, rank 1
+    r1 = got.where((F.col("q_id") == 1) & (F.col("rank") == 1)).first()
+    assert r1["doc_id"] == 0
+    # batches 1 (overlay) and 2 (post-compaction): doc 0 gone, and the
+    # scores equal the batch scorer over the corpus WITHOUT doc 0 —
+    # i.e. the overlay also corrected n_docs/avgdl, not just postings
+    idx_live = R.inverted_index(
+        spark.createDataFrame(live, "doc_id long, text string")
+    )
+    want = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in R.bm25_topk(
+            idx_live, ["quick"], k=5, idf="rational", scale=10**6
+        ).collect()
+    }
+    for qid in (2, 3):
+        gotq = {
+            (r["rank"], r["doc_id"], r["score"])
+            for r in got.where(F.col("q_id") == qid).collect()
+        }
+        assert gotq == want, qid
+        assert all(d != 0 for _, d, _ in gotq)
