@@ -202,6 +202,35 @@ _DEMOTED_REDUNDANT = (
     # BM25) register just outside the window — oracle-verified locally,
     # next-rotation promotion candidates.
     "q12_asof_last_signup",
+    # r14 rotation: q114_phrase_search / q115_bm25_batch /
+    # q116_collocations / q117_hybrid_rrf PROMOTED into the graded
+    # window (the r13-new lexical-retrieval families, created with the
+    # window full and oracle-green locally since), plus the NEW
+    # q118_retrieval_eval (same-round promotion, precedent r7/q100 +
+    # r11/q105 + r13/q113 — the round's new retrieval-evaluation
+    # family gets driver-grade evidence immediately).  Five family-
+    # redundant veterans take their slots, each still covered by an
+    # in-window family twin and by test_queries_oracle:
+    # q82's bitmap-sketch distinct family stays covered by q100
+    # (sketch rollup — answers DISTINCT from merged bitmap shards,
+    # graded) and q88 (histogram sketch, graded);
+    # q99's top-k frequency-sketch family by q100 again (the capstone
+    # answers top-k from merged artifacts — the same superset logic
+    # that retired q91 in favour of q99 at r11);
+    # q104's bloom-membership EXACT left_anti semantics by q108
+    # (hits-strategy decontamination — identical semantics, different
+    # physical path; the reverse of the r13 note that graded q108's
+    # semantics via q104) and q105 (n-gram bloom);
+    # q65's line-dedup posexplode+hash family by q75 (duplicate spans,
+    # same shingle/window machinery) and q107 (span strip);
+    # q02's sorts/limits/top-k (§2.6) family by q08 (per-group
+    # ranking) and q113 (bounded top-k window), its J4 equi-join fact
+    # shape by q03 (star join) and q05 (anti join).
+    "q82_bitmap_distinct",
+    "q99_heavy_hitters_merged",
+    "q104_bloom_blocklist",
+    "q65_line_dedup",
+    "q02_top_revenue_orders",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

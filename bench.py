@@ -744,6 +744,16 @@ SCALING_QUERIES = HEADLINE + [
     "q106_contaminated_spans",
     "q111_decontamination_pipeline",
     "q112_corpus_profile",
+    # r14 (r13 verdict #4): decade rows for the freshly-promoted
+    # lexical-retrieval window queries — phrase search, batch BM25,
+    # collocations (whose bigram pair table is the novel growth term;
+    # its output is LIMIT 30 so the raw ratio IS the work ratio),
+    # hybrid RRF, and the new retrieval-eval capstone
+    "q114_phrase_search",
+    "q115_bm25_batch",
+    "q116_collocations",
+    "q117_hybrid_rrf",
+    "q118_retrieval_eval",
 ]
 
 
@@ -1082,7 +1092,114 @@ def bench_retrieval(spark) -> dict:
     }
     if build_sec is not None:
         out["index_build_sec"] = build_sec
+    out["serving"] = _bench_bm25_serving(spark, root)
     return out
+
+
+def _bench_bm25_serving(spark, root: str) -> dict:
+    """r13 verdict #3: measure serve_bm25_queries — queries/sec over
+    the INCREMENTAL index artifact, with one mid-stream index_append
+    (batch 2) and one index_compact (batch 4) inside the measured
+    window via the _pre_batch_hook seam, so the number includes the
+    full maintain -> serve -> compact lifecycle the loop exists for.
+    The incremental artifact seeds from the already-persisted one-shot
+    postings (no re-tokenization) into a temp root, because the
+    lifecycle ops mutate it."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_bm25_queries,
+    )
+
+    inc_root = tempfile.mkdtemp(prefix="bench_serve_idx_")
+    work = tempfile.mkdtemp(prefix="bench_serve_")
+    try:
+        post_full = spark.read.parquet(
+            os.path.join(root, "postings")
+        ).drop("tbucket")
+        held = post_full.where(F.col("doc_id") % 997 == 0)
+        R.index_append(
+            post_full.where(F.col("doc_id") % 997 != 0), inc_root, 0,
+            n_buckets=64,
+        )
+        # deterministic query workload: 3-term queries drawn from the
+        # 64 highest-df terms (worst-case postings volume per term)
+        pool = [
+            r["term"]
+            for r in post_full.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "term")
+            .limit(64)
+            .collect()
+        ]
+        n_batches, per_batch = 8, 32
+        qsrc = os.path.join(work, "qsrc")
+        os.makedirs(qsrc)
+        qid = 0
+        for b in range(n_batches):
+            rows = []
+            for _ in range(per_batch):
+                rows.append(
+                    (qid,
+                     [pool[(qid * 7 + j * 13 + 5) % len(pool)]
+                      for j in range(3)])
+                )
+                qid += 1
+            stage = os.path.join(work, f"stage{b}")
+            (
+                spark.createDataFrame(
+                    rows, "q_id long, terms array<string>"
+                ).coalesce(1).write.parquet(stage)
+            )
+            [f] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.copy(f, os.path.join(qsrc, f"{b:03d}.parquet"))
+
+        lifecycle = {"appended": False, "compacted": False}
+
+        def hook(batch_id):
+            if batch_id == 2 and not lifecycle["appended"]:
+                R.index_append(held, inc_root, 97)
+                lifecycle["appended"] = True
+            elif batch_id == 4 and not lifecycle["compacted"]:
+                R.index_compact(spark, inc_root)
+                lifecycle["compacted"] = True
+
+        t0 = time.perf_counter()
+        q = serve_bm25_queries(
+            spark.readStream.schema("q_id long, terms array<string>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc),
+            inc_root,
+            os.path.join(work, "out"),
+            checkpoint=os.path.join(work, "ckpt"),
+            k=10,
+            _pre_batch_hook=hook,
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        answered = (
+            spark.read.parquet(os.path.join(work, "out"))
+            .select("q_id").distinct().count()
+        )
+        n_queries = n_batches * per_batch
+        assert answered == n_queries, (answered, n_queries)
+        assert lifecycle["appended"] and lifecycle["compacted"]
+        return {
+            "n_queries": n_queries,
+            "n_batches": n_batches,
+            "wall_sec": round(wall, 2),
+            "queries_per_sec": round(n_queries / wall, 1),
+            "sec_per_batch": round(wall / n_batches, 2),
+            "mid_stream_ops": "index_append@batch2 + index_compact@batch4",
+        }
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_plan_audit(spark, sf_dir: str) -> dict:
@@ -1593,6 +1710,9 @@ def main() -> None:
         "retrieval_persisted_speedup": (result.get("retrieval") or {}).get(
             "persisted_speedup"
         ),
+        "retrieval_serve_qps": (
+            (result.get("retrieval") or {}).get("serving") or {}
+        ).get("queries_per_sec"),
         # work-normalized where the query measures its output volume
         # (ratio_work_norm, see bench_scaling's q94 note) — the raw max
         # is kept alongside so nothing is hidden

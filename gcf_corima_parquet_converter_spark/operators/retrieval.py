@@ -747,7 +747,9 @@ def retrieval_eval(
     rel_pos = qrels.where(F.col(rel_col) >= 1).select(
         F.col(q_id_col), F.col(id_col), F.col(rel_col).cast("int")
     )
-    gain = F.shiftleft(F.lit(1).cast("long"), F.col(rel_col)) - 1
+    # gain 2^rel - 1 as an exact integer shift (F.shiftleft only takes
+    # a literal bit count, so the column form goes through expr)
+    gain = F.expr(f"cast(shiftleft(1, `{rel_col}`) as bigint) - 1")
 
     res_k = results.where(F.col("rank") <= int(k)).select(
         q_id_col, id_col, "rank"

@@ -4338,3 +4338,159 @@ def q117(spark, sf_dir):
         fx("rrf_score", 1_000_000_000).alias("rrf_fx"),
         "n_sources",
     ).orderBy("rank")
+
+
+# -- q118: retrieval evaluation (retrieval.retrieval_eval) — grade the
+#    BM25 rankings against term-containment qrels: per-query recall@10,
+#    reciprocal rank, nDCG@10.  The eval tier's float parity rests on
+#    three dodges: gains are exact integer shifts (2^rel - 1), the
+#    nDCG discounts 1/log2(r+1) are DRIVER-side fixed-point constants
+#    (ndcg_discounts_fx — log2 is libm-dependent, so the table is
+#    computed once in Python and inlined into BOTH engines), and each
+#    metric is one correctly-rounded division of exact integers, then
+#    fixed-pointed for the graded hash.  qrels: a doc is relevant only
+#    when it matches ALL the query's terms, GRADED by total term
+#    frequency (capped at 8) — so partial matches are retrieved-but-
+#    irrelevant and the ideal (rel-ordered) ranking disagrees with the
+#    dl-normalized BM25 order: recall/rr/ndcg all genuinely vary.
+_NDCG_DISC_10 = R.ndcg_discounts_fx(10, 10**9)
+
+
+def _sql_disc_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC_10)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@query(
+    "q118_retrieval_eval",
+    "WITH " + _BM25_SQL_STATS + f""",
+    q(q_id, term) AS (
+      VALUES (1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'batch'),
+             (2, 'join'), (3, 'vector')
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores
+    ),
+    nt AS (SELECT q_id, count(*) AS n_terms FROM q GROUP BY q_id),
+    matched AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(count(DISTINCT tf.term) AS INT) AS m,
+             CAST(SUM(tf.tf) AS BIGINT) AS tfs
+      FROM tf JOIN q USING (term) GROUP BY q.q_id, tf.doc_id
+    ),
+    qrels AS (
+      SELECT matched.q_id, doc_id, CAST(least(tfs, 8) AS INT) AS rel
+      FROM matched JOIN nt USING (q_id)
+      WHERE m = n_terms
+    ),
+    j AS (
+      SELECT r.q_id, r.rank, qr.rel
+      FROM ranked r
+      LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10
+    ),
+    perres AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx
+      FROM j GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT q_id, rel,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    perrel AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN ir <= 10 THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('ir')})
+                  ELSE 0 END) AS BIGINT) AS idcg_fx
+      FROM ideal GROUP BY q_id
+    )
+    SELECT perrel.q_id, n_rel,
+           COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CAST(COALESCE(first_rel, 0) AS INT) AS first_rel_rank,
+           CAST(floor(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS recall_fx,
+           CAST(floor(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                * 1000000 + 0.5) AS BIGINT) AS rr_fx,
+           CAST(floor(CAST(COALESCE(dcg_fx, 0) AS DOUBLE)
+                / CAST(idcg_fx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS ndcg_fx
+    FROM perrel LEFT JOIN perres USING (q_id)
+    ORDER BY q_id
+    """,
+)
+def q118(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
+         (3, ["vector"])],
+        "q_id long, terms array<string>",
+    )
+    results = R.bm25_topk_batch(idx, qs, k=10, idf="rational", scale=10**6)
+    qterms = qs.select("q_id", F.explode("terms").alias("term"))
+    nt = qs.select("q_id", F.size("terms").alias("n_terms"))
+    matched = (
+        idx.join(F.broadcast(qterms), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("int").alias("m"),
+            F.sum("tf").alias("tfs"),
+        )
+    )
+    qrels = (
+        matched.join(F.broadcast(nt), "q_id")
+        .where(F.col("m") == F.col("n_terms"))
+        .select(
+            "q_id", "doc_id",
+            F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
+        )
+    )
+    ev = R.retrieval_eval(results, qrels, k=10)
+    return ev.select(
+        "q_id",
+        "n_rel",
+        "n_hits",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("int").alias(
+            "first_rel_rank"
+        ),
+        fx("recall", 10**6).alias("recall_fx"),
+        fx("rr", 10**6).alias("rr_fx"),
+        fx("ndcg", 10**6).alias("ndcg_fx"),
+    ).orderBy("q_id")

@@ -67,6 +67,11 @@ SINGLE_PARTITION_ALLOWED = {
     # funnel as q113); both top-50 selections are TakeOrderedAndProject
     # and the fusion windows run over <= 100 pre-bounded rows
     "q117_hybrid_rrf": 1,
+    # retrieval evaluation: the BM25 branch's corpus-stats scalar
+    # reduce (q113's funnel); the eval joins/windows themselves run
+    # over eval-sized frames (top-k lists x curated qrels) and add no
+    # funnel of their own
+    "q118_retrieval_eval": 1,
 }
 
 

@@ -478,3 +478,121 @@ def test_index_artifact_prunes_both_branches(spark, tmp_path):
         assert str(b) in pf, pf
     # term pushdown on both scans too (single term plans as EqualTo)
     assert (plan.count("In(term") + plan.count("EqualTo(term,quick)")) == 2
+
+
+# --------------------------------------------------- retrieval evaluation
+
+
+def _py_eval(results, qrels, k=10, scale=10**9):
+    """{q_id: (n_rel, n_hits, first_rel_rank, recall, rr, ndcg)} —
+    same fixed-point discount table as the operator."""
+    disc = R.ndcg_discounts_fx(k, scale)
+    rel = {}
+    for q, d, r in qrels:
+        if r >= 1:
+            rel.setdefault(q, {})[d] = r
+    out = {}
+    for q, judged in rel.items():
+        ranked = sorted(
+            [(rk, d) for (qq, d, rk) in results if qq == q and rk <= k]
+        )
+        hits = [(rk, d) for rk, d in ranked if d in judged]
+        dcg = sum(((1 << judged[d]) - 1) * disc[rk - 1] for rk, d in hits)
+        ideal = sorted(judged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(
+            ((1 << r) - 1) * disc[i] for i, (_, r) in enumerate(ideal)
+        )
+        first = min((rk for rk, _ in hits), default=None)
+        out[q] = (
+            len(judged),
+            len(hits),
+            first,
+            len(hits) / len(judged),
+            (1.0 / first) if first else 0.0,
+            dcg / idcg,
+        )
+    return out
+
+
+def test_retrieval_eval_matches_python_model(spark):
+    results = [
+        # q1: hits at ranks 1 and 3 (graded rels 2 and 1)
+        (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+        # q2: relevant docs exist but none retrieved
+        (2, 20, 1), (2, 21, 2),
+        # q4: retrieved but NO judgments -> dropped from the output
+        (4, 40, 1),
+        # q1 rank beyond k must be ignored
+        (1, 14, 99),
+    ]
+    qrels = [
+        (1, 10, 2), (1, 12, 1), (1, 99, 3),   # 99 never retrieved
+        (2, 55, 1),
+        (3, 30, 1),                            # q3 absent from results
+        (1, 13, 0),                            # rel=0: not relevant
+    ]
+    res_df = spark.createDataFrame(
+        results, "q_id long, doc_id long, rank int"
+    )
+    qrel_df = spark.createDataFrame(qrels, "q_id long, doc_id long, rel int")
+    got = {
+        r["q_id"]: (
+            r["n_rel"], r["n_hits"], r["first_rel_rank"],
+            r["recall"], r["rr"], r["ndcg"],
+        )
+        for r in R.retrieval_eval(res_df, qrel_df, k=10).collect()
+    }
+    want = _py_eval(results, qrels, k=10)
+    assert got == want  # exact, including the ndcg doubles
+    assert set(got) == {1, 2, 3}  # q4 dropped, q3 evaluated at zero
+    assert got[2] == (1, 0, None, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0, None, 0.0, 0.0, 0.0)
+    # q1 sanity: rank-99 hit ignored, rel=0 judgment not counted
+    assert got[1][0] == 3 and got[1][1] == 2 and got[1][2] == 1
+
+    # summary means are the fixed-point favg of the per-query rows
+    s = R.retrieval_eval_summary(
+        R.retrieval_eval(res_df, qrel_df, k=10)
+    ).first()
+    assert s["n_queries"] == 3
+
+    def favg(vals, scale=10**6):
+        import math
+        return sum(
+            math.floor(v * scale + 0.5) for v in vals
+        ) / scale / len(vals)
+
+    assert s["recall_at_k"] == favg([v[3] for v in want.values()])
+    assert s["mrr"] == favg([v[4] for v in want.values()])
+    assert s["ndcg_at_k"] == favg([v[5] for v in want.values()])
+
+
+def test_retrieval_eval_k_cutoff_and_perfect_ranking(spark):
+    # a perfect ranking scores ndcg == 1.0 exactly; k cuts both the
+    # retrieved list and the ideal list
+    qrels = [(1, d, r) for d, r in ((10, 3), (11, 2), (12, 1))]
+    perfect = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    res_df = spark.createDataFrame(perfect, "q_id long, doc_id long, rank int")
+    qrel_df = spark.createDataFrame(qrels, "q_id long, doc_id long, rel int")
+    row = R.retrieval_eval(res_df, qrel_df, k=3).first()
+    assert row["ndcg"] == 1.0 and row["recall"] == 1.0 and row["rr"] == 1.0
+    # k=1: only the top hit counts; ideal also truncates to 1
+    row1 = R.retrieval_eval(res_df, qrel_df, k=1).first()
+    assert row1["n_hits"] == 1 and row1["ndcg"] == 1.0
+    assert row1["recall"] == 1.0 / 3.0
+
+
+def test_retrieval_eval_plan_is_jvm_and_bounded(spark):
+    res_df = spark.createDataFrame(
+        [(1, 10, 1)], "q_id long, doc_id long, rank int"
+    )
+    qrel_df = spark.createDataFrame(
+        [(1, 10, 1)], "q_id long, doc_id long, rel int"
+    )
+    plan = (
+        R.retrieval_eval(res_df, qrel_df, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas",
+                   "CartesianProduct"):
+        assert marker not in plan

@@ -226,12 +226,32 @@ QUERIES = [
     ),
     (
         "q116_collocations",
-        "bigram collocation mining (r13): bigrams derive NARROWLY from "
-        "two shifted slices zipped per token array — no positional "
-        "self-join, no pre-count shuffle; unigram counts + the two "
-        "scalar totals broadcast back over the vocab-sized pair table "
-        "(the two benign SinglePartition scalar reduces + one-row "
-        "BNLJs), lift is one codegen division",
+        "bigram collocation mining (r13; broadcast un-forced r14): "
+        "bigrams derive NARROWLY from two shifted slices zipped per "
+        "token array — no positional self-join, no pre-count shuffle.  "
+        "The unigram-count joins carry NO broadcast hint (r13 verdict: "
+        "the unigram table is O(|vocabulary|), GB-sized on a web "
+        "corpus, so a pinned broadcast OOMs at target scale) — the "
+        "static plan is a shuffle join and AQE upgrades it from "
+        "MEASURED sizes when it fits, as it does below at sf0.1; "
+        "test_collocations_unigram_join_not_forced_broadcast pins the "
+        "too-big regime to shuffle joins.  Only the one-row totals "
+        "frame (two scalar counts, O(1) at any corpus size) stays "
+        "broadcast (the two benign SinglePartition scalar reduces + "
+        "one-row BNLJ); lift is one codegen division",
+    ),
+    (
+        "q118_retrieval_eval",
+        "retrieval evaluation (r14): recall@10 / reciprocal rank / "
+        "nDCG@10 of the BM25 rankings against tf-graded qrels.  The "
+        "only corpus-scale subtree is the BM25 branch (q113's shape, "
+        "incl. its benign one-row stats funnel); the eval stages join "
+        "top-k lists to judgments on (q_id, doc) equi-keys and window "
+        "per-query over qrels — every eval frame is bounded by "
+        "construction.  Gains are integer shifts and the 1/log2 "
+        "discounts are driver-side fixed-point constants, so the "
+        "metric arithmetic is exact integer sums + one division each "
+        "— all in codegen, no Python stage",
     ),
     (
         "q117_hybrid_rrf",
