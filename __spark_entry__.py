@@ -231,6 +231,15 @@ _DEMOTED_REDUNDANT = (
     "q104_bloom_blocklist",
     "q65_line_dedup",
     "q02_top_revenue_orders",
+    # r14 (second same-round promotion): the NEW q119_prf_expansion
+    # (pseudo-relevance-feedback loop — first-pass BM25 -> RM1 term
+    # weights -> expanded second pass) takes q93's slot.  q93's W1
+    # tumbling-bucket aggregation family (min/max envelope over
+    # (key, bucket) — the same partial-aggregable bucket-groupBy
+    # kernel) stays covered in-window by q00 (graded completeness-
+    # gated bucket RMS) and q35 (graded moving RMS window), and
+    # locally by test_telemetry + test_queries_oracle.
+    "q93_downsample_envelope",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

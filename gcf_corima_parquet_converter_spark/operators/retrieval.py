@@ -69,6 +69,7 @@ __all__ = [
     "rrf_fuse",
     "retrieval_eval",
     "retrieval_eval_summary",
+    "prf_expand",
 ]
 
 
@@ -725,16 +726,19 @@ def retrieval_eval(
 
     Returns one row per query::
 
-        (q_id, n_rel, n_hits, first_rel_rank, recall, rr, ndcg)
+        (q_id, n_rel, n_hits, first_rel_rank, recall, rr, ap, ndcg)
 
     ``first_rel_rank`` is null when no relevant doc was retrieved
-    (``rr`` is 0.0 there).  Float parity: DCG and ideal DCG are EXACT
-    integer sums — gain ``2^rel - 1`` (an integer shift) times the
-    driver-side fixed-point discount table
-    (:func:`ndcg_discounts_fx`) — and each of ``recall``/``rr``/
-    ``ndcg`` is ONE correctly-rounded IEEE division of exact
-    integers, so every output is bit-identical across engines (the
-    graded-oracle contract).
+    (``rr`` is 0.0 there).  ``ap`` is average precision@k —
+    ``(1/n_rel) * sum over hit positions r of precision@r`` — so the
+    summary's mean of it is MAP.  Float parity: DCG and ideal DCG are
+    EXACT integer sums — gain ``2^rel - 1`` (an integer shift) times
+    the driver-side fixed-point discount table
+    (:func:`ndcg_discounts_fx`) — AP's per-hit precision terms fix to
+    integers before their sum, and each of ``recall``/``rr``/``ap``/
+    ``ndcg`` ends in correctly-rounded IEEE divisions of exact values
+    in a pinned order, so every output is bit-identical across
+    engines (the graded-oracle contract).
 
     Scale posture: every frame here is EVAL-sized by construction —
     results are top-k lists (``k`` rows per query), qrels are curated
@@ -744,9 +748,14 @@ def retrieval_eval(
     corpus scan appears anywhere in the plan."""
     disc = ndcg_discounts_fx(k, scale)
     disc_arr = F.array(*[F.lit(int(d)) for d in disc])
-    rel_pos = qrels.where(F.col(rel_col) >= 1).select(
-        F.col(q_id_col), F.col(id_col), F.col(rel_col).cast("int")
-    )
+    # the positive set: rel >= 1 drops null/zero/negative judgments,
+    # and a judgment with a null doc or query id is no judgment at all
+    # (it could never join a result row but WOULD inflate n_rel/IDCG)
+    rel_pos = qrels.where(
+        (F.col(rel_col) >= 1)
+        & F.col(id_col).isNotNull()
+        & F.col(q_id_col).isNotNull()
+    ).select(F.col(q_id_col), F.col(id_col), F.col(rel_col).cast("int"))
     # gain 2^rel - 1 as an exact integer shift (F.shiftleft only takes
     # a literal bit count, so the column form goes through expr)
     gain = F.expr(f"cast(shiftleft(1, `{rel_col}`) as bigint) - 1")
@@ -755,8 +764,20 @@ def retrieval_eval(
         q_id_col, id_col, "rank"
     )
     hit = F.col(rel_col).isNotNull()
+    # running hit count for AP's precision@rank terms: prec@r =
+    # cum_hits/r at each HIT position, fixed-pointed per term so the
+    # cross-position sum is exact (cum_hits*scale is an exact double,
+    # the division by r is correctly rounded — identical both engines)
+    wr = Window.partitionBy(q_id_col).orderBy("rank")
+    cum = F.sum(F.when(hit, 1).otherwise(0)).over(wr)
+    prec_fx = F.floor(
+        cum.cast("double") * F.lit(float(scale))
+        / F.col("rank").cast("double")
+        + F.lit(0.5)
+    )
     per_res = (
         res_k.join(rel_pos, [q_id_col, id_col], "left")
+        .withColumn("_cumprec_fx", prec_fx)
         .groupBy(q_id_col)
         .agg(
             F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"),
@@ -765,6 +786,10 @@ def retrieval_eval(
                 F.when(hit, gain * F.element_at(disc_arr, F.col("rank")))
                 .otherwise(F.lit(0).cast("long"))
             ).alias("_dcg_fx"),
+            F.sum(
+                F.when(hit, F.col("_cumprec_fx"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("_ap_fx"),
         )
     )
     w = Window.partitionBy(q_id_col).orderBy(
@@ -786,6 +811,7 @@ def retrieval_eval(
     out = per_rel.join(per_res, q_id_col, "left")
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
     dcg = F.coalesce(F.col("_dcg_fx"), F.lit(0)).cast("double")
+    ap_fx = F.coalesce(F.col("_ap_fx"), F.lit(0)).cast("double")
     return out.select(
         F.col(q_id_col),
         F.col("n_rel"),
@@ -797,6 +823,9 @@ def retrieval_eval(
         F.coalesce(
             F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
         ).alias("rr"),
+        (
+            ap_fx / F.lit(float(scale)) / F.col("n_rel").cast("double")
+        ).alias("ap"),
         (dcg / F.col("_idcg_fx").cast("double")).alias("ndcg"),
     )
 
@@ -807,12 +836,12 @@ def retrieval_eval_summary(
     scale: int = 10**6,
 ) -> DataFrame:
     """Corpus-level eval from :func:`retrieval_eval`'s per-query rows:
-    one row ``(n_queries, recall_at_k, mrr, ndcg_at_k)`` — the means
-    over evaluated queries (MRR is by definition the mean of ``rr``).
-    Hash-stable: each per-query metric fixes to an integer before the
-    cross-query sum (the corpus's fixed-point mean contract —
-    ``queries.favg``'s shape), then divides twice (scale, count) in a
-    pinned order."""
+    one row ``(n_queries, recall_at_k, mrr, map, ndcg_at_k)`` — the
+    means over evaluated queries (MRR and MAP are by definition the
+    means of ``rr`` and ``ap``).  Hash-stable: each per-query metric
+    fixes to an integer before the cross-query sum (the corpus's
+    fixed-point mean contract — ``queries.favg``'s shape), then
+    divides twice (scale, count) in a pinned order."""
     n = F.count(F.lit(1))
 
     def _favg(col):
@@ -823,5 +852,78 @@ def retrieval_eval_summary(
         n.alias("n_queries"),
         _favg("recall").alias("recall_at_k"),
         _favg("rr").alias("mrr"),
+        _favg("ap").alias("map"),
         _favg("ndcg").alias("ndcg_at_k"),
     )
+
+
+# ---------------------------------------- pseudo-relevance feedback
+
+
+def prf_expand(
+    docs: DataFrame,
+    ranking: DataFrame,
+    n_terms: int = 5,
+    exclude: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    scale: int | None = None,
+) -> DataFrame:
+    """RM1-style pseudo-relevance feedback (Lavrenko & Croft 2001):
+    mine EXPANSION terms from the top-ranked documents of a first-pass
+    retrieval — the classic recall lever when the user's terms
+    under-describe the need.  Each candidate term is weighted by its
+    relevance-model mass over the feedback docs::
+
+        weight(t) = sum over fb docs d of  (tf(t,d) / dl(d)) * score(d)
+
+    ``ranking``: a scorer's output carrying ``(id_col, score_col)`` —
+    typically :func:`bm25_topk`'s top-k, which makes this
+    self-composing: expand, union with the original terms, score
+    again (see ``queries.q119``).  Returns the top ``n_terms``
+    candidates as ``(term, weight)``, ranked ``(weight desc, term)``;
+    ``exclude`` (usually the original query terms) are filtered out.
+
+    Scale posture: the feedback set is k rows BY CONSTRUCTION — the
+    ranking broadcasts into a semi-join against the documents table
+    (an id point-lookup; pair with ``scale.file_stats``/Z-order
+    clustering to prune that scan's files at 100 TB), and only those
+    k documents are tokenized: the term weighting runs over k·avgdl
+    rows however large the corpus.  The index is never scanned
+    doc-major — this is why the operator reads the documents table
+    instead of inverting the term-bucketed postings.
+
+    ``scale`` — fixed-point mode for the graded-oracle contract: each
+    doc's contribution ``floor((tf/dl)*score*scale + 0.5)`` is an
+    exact integer before the cross-doc sum (``tf/dl`` then ``*score``
+    are two correctly-rounded IEEE ops, identical on any engine), and
+    ``weight`` is the exact integer sum divided once by ``scale``."""
+    fb = ranking.select(F.col(id_col), F.col(score_col).alias("_s"))
+    t = _tokens(text_col)
+    hits = docs.join(F.broadcast(fb), id_col).where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    exploded = hits.select(
+        F.col(id_col),
+        F.col("_s"),
+        F.size(t).alias("_dl"),
+        F.explode(t).alias("term"),
+    )
+    per_doc = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf"),
+        F.first("_dl").alias("_dl"),
+        F.first("_s").alias("_s"),
+    )
+    contrib = (
+        F.col("_tf").cast("double") / F.col("_dl").cast("double")
+    ) * F.col("_s")
+    if scale is not None:
+        part = F.floor(contrib * F.lit(float(scale)) + F.lit(0.5))
+        weight = (F.sum(part) / F.lit(float(scale))).alias("weight")
+    else:
+        weight = F.sum(contrib).alias("weight")
+    w = per_doc.groupBy("term").agg(weight)
+    if exclude:
+        w = w.where(~F.col("term").isin(list(exclude)))
+    return w.orderBy(F.desc("weight"), "term").limit(int(n_terms))

@@ -4349,10 +4349,11 @@ def q117(spark, sf_dir):
 #    computed once in Python and inlined into BOTH engines), and each
 #    metric is one correctly-rounded division of exact integers, then
 #    fixed-pointed for the graded hash.  qrels: a doc is relevant only
-#    when it matches ALL the query's terms, GRADED by total term
-#    frequency (capped at 8) — so partial matches are retrieved-but-
-#    irrelevant and the ideal (rel-ordered) ranking disagrees with the
-#    dl-normalized BM25 order: recall/rr/ndcg all genuinely vary.
+#    when it matches ALL the query's terms with total tf >= 4, GRADED
+#    by total term frequency (capped at 8) — so partial and weak
+#    matches are retrieved-but-irrelevant and the ideal (rel-ordered)
+#    ranking disagrees with the dl-normalized BM25 order:
+#    recall/rr/ap/ndcg all genuinely vary.
 _NDCG_DISC_10 = R.ndcg_discounts_fx(10, 10**9)
 
 
@@ -4407,13 +4408,19 @@ def _sql_disc_case(col: str) -> str:
     qrels AS (
       SELECT matched.q_id, doc_id, CAST(least(tfs, 8) AS INT) AS rel
       FROM matched JOIN nt USING (q_id)
-      WHERE m = n_terms
+      WHERE m = n_terms AND tfs >= 4
     ),
     j AS (
       SELECT r.q_id, r.rank, qr.rel
       FROM ranked r
       LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
       WHERE r.rank <= 10
+    ),
+    jc AS (
+      SELECT q_id, rank, rel,
+             SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY rank) AS cum
+      FROM j
     ),
     perres AS (
       SELECT q_id,
@@ -4423,8 +4430,13 @@ def _sql_disc_case(col: str) -> str:
              CAST(SUM(CASE WHEN rel IS NOT NULL THEN
                     (CAST((1 << rel) - 1 AS BIGINT))
                     * ({_sql_disc_case('rank')})
-                  ELSE 0 END) AS BIGINT) AS dcg_fx
-      FROM j GROUP BY q_id
+                  ELSE 0 END) AS BIGINT) AS dcg_fx,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    CAST(floor(CAST(cum AS DOUBLE)
+                         * CAST(1000000000 AS DOUBLE)
+                         / CAST(rank AS DOUBLE) + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ap_fx9
+      FROM jc GROUP BY q_id
     ),
     ideal AS (
       SELECT q_id, rel,
@@ -4448,6 +4460,9 @@ def _sql_disc_case(col: str) -> str:
              AS recall_fx,
            CAST(floor(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
                 * 1000000 + 0.5) AS BIGINT) AS rr_fx,
+           CAST(floor(CAST(COALESCE(ap_fx9, 0) AS DOUBLE)
+                / CAST(1000000000 AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) AS ap_fx,
            CAST(floor(CAST(COALESCE(dcg_fx, 0) AS DOUBLE)
                 / CAST(idcg_fx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
              AS ndcg_fx
@@ -4476,7 +4491,7 @@ def q118(spark, sf_dir):
     )
     qrels = (
         matched.join(F.broadcast(nt), "q_id")
-        .where(F.col("m") == F.col("n_terms"))
+        .where((F.col("m") == F.col("n_terms")) & (F.col("tfs") >= 4))
         .select(
             "q_id", "doc_id",
             F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
@@ -4492,5 +4507,113 @@ def q118(spark, sf_dir):
         ),
         fx("recall", 10**6).alias("recall_fx"),
         fx("rr", 10**6).alias("rr_fx"),
+        fx("ap", 10**6).alias("ap_fx"),
         fx("ndcg", 10**6).alias("ndcg_fx"),
     ).orderBy("q_id")
+
+
+# -- q119: pseudo-relevance-feedback query expansion
+#    (retrieval.prf_expand, RM1 — Lavrenko & Croft 2001) — the classic
+#    retrieval feedback loop run end-to-end: first-pass BM25 top-10
+#    for ('spark','window') -> RM1 term weights over the feedback docs
+#    ((tf/dl) * doc_score, fixed-pointed per contribution) -> top-3
+#    expansion terms (weight desc, term) -> SECOND BM25 pass over the
+#    union.  The 3 expansion terms are collected driver-side (human-
+#    sized by construction — q117's query-vector precedent); the
+#    oracle runs the whole loop set-based, sharing every constant.
+@query(
+    "q119_prf_expansion",
+    "WITH " + _BM25_SQL_STATS + """,
+    orig(term) AS (VALUES ('spark'), ('window')),
+    tf1 AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM orig)
+      GROUP BY doc_id, term
+    ),
+    idf1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf1 GROUP BY term),
+    contrib1 AS (
+      SELECT tf1.doc_id,
+             (1.0 + (stats.n_docs - idf1.df + 0.5) / (idf1.df + 0.5))
+             * (tf1.tf * 2.2
+                / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS c
+      FROM tf1 JOIN idf1 USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scores1 AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib1 GROUP BY doc_id
+    ),
+    fb AS (
+      SELECT doc_id, score_fx FROM scores1
+      ORDER BY score_fx DESC, doc_id LIMIT 10
+    ),
+    cand AS (
+      SELECT fb.doc_id, fb.score_fx, len(toks.t) AS fdl,
+             unnest(toks.t) AS term
+      FROM fb JOIN toks USING (doc_id)
+    ),
+    perdoc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             MIN(fdl) AS fdl, MIN(score_fx) AS sfx
+      FROM cand GROUP BY doc_id, term
+    ),
+    wts AS (
+      SELECT term,
+             CAST(SUM(CAST(floor(
+               (CAST(tf AS DOUBLE) / CAST(fdl AS DOUBLE))
+               * (CAST(sfx AS DOUBLE) / CAST(1000000 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS w_fx
+      FROM perdoc GROUP BY term
+    ),
+    expanded AS (
+      SELECT term FROM wts WHERE term NOT IN (SELECT term FROM orig)
+      ORDER BY w_fx DESC, term LIMIT 3
+    ),
+    allterms AS (
+      SELECT term FROM orig UNION SELECT term FROM expanded
+    ),
+    tf2 AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM allterms)
+      GROUP BY doc_id, term
+    ),
+    idf2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf2 GROUP BY term),
+    contrib2 AS (
+      SELECT tf2.doc_id,
+             (1.0 + (stats.n_docs - idf2.df + 0.5) / (idf2.df + 0.5))
+             * (tf2.tf * 2.2
+                / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS c
+      FROM tf2 JOIN idf2 USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scores2 AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib2 GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, score_fx
+    FROM scores2 ORDER BY score_fx DESC, doc_id LIMIT 10
+    """,
+)
+def q119(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    orig = ["spark", "window"]
+    first = R.bm25_topk(idx, orig, k=10, idf="rational", scale=10**6)
+    exp = R.prf_expand(
+        d, first, n_terms=3, exclude=orig, scale=10**6
+    )
+    terms = orig + [r["term"] for r in exp.collect()]
+    out = R.bm25_topk(idx, terms, k=10, idf="rational", scale=10**6)
+    return out.select(
+        "rank", "doc_id", fx("score", 10**6).alias("score_fx")
+    ).orderBy("rank")

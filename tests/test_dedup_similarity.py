@@ -1379,7 +1379,7 @@ def test_ivf_compact_folds_epochs(spark, tmp_path):
     before = [r["vec_id"] for r in S.ivf_topk(loaded, c2, qvec, k=5).collect()]
 
     out = S.ivf_compact(spark, idx, shard_lists=1)
-    assert out == {
+    assert {k: v for k, v in out.items() if k != "manifest"} == {
         "version": 2, "epochs_folded": 2, "rows": n, "migrated": False,
     }
 

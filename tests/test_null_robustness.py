@@ -305,3 +305,46 @@ def test_retrieval_null_empty_whitespace_docs(spark):
     assert row["n_docs"] == 0
     assert R.phrase_search(empty_idx, "a b").count() == 0
     assert R.bm25_topk(empty_idx, ["a"], k=3).count() == 0
+
+
+def test_retrieval_eval_and_prf_null_robustness(spark):
+    """r14 additions: retrieval_eval ignores null-rel / rel<1 / null-id
+    judgment rows (the positive set filters them), and prf_expand skips
+    null/blank-text feedback docs without disturbing the weights of the
+    rest or crashing on an all-degenerate feedback set."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "q_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, None), (1, None, 2), (1, 13, 0)],
+        "q_id long, doc_id long, rel int",
+    )
+    row = R.retrieval_eval(res, qrels, k=10).first()
+    # only (1, 10, rel=1) is a positive judgment
+    assert row["n_rel"] == 1 and row["n_hits"] == 1
+    assert row["recall"] == 1.0 and row["rr"] == 1.0
+    assert row["ap"] == 1.0 and row["ndcg"] == 1.0
+    # all judgments degenerate -> no evaluable queries, empty frame
+    bad = qrels.where(F.col("rel").isNull() | (F.col("rel") < 1))
+    assert R.retrieval_eval(res, bad, k=10).count() == 0
+
+    docs = spark.createDataFrame(
+        [(10, "a a b"), (11, None), (12, "   "), (13, "")],
+        "doc_id long, text string",
+    )
+    ranking = spark.createDataFrame(
+        [(10, 2.0), (11, 1.5), (12, 1.0), (13, 0.5)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["term"]: r["weight"]
+        for r in R.prf_expand(docs, ranking, n_terms=10).collect()
+    }
+    # only doc 10 contributes: a -> (2/3)*2.0, b -> (1/3)*2.0
+    assert got == {"a": (2 / 3) * 2.0, "b": (1 / 3) * 2.0}
+    # all-degenerate feedback set -> empty expansion, not a crash
+    assert R.prf_expand(
+        docs, ranking.where(F.col("doc_id") > 10), n_terms=5
+    ).count() == 0

@@ -72,6 +72,10 @@ SINGLE_PARTITION_ALLOWED = {
     # over eval-sized frames (top-k lists x curated qrels) and add no
     # funnel of their own
     "q118_retrieval_eval": 1,
+    # PRF expansion: the returned frame is the SECOND BM25 pass (the
+    # first pass + RM1 expansion collect 3 terms before it builds), so
+    # the one funnel is again q113's benign corpus-stats scalar reduce
+    "q119_prf_expansion": 1,
 }
 
 

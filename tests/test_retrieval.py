@@ -484,8 +484,8 @@ def test_index_artifact_prunes_both_branches(spark, tmp_path):
 
 
 def _py_eval(results, qrels, k=10, scale=10**9):
-    """{q_id: (n_rel, n_hits, first_rel_rank, recall, rr, ndcg)} —
-    same fixed-point discount table as the operator."""
+    """{q_id: (n_rel, n_hits, first_rel_rank, recall, rr, ap, ndcg)} —
+    same fixed-point discount table / precision terms as the operator."""
     disc = R.ndcg_discounts_fx(k, scale)
     rel = {}
     for q, d, r in qrels:
@@ -503,12 +503,19 @@ def _py_eval(results, qrels, k=10, scale=10**9):
             ((1 << r) - 1) * disc[i] for i, (_, r) in enumerate(ideal)
         )
         first = min((rk for rk, _ in hits), default=None)
+        hit_ranks = {rk for rk, _ in hits}
+        ap_fx, cum = 0, 0
+        for rk, _ in ranked:
+            if rk in hit_ranks:
+                cum += 1
+                ap_fx += math.floor(cum * float(scale) / rk + 0.5)
         out[q] = (
             len(judged),
             len(hits),
             first,
             len(hits) / len(judged),
             (1.0 / first) if first else 0.0,
+            ap_fx / float(scale) / len(judged),
             dcg / idcg,
         )
     return out
@@ -538,15 +545,15 @@ def test_retrieval_eval_matches_python_model(spark):
     got = {
         r["q_id"]: (
             r["n_rel"], r["n_hits"], r["first_rel_rank"],
-            r["recall"], r["rr"], r["ndcg"],
+            r["recall"], r["rr"], r["ap"], r["ndcg"],
         )
         for r in R.retrieval_eval(res_df, qrel_df, k=10).collect()
     }
     want = _py_eval(results, qrels, k=10)
-    assert got == want  # exact, including the ndcg doubles
+    assert got == want  # exact, including the ap/ndcg doubles
     assert set(got) == {1, 2, 3}  # q4 dropped, q3 evaluated at zero
-    assert got[2] == (1, 0, None, 0.0, 0.0, 0.0)
-    assert got[3] == (1, 0, None, 0.0, 0.0, 0.0)
+    assert got[2] == (1, 0, None, 0.0, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0, None, 0.0, 0.0, 0.0, 0.0)
     # q1 sanity: rank-99 hit ignored, rel=0 judgment not counted
     assert got[1][0] == 3 and got[1][1] == 2 and got[1][2] == 1
 
@@ -564,7 +571,8 @@ def test_retrieval_eval_matches_python_model(spark):
 
     assert s["recall_at_k"] == favg([v[3] for v in want.values()])
     assert s["mrr"] == favg([v[4] for v in want.values()])
-    assert s["ndcg_at_k"] == favg([v[5] for v in want.values()])
+    assert s["map"] == favg([v[5] for v in want.values()])
+    assert s["ndcg_at_k"] == favg([v[6] for v in want.values()])
 
 
 def test_retrieval_eval_k_cutoff_and_perfect_ranking(spark):
@@ -576,6 +584,7 @@ def test_retrieval_eval_k_cutoff_and_perfect_ranking(spark):
     qrel_df = spark.createDataFrame(qrels, "q_id long, doc_id long, rel int")
     row = R.retrieval_eval(res_df, qrel_df, k=3).first()
     assert row["ndcg"] == 1.0 and row["recall"] == 1.0 and row["rr"] == 1.0
+    assert row["ap"] == 1.0  # every prefix of a perfect ranking is pure
     # k=1: only the top hit counts; ideal also truncates to 1
     row1 = R.retrieval_eval(res_df, qrel_df, k=1).first()
     assert row1["n_hits"] == 1 and row1["ndcg"] == 1.0
@@ -591,6 +600,71 @@ def test_retrieval_eval_plan_is_jvm_and_bounded(spark):
     )
     plan = (
         R.retrieval_eval(res_df, qrel_df, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas",
+                   "CartesianProduct"):
+        assert marker not in plan
+
+
+# ------------------------------------------- pseudo-relevance feedback
+
+
+def _py_prf(docs, ranking, n_terms, exclude=(), scale=None):
+    """{rank order list of (term, weight)} — RM1 weights over fb docs."""
+    scores = dict(ranking)
+    agg = {}
+    for did, text in docs:
+        if did not in scores or not _py_tokens(text):
+            continue
+        toks = _py_tokens(text)
+        dl, s = len(toks), scores[did]
+        for term, tf in Counter(toks).items():
+            c = (tf / dl) * s
+            if scale is not None:
+                c = math.floor(c * scale + 0.5)
+            agg[term] = agg.get(term, 0) + c
+    if scale is not None:
+        agg = {t: v / scale for t, v in agg.items()}
+    items = [(t, w) for t, w in agg.items() if t not in set(exclude)]
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    return items[:n_terms]
+
+
+def test_prf_expand_matches_python_model(spark, docs_df, idx):
+    ranking = R.bm25_topk(
+        idx, ["quick", "brown"], k=3, idf="rational", scale=10**6
+    )
+    fb = [(r["doc_id"], r["score"]) for r in ranking.collect()]
+    got = [
+        (r["term"], r["weight"])
+        for r in R.prf_expand(
+            docs_df, ranking, n_terms=4, exclude=["quick", "brown"],
+            scale=10**6,
+        ).collect()
+    ]
+    want = _py_prf(DOCS, fb, 4, exclude=("quick", "brown"), scale=10**6)
+    assert got == want
+    # original terms really are excluded; expansion is non-empty here
+    assert got and all(t not in ("quick", "brown") for t, _ in got)
+
+
+def test_prf_expand_full_loop_changes_ranking(spark, docs_df, idx):
+    # the classic feedback loop: first-pass -> expand -> re-score with
+    # the union; the expanded query must retrieve a doc the original
+    # missed (doc 3 shares no original term but shares 'dog'/'the'
+    # with the feedback set)
+    first = R.bm25_topk(idx, ["jumps"], k=2, idf="rational", scale=10**6)
+    exp = R.prf_expand(docs_df, first, n_terms=3, exclude=["jumps"],
+                       scale=10**6)
+    terms = ["jumps"] + [r["term"] for r in exp.collect()]
+    second = R.bm25_topk(idx, terms, k=10, idf="rational", scale=10**6)
+    first_ids = {r["doc_id"] for r in first.collect()}
+    second_ids = {r["doc_id"] for r in second.collect()}
+    assert second_ids > first_ids  # strictly more docs reachable
+    # plan stays JVM (no Python stage in the whole loop)
+    plan = (
+        R.prf_expand(docs_df, first, n_terms=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas",

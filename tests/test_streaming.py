@@ -1667,7 +1667,7 @@ def test_index_lifecycle_stream_maintain_compact_serve(spark, tmp_path):
     q.awaitTermination(120)
 
     out = S.ivf_compact(spark, idx)
-    assert out == {
+    assert {k: v for k, v in out.items() if k != "manifest"} == {
         "version": 2, "epochs_folded": 2, "rows": n, "migrated": False,
     }
 

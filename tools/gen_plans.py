@@ -243,7 +243,8 @@ QUERIES = [
     (
         "q118_retrieval_eval",
         "retrieval evaluation (r14): recall@10 / reciprocal rank / "
-        "nDCG@10 of the BM25 rankings against tf-graded qrels.  The "
+        "average precision / nDCG@10 of the BM25 rankings against "
+        "tf-graded qrels.  The "
         "only corpus-scale subtree is the BM25 branch (q113's shape, "
         "incl. its benign one-row stats funnel); the eval stages join "
         "top-k lists to judgments on (q_id, doc) equi-keys and window "
@@ -252,6 +253,17 @@ QUERIES = [
         "discounts are driver-side fixed-point constants, so the "
         "metric arithmetic is exact integer sums + one division each "
         "— all in codegen, no Python stage",
+    ),
+    (
+        "q119_prf_expansion",
+        "PRF query expansion (r14): the frame below is the SECOND BM25 "
+        "pass over original + RM1-expanded terms (the first pass and "
+        "the expansion-term collect run before it builds — 3 terms, "
+        "human-sized by construction).  Expansion itself touches only "
+        "the k feedback docs: the ranking broadcasts into an id "
+        "semi-join against documents and only those k rows tokenize — "
+        "the shape is q113's scorer plus one bounded feedback stage, "
+        "and the corpus never shuffles",
     ),
     (
         "q117_hybrid_rrf",
