@@ -70,6 +70,7 @@ __all__ = [
     "retrieval_eval",
     "retrieval_eval_summary",
     "prf_expand",
+    "snippets",
 ]
 
 
@@ -927,3 +928,53 @@ def prf_expand(
     if exclude:
         w = w.where(~F.col("term").isin(list(exclude)))
     return w.orderBy(F.desc("weight"), "term").limit(int(n_terms))
+
+
+# --------------------------------------------------- snippet hydration
+
+
+def snippets(
+    docs: DataFrame,
+    matches: DataFrame,
+    width: int = 3,
+    match_len: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_col: str = "first_pos",
+) -> DataFrame:
+    """Keyword-in-context snippet hydration — the display step of a
+    search stack: for each match row ``(id, pos)`` (1-based token
+    offset, e.g. :func:`phrase_search`'s ``first_pos``), return the
+    surrounding token window as a string::
+
+        tokens[max(1, pos - width) .. min(dl, pos + match_len-1 + width)]
+
+    ``match_len`` is the match's token length (2 for the phrase
+    "spark window") so the window covers the whole match, not just
+    its anchor.  Returns ``(id, pos, snippet_start, snippet)``.
+
+    Scale posture: the hydration join is the tier's standing rule —
+    text is touched only AFTER matching, k rows at a time.  The match
+    frame broadcasts into an id equi-join against the documents table
+    (pair with ``scale.file_stats`` pruning / Z-order clustering for
+    the point lookup at 100 TB) and only the matched documents are
+    tokenized; the slice/join are pure JVM expressions."""
+    m = matches.select(F.col(id_col), F.col(pos_col))
+    t = _tokens(text_col)
+    hits = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).join(F.broadcast(m), id_col)
+    start = F.greatest(F.lit(1), F.col(pos_col) - F.lit(int(width)))
+    toks = t.alias("_t")
+    hits = hits.select(F.col(id_col), F.col(pos_col), toks)
+    end = F.least(
+        F.size("_t"),
+        F.col(pos_col) + F.lit(int(match_len) - 1 + int(width)),
+    )
+    snip = F.array_join(F.slice("_t", start, end - start + 1), " ")
+    return hits.select(
+        F.col(id_col),
+        F.col(pos_col),
+        start.cast("int").alias("snippet_start"),
+        snip.alias("snippet"),
+    )

@@ -4617,3 +4617,44 @@ def q119(spark, sf_dir):
     return out.select(
         "rank", "doc_id", fx("score", 10**6).alias("score_fx")
     ).orderBy("rank")
+
+
+# -- q120: phrase-match snippet hydration (retrieval.snippets) — the
+#    display step of the search stack: phrase_search's (doc, first
+#    position) matches hydrate a +-3-token keyword-in-context window
+#    from the documents table (text touched only AFTER matching, k
+#    rows).  Registers just outside the graded window (created with
+#    the window full — the standing next-rotation promotion protocol);
+#    oracle-verified locally by driver_sim/test_queries_oracle.
+@query(
+    "q120_phrase_snippets",
+    "WITH " + _BM25_SQL_STATS + """,
+    m AS (
+      SELECT a.doc_id, a.p
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.term = 'spark' AND b.term = 'window'
+    ),
+    fm AS (
+      SELECT doc_id, CAST(MIN(p) AS INT) AS first_pos
+      FROM m GROUP BY doc_id
+    ),
+    sn AS (
+      SELECT fm.doc_id, fm.first_pos,
+             CAST(greatest(1, first_pos - 3) AS INT) AS snippet_start,
+             array_to_string(
+               t[greatest(1, first_pos - 3):least(len(t), first_pos + 4)],
+               ' ') AS snippet
+      FROM fm JOIN toks USING (doc_id)
+    )
+    SELECT doc_id, first_pos, snippet_start, snippet
+    FROM sn ORDER BY doc_id
+    """,
+)
+def q120(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    m = R.phrase_search(idx, "spark window")
+    out = R.snippets(d, m, width=3, match_len=2)
+    return out.select(
+        "doc_id", "first_pos", "snippet_start", "snippet"
+    ).orderBy("doc_id")

@@ -670,3 +670,45 @@ def test_prf_expand_full_loop_changes_ranking(spark, docs_df, idx):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas",
                    "CartesianProduct"):
         assert marker not in plan
+
+
+# -------------------------------------------------- snippet hydration
+
+
+def test_snippets_match_python_model(spark, docs_df, idx):
+    m = R.phrase_search(idx, "quick brown")
+    got = {
+        r["doc_id"]: (r["first_pos"], r["snippet_start"], r["snippet"])
+        for r in R.snippets(
+            docs_df, m, width=1, match_len=2
+        ).collect()
+    }
+    want = {}
+    first = {1: 2, 2: 1, 5: 2}  # from test_phrase_search fixtures
+    for did, text in DOCS:
+        if did not in first:
+            continue
+        toks = _py_tokens(text)
+        pos = first[did]
+        a = max(1, pos - 1)
+        b = min(len(toks), pos + 1 + 1)
+        want[did] = (pos, a, " ".join(toks[a - 1:b]))
+    assert got == want
+    # left-edge match (doc 2 @1) keeps start=1; right-edge clamps
+    assert got[2][1] == 1
+    wide = {
+        r["doc_id"]: r["snippet"]
+        for r in R.snippets(docs_df, m, width=100, match_len=2).collect()
+    }
+    for did in (1, 2, 5):
+        toks = _py_tokens(dict(DOCS)[did])
+        assert wide[did] == " ".join(toks)  # whole doc when width >> dl
+    # plan: pure JVM, and only matched docs tokenize (broadcast join)
+    plan = (
+        R.snippets(docs_df, m, width=2, match_len=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas",
+                   "CartesianProduct"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
