@@ -71,6 +71,7 @@ __all__ = [
     "retrieval_eval_summary",
     "prf_expand",
     "snippets",
+    "eval_compare",
 ]
 
 
@@ -751,12 +752,19 @@ def retrieval_eval(
     disc_arr = F.array(*[F.lit(int(d)) for d in disc])
     # the positive set: rel >= 1 drops null/zero/negative judgments,
     # and a judgment with a null doc or query id is no judgment at all
-    # (it could never join a result row but WOULD inflate n_rel/IDCG)
-    rel_pos = qrels.where(
-        (F.col(rel_col) >= 1)
-        & F.col(id_col).isNotNull()
-        & F.col(q_id_col).isNotNull()
-    ).select(F.col(q_id_col), F.col(id_col), F.col(rel_col).cast("int"))
+    # (it could never join a result row but WOULD inflate n_rel/IDCG).
+    # Duplicate (q, doc) judgments collapse to their max rel — a dup
+    # would otherwise fan out the results join AND double-count n_rel.
+    # The dedup groupBy runs over the eval-sized qrels frame only.
+    rel_pos = (
+        qrels.where(
+            (F.col(rel_col) >= 1)
+            & F.col(id_col).isNotNull()
+            & F.col(q_id_col).isNotNull()
+        )
+        .groupBy(q_id_col, id_col)
+        .agg(F.max(F.col(rel_col).cast("int")).alias(rel_col))
+    )
     # gain 2^rel - 1 as an exact integer shift (F.shiftleft only takes
     # a literal bit count, so the column form goes through expr)
     gain = F.expr(f"cast(shiftleft(1, `{rel_col}`) as bigint) - 1")
@@ -977,4 +985,42 @@ def snippets(
         F.col(pos_col),
         start.cast("int").alias("snippet_start"),
         snip.alias("snippet"),
+    )
+
+
+def eval_compare(
+    per_q_a: DataFrame,
+    per_q_b: DataFrame,
+    metric: str = "ndcg",
+    q_id_col: str = "q_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Paired comparison of two systems from their
+    :func:`retrieval_eval` outputs — the decision step of an IR
+    ablation (does length normalization help? is hybrid fusion worth
+    it?): one row ::
+
+        (n_queries, a_mean, b_mean, mean_delta, wins, ties, losses)
+
+    over the queries BOTH systems evaluated (inner join on
+    ``q_id_col`` — a paired test compares like with like).  ``wins``
+    counts queries where A's ``metric`` strictly exceeds B's at
+    ``scale`` precision; the fixed-point comparison also makes the
+    means and delta exact integer sums (the corpus mean contract), so
+    the whole row is hash-stable.  Every frame is per-query-eval
+    sized; no corpus data is touched."""
+    a = per_q_a.select(F.col(q_id_col), F.col(metric).alias("_a"))
+    b = per_q_b.select(F.col(q_id_col), F.col(metric).alias("_b"))
+    j = a.join(b, q_id_col, "inner")
+    afx = F.floor(F.col("_a") * F.lit(float(scale)) + F.lit(0.5))
+    bfx = F.floor(F.col("_b") * F.lit(float(scale)) + F.lit(0.5))
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.alias("n_queries"),
+        ((F.sum(afx) / F.lit(float(scale))) / n).alias("a_mean"),
+        ((F.sum(bfx) / F.lit(float(scale))) / n).alias("b_mean"),
+        ((F.sum(afx - bfx) / F.lit(float(scale))) / n).alias("mean_delta"),
+        F.sum(F.when(afx > bfx, 1).otherwise(0)).alias("wins"),
+        F.sum(F.when(afx == bfx, 1).otherwise(0)).alias("ties"),
+        F.sum(F.when(afx < bfx, 1).otherwise(0)).alias("losses"),
     )

@@ -4658,3 +4658,183 @@ def q120(spark, sf_dir):
     return out.select(
         "doc_id", "first_pos", "snippet_start", "snippet"
     ).orderBy("doc_id")
+
+
+# -- q121: paired system comparison (retrieval.eval_compare) — a real
+#    IR ablation run end-to-end: BM25 WITH length normalization
+#    (b=0.75) vs WITHOUT (b=0) on the same queries and tf-graded
+#    qrels, compared per-query on nDCG@10 (shared ideal ranking, so
+#    only the dcg side differs).  One hash-graded row: per-system
+#    mean nDCG, mean paired delta, and win/tie/loss counts at 1e-6
+#    precision.  Registers just outside the graded window (created
+#    with it full — next-rotation promotion candidate, like q120).
+@query(
+    "q121_eval_compare_bm25_b",
+    "WITH " + _BM25_SQL_STATS + f""",
+    q(q_id, term) AS (
+      VALUES (1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'batch'),
+             (2, 'join'), (3, 'vector')
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib_a AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    contrib_b AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (1.0 + 0.0 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores_a AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib_a GROUP BY q_id, doc_id
+    ),
+    scores_b AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib_b GROUP BY q_id, doc_id
+    ),
+    ranked_a AS (
+      SELECT q_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores_a
+    ),
+    ranked_b AS (
+      SELECT q_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores_b
+    ),
+    nt AS (SELECT q_id, count(*) AS n_terms FROM q GROUP BY q_id),
+    matched AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(count(DISTINCT tf.term) AS INT) AS m,
+             CAST(SUM(tf.tf) AS BIGINT) AS tfs
+      FROM tf JOIN q USING (term) GROUP BY q.q_id, tf.doc_id
+    ),
+    qrels AS (
+      SELECT matched.q_id, doc_id, CAST(least(tfs, 8) AS INT) AS rel
+      FROM matched JOIN nt USING (q_id)
+      WHERE m = n_terms AND tfs >= 4
+    ),
+    ideal AS (
+      SELECT q_id, rel,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    perrel AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN ir <= 10 THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('ir')})
+                  ELSE 0 END) AS BIGINT) AS idcg_fx
+      FROM ideal GROUP BY q_id
+    ),
+    dcg_a AS (
+      SELECT r.q_id,
+             CAST(SUM(CASE WHEN qr.rel IS NOT NULL THEN
+                    (CAST((1 << qr.rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('r.rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx
+      FROM ranked_a r
+      LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10 GROUP BY r.q_id
+    ),
+    dcg_b AS (
+      SELECT r.q_id,
+             CAST(SUM(CASE WHEN qr.rel IS NOT NULL THEN
+                    (CAST((1 << qr.rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('r.rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx
+      FROM ranked_b r
+      LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10 GROUP BY r.q_id
+    ),
+    perq AS (
+      SELECT perrel.q_id,
+             CAST(floor(CAST(COALESCE(dcg_a.dcg_fx, 0) AS DOUBLE)
+                  / CAST(perrel.idcg_fx AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS afx,
+             CAST(floor(CAST(COALESCE(dcg_b.dcg_fx, 0) AS DOUBLE)
+                  / CAST(perrel.idcg_fx AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS bfx
+      FROM perrel
+      LEFT JOIN dcg_a USING (q_id)
+      LEFT JOIN dcg_b USING (q_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(floor(CAST(SUM(afx) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                / count(*) * 1000000 + 0.5) AS BIGINT) AS a_ndcg_fx,
+           CAST(floor(CAST(SUM(bfx) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                / count(*) * 1000000 + 0.5) AS BIGINT) AS b_ndcg_fx,
+           CAST(floor(CAST(SUM(afx - bfx) AS DOUBLE)
+                / CAST(1000000 AS DOUBLE)
+                / count(*) * 1000000 + 0.5) AS BIGINT) AS delta_fx,
+           CAST(SUM(CASE WHEN afx > bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS wins,
+           CAST(SUM(CASE WHEN afx = bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties,
+           CAST(SUM(CASE WHEN afx < bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS losses
+    FROM perq
+    """,
+)
+def q121(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
+         (3, ["vector"])],
+        "q_id long, terms array<string>",
+    )
+    qterms = qs.select("q_id", F.explode("terms").alias("term"))
+    nt = qs.select("q_id", F.size("terms").alias("n_terms"))
+    matched = (
+        idx.join(F.broadcast(qterms), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("int").alias("m"),
+            F.sum("tf").alias("tfs"),
+        )
+    )
+    qrels = (
+        matched.join(F.broadcast(nt), "q_id")
+        .where((F.col("m") == F.col("n_terms")) & (F.col("tfs") >= 4))
+        .select(
+            "q_id", "doc_id",
+            F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
+        )
+    )
+    res_a = R.bm25_topk_batch(idx, qs, k=10, idf="rational", scale=10**6)
+    res_b = R.bm25_topk_batch(
+        idx, qs, k=10, b=0.0, idf="rational", scale=10**6
+    )
+    ev_a = R.retrieval_eval(res_a, qrels, k=10)
+    ev_b = R.retrieval_eval(res_b, qrels, k=10)
+    out = R.eval_compare(ev_a, ev_b, metric="ndcg")
+    return out.select(
+        "n_queries",
+        fx("a_mean", 10**6).alias("a_ndcg_fx"),
+        fx("b_mean", 10**6).alias("b_ndcg_fx"),
+        fx("mean_delta", 10**6).alias("delta_fx"),
+        "wins", "ties", "losses",
+    )

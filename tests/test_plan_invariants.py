@@ -76,6 +76,11 @@ SINGLE_PARTITION_ALLOWED = {
     # first pass + RM1 expansion collect 3 terms before it builds), so
     # the one funnel is again q113's benign corpus-stats scalar reduce
     "q119_prf_expansion": 1,
+    # paired ablation: TWO BM25 passes (b=0.75 / b=0) each carry the
+    # benign one-row corpus-stats scalar reduce, and eval_compare's
+    # final keys=[] aggregate adds one constant-size row per task —
+    # its input is 3 per-query rows, bounded by construction
+    "q121_eval_compare_bm25_b": 3,
 }
 
 

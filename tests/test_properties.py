@@ -540,3 +540,75 @@ def test_ranged_decode_equals_whole_file(
         np.testing.assert_array_equal(
             ranged[f"c{i}"].to_numpy(), whole[f"c{i}"].to_numpy()
         )
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_retrieval_eval_matches_python_model_property(spark, data):
+    """retrieval_eval over RANDOM rankings + graded qrels equals the
+    pure-Python trec_eval-style model EXACTLY (recall/rr/ap/ndcg as
+    bit-identical doubles) — including duplicate judgments (max-rel
+    collapse), unjudged queries, zero-hit queries, and rank cutoffs."""
+    import math as _math
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+    k = data.draw(st.integers(1, 6))
+    n_q = data.draw(st.integers(1, 4))
+    results, qrels = [], []
+    for q in range(1, n_q + 1):
+        n_res = data.draw(st.integers(0, 8))
+        docs = data.draw(
+            st.lists(st.integers(0, 12), min_size=n_res, max_size=n_res,
+                     unique=True)
+        )
+        results.extend((q, d, r) for r, d in enumerate(docs, start=1))
+        n_j = data.draw(st.integers(0, 10))
+        for _ in range(n_j):
+            qrels.append((
+                q,
+                data.draw(st.integers(0, 12)),
+                data.draw(st.integers(0, 4)),  # rel 0 = not relevant
+            ))
+    # Python model with max-rel collapse for duplicate judgments
+    disc = R.ndcg_discounts_fx(k, 10**9)
+    rel = {}
+    for q, d, r in qrels:
+        if r >= 1:
+            cur = rel.setdefault(q, {})
+            cur[d] = max(cur.get(d, 0), r)
+    want = {}
+    for q, judged in rel.items():
+        ranked = sorted((r, d) for (qq, d, r) in results
+                        if qq == q and r <= k)
+        hits = [(r, d) for r, d in ranked if d in judged]
+        dcg = sum(((1 << judged[d]) - 1) * disc[r - 1] for r, d in hits)
+        ideal = sorted(judged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(((1 << rr) - 1) * disc[i]
+                   for i, (_, rr) in enumerate(ideal))
+        first = min((r for r, _ in hits), default=None)
+        ap_fx, cum = 0, 0
+        for r, d in ranked:
+            if d in judged:
+                cum += 1
+                ap_fx += _math.floor(cum * 1e9 / r + 0.5)
+        want[q] = (
+            len(judged), len(hits), first,
+            len(hits) / len(judged),
+            (1.0 / first) if first else 0.0,
+            ap_fx / 1e9 / len(judged),
+            dcg / idcg,
+        )
+    res_df = spark.createDataFrame(
+        results or [(999, 999, 1)], "q_id long, doc_id long, rank int"
+    )
+    qrel_df = spark.createDataFrame(
+        qrels or [(999, 999, 0)], "q_id long, doc_id long, rel int"
+    )
+    got = {
+        r["q_id"]: (r["n_rel"], r["n_hits"], r["first_rel_rank"],
+                    r["recall"], r["rr"], r["ap"], r["ndcg"])
+        for r in R.retrieval_eval(res_df, qrel_df, k=k).collect()
+        if r["q_id"] != 999
+    }
+    assert got == want

@@ -712,3 +712,28 @@ def test_snippets_match_python_model(spark, docs_df, idx):
                    "CartesianProduct"):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_eval_compare_matches_python_model(spark):
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.7), (4, 0.25)],
+        "q_id long, ndcg double",
+    )
+    # q4 absent from B: paired comparison drops it (inner join)
+    b = spark.createDataFrame(
+        [(1, 0.8), (2, 0.5), (3, 0.9)], "q_id long, ndcg double"
+    )
+    row = R.eval_compare(a, b, metric="ndcg").first()
+    fx = lambda x: math.floor(x * 1e6 + 0.5)
+    avals, bvals = [0.9, 0.5, 0.7], [0.8, 0.5, 0.9]
+    assert row["n_queries"] == 3
+    assert row["a_mean"] == sum(map(fx, avals)) / 1e6 / 3
+    assert row["b_mean"] == sum(map(fx, bvals)) / 1e6 / 3
+    assert row["mean_delta"] == sum(
+        fx(x) - fx(y) for x, y in zip(avals, bvals)
+    ) / 1e6 / 3
+    assert (row["wins"], row["ties"], row["losses"]) == (1, 1, 1)
+    # a full-loop smoke: comparing a system against itself is all ties
+    same = R.eval_compare(a, a).first()
+    assert (same["wins"], same["losses"]) == (0, 0)
+    assert same["ties"] == 4 and same["mean_delta"] == 0.0
