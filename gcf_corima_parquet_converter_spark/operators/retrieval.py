@@ -766,8 +766,10 @@ def retrieval_eval(
         .agg(F.max(F.col(rel_col).cast("int")).alias(rel_col))
     )
     # gain 2^rel - 1 as an exact integer shift (F.shiftleft only takes
-    # a literal bit count, so the column form goes through expr)
-    gain = F.expr(f"cast(shiftleft(1, `{rel_col}`) as bigint) - 1")
+    # a literal bit count, so the column form goes through expr); the
+    # shift runs in LONG so graded rels up to 62 stay exact — an int32
+    # shift would silently wrap (Java masks the count at rel & 31)
+    gain = F.expr(f"shiftleft(cast(1 as bigint), `{rel_col}`) - 1")
 
     res_k = results.where(F.col("rank") <= int(k)).select(
         q_id_col, id_col, "rank"
@@ -979,7 +981,11 @@ def snippets(
         F.size("_t"),
         F.col(pos_col) + F.lit(int(match_len) - 1 + int(width)),
     )
-    snip = F.array_join(F.slice("_t", start, end - start + 1), " ")
+    # an out-of-range position (pos > dl — not producible by
+    # phrase_search, but callers can hand-build matches) clamps to an
+    # empty snippet instead of erroring on a negative slice length
+    length = F.greatest(F.lit(0), end - start + 1)
+    snip = F.array_join(F.slice("_t", start, length), " ")
     return hits.select(
         F.col(id_col),
         F.col(pos_col),

@@ -737,3 +737,26 @@ def test_eval_compare_matches_python_model(spark):
     same = R.eval_compare(a, a).first()
     assert (same["wins"], same["losses"]) == (0, 0)
     assert same["ties"] == 4 and same["mean_delta"] == 0.0
+
+
+def test_retrieval_eval_high_grades_use_long_shift(spark):
+    # rel > 31 must not wrap (Java int shifts mask the count at &31):
+    # gains run in LONG, exact to rel = 62 — pinned vs the Python model
+    results = [(1, 10, 1), (1, 11, 2)]
+    qrels = [(1, 10, 5), (1, 11, 33)]
+    res_df = spark.createDataFrame(results, "q_id long, doc_id long, rank int")
+    qrel_df = spark.createDataFrame(qrels, "q_id long, doc_id long, rel int")
+    row = R.retrieval_eval(res_df, qrel_df, k=10).first()
+    want = _py_eval(results, qrels, k=10)[1]
+    assert (row["n_rel"], row["n_hits"]) == (want[0], want[1])
+    assert row["ndcg"] == want[6]
+    # sanity: the mis-ranked giant-gain doc drags ndcg far below 1
+    assert row["ndcg"] < 0.7
+
+
+def test_snippets_out_of_range_position_yields_empty(spark, docs_df):
+    # hand-built matches can carry positions beyond the doc length;
+    # the window clamps to an empty snippet instead of erroring
+    m = spark.createDataFrame([(9, 50)], "doc_id long, first_pos int")
+    row = R.snippets(docs_df, m, width=2, match_len=1).first()
+    assert row["snippet"] == ""

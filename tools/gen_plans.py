@@ -266,6 +266,22 @@ QUERIES = [
         "and the corpus never shuffles",
     ),
     (
+        "q120_phrase_snippets",
+        "KWIC snippet hydration (r14): the phrase matches broadcast "
+        "into an id equi-join against documents — only the matched "
+        "docs tokenize, the slice window and array_join are codegen "
+        "expressions, and the corpus text never rides an exchange "
+        "(the tier's text-after-matching rule made visible)",
+    ),
+    (
+        "q121_eval_compare_bm25_b",
+        "paired retrieval ablation (r14): two BM25 passes (b=0.75 vs "
+        "b=0) share the corpus subtree shape; the eval joins, ideal "
+        "window, and the final keys=[] comparison aggregate all run "
+        "over per-query-eval-sized frames (3 rows at the end) — the "
+        "corpus appears only inside the two scorers",
+    ),
+    (
         "q117_hybrid_rrf",
         "hybrid retrieval fusion (r13): BM25 and cosine top-50 lists "
         "each end in TakeOrderedAndProject (never a global sort); "
