@@ -1713,6 +1713,20 @@ def main() -> None:
         "retrieval_serve_qps": (
             (result.get("retrieval") or {}).get("serving") or {}
         ).get("queries_per_sec"),
+        # r14 bench-honesty note (method: same-day A/B — the r13-final
+        # commit re-benched on THIS host read 16.5s cold vs its
+        # recorded 14.4s, identical per-query elevation, canary
+        # overlapping): day-to-day host drift >10% occurs WITHOUT the
+        # pure-CPU canary moving, i.e. the drift is IO/page-cache/
+        # memory-latency shaped and canary normalization under-corrects
+        # it.  Compare rounds on plans, within-run ratios (scaling,
+        # speedups), and canary-normalized totals — not raw seconds;
+        # a cross-round delta is only a regression if an A/B on the
+        # prior commit separates code from host.
+        "cross_round_note": (
+            "totals are host-day-sensitive beyond canary correction; "
+            "verify regressions by re-benching the prior commit same-day"
+        ),
         # work-normalized where the query measures its output volume
         # (ratio_work_norm, see bench_scaling's q94 note) — the raw max
         # is kept alongside so nothing is hidden

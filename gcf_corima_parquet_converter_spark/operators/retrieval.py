@@ -55,6 +55,7 @@ from . import text as X
 
 __all__ = [
     "inverted_index",
+    "analyze_terms",
     "index_stats",
     "phrase_search",
     "bm25_topk",
@@ -82,14 +83,82 @@ def _tokens(text_col: str):
     return F.filter(X.tokens(text_col), lambda t: t != F.lit(""))
 
 
+# the 32 ASCII punctuation characters (Java \p{Punct}) written as an
+# explicit class, so the JVM regex and the Python query-twin regex
+# strip the same characters by construction ("café" keeps its é —
+# non-ASCII letters are never stripped)
+_PUNCT_CLASS = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+
+
+def _analyze(tokens_col, analyzer: str):
+    """Per-token normalization applied at INDEX time (and therefore to
+    be applied to query terms by the caller — the classic same-analyzer
+    contract).  ``'keep'``: raw whitespace tokens (default — the
+    corpus-wide convention every oracle shares).  ``'lowercase'``:
+    case-folded.  ``'simple'``: case-folded + edge ASCII punctuation
+    stripped ("Spark," == "spark"); tokens that strip to nothing are
+    dropped (they never become postings and never count toward dl).
+    All three are pure JVM expressions."""
+    if analyzer == "keep":
+        return tokens_col
+    if analyzer == "lowercase":
+        return F.transform(tokens_col, lambda t: F.lower(t))
+    if analyzer == "simple":
+        pat = "^" + _PUNCT_CLASS + "+|" + _PUNCT_CLASS + "+$"
+        folded = F.transform(
+            tokens_col,
+            lambda t: F.regexp_replace(F.lower(t), pat, ""),
+        )
+        return F.filter(folded, lambda t: t != F.lit(""))
+    raise ValueError(
+        f"analyzer must be 'keep', 'lowercase' or 'simple', got {analyzer!r}"
+    )
+
+
+def analyze_terms(terms: list[str] | str, analyzer: str = "keep") -> list[str]:
+    """Driver-side twin of the index analyzer — run QUERY terms through
+    the same normalization the index was built with (same-analyzer
+    contract).  Keeps the md5 bucket math consistent too: pruned loads
+    hash the ANALYZED term, exactly what the index stored."""
+    import re
+
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    if analyzer == "keep":
+        return tl
+    if analyzer == "lowercase":
+        return [t.lower() for t in tl]
+    if analyzer == "simple":
+        pat = "^" + _PUNCT_CLASS + "+|" + _PUNCT_CLASS + "+$"
+        out = []
+        for t in tl:
+            t = re.sub(pat, "", t.lower())
+            if t:
+                out.append(t)
+        return out
+    raise ValueError(
+        f"analyzer must be 'keep', 'lowercase' or 'simple', got {analyzer!r}"
+    )
+
+
 def inverted_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "keep",
 ) -> DataFrame:
     """Positional inverted index: one row per ``(term, doc)`` with
     ``tf`` (term frequency), ``positions`` (sorted, 1-based token
     offsets — 1-based to match SQL ordinality) and ``dl`` (the doc's
     token count, denormalized into the posting so scoring never joins
     a doc-length table).  Null/blank docs carry no postings.
+
+    ``analyzer`` — opt-in per-token normalization (``'keep'`` raw
+    default / ``'lowercase'`` / ``'simple'``: case-fold + edge
+    punctuation strip, the realistic search posture where "Spark,"
+    matches a query for "spark").  Query terms must pass through
+    :func:`analyze_terms` with the same mode — the same-analyzer
+    contract every search engine has; positions/dl are computed AFTER
+    analysis, so phrase adjacency still holds on the analyzed stream.
 
     One narrow projection + posexplode, one shuffle on ``(term, id)``.
     ``ensure_min_parallelism`` spreads a file-poor scan before the
@@ -99,7 +168,7 @@ def inverted_index(
     from .scale import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs, id_col)
-    t = _tokens(text_col)
+    t = _analyze(_tokens(text_col), analyzer)
     exploded = docs.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(

@@ -760,3 +760,64 @@ def test_snippets_out_of_range_position_yields_empty(spark, docs_df):
     m = spark.createDataFrame([(9, 50)], "doc_id long, first_pos int")
     row = R.snippets(docs_df, m, width=2, match_len=1).first()
     assert row["snippet"] == ""
+
+
+# ------------------------------------------------------------ analyzers
+
+
+def test_inverted_index_analyzers_and_query_twin(spark):
+    docs = [
+        (1, "Spark, spark! SPARK runs"),
+        (2, "spark shines"),
+        (3, "... ,,, !!!"),          # strips to nothing under 'simple'
+        (4, "Café! visitors"),       # non-ASCII letter survives 'simple'
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # keep: case-sensitive, punctuation attached (the raw default)
+    keep = R.inverted_index(d)  # analyzer="keep"
+    assert {r["term"] for r in keep.where(F.col("doc_id") == 1).collect()} \
+        == {"Spark,", "spark!", "SPARK", "runs"}
+    # lowercase: folds case, punctuation still attached
+    low = R.inverted_index(d, analyzer="lowercase")
+    assert {r["term"] for r in low.where(F.col("doc_id") == 1).collect()} \
+        == {"spark,", "spark!", "spark", "runs"}
+    # simple: case-fold + edge punctuation strip -> one 'spark' posting
+    # with tf=3 and intact positions; the all-punct doc drops entirely
+    simp = R.inverted_index(d, analyzer="simple")
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"], r["dl"])
+        for r in simp.collect()
+    }
+    assert got[("spark", 1)] == (3, [1, 2, 3], 4)
+    assert got[("runs", 1)] == (1, [4], 4)
+    assert got[("café", 4)] == (1, [1], 2)  # JVM strips the same class
+    assert not any(d_ == 3 for _, d_ in got)
+    # same-analyzer contract: the driver-side twin normalizes query
+    # terms identically, so BM25 and phrase search line up
+    assert R.analyze_terms(["Spark,", "RUNS"], "simple") == ["spark", "runs"]
+    assert R.analyze_terms("..x..", "simple") == ["x"]
+    # explicit ASCII punctuation class: non-ASCII letters survive and
+    # interior punctuation is kept — and the JVM regex strips the SAME
+    # characters (checked below via the indexed doc)
+    assert R.analyze_terms(["Café!", "A-B"], "simple") == ["café", "a-b"]
+    assert R.analyze_terms(["Mixed"], "lowercase") == ["mixed"]
+    assert R.analyze_terms(["AsIs"], "keep") == ["AsIs"]
+    hits = {
+        r["doc_id"]
+        for r in R.bm25_topk(
+            simp, R.analyze_terms(["SPARK!"], "simple"), k=10
+        ).collect()
+    }
+    assert hits == {1, 2}
+    # phrase adjacency holds on the ANALYZED stream
+    ph = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in R.phrase_search(
+            simp, R.analyze_terms("SPARK runs", "simple")
+        ).collect()
+    }
+    assert ph == {1: (1, 3)}
+    with pytest.raises(ValueError, match="analyzer must be"):
+        R.inverted_index(d, analyzer="stem")
+    with pytest.raises(ValueError, match="analyzer must be"):
+        R.analyze_terms(["x"], "stem")
