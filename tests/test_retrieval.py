@@ -821,3 +821,17 @@ def test_inverted_index_analyzers_and_query_twin(spark):
         R.inverted_index(d, analyzer="stem")
     with pytest.raises(ValueError, match="analyzer must be"):
         R.analyze_terms(["x"], "stem")
+    # persisted round-trip: the index stores ANALYZED terms, so pruned
+    # loads bucket-hash the analyzed form — analyze_terms keeps the
+    # driver-side md5 math aligned with what the partitions hold
+    dpath = tempfile.mkdtemp()
+    try:
+        R.write_inverted_index(simp, dpath, n_buckets=8)
+        post, stats = R.load_postings(
+            spark, dpath, R.analyze_terms(["SPARK!", "Café,"], "simple")
+        )
+        assert {(r["term"], r["doc_id"]) for r in post.collect()} == {
+            ("spark", 1), ("spark", 2), ("café", 4)
+        }
+    finally:
+        shutil.rmtree(dpath, ignore_errors=True)
