@@ -494,7 +494,15 @@ def index_append(
     identically (the same must-match contract as the dedup index's
     ``k``/``bands``).  Replay-safe: ``write_epoch``'s epoch-owned
     overwrite makes a foreachBatch retry rewrite exactly its own
-    epoch."""
+    epoch.
+
+    Write order is postings-then-stats, so a reader resolving between
+    the two commits can see the epoch's postings with its stats row
+    not yet landed: scores for that instant use slightly stale
+    n_docs/avgdl (a bounded freshness skew, self-healing at the next
+    read — never a correctness error in the postings themselves, and
+    :func:`index_compact`'s aligned stats fold accounts for exactly
+    this window)."""
     spark = idx.sparkSession
     proot = f"{root}/{_POSTINGS_SUBDIR}"
     m = M.manifest_resolve(spark, proot)
