@@ -228,6 +228,7 @@ def read_artifact(
     root: str,
     manifest: dict | None = None,
     drop_epoch: bool = False,
+    live_epochs: list[int] | None = None,
 ) -> DataFrame:
     """Read an artifact through its manifest: ``base/v<N>`` UNION the
     epochs not yet folded — lazy, partition-prunable on every partition
@@ -238,7 +239,15 @@ def read_artifact(
     pre-manifest artifact keeps working unchanged.  ``drop_epoch=True``
     removes the ``epoch`` bookkeeping column when present — the shared
     idiom of every row-consuming loader (``dedup.load_dedup_index``,
-    ``sketches.load_sketch_shards``)."""
+    ``sketches.load_sketch_shards``).
+
+    ``live_epochs`` pins the live-epoch SET instead of listing it here:
+    a caller coordinating two sibling artifacts (an index's postings
+    and its stats rows) lists the epochs ONCE and passes the same set
+    to both reads, so an epoch committing between two internal
+    listings can never appear in one sibling's view and not the
+    other's.  The caller's list is trusted verbatim (it already
+    excludes folded/watermarked ids)."""
     root = root.rstrip("/")
     m = manifest if manifest is not None else manifest_resolve(spark, root)
     if m is None:
@@ -253,10 +262,13 @@ def read_artifact(
     bdir = base_dir(root, m["version"])
     if _exists(spark, bdir):
         parts.append(spark.read.parquet(bdir))
-    live = [
-        e for e in list_epochs(spark, root)
-        if e not in folded and e > watermark
-    ]
+    if live_epochs is not None:
+        live = sorted(int(e) for e in live_epochs)
+    else:
+        live = [
+            e for e in list_epochs(spark, root)
+            if e not in folded and e > watermark
+        ]
     if live:
         parts.append(_read_epochs(spark, root, live))
     if not parts:

@@ -293,12 +293,14 @@ def bm25_topk_batch(
     ).distinct()
     uniq = qterms.select("term").distinct()
     if stats is None:
-        if getattr(index, "_gcfspark_pruned", False):
+        if _is_pruned(index):
             # A term-pruned frame holds only the query terms' postings:
             # n_docs/avgdl derived from it would be corpus stats over a
             # sliver — every idf, hence every score and rank, silently
             # wrong.  The pruning loaders return (postings, stats)
-            # pairs; pass that stats row through.
+            # pairs AND stamp pruned provenance into the schema
+            # (column metadata — survives filter/select/cache, unlike
+            # the r14 Python attribute); pass that stats row through.
             raise ValueError(
                 "stats=None with term-pruned postings: pass the stats "
                 "frame returned by load_postings/load_postings_artifact"
@@ -377,6 +379,34 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     )
 
 
+_PRUNED_META_KEY = "gcfspark_term_pruned"
+
+
+def _mark_pruned(post: DataFrame) -> DataFrame:
+    """Stamp term-pruned provenance INTO the schema — column metadata
+    on ``term`` — not as a Python attribute on the DataFrame object.
+    Metadata rides the attribute reference through ``where``/
+    ``select``/``cache``/``checkpoint`` (exactly the transformations
+    that silently dropped the r14 attribute flag and re-opened the
+    wrong-stats foot-gun the guard exists to close); it only
+    disappears when the column itself is rebuilt, at which point the
+    frame is no longer the loader's postings."""
+    cols = [
+        F.col(c).alias(c, metadata={_PRUNED_META_KEY: True})
+        if c == "term"
+        else F.col(c)
+        for c in post.columns
+    ]
+    return post.select(*cols)
+
+
+def _is_pruned(df: DataFrame) -> bool:
+    for f in df.schema.fields:
+        if f.name == "term":
+            return bool(f.metadata.get(_PRUNED_META_KEY, False))
+    return False
+
+
 def write_inverted_index(
     index: DataFrame,
     path: str,
@@ -448,8 +478,7 @@ def load_postings(
         .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
         .drop("tbucket")
     )
-    post._gcfspark_pruned = True
-    return post, stats_row.drop("n_buckets")
+    return _mark_pruned(post), stats_row.drop("n_buckets")
 
 
 # --------------------------------------- incremental index (epochs)
@@ -496,13 +525,16 @@ def index_append(
     overwrite makes a foreachBatch retry rewrite exactly its own
     epoch.
 
-    Write order is postings-then-stats, so a reader resolving between
-    the two commits can see the epoch's postings with its stats row
-    not yet landed: scores for that instant use slightly stale
-    n_docs/avgdl (a bounded freshness skew, self-healing at the next
-    read — never a correctness error in the postings themselves, and
-    :func:`index_compact`'s aligned stats fold accounts for exactly
-    this window)."""
+    Write order is STATS-THEN-POSTINGS (inverted r15 — r14 documented
+    the old postings-then-stats freshness window; this closes it): at
+    any instant the committed stats epochs are a superset of the
+    committed postings epochs, and the readers
+    (:func:`read_index_artifact` / :func:`load_postings_artifact`)
+    key the stats read off the POSTINGS snapshot — an epoch's stats
+    row is consumed iff that epoch's postings are being served, so a
+    reader can never score postings with their stats row missing,
+    and an orphan stats epoch (crash between the two commits — the
+    batch replays) is invisible until its postings land."""
     spark = idx.sparkSession
     proot = f"{root}/{_POSTINGS_SUBDIR}"
     m = M.manifest_resolve(spark, proot)
@@ -510,15 +542,15 @@ def index_append(
         M.init_artifact(spark, proot, extra={"n_buckets": int(n_buckets)})
     else:
         n_buckets = int(m.get("n_buckets", n_buckets))
-    with_bucket = idx.withColumn(
-        "tbucket", _term_bucket_col(n_buckets)
-    ).repartition("tbucket")
-    M.write_epoch(with_bucket, proot, epoch_id, partition_cols=("tbucket",))
     M.write_epoch(
         _batch_stats(idx, id_col).coalesce(1),
         f"{root}/{_STATS_ART}",
         epoch_id,
     )
+    with_bucket = idx.withColumn(
+        "tbucket", _term_bucket_col(n_buckets)
+    ).repartition("tbucket")
+    M.write_epoch(with_bucket, proot, epoch_id, partition_cols=("tbucket",))
 
 
 def _overlay_deletes(
@@ -545,6 +577,52 @@ def _overlay_deletes(
     )
 
 
+def _postings_snapshot(
+    spark: SparkSession, proot: str, manifest: dict | None = None
+) -> tuple[dict | None, list[int] | None]:
+    """One consistent (manifest, live-epoch list) snapshot of the
+    postings artifact, listed ONCE and shared by the postings read and
+    the stats alignment — two internal listings could straddle a
+    concurrent append and disagree."""
+    m = manifest if manifest is not None else M.manifest_resolve(spark, proot)
+    if m is None:
+        return None, None
+    folded = set(m["folded_epochs"])
+    wm = int(m.get("folded_watermark", -1))
+    live = [
+        e for e in M.list_epochs(spark, proot)
+        if e not in folded and e > wm
+    ]
+    return m, live
+
+
+def _aligned_stats_rows(
+    spark: SparkSession,
+    root: str,
+    m_post: dict | None,
+    live_post: list[int] | None,
+) -> DataFrame:
+    """Stats rows aligned to the postings snapshot: keep base rows and
+    exactly the epochs the postings artifact KNOWS (live in the
+    snapshot, or already folded into its base) — an epoch the postings
+    have never committed is a mid-append orphan whose stats must not
+    be counted (``index_append`` writes stats first, so the orphan
+    direction is always stats-ahead).  With the r15 write inversion
+    this makes ``(postings, stats)`` exactly consistent at every
+    instant; the compaction window stays covered because a
+    postings-folded epoch is kept here even while the stats fold
+    lags (``index_compact``'s ``align_manifest`` contract)."""
+    rows = M.read_artifact(spark, f"{root}/{_STATS_ART}", drop_epoch=False)
+    if m_post is None or "epoch" not in rows.columns:
+        return rows.drop("epoch") if "epoch" in rows.columns else rows
+    wm = int(m_post.get("folded_watermark", -1))
+    known = sorted(set(m_post["folded_epochs"]) | set(live_post or []))
+    keep = (F.col("epoch") == -1) | (F.col("epoch") <= wm)
+    if known:
+        keep = keep | F.col("epoch").isin(known)
+    return rows.where(keep).drop("epoch")
+
+
 def read_index_artifact(
     spark: SparkSession,
     root: str,
@@ -561,12 +639,12 @@ def read_index_artifact(
     token mass subtract exactly), so retrieval is correct BETWEEN
     compactions; the physical rows die at the next
     :func:`index_compact` with ``delete_ids=``."""
+    proot = f"{root}/{_POSTINGS_SUBDIR}"
+    m, live = _postings_snapshot(spark, proot)
     post = M.read_artifact(
-        spark, f"{root}/{_POSTINGS_SUBDIR}", drop_epoch=True
+        spark, proot, manifest=m, drop_epoch=True, live_epochs=live
     ).drop("tbucket")
-    stats_rows = M.read_artifact(
-        spark, f"{root}/{_STATS_ART}", drop_epoch=True
-    )
+    stats_rows = _aligned_stats_rows(spark, root, m, live)
     if pending_deletes is not None:
         post, stats_rows = _overlay_deletes(
             post, stats_rows, pending_deletes, id_col
@@ -603,23 +681,24 @@ def load_postings_artifact(
     m = M.manifest_resolve(spark, proot)
     if m is None or "n_buckets" not in m:
         raise ValueError(f"{root!r} is not an incremental index artifact")
+    m, live = _postings_snapshot(spark, proot, manifest=m)
     n_buckets = int(m["n_buckets"])
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in tl})
     post = (
-        M.read_artifact(spark, proot, manifest=m, drop_epoch=True)
+        M.read_artifact(
+            spark, proot, manifest=m, drop_epoch=True, live_epochs=live
+        )
         .where(F.col("tbucket").isin(buckets) & F.col("term").isin(tl))
         .drop("tbucket")
     )
-    stats_rows = M.read_artifact(
-        spark, f"{root}/{_STATS_ART}", drop_epoch=True
-    )
+    stats_rows = _aligned_stats_rows(spark, root, m, live)
     if pending_deletes is not None:
         dels = pending_deletes.select(
             F.col(pending_deletes.columns[0]).alias(id_col)
         )
         post = post.join(F.broadcast(dels), id_col, "left_anti")
         full = M.read_artifact(
-            spark, proot, manifest=m, drop_epoch=True
+            spark, proot, manifest=m, drop_epoch=True, live_epochs=live
         ).select(id_col, "dl")
         removed = (
             full.join(F.broadcast(dels), id_col, "left_semi")
@@ -637,8 +716,7 @@ def load_postings_artifact(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
         (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    post._gcfspark_pruned = True
-    return post, stats
+    return _mark_pruned(post), stats
 
 
 def index_compact(
@@ -957,6 +1035,7 @@ def prf_expand(
     text_col: str = "text",
     score_col: str = "score",
     scale: int | None = None,
+    analyzer: str = "keep",
 ) -> DataFrame:
     """RM1-style pseudo-relevance feedback (Lavrenko & Croft 2001):
     mine EXPANSION terms from the top-ranked documents of a first-pass
@@ -986,9 +1065,17 @@ def prf_expand(
     doc's contribution ``floor((tf/dl)*score*scale + 0.5)`` is an
     exact integer before the cross-doc sum (``tf/dl`` then ``*score``
     are two correctly-rounded IEEE ops, identical on any engine), and
-    ``weight`` is the exact integer sum divided once by ``scale``."""
+    ``weight`` is the exact integer sum divided once by ``scale``.
+
+    ``analyzer`` — MUST be the mode the index being expanded against
+    was built with (the same-analyzer contract): feedback tokens are
+    mined through the same normalization, so the returned expansion
+    terms are ANALYZED terms that actually exist as postings in the
+    second-pass index — raw mixed-case/punctuated mined terms
+    (``"Spark,"``) against a ``'simple'`` index would match zero
+    postings and silently degrade the loop to the original query."""
     fb = ranking.select(F.col(id_col), F.col(score_col).alias("_s"))
-    t = _tokens(text_col)
+    t = _analyze(_tokens(text_col), analyzer)
     hits = docs.join(F.broadcast(fb), id_col).where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
@@ -1028,6 +1115,7 @@ def snippets(
     id_col: str = "doc_id",
     text_col: str = "text",
     pos_col: str = "first_pos",
+    analyzer: str = "keep",
 ) -> DataFrame:
     """Keyword-in-context snippet hydration — the display step of a
     search stack: for each match row ``(id, pos)`` (1-based token
@@ -1040,17 +1128,32 @@ def snippets(
     "spark window") so the window covers the whole match, not just
     its anchor.  Returns ``(id, pos, snippet_start, snippet)``.
 
+    ``analyzer`` — MUST be the mode the index that produced the
+    positions was built with (the same-analyzer contract,
+    :func:`inverted_index`): positions refer to the ANALYZED token
+    stream, and under ``'simple'`` a token that strips to nothing
+    (a standalone ``"..."``) is dropped from that stream — slicing
+    the raw stream there would shift every later window off its
+    match.  The snippet is therefore rendered from the analyzed
+    tokens (what the index matched is what the user sees
+    highlighted-in-context).
+
     Scale posture: the hydration join is the tier's standing rule —
-    text is touched only AFTER matching, k rows at a time.  The match
-    frame broadcasts into an id equi-join against the documents table
-    (pair with ``scale.file_stats`` pruning / Z-order clustering for
-    the point lookup at 100 TB) and only the matched documents are
-    tokenized; the slice/join are pure JVM expressions."""
+    text is touched only AFTER matching, k rows at a time when the
+    caller bounds its matches (a top-k, a ranked page).  The match
+    frame carries NO broadcast hint: :func:`phrase_search` returns one
+    row per matching document with no k bound, and a common phrase on
+    a web corpus matches a corpus-scale fraction of docs — a pinned
+    broadcast would OOM exactly there, so AQE picks the join strategy
+    from measured sizes (the same regime as ``text.collocations``;
+    pair with ``scale.file_stats`` pruning / Z-order clustering for
+    the point lookup at 100 TB).  The slice/join are pure JVM
+    expressions."""
     m = matches.select(F.col(id_col), F.col(pos_col))
-    t = _tokens(text_col)
+    t = _analyze(_tokens(text_col), analyzer)
     hits = docs.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).join(F.broadcast(m), id_col)
+    ).join(m, id_col)
     start = F.greatest(F.lit(1), F.col(pos_col) - F.lit(int(width)))
     toks = t.alias("_t")
     hits = hits.select(F.col(id_col), F.col(pos_col), toks)

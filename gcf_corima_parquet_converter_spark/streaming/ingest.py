@@ -1252,7 +1252,20 @@ def serve_bm25_queries(
     top-k immediately — postings AND corpus stats corrected — and the
     physical rows die at the next ``index_compact(delete_ids=...)``,
     after which the purge loop clears/rewrites the file.  A missing or
-    empty path is simply "no pending deletions".
+    empty path is simply "no pending deletions".  The overlay is
+    LOCALIZED driver-side at batch-plan time (collected once per
+    batch — it is bounded by contract: ids pending between two
+    compactions, the same smallness the overlay's broadcast anti-join
+    already assumes), so the batch's task plan never references the
+    overlay files: a purge loop rewriting the path mid-batch can no
+    longer raise an executor-side FileNotFound that fails the batch
+    and forces a checkpoint replay.  Files deleted between the read's
+    listing and its scan are skipped (``ignoreMissingFiles``), and a
+    read that still fails because the overlay is mid-rewrite degrades
+    to "no overlay this batch" with a warning — bounded staleness
+    (merge-on-compact deletion stays authoritative), never a wedged
+    stream.  Purge loops should still replace the overlay atomically
+    (write a temp dir, then rename) where the store allows it.
 
     Robustness: a query whose ``terms`` are null/empty (or contain
     null/blank elements) cannot poison the stream — bad elements are
@@ -1312,12 +1325,28 @@ def serve_bm25_queries(
             return
         dels = None
         if pending_deletes_path is not None:
+            # Localize the overlay at plan time (see docstring): one
+            # bounded collect, then the batch plan carries the ids as
+            # in-memory rows — no executor-side read of a path a purge
+            # loop may be rewriting underneath us.
             try:
-                dels = spark.read.parquet(pending_deletes_path)
-                if not dels.head(1):
-                    dels = None
+                overlay = spark.read.option(
+                    "ignoreMissingFiles", "true"
+                ).parquet(pending_deletes_path)
+                rows = overlay.collect()
+                if rows:
+                    dels = spark.createDataFrame(rows, overlay.schema)
             except AnalysisException:
                 dels = None  # path absent/cleared: nothing pending
+            except Exception as exc:  # mid-rewrite torn state
+                warnings.warn(
+                    "serve_bm25_queries: pending-deletes overlay at "
+                    f"{pending_deletes_path!r} unreadable this batch "
+                    f"({type(exc).__name__}); serving without it "
+                    "(bounded staleness — rewrite the overlay "
+                    "atomically via temp dir + rename)"
+                )
+                dels = None
         if len(terms) > max_pruned_terms:
             post, stats = read_index_artifact(
                 spark, index_root, pending_deletes=dels, id_col=id_col

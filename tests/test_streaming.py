@@ -2449,3 +2449,82 @@ def test_serve_bm25_queries_pending_deletes_overlay(spark, tmp_path):
         }
         assert gotq == want, qid
         assert all(d != 0 for _, d, _ in gotq)
+
+
+def test_serve_bm25_queries_torn_overlay_degrades_not_fails(
+    spark, tmp_path
+):
+    """ADVICE r15: the purge loop 'clears/rewrites the file' — a batch
+    planning against a half-rewritten overlay (torn part file, parts
+    deleted mid-read) must DEGRADE to serving without the overlay for
+    that batch (bounded staleness; merge-on-compact deletion stays
+    authoritative), never fail the batch and wedge the stream on a
+    checkpoint replay.  r15 localizes the overlay driver-side at plan
+    time (one bounded collect), so the executor plan never touches the
+    overlay path at all."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_bm25_queries,
+    )
+
+    docs = [(0, "quick quick quick quick")] + [
+        (i, f"doc {i} quick brown w{i % 3}") for i in range(1, 6)
+    ]
+    root = str(tmp_path / "torn_idx")
+    R.index_append(
+        R.inverted_index(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ),
+        root, 0, n_buckets=8,
+    )
+    dels_path = str(tmp_path / "pending_dels")
+    spark.createDataFrame([(0,)], "doc_id long").write.parquet(dels_path)
+
+    qsrc = str(tmp_path / "qsrc")
+    os.makedirs(qsrc)
+    sch = "q_id long, terms array<string>"
+    for name, rows in (("a", [(1, ["quick"])]), ("b", [(2, ["quick"])])):
+        p = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(qsrc, name + ".parquet"))
+
+    state = {"torn": False}
+
+    def hook(batch_id):
+        if batch_id >= 1 and not state["torn"]:
+            # simulate mid-rewrite: parts gone, a torn (truncated)
+            # file in their place — neither listable-and-readable nor
+            # cleanly absent
+            for f in _g.glob(os.path.join(dels_path, "part-*.parquet")):
+                os.remove(f)
+            with open(
+                os.path.join(dels_path, "part-00000.parquet"), "wb"
+            ) as fh:
+                fh.write(b"PAR1torn")
+            state["torn"] = True
+
+    out_path = str(tmp_path / "out")
+    q = serve_bm25_queries(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "ckpt"),
+        k=5, idf="rational", scale=10**6,
+        pending_deletes_path=dels_path, _pre_batch_hook=hook,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # the stream NEVER wedged
+    got = spark.read.parquet(out_path)
+    # batch 0: overlay intact -> doc 0 purged from the top-k
+    assert all(
+        r["doc_id"] != 0
+        for r in got.where(F.col("q_id") == 1).collect()
+    )
+    # batch 1: overlay torn -> served WITHOUT it (doc 0 back, the
+    # documented bounded-staleness degradation) — but served
+    r1 = got.where((F.col("q_id") == 2) & (F.col("rank") == 1)).first()
+    assert r1 is not None and r1["doc_id"] == 0
