@@ -240,6 +240,37 @@ _DEMOTED_REDUNDANT = (
     # gated bucket RMS) and q35 (graded moving RMS window), and
     # locally by test_telemetry + test_queries_oracle.
     "q93_downsample_envelope",
+    # r15 rotation: q120_phrase_snippets / q121_eval_compare_bm25_b
+    # PROMOTED (the r14 overflow candidates — r14 verdict #2), plus
+    # the round's new q122_analyzed_bm25 (the analyzer path graded
+    # end-to-end — r14 verdict #3), q123_search_capstone (phrase +
+    # BM25 -> RRF -> snippets -> eval composed in ONE plan — r14
+    # verdict #7) and q124_ngram_lm_score (the new stupid-backoff
+    # n-gram LM tier; same-round promotion precedent r7/q100 +
+    # r11/q105 + r13/q113 + r14/q118).  Five veterans take their
+    # slots, each family still graded by an in-window superset twin
+    # (the q91->q99 superset logic) and oracle-verified locally every
+    # round by test_queries_oracle + driver_sim:
+    # q114's phrase-adjacency kernel is graded by q120 (snippets
+    # hydrate phrase_search's (doc, first_pos) — byte-shared kernel,
+    # the oracle re-derives the same matches) and by q123 (the phrase
+    # arm of the fused capstone);
+    # q115's batch-BM25 shape by q121 (runs bm25_topk_batch TWICE —
+    # both ablation arms — over the same VALUES query table) and q113
+    # (single-query scorer, same postings join + window);
+    # q117's RRF fusion by q123 (rrf_fuse IS the capstone's fusion
+    # stage, fixed-point contributions graded in the same hash);
+    # q118's per-query eval triple by q121 (consumes two
+    # retrieval_eval outputs at full precision) and q123 (grades the
+    # fused ranking's recall/rr/ap/ndcg row in-plan);
+    # q96's quality-scoring projection family by q95 (group quality
+    # gate, graded) and the promoted q124 (the LM quality scorer —
+    # the CCNet-style replacement for heuristic feature scoring).
+    "q114_phrase_search",
+    "q115_bm25_batch",
+    "q117_hybrid_rrf",
+    "q118_retrieval_eval",
+    "q96_quality_score",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -944,3 +944,236 @@ def logreg_train(
     finally:
         feats.unpersist()
     return {c: float(wi) for c, wi in zip(feature_cols, w)}, float(b)
+
+
+# --------------------------------------- n-gram LM with stupid backoff
+#
+# The CCNet perplexity-filtering step (Wenzek et al. 2020, LREC —
+# real CCNet scores with a KenLM 5-gram) with the count-based scoring
+# scheme Google built for exactly the distributed-counts setting:
+# STUPID BACKOFF (Brants et al. 2007, EMNLP "Large Language Models in
+# Machine Translation"), which drops Kneser-Ney's discount bookkeeping
+# so the model IS the raw n-gram count table — trivially mergeable,
+# shardable, and trainable as one groupBy, the property that made it
+# the MapReduce-era LM and makes it the Spark-native one here:
+#
+#     S(w | ctx_k) = count(ctx_k · w) / count(ctx_k)   if count > 0
+#                  = alpha * S(w | ctx_{k-1})          otherwise
+#     S(w)         = count(w) / N                      (base case)
+#
+# No normalization (S is a score, not a probability) — which is why
+# it survives integer-count sharding unchanged.  The reference engine
+# has no LM twin; the tier belongs to the north-star pipeline: score
+# every document by how expected its text is under a trusted corpus's
+# LM, then gate/bucket on the score (the highest-leverage quality
+# filter after dedup in the CCNet/RedPajama recipes).
+
+_LM_SEP = "\x1f"  # unit separator: joins gram tokens into one key
+_LM_BOS = "<s>"
+_LM_EOS = "</s>"
+
+
+def _lm_padded(text_col: str | Column, n: int) -> Column:
+    """BOS^(n-1) · tokens · EOS — one padded stream shared by every
+    order, so a k-gram's context count and the (k-1)-gram count are
+    drawn from the same sequence (numerator/denominator consistency —
+    '<s> <s>' must exist as a bigram for the trigram '<s> <s> w1' to
+    back onto)."""
+    t = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    return F.concat(
+        F.array_repeat(F.lit(_LM_BOS), n - 1), t, F.array(F.lit(_LM_EOS))
+    )
+
+
+def _lm_grams(col: Column, k: int) -> Column:
+    """All k-token windows of a padded stream as SEP-joined strings —
+    a narrow JVM transform over the array, no positional self-join."""
+    idx = F.sequence(F.lit(1), F.size(col) - F.lit(k - 1))
+    return F.when(F.size(col) >= k, F.transform(
+        idx, lambda i: F.array_join(F.slice(col, i, k), _LM_SEP)
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Train the count model: ``(order, gram, cnt)`` for every order
+    1..``n`` over the BOS/EOS-padded token streams.  ``gram`` is the
+    window's tokens joined with the unit separator (one string key —
+    order is carried explicitly so a pathological token containing the
+    separator can never alias across orders).
+
+    Plan: one narrow tokenize+pad projection, ONE flatten+explode
+    emitting every order's windows (not one pass per order), one
+    partial-aggregable groupBy — the whole model is a single shuffle
+    on ``(order, gram)`` however many orders are trained, the Brants
+    MapReduce shape verbatim.  ``min_count`` prunes the long tail
+    (safe for backoff: a context's count is >= every continuation's
+    count, so a surviving gram's context always survives too).
+    ``id_col`` feeds ``scale.ensure_min_parallelism`` so a file-poor
+    corpus scan spreads before the CPU-heavy explode (the standing
+    guard of the gram/shingle kernels)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .scale import ensure_min_parallelism
+
+    if id_col is not None:
+        df = ensure_min_parallelism(df, id_col)
+    padded = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(_lm_padded(text_col, n).alias("_pt"))
+    def _tagger(k: int):
+        # a factory, NOT a defaulted lambda: F.transform treats a
+        # 2-parameter callable as (element, index) and would bind the
+        # array index over the default
+        return lambda g: F.struct(F.lit(k).alias("order"), g.alias("gram"))
+
+    entries = F.flatten(
+        F.array(
+            *[
+                F.transform(_lm_grams(F.col("_pt"), k), _tagger(k))
+                for k in range(1, n + 1)
+            ]
+        )
+    )
+    counts = (
+        padded.select(F.explode(entries).alias("_e"))
+        .select("_e.order", "_e.gram")
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= int(min_count))
+    return counts
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    n: int = 3,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int | None = None,
+    log: bool = False,
+) -> DataFrame:
+    """Per-document mean stupid-backoff token score against a trained
+    ``model`` (:func:`ngram_lm_train`, same ``n`` — typically trained
+    on a TRUSTED corpus and applied to the candidate batch, the CCNet
+    production pattern).  Every real token is scored with up to
+    ``n-1`` tokens of left context (BOS-padded at the doc start; EOS
+    is not scored); an OOV token scores 0 through the backoff chain's
+    base case.  Returns ``(id, n_tokens, lm_score)`` — higher = more
+    expected = likelier clean text; blank/null docs carry no row
+    (nothing to score), the corpus convention of ``unigram_logprob``.
+
+    Plan (the 100 TB shape): each scored position needs ``2n-1``
+    count lookups (gram + context per order, one unigram), which are
+    emitted as key rows and resolved by ONE equi-join against the
+    model — not ``2n-1`` separate joins each reshuffling the
+    corpus-scale positions frame.  The model side is vocabulary-
+    sized (Heaps-sublinear) and carries NO broadcast hint: a web-scale
+    count table is GBs (the collocations regime) — AQE upgrades from
+    measured sizes when a small trusted model makes that safe, and
+    its skew-join handles the stopword-gram hot keys.  The join
+    result folds back to one row per position (conditional aggregation
+    on the slot id), then one per-doc aggregation.
+
+    Float parity: ``scale`` fixed-points each token's score before
+    the per-doc sum (``cnt/cnt`` and ``alpha * s`` are correctly-
+    rounded IEEE ops in a pinned order — identical across engines),
+    making the output hash-stable for the graded-oracle contract.
+    ``log=True`` returns mean ``ln(S)`` instead (the classic
+    log-domain quality score; floored at 1e-12 so OOV stays finite) —
+    libm-dependent, so not oracle-gradable (repo convention)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .scale import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, id_col)
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), _lm_padded(text_col, n).alias("_pt"))
+
+    # fixed slot layout per scored position p (1-based in the padded
+    # stream; real tokens sit at p = n .. size-1):
+    #   slot 2j   = the (n-j)-gram ending at p        (j = 0..n-2)
+    #   slot 2j+1 = its context, the (n-j-1)-gram ending at p-1
+    #   slot 2n-2 = the unigram at p
+    n_slots = 2 * n - 1
+    slot_orders = []
+    for j in range(n - 1):
+        slot_orders += [n - j, n - j - 1]
+    slot_orders.append(1)
+
+    def _keys_at(p):
+        ks = []
+        for j in range(n - 1):
+            k = n - j
+            ks.append(F.array_join(F.slice(F.col("_pt"), p - k + 1, k), _LM_SEP))
+            ks.append(
+                F.array_join(F.slice(F.col("_pt"), p - k + 1, k - 1), _LM_SEP)
+            )
+        ks.append(F.element_at(F.col("_pt"), p))
+        return F.array(*ks)
+
+    keyed = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(n), F.size("_pt") - 1), _keys_at
+            )
+        ).alias("_pi", "_keys"),
+    )
+    kv = keyed.select(
+        F.col(id_col),
+        F.col("_pi"),
+        F.posexplode("_keys").alias("_slot", "gram"),
+    ).withColumn(
+        "order",
+        F.element_at(
+            F.array(*[F.lit(o) for o in slot_orders]), F.col("_slot") + 1
+        ),
+    )
+    resolved = kv.join(
+        model.select("order", "gram", "cnt"), ["order", "gram"], "left"
+    )
+    percell = resolved.groupBy(id_col, "_pi").agg(
+        *[
+            F.max(F.when(F.col("_slot") == i, F.col("cnt"))).alias(f"_c{i}")
+            for i in range(n_slots)
+        ]
+    )
+    total = model.where(F.col("order") == 1).agg(
+        F.sum("cnt").alias("_N")
+    )
+    percell = percell.crossJoin(F.broadcast(total))
+    # backoff chain, base case upward — the exact arithmetic order the
+    # SQL oracle mirrors (parity contract)
+    s = (
+        F.coalesce(F.col(f"_c{n_slots - 1}"), F.lit(0)).cast("double")
+        / F.col("_N").cast("double")
+    )
+    for j in range(n - 2, -1, -1):
+        g, c = F.col(f"_c{2 * j}"), F.col(f"_c{2 * j + 1}")
+        s = F.when(
+            g.isNotNull() & c.isNotNull(),
+            g.cast("double") / c.cast("double"),
+        ).otherwise(F.lit(float(alpha)) * s)
+    if log:
+        tok = F.log(F.greatest(s, F.lit(1e-12)))
+        agg = F.avg(tok).alias("lm_score")
+    elif scale is not None:
+        part = F.floor(s * F.lit(float(scale)) + F.lit(0.5))
+        agg = (
+            (F.sum(part) / F.lit(float(scale))) / F.count(F.lit(1))
+        ).alias("lm_score")
+    else:
+        agg = F.avg(s).alias("lm_score")
+    return percell.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), agg
+    )

@@ -4838,3 +4838,409 @@ def q121(spark, sf_dir):
         fx("mean_delta", 10**6).alias("delta_fx"),
         "wins", "ties", "losses",
     )
+
+
+# -- q122: the ANALYZED index path graded end-to-end (r14 verdict #3):
+#    a deterministically-noised corpus (every token uppercased with a
+#    trailing comma, plus a standalone '...' per doc) is indexed with
+#    analyzer='simple' — case-fold + edge-punctuation strip, with the
+#    all-punct token dropped from positions AND dl — and BM25-scored
+#    for analyze_terms()-normalized query terms.  The DuckDB twin
+#    replays the same 32-char ASCII punctuation class (_PUNCT_CLASS is
+#    engine-portable by construction), so the hash grades tokenizer
+#    normalization, the dl exclusion, and the same-analyzer query
+#    contract in one query.
+_SQL_PUNCT = R._PUNCT_CLASS.replace("'", "''")
+_Q122_STATS = (
+    """
+    noisy AS (
+      SELECT doc_id,
+             regexp_replace(upper(text), '(\\S+)', '\\1,', 'g') || ' ...'
+               AS text
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    rawtoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS rt
+      FROM noisy
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(list_transform(rt,
+               t -> regexp_replace(lower(t), '^"""
+    + _SQL_PUNCT
+    + "+|"
+    + _SQL_PUNCT
+    + """+$', '', 'g')),
+               t -> t <> '') AS t
+      FROM rawtoks
+    ),
+    toksf AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toksf),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl)/count(*) AS avgdl FROM dl),
+    pos AS (
+      SELECT doc_id, unnest(t) AS term,
+             unnest(generate_series(1, len(t))) AS p
+      FROM toksf
+    )
+"""
+)
+
+
+@query(
+    "q122_analyzed_bm25",
+    "WITH " + _Q122_STATS + """,
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN ('spark', 'query')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, score_fx
+    FROM scores ORDER BY score_fx DESC, doc_id LIMIT 10
+    """,
+)
+def q122(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), r"(\S+)", "$1,"),
+            F.lit(" ..."),
+        ).alias("text"),
+    )
+    idx = R.inverted_index(noisy, analyzer="simple")
+    terms = R.analyze_terms("SPARK, Query.", "simple")  # -> spark, query
+    out = R.bm25_topk(idx, terms, k=10, idf="rational", scale=1_000_000)
+    return out.select(
+        "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    ).orderBy("rank")
+
+
+# -- q123: the search-stack capstone (r14 verdict #7) — the retrieval
+#    twin of q111's decontamination capstone: phrase search and BM25
+#    produce two rankings over ONE inverted-index subtree, RRF fuses
+#    them, snippets hydrate the fused page (text touched only AFTER
+#    ranking, k rows), and retrieval_eval grades the fused ranking
+#    against tf-graded qrels — all composed into a single returned
+#    plan.  Every stage already has a graded SQL twin (q113/q114/
+#    q117/q118/q120); here they chain.
+@query(
+    "q123_search_capstone",
+    "WITH " + _BM25_SQL_STATS + f""",
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY doc_id
+    ),
+    ranked_bm AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY score_fx DESC, doc_id) AS rank
+        FROM scores
+      ) WHERE rank <= 20
+    ),
+    m AS (
+      SELECT a.doc_id, a.p
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.term = 'spark' AND b.term = 'window'
+    ),
+    fm AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(MIN(p) AS INT) AS first_pos
+      FROM m GROUP BY doc_id
+    ),
+    ranked_ph AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY n_matches DESC, doc_id) AS rank
+        FROM fm
+      ) WHERE rank <= 20
+    ),
+    rrf_in AS (
+      SELECT doc_id,
+             CAST(floor((1.0 / (60.0 + CAST(rank AS DOUBLE)))
+                  * 1000000000 + 0.5) AS BIGINT) AS cfx
+      FROM ranked_bm
+      UNION ALL
+      SELECT doc_id,
+             CAST(floor((1.0 / (60.0 + CAST(rank AS DOUBLE)))
+                  * 1000000000 + 0.5) AS BIGINT) AS cfx
+      FROM ranked_ph
+    ),
+    fused0 AS (
+      SELECT doc_id, CAST(SUM(cfx) AS BIGINT) AS sfx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM rrf_in GROUP BY doc_id
+    ),
+    fused AS (
+      SELECT doc_id, sfx, n_sources, rank FROM (
+        SELECT doc_id, sfx, n_sources,
+               CAST(row_number() OVER (
+                 ORDER BY CAST(sfx AS DOUBLE) / 1000000000.0 DESC, doc_id)
+                 AS INT) AS rank
+        FROM fused0
+      ) WHERE rank <= 10
+    ),
+    sn AS (
+      SELECT fm.doc_id, fm.first_pos,
+             array_to_string(
+               t[greatest(1, first_pos - 2):least(len(t), first_pos + 3)],
+               ' ') AS snippet
+      FROM fm JOIN toks USING (doc_id)
+    ),
+    matched AS (
+      SELECT doc_id, CAST(count(DISTINCT term) AS INT) AS mt,
+             CAST(SUM(tf) AS BIGINT) AS tfs
+      FROM tf GROUP BY doc_id
+    ),
+    qrels AS (
+      SELECT doc_id, CAST(least(tfs, 8) AS INT) AS rel
+      FROM matched WHERE mt = 3 AND tfs >= 4
+    ),
+    j AS (
+      SELECT f.rank, qr.rel
+      FROM fused f LEFT JOIN qrels qr USING (doc_id)
+      WHERE f.rank <= 10
+    ),
+    jc AS (
+      SELECT rank, rel,
+             SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY rank) AS cum
+      FROM j
+    ),
+    perres AS (
+      SELECT CAST(SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    CAST(floor(CAST(cum AS DOUBLE)
+                         * CAST(1000000000 AS DOUBLE)
+                         / CAST(rank AS DOUBLE) + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ap_fx9
+      FROM jc
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    perrel AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN ir <= 10 THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('ir')})
+                  ELSE 0 END) AS BIGINT) AS idcg_fx
+      FROM ideal
+    ),
+    ev AS (
+      SELECT n_rel,
+             COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             CAST(floor(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                  / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS recall_fx,
+             CAST(floor(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS rr_fx,
+             CAST(floor(CAST(COALESCE(ap_fx9, 0) AS DOUBLE)
+                  / CAST(1000000000 AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS ap_fx,
+             CAST(floor(CAST(COALESCE(dcg_fx, 0) AS DOUBLE)
+                  / CAST(idcg_fx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS ndcg_fx
+      FROM perrel CROSS JOIN perres
+    )
+    SELECT f.rank, f.doc_id,
+           CAST(floor(CAST(f.sfx AS DOUBLE) / 1000000000.0
+                * 1000000000 + 0.5) AS BIGINT) AS rrf_fx,
+           f.n_sources,
+           CAST(COALESCE(sn.first_pos, 0) AS INT) AS first_pos,
+           COALESCE(sn.snippet, '') AS snippet,
+           ev.n_rel, ev.n_hits, ev.recall_fx, ev.rr_fx, ev.ap_fx,
+           ev.ndcg_fx
+    FROM fused f LEFT JOIN sn USING (doc_id) CROSS JOIN ev
+    ORDER BY f.rank
+    """,
+)
+def q123(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    terms = ["spark", "window", "merge"]
+    bm = R.bm25_topk(idx, terms, k=20, idf="rational", scale=1_000_000)
+    ph = R.phrase_search(idx, "spark window")
+    wp = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("n_matches"), F.col("doc_id")
+    )
+    ph_ranked = (
+        ph.withColumn("rank", F.row_number().over(wp))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    fused = R.rrf_fuse(
+        [bm.select("doc_id", "rank"), ph_ranked],
+        topk=10,
+        scale=1_000_000_000,
+    )
+    snip = R.snippets(d, ph, width=2, match_len=2).select(
+        "doc_id", "first_pos", "snippet"
+    )
+    hyd = fused.join(snip, "doc_id", "left")
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    matched = (
+        idx.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("mt"),
+            F.sum("tf").alias("tfs"),
+        )
+    )
+    qrels = matched.where(
+        (F.col("mt") == 3) & (F.col("tfs") >= 4)
+    ).select(
+        F.lit(0).alias("q_id"),
+        "doc_id",
+        F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
+    )
+    ev = R.retrieval_eval(
+        fused.select(F.lit(0).alias("q_id"), "doc_id", "rank"), qrels, k=10
+    )
+    evrow = ev.select(
+        "n_rel",
+        "n_hits",
+        fx("recall", 1_000_000).alias("recall_fx"),
+        fx("rr", 1_000_000).alias("rr_fx"),
+        fx("ap", 1_000_000).alias("ap_fx"),
+        fx("ndcg", 1_000_000).alias("ndcg_fx"),
+    )
+    return (
+        hyd.crossJoin(F.broadcast(evrow))
+        .select(
+            "rank",
+            "doc_id",
+            fx("rrf_score", 1_000_000_000).alias("rrf_fx"),
+            "n_sources",
+            F.coalesce(F.col("first_pos"), F.lit(0))
+            .cast("int")
+            .alias("first_pos"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            "n_rel",
+            "n_hits",
+            "recall_fx",
+            "rr_fx",
+            "ap_fx",
+            "ndcg_fx",
+        )
+        .orderBy("rank")
+    )
+
+
+# -- q124: distributed n-gram LM quality scoring (text.ngram_lm_train /
+#    ngram_lm_score) — the CCNet perplexity-filter shape (Wenzek et
+#    al. 2020) scored with STUPID BACKOFF (Brants et al. 2007), the
+#    count-only scheme built for exactly this distributed setting: the
+#    model is one (order, gram, cnt) groupBy, scoring is ONE equi-join
+#    of all 2n-1 per-token count lookups against it.  Graded exactly:
+#    every backoff ratio is a correctly-rounded IEEE op in a pinned
+#    order, fixed-pointed per token before the per-doc mean.
+@query(
+    "q124_ngram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    ptab AS (
+      SELECT doc_id,
+             list_concat(list_concat(['<s>', '<s>'], t), ['</s>']) AS pt
+      FROM toks
+    ),
+    allg AS (
+      SELECT o.k AS ord,
+             unnest(list_transform(generate_series(1, len(pt) - o.k + 1),
+                    i -> array_to_string(pt[i : i + o.k - 1], chr(31))))
+               AS gram
+      FROM ptab CROSS JOIN (VALUES (1), (2), (3)) AS o(k)
+    ),
+    cnt AS (
+      SELECT ord, gram, CAST(count(*) AS BIGINT) AS c
+      FROM allg GROUP BY ord, gram
+    ),
+    n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt WHERE ord = 1),
+    posn AS (
+      SELECT doc_id, pt, unnest(generate_series(3, len(pt) - 1)) AS p
+      FROM ptab
+    ),
+    keys AS (
+      SELECT doc_id, p,
+             array_to_string(pt[p-2:p], chr(31)) AS k_tri,
+             array_to_string(pt[p-2:p-1], chr(31)) AS k_ctx2,
+             array_to_string(pt[p-1:p], chr(31)) AS k_bi,
+             pt[p-1] AS k_ctx1,
+             pt[p] AS k_uni
+      FROM posn
+    ),
+    sc AS (
+      SELECT k.doc_id,
+             CASE WHEN tri.c IS NOT NULL AND ctx2.c IS NOT NULL
+                  THEN CAST(tri.c AS DOUBLE) / CAST(ctx2.c AS DOUBLE)
+                  ELSE 0.4 * (
+                    CASE WHEN bi.c IS NOT NULL AND ctx1.c IS NOT NULL
+                         THEN CAST(bi.c AS DOUBLE) / CAST(ctx1.c AS DOUBLE)
+                         ELSE 0.4 * (CAST(COALESCE(uni.c, 0) AS DOUBLE)
+                                     / CAST(n1.n AS DOUBLE))
+                    END)
+             END AS s
+      FROM keys k
+      LEFT JOIN cnt tri  ON tri.ord  = 3 AND tri.gram  = k.k_tri
+      LEFT JOIN cnt ctx2 ON ctx2.ord = 2 AND ctx2.gram = k.k_ctx2
+      LEFT JOIN cnt bi   ON bi.ord   = 2 AND bi.gram   = k.k_bi
+      LEFT JOIN cnt ctx1 ON ctx1.ord = 1 AND ctx1.gram = k.k_ctx1
+      LEFT JOIN cnt uni  ON uni.ord  = 1 AND uni.gram  = k.k_uni
+      CROSS JOIN n1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor(SUM(CAST(floor(s * 1000000 + 0.5) AS BIGINT))
+                / 1000000.0 / count(*) * 1000000 + 0.5) AS BIGINT)
+             AS lm_fx
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q124(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    model = X.ngram_lm_train(d, n=3, id_col="doc_id")
+    out = X.ngram_lm_score(d, model, n=3, scale=1_000_000)
+    return out.select(
+        "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
+    ).orderBy("doc_id")
