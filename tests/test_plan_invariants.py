@@ -81,6 +81,26 @@ SINGLE_PARTITION_ALLOWED = {
     # final keys=[] aggregate adds one constant-size row per task —
     # its input is 3 per-query rows, bounded by construction
     "q121_eval_compare_bm25_b": 3,
+    # analyzed-index BM25: q113's benign one-row corpus-stats scalar
+    # reduce, unchanged by the analyzer (a pure JVM projection)
+    "q122_analyzed_bm25": 1,
+    # search capstone: two BM25 arms (phrase-filtered + full) each
+    # carry the one-row corpus-stats reduce, and retrieval_eval's
+    # ideal-DCG + cumulative-precision windows sort a SINGLE query's
+    # top-k x qrels frame (k=10 rows by construction) — four funnels,
+    # all constant-size inputs
+    "q123_search_capstone": 4,
+    # n-gram LM scoring: the model's total-token count (keys=[]
+    # sum of unigram counts) — one bigint partial per task; the
+    # one-row result broadcasts into the per-token backoff join
+    "q124_ngram_lm_score": 1,
+    # LM quality gate: q124's one-row _N reduce appears in BOTH
+    # consumers of the scored frame (threshold branch + kept output —
+    # the heavy model/positions exchanges between them dedupe via
+    # ReuseExchange), plus quantile_threshold_filter's exact-
+    # percentile buffer reduce (q58's allowlisted shape) — all three
+    # are constant-size-per-task scalar funnels
+    "q126_lm_quality_gate": 3,
 }
 
 
