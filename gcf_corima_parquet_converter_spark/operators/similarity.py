@@ -1617,3 +1617,135 @@ def mean_pool(
     return pooled.withColumn(out_col, arr).drop(
         *[f"_m{i}" for i in range(dim)]
     )
+
+
+# ------------------------------------------------------------- ANN eval
+# The measurement half of the ANN tier — the similarity twin of
+# retrieval_eval (r14): without it the engine can build IVF/PQ/LSH
+# indexes but cannot SAY what recall a given (nlist, nprobe, m) buys
+# on a corpus.  Metric conventions follow the public ANN-benchmarks
+# methodology (Aumüller, Bernhardsson & Faithfull 2018): recall@k
+# against exact top-k ground truth, plus the first-hit/top-1 diagnostics
+# a tuning loop reads.
+
+
+def ann_eval(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    rank_col: str = "rank",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Grade an approximate ranking against exact ground truth:
+    per-query recall@``k`` plus first-hit diagnostics.
+
+    ``approx`` and ``exact`` are per-query rankings ``(q_id, vec_id,
+    rank)`` (1-based ranks; extra columns ignored) — any ANN path's
+    output (:func:`ivf_topk`, :func:`ivfpq_topk`, an LSH rerank) vs
+    the brute-force truth (:func:`batch_cosine_topk`).  When a frame
+    carries scores instead of ranks (``rank_col`` absent), pass
+    ``score_col`` and ranks derive internally by ``(score DESC, id)``
+    — the fixed-point tie-break every scorer here already uses, so
+    derived ranks agree with the scorer's own TakeOrdered semantics.
+
+    Ground truth drives the evaluation (every exact-side query scores,
+    even if the ANN path returned nothing for it — those recall 0);
+    approx-side queries with no ground truth are dropped, the
+    trec_eval convention ``retrieval_eval`` also follows.
+
+    Returns one row per query::
+
+        (q_id, n_exact, n_hits, recall, first_hit_rank, rr, top1_hit)
+
+    ``recall`` = hits/|exact top-k|; ``first_hit_rank`` = the best
+    approx rank holding a true neighbor (null if none, ``rr`` 0.0
+    there); ``top1_hit`` = 1 when the approx rank-1 IS the exact
+    rank-1.  All metric math is integer counts and single correctly-
+    rounded IEEE divisions — bit-identical across engines (the
+    graded-oracle contract), no fixed-point needed.
+
+    Scale posture: both inputs are top-k lists by construction, so
+    the ``(q_id, id)`` equi-join, the optional rank-derivation window,
+    and the groupBy all run over eval-sized frames (k rows per query)
+    — no corpus scan, whatever corpus produced the rankings."""
+    from pyspark.sql import Window
+
+    def _ranked(df: DataFrame, out: str) -> DataFrame:
+        if rank_col in df.columns:
+            r = df.select(
+                F.col(q_id_col),
+                F.col(id_col),
+                F.col(rank_col).cast("int").alias(out),
+            )
+        elif score_col is not None and score_col in df.columns:
+            w = Window.partitionBy(q_id_col).orderBy(
+                F.desc(score_col), F.col(id_col)
+            )
+            r = df.select(
+                F.col(q_id_col),
+                F.col(id_col),
+                F.row_number().over(w).alias(out),
+            )
+        else:
+            raise ValueError(
+                f"frame has neither rank column {rank_col!r} nor score "
+                f"column {score_col!r}"
+            )
+        return r.where(F.col(out) <= int(k))
+
+    a = _ranked(approx, "_arank")
+    e = _ranked(exact, "_erank")
+    j = e.join(a, [q_id_col, id_col], "left")
+    hit = F.col("_arank").isNotNull()
+    agg = j.groupBy(q_id_col).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.min(F.when(hit, F.col("_arank"))).cast("int").alias(
+            "first_hit_rank"
+        ),
+        F.max(
+            F.when((F.col("_erank") == 1) & (F.col("_arank") == 1), 1)
+            .otherwise(0)
+        ).cast("int").alias("top1_hit"),
+    )
+    return agg.select(
+        F.col(q_id_col),
+        F.col("n_exact"),
+        F.col("n_hits"),
+        (
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+        F.col("first_hit_rank"),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_hit_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+        F.col("top1_hit"),
+    )
+
+
+def ann_eval_summary(
+    per_query: DataFrame,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Corpus-level ANN quality from :func:`ann_eval`'s per-query rows:
+    one row ``(n_queries, recall_at_k, mrr, top1_rate)`` — the numbers
+    an index-tuning loop compares across (nlist, nprobe, m) settings.
+    Hash-stable the same way ``retrieval_eval_summary`` is: each
+    per-query metric fixes to an integer before the cross-query sum,
+    then divides (scale, count) in a pinned order."""
+    n = F.count(F.lit(1))
+
+    def _favg(col):
+        s = F.sum(F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)))
+        return (s / F.lit(float(scale))) / n
+
+    return per_query.agg(
+        n.alias("n_queries"),
+        _favg("recall").alias("recall_at_k"),
+        _favg("rr").alias("mrr"),
+        (
+            F.sum(F.col("top1_hit")).cast("double") / n.cast("double")
+        ).alias("top1_rate"),
+    )

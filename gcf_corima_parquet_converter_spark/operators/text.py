@@ -1177,3 +1177,66 @@ def ngram_lm_score(
     return percell.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), agg
     )
+
+
+def ngram_lm_merge(counts: DataFrame) -> DataFrame:
+    """Merge n-gram count models: sum ``cnt`` per ``(order, gram)``.
+
+    Count models are SUM-mergeable by construction (Brants et al.
+    2007's whole point), so this one partial-aggregable groupBy merges
+    anything shaped like :func:`ngram_lm_train` output — per-source
+    models trained separately (then scored as one corpus-wide LM),
+    or the per-micro-batch shards a streaming maintenance loop lands
+    (see :func:`load_ngram_lm`).  Exact: counts are integers, merging
+    is integer addition — a merged model is BIT-identical to training
+    once over the concatenated corpus.
+
+    Shard contract: shards must be trained with ``min_count=1`` —
+    pruning a shard discards counts that another shard's counts would
+    have lifted over the threshold, so the merged model would drift
+    from the one-pass model.  Apply ``min_count`` AFTER merging
+    (``load_ngram_lm(min_count=...)``), where it is again backoff-safe."""
+    return counts.groupBy("order", "gram").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def load_ngram_lm(
+    spark, root: str, min_count: int = 1
+) -> DataFrame:
+    """Load a streamed/persisted n-gram LM artifact as ONE merged
+    model frame ready for :func:`ngram_lm_score`.
+
+    The artifact is what ``streaming.ingest.maintain_sketch_shards``
+    materializes with ``shard_fn=lambda df: ngram_lm_train(df, n=...)``
+    — LM counts ARE a mergeable sketch, so the LM tier rides the
+    existing sketch lifecycle verbatim (epoch-owned exactly-once
+    writes, manifest-committed compaction, pause-free): per
+    micro-batch one ``(order, gram, cnt)`` shard lands as an epoch;
+    this reader resolves base+epochs through the manifest and folds
+    them with :func:`ngram_lm_merge`.  ``min_count`` prunes the long
+    tail at read time (the merge-safe point — see the shard contract
+    on :func:`ngram_lm_merge`)."""
+    from .manifest import read_artifact
+
+    model = ngram_lm_merge(read_artifact(spark, root, drop_epoch=True))
+    if min_count > 1:
+        model = model.where(F.col("cnt") >= int(min_count))
+    return model
+
+
+def compact_ngram_lm(spark, root: str) -> dict:
+    """Fold a streamed LM artifact's epoch slivers into the next base
+    version — ``manifest.compact_artifact`` with :func:`ngram_lm_merge`
+    as the fold (count-preserving, so answers are identical; the
+    per-(order, gram) row count shrinks to the distinct-gram count and
+    the file count to one directory).  Pause-free like every artifact
+    compaction here: the maintenance stream appends through it and
+    resumes on its existing checkpoint; replayed epochs the fold
+    consumed are masked by the manifest's folded-epochs filter — the
+    SUM-semantics double-count guard LM counts need.
+
+    Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
+    from .manifest import compact_artifact
+
+    return compact_artifact(spark, root, ngram_lm_merge)

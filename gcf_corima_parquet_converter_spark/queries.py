@@ -5174,9 +5174,9 @@ def q123(spark, sf_dir):
 #    of all 2n-1 per-token count lookups against it.  Graded exactly:
 #    every backoff ratio is a correctly-rounded IEEE op in a pinned
 #    order, fixed-pointed per token before the per-doc mean.
-@query(
-    "q124_ngram_lm_score",
-    r"""
+#    The scorer SQL is shared with q126, which layers the corpus-
+#    relative quantile gate on the same (doc_id, n_tokens, lm_fx) rows.
+_LM_SCORE_SQL = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
@@ -5234,9 +5234,11 @@ def q123(spark, sf_dir):
            CAST(floor(SUM(CAST(floor(s * 1000000 + 0.5) AS BIGINT))
                 / 1000000.0 / count(*) * 1000000 + 0.5) AS BIGINT)
              AS lm_fx
-    FROM sc GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    FROM sc GROUP BY doc_id
+"""
+
+
+@query("q124_ngram_lm_score", _LM_SCORE_SQL + "    ORDER BY doc_id\n    ")
 def q124(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     model = X.ngram_lm_train(d, n=3, id_col="doc_id")
@@ -5244,3 +5246,103 @@ def q124(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
     ).orderBy("doc_id")
+
+
+# -- q125: ANN recall evaluation (similarity.ann_eval) — the
+#    measurement half of the ANN tier, the similarity twin of q118's
+#    retrieval_eval (ANN-benchmarks methodology, Aumüller et al.
+#    2018).  Ground truth = full-64-dim brute-force cosine top-10;
+#    the evaluated "approximate" ranker = the same scorer over only
+#    the first 16 dims (a real cheap-ranker baseline: truncated-
+#    projection scoring), so recall < 1 is observable and the eval
+#    numbers carry information.  Both rankings score fixed-point with
+#    id tie-breaks, so ranks are bit-identical across engines; every
+#    eval metric is integer counts and single correctly-rounded IEEE
+#    divisions.
+@query(
+    "q125_ann_recall_eval",
+    """
+    WITH qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v, q.v)*1000000 + 0.5)
+                      AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv q)
+      WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v[1:16], q.v[1:16])*1000000
+                            + 0.5) AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv q)
+      WHERE rank <= 10
+    )
+    SELECT e.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
+           CAST(min(a.rank) AS INTEGER) AS first_hit_rank,
+           COALESCE(1.0 / CAST(min(a.rank) AS DOUBLE), 0.0) AS rr,
+           CAST(max(CASE WHEN e.rank = 1 AND a.rank = 1 THEN 1 ELSE 0 END)
+                AS INTEGER) AS top1_hit
+    FROM exact e LEFT JOIN approx a
+      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_id ORDER BY e.q_id
+    """,
+)
+def q125(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.batch_cosine_topk(e, qs, k=10)
+    approx = S.batch_cosine_topk(
+        e.withColumn("embedding", F.slice("embedding", 1, 16)),
+        qs.withColumn("q_vec", F.slice("q_vec", 1, 16)),
+        k=10,
+    )
+    return S.ann_eval(approx, exact, k=10, score_col="sim_fx").orderBy(
+        "q_id"
+    )
+
+
+# -- q126: LM-perplexity quality gate — the full CCNet recipe (Wenzek
+#    et al. 2020): train the n-gram LM on the corpus (q124's scorer,
+#    shared SQL twin), score every document, drop the worst quartile
+#    by corpus-relative quantile (pipeline.quantile_threshold_filter,
+#    exact percentile for the graded twin; approx_percentile is the
+#    100 TB path).  Composes the round's new LM tier with the curation
+#    tier in ONE plan — the quality-filter capstone.
+@query(
+    "q126_lm_quality_gate",
+    "WITH lm AS (" + _LM_SCORE_SQL + """    ),
+    thr AS (SELECT quantile_cont(lm_fx, 0.25) AS p25 FROM lm)
+    SELECT lm.doc_id, lm.n_tokens, lm.lm_fx
+    FROM lm, thr WHERE lm.lm_fx >= thr.p25
+    ORDER BY lm.doc_id
+    """,
+)
+def q126(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    model = X.ngram_lm_train(d, n=3, id_col="doc_id")
+    scored = X.ngram_lm_score(d, model, n=3, scale=1_000_000).select(
+        "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
+    )
+    kept = P.quantile_threshold_filter(
+        scored, "lm_fx", q=0.25, keep="above", exact=True
+    )
+    return kept.orderBy("doc_id")

@@ -2196,3 +2196,124 @@ def test_minhash_incremental_auto_probe_noop_on_cold_index(spark):
         batch, index, "doc_id", "text", k=16, bands=4, max_bucket=None
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# ------------------------------------------------------------- ann_eval
+
+
+def _py_ann_eval(approx, exact, k):
+    """Pure-python model: approx/exact are [(q, id, rank)] lists."""
+    ex = {}
+    for q, i, r in exact:
+        if r <= k:
+            ex.setdefault(q, {})[i] = r
+    ap = {}
+    for q, i, r in approx:
+        if r <= k:
+            ap.setdefault(q, {})[i] = r
+    out = {}
+    for q, truth in ex.items():
+        got = ap.get(q, {})
+        hits = [got[i] for i in truth if i in got]
+        n_exact, n_hits = len(truth), len(hits)
+        first = min(hits) if hits else None
+        ex_top1 = [i for i, r in truth.items() if r == 1]
+        top1 = int(
+            bool(ex_top1) and got.get(ex_top1[0]) == 1
+        )
+        out[q] = (
+            n_exact,
+            n_hits,
+            n_hits / n_exact,
+            first,
+            (1.0 / first) if first else 0.0,
+            top1,
+        )
+    return out
+
+
+def test_ann_eval_matches_python_model(spark):
+    exact = [
+        # q1: truth 10,11,12 (ranks 1..3)
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        # q2: truth 20,21 — approx returns nothing for it
+        (2, 20, 1), (2, 21, 2),
+        # q1 rank beyond k must be ignored on the truth side too
+        (1, 19, 99),
+    ]
+    approx = [
+        # q1: finds 11 at rank 1 and 10 at rank 4; 12 missed; 77 is a
+        # false positive (not in truth)
+        (1, 11, 1), (1, 77, 2), (1, 78, 3), (1, 10, 4),
+        # q9: no ground truth -> dropped
+        (9, 90, 1),
+        # q1 approx rank beyond k ignored
+        (1, 12, 42),
+    ]
+    a_df = spark.createDataFrame(approx, "q_id long, vec_id long, rank int")
+    e_df = spark.createDataFrame(exact, "q_id long, vec_id long, rank int")
+    got = {
+        r["q_id"]: (
+            r["n_exact"], r["n_hits"], r["recall"],
+            r["first_hit_rank"], r["rr"], r["top1_hit"],
+        )
+        for r in S.ann_eval(a_df, e_df, k=10).collect()
+    }
+    want = _py_ann_eval(approx, exact, k=10)
+    assert got == want  # exact, including the recall/rr doubles
+    assert set(got) == {1, 2}  # q9 dropped, q2 evaluated at zero
+    assert got[2] == (2, 0, 0.0, None, 0.0, 0)
+    # q1: top-1 miss (exact #1 is 10, approx ranks it 4), 2 hits
+    assert got[1] == (3, 2, 2.0 / 3.0, 1, 1.0, 0)
+
+    s = S.ann_eval_summary(S.ann_eval(a_df, e_df, k=10)).first()
+    assert s["n_queries"] == 2
+    import math
+
+    def favg(vals, scale=10**6):
+        return sum(
+            math.floor(v * scale + 0.5) for v in vals
+        ) / scale / len(vals)
+
+    assert s["recall_at_k"] == favg([v[2] for v in want.values()])
+    assert s["mrr"] == favg([v[4] for v in want.values()])
+    assert s["top1_rate"] == 0.0
+
+
+def test_ann_eval_score_derivation_ties_break_by_id(spark):
+    # score frames (no rank column): ranks derive by (score DESC, id).
+    # q1 approx has a score tie between 11 and 12 -> 11 wins rank 1.
+    e_df = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 90)], "q_id long, vec_id long, sim_fx long"
+    )
+    a_df = spark.createDataFrame(
+        [(1, 12, 50), (1, 11, 50), (1, 10, 40)],
+        "q_id long, vec_id long, sim_fx long",
+    )
+    row = S.ann_eval(a_df, e_df, k=2, score_col="sim_fx").first()
+    # derived approx ranks: 11->1, 12->2, 10->3(cut at k=2)
+    # derived exact ranks: 10->1, 11->2
+    assert row["n_exact"] == 2 and row["n_hits"] == 1
+    assert row["first_hit_rank"] == 1 and row["top1_hit"] == 0
+    # frame with neither rank nor score column fails fast
+    with pytest.raises(ValueError, match="neither rank"):
+        S.ann_eval(
+            a_df.drop("sim_fx"), e_df, k=2, score_col="sim_fx"
+        ).collect()
+
+
+def test_ann_eval_perfect_ranking_and_plan(spark):
+    rows = [(1, 10, 1), (1, 11, 2)]
+    df = spark.createDataFrame(rows, "q_id long, vec_id long, rank int")
+    row = S.ann_eval(df, df, k=2).first()
+    assert row["recall"] == 1.0 and row["rr"] == 1.0 and row["top1_hit"] == 1
+    # eval-sized plan: pure JVM, no Python stage, no single-partition
+    # funnel — the joins/groupBy key on q_id
+    plan = (
+        S.ann_eval(df, df, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan

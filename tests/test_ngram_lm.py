@@ -198,3 +198,83 @@ def test_bad_n_raises(docs_df, model3):
         X.ngram_lm_train(docs_df, n=0)
     with pytest.raises(ValueError, match="n must be"):
         X.ngram_lm_score(docs_df, model3, n=0)
+
+
+# ------------------------------------------------- LM model lifecycle
+
+
+def _model_dict(df):
+    return {(r["order"], r["gram"]): r["cnt"] for r in df.collect()}
+
+
+def test_ngram_lm_merge_shards_equals_one_pass_model(spark):
+    """Per-shard models merged with ngram_lm_merge are BIT-identical
+    to training once over the whole corpus (integer-sum exactness),
+    and min_count applied after merging equals one-pass min_count."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    shards = [
+        X.ngram_lm_train(docs.where(F.col("doc_id") % 3 == i), n=3)
+        for i in range(3)
+    ]
+    merged = X.ngram_lm_merge(shards[0].unionByName(shards[1]).unionByName(shards[2]))
+    assert _model_dict(merged) == _model_dict(X.ngram_lm_train(docs, n=3))
+    pruned = X.ngram_lm_merge(
+        shards[0].unionByName(shards[1]).unionByName(shards[2])
+    ).where(F.col("cnt") >= 2)
+    assert _model_dict(pruned) == _model_dict(
+        X.ngram_lm_train(docs, n=3, min_count=2)
+    )
+
+
+def test_streaming_lm_maintain_load_compact(spark, tmp_path):
+    """The LM rides the sketch-shard lifecycle: a real StreamingQuery
+    lands per-batch count shards via maintain_sketch_shards, the
+    loaded+merged model equals the batch-trained one exactly, and a
+    mid-life compact_ngram_lm folds the epochs without changing a
+    single count (scoring through either model is identical)."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_sketch_shards,
+    )
+
+    sch = "doc_id long, text string"
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    for name, part in (("f1", DOCS[:4]), ("f2", DOCS[4:])):
+        p = str(tmp_path / name)
+        spark.createDataFrame(part, sch).coalesce(1).write.parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    root = str(tmp_path / "lm_artifact")
+    q = maintain_sketch_shards(
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        lambda df: X.ngram_lm_train(df, n=3),
+        root,
+        checkpoint=str(tmp_path / "ck_lm"),
+    )
+    q.awaitTermination(120)
+
+    docs = spark.createDataFrame(DOCS, sch)
+    batch_model = X.ngram_lm_train(docs, n=3)
+    streamed = X.load_ngram_lm(spark, root)
+    assert _model_dict(streamed) == _model_dict(batch_model)
+
+    out = X.compact_ngram_lm(spark, root)
+    assert out["epochs_folded"] >= 1
+    compacted = X.load_ngram_lm(spark, root)
+    assert _model_dict(compacted) == _model_dict(batch_model)
+    # min_count applies at read time (the merge-safe point)
+    assert _model_dict(X.load_ngram_lm(spark, root, min_count=2)) == (
+        _model_dict(X.ngram_lm_train(docs, n=3, min_count=2))
+    )
+    # end-to-end: scoring through the compacted streamed model matches
+    # the batch model exactly (fixed-point graded mode)
+    a = X.ngram_lm_score(docs, compacted, n=3, scale=10**6)
+    b = X.ngram_lm_score(docs, batch_model, n=3, scale=10**6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

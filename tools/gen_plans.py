@@ -289,6 +289,53 @@ QUERIES = [
         "ranking window are bounded by construction — corpus-sized "
         "data never reaches the fusion stage",
     ),
+    (
+        "q122_analyzed_bm25",
+        "analyzer='simple' BM25 (r15): the analyzer is a pure-JVM "
+        "transform+filter inside the index projection — the plan is "
+        "q113's scorer verbatim (one (term,doc) shuffle, one-row stats "
+        "reduce broadcast into scoring), no new exchange for the "
+        "normalization",
+    ),
+    (
+        "q123_search_capstone",
+        "search-stack capstone (r15): phrase + BM25 -> RRF -> snippets "
+        "-> eval composed in ONE plan.  The only corpus-scale subtrees "
+        "are the two scorer arms (AQE exchange reuse collapses their "
+        "shared index shape); fusion, snippet hydration, and every "
+        "eval window run over top-k/eval-sized frames — the per-stage "
+        "boundedness of q117/q120/q118 surviving composition",
+    ),
+    (
+        "q124_ngram_lm_score",
+        "stupid-backoff LM scoring (r15): the trigram model is ONE "
+        "(order, gram) groupBy; all 2n-1 per-token count lookups "
+        "resolve through ONE model equi-join (AQE-decided, no forced "
+        "broadcast — the collocations regime), fold back via "
+        "conditional aggregation keyed by position, then one per-doc "
+        "aggregation — corpus positions ride exactly two exchanges "
+        "however many orders back off",
+    ),
+    (
+        "q125_ann_recall_eval",
+        "ANN recall eval (r15): both rankings end in per-partition "
+        "local top-k before the per-query rank window (the "
+        "batch_cosine_topk guard), so ann_eval's join/groupBy see "
+        "k-row frames per query — the corpus appears only in the two "
+        "map-only scoring scans, zero single-partition funnels",
+    ),
+    (
+        "q126_lm_quality_gate",
+        "LM perplexity gate (r15): q124's scorer feeds BOTH the exact-"
+        "percentile threshold (1-row aggregate, broadcast back — the "
+        "q58 shape) and the kept-rows output.  The STATIC plan below "
+        "duplicates the scorer subtree under each consumer (logical "
+        "plans are trees); AQE exchange reuse collapses the heavy "
+        "model/position exchanges at runtime — measured at sf0.1: "
+        "scorer+gate 2.70s vs 2.19s scorer alone (1.23x, not the ~2x "
+        "a recompute would cost) — drop-the-worst-quartile without a "
+        "second corpus pass",
+    ),
 ]
 
 
