@@ -243,6 +243,21 @@ def bench_ann(spark, sf_dir: str) -> dict:
         sq, t_sq = timed_ids(
             S.sq_topk_rerank(sq_codes, emb, lo, hi, qvec, k=k, shortlist=4 * k)
         )
+        # r15: multi-query recall through the engine's OWN eval
+        # operator (similarity.ann_eval) — the single-query recalls
+        # above are one anecdote each; this is the mean over 8 member
+        # queries, ground truth from batch_cosine_topk, approx from
+        # the batch IVF serving path, both in one pass each
+        eval_ids = [int(i) % n for i in (0, 3, 7, 11, 101, 202, 303, 404)]
+        q_batch = spark.createDataFrame(
+            [(i, pts[i].astype(float).tolist()) for i in eval_ids],
+            "q_id long, q_vec array<double>",
+        )
+        exact_b = S.batch_cosine_topk(emb, q_batch, k=k)
+        approx_b = S.ivf_topk_batch(assigned, cents, q_batch, k=k, n_probe=4)
+        ev = S.ann_eval_summary(
+            S.ann_eval(approx_b, exact_b, k=k, score_col="sim_fx")
+        ).first()
     finally:
         assigned.unpersist()
         encoded.unpersist()
@@ -266,12 +281,22 @@ def bench_ann(spark, sf_dir: str) -> dict:
         # + exact re-rank suffices
         "sq_rerank_sec": round(t_sq, 3),
         "sq_rerank_recall": round(len(sq & brute) / k, 3),
+        # ann_eval_summary over the 8-query batch (the operator the
+        # repo ships for exactly this measurement, feeding its own
+        # bench): mean recall@10 + MRR of batch-IVF vs exact truth
+        "ivf_batch_eval": {
+            "n_queries": int(ev["n_queries"]),
+            "recall_at_10": round(ev["recall_at_k"], 3),
+            "mrr": round(ev["mrr"], 3),
+            "top1_rate": round(ev["top1_rate"], 3),
+        },
         "recall_floor_asserted": 0.8,
     }
     if (
         out["ivf_recall"] < 0.8
         or out["pq_rerank_recall"] < 0.8
         or out["sq_rerank_recall"] < 0.8
+        or out["ivf_batch_eval"]["recall_at_10"] < 0.8
     ):
         raise RuntimeError(f"ANN recall regression on clustered corpus: {out}")
     return out

@@ -612,3 +612,74 @@ def test_retrieval_eval_matches_python_model_property(spark, data):
         if r["q_id"] != 999
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_ann_eval_matches_python_model_property(spark, data):
+    """ann_eval over RANDOM approx/exact rankings equals the
+    pure-Python model EXACTLY (recall/rr as bit-identical doubles) —
+    including queries the approx side missed entirely, approx-only
+    queries (dropped), rank cutoffs on both sides, and top-1
+    agreement."""
+    from gcf_corima_parquet_converter_spark.operators import similarity as S
+
+    k = data.draw(st.integers(1, 6))
+    n_q = data.draw(st.integers(1, 4))
+    approx, exact = [], []
+    for q in range(1, n_q + 1):
+        ids = data.draw(
+            st.lists(
+                st.integers(0, 12), min_size=0, max_size=8, unique=True
+            )
+        )
+        for rank, i in enumerate(ids, start=1):
+            exact.append((q, i, rank))
+        if data.draw(st.booleans()):  # approx may skip a query whole
+            a_ids = data.draw(
+                st.lists(
+                    st.integers(0, 12), min_size=0, max_size=8, unique=True
+                )
+            )
+            for rank, i in enumerate(a_ids, start=1):
+                approx.append((q, i, rank))
+    # an approx-only query must be dropped from the output
+    approx.append((999, 1, 1))
+    if not exact:
+        return  # nothing to evaluate either engine-side or model-side
+
+    ex_k = {}
+    for q, i, r in exact:
+        if r <= k:
+            ex_k.setdefault(q, {})[i] = r
+    ap_k = {}
+    for q, i, r in approx:
+        if r <= k:
+            ap_k.setdefault(q, {})[i] = r
+    want = {}
+    for q, truth in ex_k.items():
+        got = ap_k.get(q, {})
+        hits = [got[i] for i in truth if i in got]
+        first = min(hits) if hits else None
+        top1 = [i for i, r in truth.items() if r == 1]
+        want[q] = (
+            len(truth),
+            len(hits),
+            len(hits) / len(truth),
+            first,
+            (1.0 / first) if first else 0.0,
+            int(bool(top1) and got.get(top1[0]) == 1),
+        )
+
+    a_df = spark.createDataFrame(
+        approx, "q_id long, vec_id long, rank int"
+    )
+    e_df = spark.createDataFrame(exact, "q_id long, vec_id long, rank int")
+    got = {
+        r["q_id"]: (
+            r["n_exact"], r["n_hits"], r["recall"],
+            r["first_hit_rank"], r["rr"], r["top1_hit"],
+        )
+        for r in S.ann_eval(a_df, e_df, k=k).collect()
+    }
+    assert got == want
