@@ -779,6 +779,14 @@ SCALING_QUERIES = HEADLINE + [
     "q116_collocations",
     "q117_hybrid_rrf",
     "q118_retrieval_eval",
+    # r15: decade rows for the round's new families — the stupid-
+    # backoff LM (the 2n-1-lookups-per-position join is the novel
+    # growth term), its grouped per-language variant (adds the group
+    # key to every join), and the CCNet gate capstone (LM + exact
+    # percentile + filter, exchange-reused)
+    "q124_ngram_lm_score",
+    "q126_lm_quality_gate",
+    "q127_perlang_lm_score",
 ]
 
 

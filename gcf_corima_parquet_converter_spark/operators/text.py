@@ -1000,6 +1000,7 @@ def ngram_lm_train(
     n: int = 3,
     min_count: int = 1,
     id_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Train the count model: ``(order, gram, cnt)`` for every order
     1..``n`` over the BOS/EOS-padded token streams.  ``gram`` is the
@@ -1007,13 +1008,21 @@ def ngram_lm_train(
     order is carried explicitly so a pathological token containing the
     separator can never alias across orders).
 
+    ``group_cols`` trains ONE MODEL PER GROUP in the same single pass
+    (``(group..., order, gram, cnt)`` rows) — the CCNet production
+    shape is per-LANGUAGE LMs (Wenzek et al. 2020 trains one
+    Wikipedia LM per language and scores each document against its
+    own), and a grouped count table is exactly as mergeable/shardable
+    as the global one (the group is just more key).
+
     Plan: one narrow tokenize+pad projection, ONE flatten+explode
     emitting every order's windows (not one pass per order), one
     partial-aggregable groupBy — the whole model is a single shuffle
-    on ``(order, gram)`` however many orders are trained, the Brants
-    MapReduce shape verbatim.  ``min_count`` prunes the long tail
-    (safe for backoff: a context's count is >= every continuation's
-    count, so a surviving gram's context always survives too).
+    on ``(group..., order, gram)`` however many orders are trained,
+    the Brants MapReduce shape verbatim.  ``min_count`` prunes the
+    long tail (safe for backoff: a context's count is >= every
+    continuation's count, so a surviving gram's context always
+    survives too; with groups it is per-group, same argument).
     ``id_col`` feeds ``scale.ensure_min_parallelism`` so a file-poor
     corpus scan spreads before the CPU-heavy explode (the standing
     guard of the gram/shingle kernels)."""
@@ -1021,11 +1030,12 @@ def ngram_lm_train(
         raise ValueError(f"n must be >= 1, got {n}")
     from .scale import ensure_min_parallelism
 
+    groups = list(group_cols or [])
     if id_col is not None:
         df = ensure_min_parallelism(df, id_col)
     padded = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(_lm_padded(text_col, n).alias("_pt"))
+    ).select(*groups, _lm_padded(text_col, n).alias("_pt"))
     def _tagger(k: int):
         # a factory, NOT a defaulted lambda: F.transform treats a
         # 2-parameter callable as (element, index) and would bind the
@@ -1041,9 +1051,9 @@ def ngram_lm_train(
         )
     )
     counts = (
-        padded.select(F.explode(entries).alias("_e"))
-        .select("_e.order", "_e.gram")
-        .groupBy("order", "gram")
+        padded.select(*groups, F.explode(entries).alias("_e"))
+        .select(*groups, "_e.order", "_e.gram")
+        .groupBy(*groups, "order", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if min_count > 1:
@@ -1060,6 +1070,7 @@ def ngram_lm_score(
     text_col: str = "text",
     scale: int | None = None,
     log: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document mean stupid-backoff token score against a trained
     ``model`` (:func:`ngram_lm_train`, same ``n`` — typically trained
@@ -1089,15 +1100,28 @@ def ngram_lm_score(
     making the output hash-stable for the graded-oracle contract.
     ``log=True`` returns mean ``ln(S)`` instead (the classic
     log-domain quality score; floored at 1e-12 so OOV stays finite) —
-    libm-dependent, so not oracle-gradable (repo convention)."""
+    libm-dependent, so not oracle-gradable (repo convention).
+
+    ``group_cols`` scores each document against ITS group's model
+    (a :func:`ngram_lm_train` ``group_cols=`` table) — per-language
+    scoring, the actual CCNet deployment: the group columns ride the
+    same single count-lookup equi-join as extra keys, and the global
+    one-row total becomes a per-group totals join (~1 row per group).
+    A document whose group has no model rows scores 0 through the
+    same OOV base case — the left joins null out, exactly as an
+    all-OOV document does.  A NULL group key trains rows (groupBy
+    groups nulls) but never matches at score time (null-rejecting
+    join equality) and likewise scores 0 — fill the group column
+    before training if null-group scoring is wanted."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from .scale import ensure_min_parallelism
 
+    groups = list(group_cols or [])
     df = ensure_min_parallelism(df, id_col)
     base = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col), _lm_padded(text_col, n).alias("_pt"))
+    ).select(F.col(id_col), *groups, _lm_padded(text_col, n).alias("_pt"))
 
     # fixed slot layout per scored position p (1-based in the padded
     # stream; real tokens sit at p = n .. size-1):
@@ -1123,6 +1147,7 @@ def ngram_lm_score(
 
     keyed = base.select(
         F.col(id_col),
+        *groups,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(n), F.size("_pt") - 1), _keys_at
@@ -1131,6 +1156,7 @@ def ngram_lm_score(
     )
     kv = keyed.select(
         F.col(id_col),
+        *groups,
         F.col("_pi"),
         F.posexplode("_keys").alias("_slot", "gram"),
     ).withColumn(
@@ -1139,24 +1165,43 @@ def ngram_lm_score(
             F.array(*[F.lit(o) for o in slot_orders]), F.col("_slot") + 1
         ),
     )
+    # grouped mode: each position's lookups resolve against ITS
+    # group's model — the group columns simply join along with
+    # (order, gram), still ONE equi-join
     resolved = kv.join(
-        model.select("order", "gram", "cnt"), ["order", "gram"], "left"
+        model.select(*groups, "order", "gram", "cnt"),
+        [*groups, "order", "gram"],
+        "left",
     )
-    percell = resolved.groupBy(id_col, "_pi").agg(
+    percell = resolved.groupBy(id_col, *groups, "_pi").agg(
         *[
             F.max(F.when(F.col("_slot") == i, F.col("cnt"))).alias(f"_c{i}")
             for i in range(n_slots)
         ]
     )
-    total = model.where(F.col("order") == 1).agg(
-        F.sum("cnt").alias("_N")
-    )
-    percell = percell.crossJoin(F.broadcast(total))
+    if groups:
+        # per-group unigram totals: a group-count-sized frame joined on
+        # the group key (no broadcast hint needed — AQE sees ~1 row per
+        # group), replacing the global one-row cross join
+        total = (
+            model.where(F.col("order") == 1)
+            .groupBy(*groups)
+            .agg(F.sum("cnt").alias("_N"))
+        )
+        percell = percell.join(total, groups, "left")
+    else:
+        total = model.where(F.col("order") == 1).agg(
+            F.sum("cnt").alias("_N")
+        )
+        percell = percell.crossJoin(F.broadcast(total))
     # backoff chain, base case upward — the exact arithmetic order the
-    # SQL oracle mirrors (parity contract)
-    s = (
+    # SQL oracle mirrors (parity contract).  The outer coalesce covers
+    # the grouped-mode modelless group (_N null -> base 0.0, the OOV
+    # semantics); for a non-null _N it is the identity on the division
+    s = F.coalesce(
         F.coalesce(F.col(f"_c{n_slots - 1}"), F.lit(0)).cast("double")
-        / F.col("_N").cast("double")
+        / F.col("_N").cast("double"),
+        F.lit(0.0),
     )
     for j in range(n - 2, -1, -1):
         g, c = F.col(f"_c{2 * j}"), F.col(f"_c{2 * j + 1}")
@@ -1174,12 +1219,14 @@ def ngram_lm_score(
         ).alias("lm_score")
     else:
         agg = F.avg(s).alias("lm_score")
-    return percell.groupBy(id_col).agg(
+    return percell.groupBy(id_col, *groups).agg(
         F.count(F.lit(1)).alias("n_tokens"), agg
     )
 
 
-def ngram_lm_merge(counts: DataFrame) -> DataFrame:
+def ngram_lm_merge(
+    counts: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Merge n-gram count models: sum ``cnt`` per ``(order, gram)``.
 
     Count models are SUM-mergeable by construction (Brants et al.
@@ -1195,14 +1242,20 @@ def ngram_lm_merge(counts: DataFrame) -> DataFrame:
     pruning a shard discards counts that another shard's counts would
     have lifted over the threshold, so the merged model would drift
     from the one-pass model.  Apply ``min_count`` AFTER merging
-    (``load_ngram_lm(min_count=...)``), where it is again backoff-safe."""
-    return counts.groupBy("order", "gram").agg(
+    (``load_ngram_lm(min_count=...)``), where it is again backoff-safe.
+    Grouped models (:func:`ngram_lm_train` ``group_cols=``) merge the
+    same way — pass the same ``group_cols`` so the group stays a key."""
+    groups = list(group_cols or [])
+    return counts.groupBy(*groups, "order", "gram").agg(
         F.sum("cnt").alias("cnt")
     )
 
 
 def load_ngram_lm(
-    spark, root: str, min_count: int = 1
+    spark,
+    root: str,
+    min_count: int = 1,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Load a streamed/persisted n-gram LM artifact as ONE merged
     model frame ready for :func:`ngram_lm_score`.
@@ -1216,16 +1269,21 @@ def load_ngram_lm(
     this reader resolves base+epochs through the manifest and folds
     them with :func:`ngram_lm_merge`.  ``min_count`` prunes the long
     tail at read time (the merge-safe point — see the shard contract
-    on :func:`ngram_lm_merge`)."""
+    on :func:`ngram_lm_merge`).  Pass the artifact's ``group_cols``
+    for grouped (e.g. per-language) models."""
     from .manifest import read_artifact
 
-    model = ngram_lm_merge(read_artifact(spark, root, drop_epoch=True))
+    model = ngram_lm_merge(
+        read_artifact(spark, root, drop_epoch=True), group_cols
+    )
     if min_count > 1:
         model = model.where(F.col("cnt") >= int(min_count))
     return model
 
 
-def compact_ngram_lm(spark, root: str) -> dict:
+def compact_ngram_lm(
+    spark, root: str, group_cols: list[str] | None = None
+) -> dict:
     """Fold a streamed LM artifact's epoch slivers into the next base
     version — ``manifest.compact_artifact`` with :func:`ngram_lm_merge`
     as the fold (count-preserving, so answers are identical; the
@@ -1234,9 +1292,13 @@ def compact_ngram_lm(spark, root: str) -> dict:
     compaction here: the maintenance stream appends through it and
     resumes on its existing checkpoint; replayed epochs the fold
     consumed are masked by the manifest's folded-epochs filter — the
-    SUM-semantics double-count guard LM counts need.
+    SUM-semantics double-count guard LM counts need.  A grouped
+    artifact MUST pass its ``group_cols`` — the global fold would sum
+    the per-group models into one.
 
     Returns ``{"version", "epochs_folded", "rows", "migrated"}``."""
     from .manifest import compact_artifact
 
-    return compact_artifact(spark, root, ngram_lm_merge)
+    return compact_artifact(
+        spark, root, lambda df: ngram_lm_merge(df, group_cols)
+    )

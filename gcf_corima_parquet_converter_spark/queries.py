@@ -5346,3 +5346,192 @@ def q126(spark, sf_dir):
         scored, "lm_fx", q=0.25, keep="above", exact=True
     )
     return kept.orderBy("doc_id")
+
+
+# -- q127: PER-LANGUAGE LM scoring (text.ngram_lm_train/score with
+#    group_cols) — the actual CCNet deployment (Wenzek et al. 2020
+#    trains one LM per language and scores each document against its
+#    own): all models train in ONE pass (the group is just more
+#    groupBy key), all lookups resolve through ONE equi-join keyed by
+#    (lang, order, gram), and the global one-row total becomes a
+#    per-language totals join.  Same exact fixed-point arithmetic as
+#    q124, now per group.
+@query(
+    "q127_perlang_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    ptab AS (
+      SELECT doc_id, lang,
+             list_concat(list_concat(['<s>', '<s>'], t), ['</s>']) AS pt
+      FROM toks
+    ),
+    allg AS (
+      SELECT lang, o.k AS ord,
+             unnest(list_transform(generate_series(1, len(pt) - o.k + 1),
+                    i -> array_to_string(pt[i : i + o.k - 1], chr(31))))
+               AS gram
+      FROM ptab CROSS JOIN (VALUES (1), (2), (3)) AS o(k)
+    ),
+    cnt AS (
+      SELECT lang, ord, gram, CAST(count(*) AS BIGINT) AS c
+      FROM allg GROUP BY lang, ord, gram
+    ),
+    n1 AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+           FROM cnt WHERE ord = 1 GROUP BY lang),
+    posn AS (
+      SELECT doc_id, lang, pt, unnest(generate_series(3, len(pt) - 1)) AS p
+      FROM ptab
+    ),
+    keys AS (
+      SELECT doc_id, lang, p,
+             array_to_string(pt[p-2:p], chr(31)) AS k_tri,
+             array_to_string(pt[p-2:p-1], chr(31)) AS k_ctx2,
+             array_to_string(pt[p-1:p], chr(31)) AS k_bi,
+             pt[p-1] AS k_ctx1,
+             pt[p] AS k_uni
+      FROM posn
+    ),
+    sc AS (
+      SELECT k.doc_id, k.lang,
+             CASE WHEN tri.c IS NOT NULL AND ctx2.c IS NOT NULL
+                  THEN CAST(tri.c AS DOUBLE) / CAST(ctx2.c AS DOUBLE)
+                  ELSE 0.4 * (
+                    CASE WHEN bi.c IS NOT NULL AND ctx1.c IS NOT NULL
+                         THEN CAST(bi.c AS DOUBLE) / CAST(ctx1.c AS DOUBLE)
+                         ELSE 0.4 * COALESCE(
+                                 CAST(COALESCE(uni.c, 0) AS DOUBLE)
+                                 / CAST(n1.n AS DOUBLE), 0.0)
+                    END)
+             END AS s
+      FROM keys k
+      LEFT JOIN cnt tri  ON tri.lang = k.lang AND tri.ord = 3
+                        AND tri.gram = k.k_tri
+      LEFT JOIN cnt ctx2 ON ctx2.lang = k.lang AND ctx2.ord = 2
+                        AND ctx2.gram = k.k_ctx2
+      LEFT JOIN cnt bi   ON bi.lang = k.lang AND bi.ord = 2
+                        AND bi.gram = k.k_bi
+      LEFT JOIN cnt ctx1 ON ctx1.lang = k.lang AND ctx1.ord = 1
+                        AND ctx1.gram = k.k_ctx1
+      LEFT JOIN cnt uni  ON uni.lang = k.lang AND uni.ord = 1
+                        AND uni.gram = k.k_uni
+      LEFT JOIN n1       ON n1.lang = k.lang
+    )
+    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor(SUM(CAST(floor(s * 1000000 + 0.5) AS BIGINT))
+                / 1000000.0 / count(*) * 1000000 + 0.5) AS BIGINT)
+             AS lm_fx
+    FROM sc GROUP BY doc_id, lang ORDER BY doc_id
+    """,
+)
+def q127(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    model = X.ngram_lm_train(d, n=3, id_col="doc_id", group_cols=["lang"])
+    out = X.ngram_lm_score(
+        d, model, n=3, scale=1_000_000, group_cols=["lang"]
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
+    ).orderBy("doc_id")
+
+
+# -- q128: ANN ablation — the decision step of the ANN tier's
+#    measurement loop (the similarity twin of q121's BM25 ablation):
+#    two cheap rankers (32-dim vs 16-dim truncated-projection scoring)
+#    each graded by similarity.ann_eval against the full-64-dim truth,
+#    then retrieval.eval_compare (metric-generic — it reads any
+#    per-query metric column) renders the paired verdict: means, mean
+#    delta, wins/ties/losses at fixed-point precision.  One plan,
+#    cross-tier composition, every frame eval-sized.
+@query(
+    "q128_ann_ablation",
+    """
+    WITH qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v, q.v)*1000000 + 0.5)
+                      AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv q)
+      WHERE rank <= 10
+    ),
+    appr_a AS (
+      SELECT * FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v[1:32], q.v[1:32])*1000000
+                            + 0.5) AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv q)
+      WHERE rank <= 10
+    ),
+    appr_b AS (
+      SELECT * FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v[1:16], q.v[1:16])*1000000
+                            + 0.5) AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv q)
+      WHERE rank <= 10
+    ),
+    rec_a AS (
+      SELECT e.q_id,
+             CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      FROM exact e LEFT JOIN appr_a a
+        ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+      GROUP BY e.q_id
+    ),
+    rec_b AS (
+      SELECT e.q_id,
+             CAST(sum(CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      FROM exact e LEFT JOIN appr_b b
+        ON e.q_id = b.q_id AND e.vec_id = b.vec_id
+      GROUP BY e.q_id
+    ),
+    paired AS (
+      SELECT CAST(floor(rec_a.recall * 1000000 + 0.5) AS BIGINT) AS afx,
+             CAST(floor(rec_b.recall * 1000000 + 0.5) AS BIGINT) AS bfx
+      FROM rec_a JOIN rec_b ON rec_a.q_id = rec_b.q_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           (SUM(afx) / 1000000.0) / count(*) AS a_mean,
+           (SUM(bfx) / 1000000.0) / count(*) AS b_mean,
+           (SUM(afx - bfx) / 1000000.0) / count(*) AS mean_delta,
+           CAST(sum(CASE WHEN afx > bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS wins,
+           CAST(sum(CASE WHEN afx = bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties,
+           CAST(sum(CASE WHEN afx < bfx THEN 1 ELSE 0 END) AS BIGINT)
+             AS losses
+    FROM paired
+    """,
+)
+def q128(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.batch_cosine_topk(e, qs, k=10)
+
+    def truncated(d):
+        return S.batch_cosine_topk(
+            e.withColumn("embedding", F.slice("embedding", 1, d)),
+            qs.withColumn("q_vec", F.slice("q_vec", 1, d)),
+            k=10,
+        )
+
+    ev_a = S.ann_eval(truncated(32), exact, k=10, score_col="sim_fx")
+    ev_b = S.ann_eval(truncated(16), exact, k=10, score_col="sim_fx")
+    return R.eval_compare(ev_a, ev_b, metric="recall")

@@ -1375,3 +1375,75 @@ def serve_bm25_queries(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def lm_gate_stream(
+    stream: DataFrame,
+    model: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    min_score: float,
+    quarantine_path: str | None = None,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+    group_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming LM quality gate: score each ingested document against
+    a FROZEN n-gram model (``text.ngram_lm_train`` /
+    ``text.load_ngram_lm``, optionally per-group with ``group_cols``)
+    and land only those clearing ``min_score`` — the CCNet perplexity
+    filter enforced at ingest time instead of by a later full-corpus
+    sweep (the streaming stage q126 is the batch capstone of).
+
+    The threshold is a frozen NUMBER, not a per-batch quantile: a
+    corpus-relative cut recomputed per micro-batch would drift with
+    batch composition (a batch of good docs would start rejecting good
+    docs).  Freeze it offline — score a reference corpus, take the
+    quantile (``pipeline.quantile_threshold_filter``'s aggregate, or
+    q126's plan), and pass the value; rebuild the stream to move it,
+    the same model-reload contract as ``serve_ann_queries``.
+
+    The model persists ONCE at start (it is the stable side; counts
+    are vocabulary-sized).  Per batch: one ``ngram_lm_score`` pass
+    (fixed-point ``scale`` — deterministic, so a replayed batch
+    re-decides identically), one id join back to the full rows, and
+    the kept docs land via ``manifest.write_epoch`` — epoch-owned
+    overwrite, exactly-once.  ``quarantine_path`` additionally lands
+    the rejects (kept ∪ quarantined == batch, the audit invariant);
+    unscoreable docs (null/blank text — no LM evidence) go to
+    quarantine, the CCNet drop-empty convention.  Returns the started
+    StreamingQuery."""
+    from ..operators.manifest import write_epoch
+    from ..operators.text import ngram_lm_score
+
+    model = model.persist()
+    model.count()  # materialize once, before the first batch
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        scored = ngram_lm_score(
+            df, model, n=n, scale=scale, group_cols=group_cols
+        ).select(id_col, "n_tokens", "lm_score")
+        joined = df.join(scored, id_col, "left")
+        keep = F.col("lm_score").isNotNull() & (
+            F.col("lm_score") >= F.lit(float(min_score))
+        )
+        write_epoch(joined.where(keep), output_path, int(epoch_id))
+        if quarantine_path is not None:
+            write_epoch(
+                joined.where(~F.coalesce(keep, F.lit(False))),
+                quarantine_path,
+                int(epoch_id),
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -278,3 +278,137 @@ def test_streaming_lm_maintain_load_compact(spark, tmp_path):
     a = X.ngram_lm_score(docs, compacted, n=3, scale=10**6)
     b = X.ngram_lm_score(docs, batch_model, n=3, scale=10**6)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --------------------------------------------- per-group (per-language)
+
+GDOCS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog"),
+    (2, "en", "the quick brown fox sleeps"),
+    (3, "de", "der schnelle braune fuchs springt"),
+    (4, "de", "der schnelle braune fuchs schlaeft"),
+    (5, "en", "the quick brown fox jumps again"),
+    (6, "fr", "le renard brun rapide saute"),   # fr present in model
+    (7, "xx", "tokens from an unmodeled group"),  # scored vs missing model
+]
+
+
+def test_grouped_lm_train_score_matches_per_group_python_model(spark):
+    """group_cols=['lang'] trains one model per language in one pass
+    and scores each doc against ITS language's model — counts and
+    scores equal running the ungrouped pipeline per language
+    partition.  A doc whose group has no model rows scores 0 (the OOV
+    base case), not null."""
+    df = spark.createDataFrame(GDOCS, "doc_id long, lang string, text string")
+    train_docs = [d for d in GDOCS if d[1] != "xx"]
+    model = X.ngram_lm_train(
+        df.where(F.col("lang") != "xx"), n=3, group_cols=["lang"]
+    )
+    got_counts = {
+        (r["lang"], r["order"], r["gram"]): r["cnt"] for r in model.collect()
+    }
+    want_counts = {}
+    for lang in ("en", "de", "fr"):
+        part = [(i, t) for i, lg, t in train_docs if lg == lang]
+        for (o, g), c in _py_train(part, 3).items():
+            want_counts[(lang, o, g)] = c
+    assert got_counts == want_counts
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["lm_score"])
+        for r in X.ngram_lm_score(
+            df, model, n=3, scale=10**6, group_cols=["lang"]
+        ).collect()
+    }
+    want = {}
+    for did, lang, t in GDOCS:
+        toks = _py_tokens(t or "")
+        if not toks:
+            continue
+        part = [(i, tt) for i, lg, tt in train_docs if lg == lang]
+        pmodel = _py_train(part, 3)
+        if not pmodel:
+            want[did] = (lang, len(toks), 0.0)  # modelless group
+        else:
+            want[did] = (lang, len(toks), _py_score(t, pmodel, 3, scale=10**6))
+    assert got == want
+    assert got[7] == ("xx", 5, 0.0)  # the unmodeled group, 0 not null
+
+    # cross-group isolation: an en doc scored against the grouped
+    # model ignores de/fr counts — equals scoring against the en-only
+    # ungrouped model
+    en_only = X.ngram_lm_train(
+        df.where(F.col("lang") == "en"), n=3
+    )
+    solo = {
+        r["doc_id"]: r["lm_score"]
+        for r in X.ngram_lm_score(
+            df.where(F.col("lang") == "en"), en_only, n=3, scale=10**6
+        ).collect()
+    }
+    for did, lang, _ in GDOCS:
+        if lang == "en":
+            assert got[did][2] == solo[did]
+
+
+def test_grouped_lm_merge_and_compact_keep_groups(spark, tmp_path):
+    """Grouped shard models merge per (group, order, gram) — and a
+    grouped artifact compaction with group_cols preserves the
+    per-group models bit-identically."""
+    df = spark.createDataFrame(GDOCS, "doc_id long, lang string, text string")
+    full = X.ngram_lm_train(df, n=2, group_cols=["lang"])
+    shards = [
+        X.ngram_lm_train(
+            df.where(F.col("doc_id") % 2 == i), n=2, group_cols=["lang"]
+        )
+        for i in range(2)
+    ]
+    merged = X.ngram_lm_merge(
+        shards[0].unionByName(shards[1]), group_cols=["lang"]
+    )
+    key = lambda r: (r["lang"], r["order"], r["gram"])
+    assert {key(r): r["cnt"] for r in merged.collect()} == {
+        key(r): r["cnt"] for r in full.collect()
+    }
+
+    from gcf_corima_parquet_converter_spark.operators.manifest import (
+        write_epoch,
+    )
+
+    root = str(tmp_path / "glm")
+    for e, sh in enumerate(shards):
+        write_epoch(sh, root, e)
+    loaded = X.load_ngram_lm(spark, root, group_cols=["lang"])
+    assert {key(r): r["cnt"] for r in loaded.collect()} == {
+        key(r): r["cnt"] for r in full.collect()
+    }
+    out = X.compact_ngram_lm(spark, root, group_cols=["lang"])
+    assert out["epochs_folded"] >= 1
+    compacted = X.load_ngram_lm(spark, root, group_cols=["lang"])
+    assert {key(r): r["cnt"] for r in compacted.collect()} == {
+        key(r): r["cnt"] for r in full.collect()
+    }
+
+
+def test_grouped_lm_null_group_trains_but_never_matches(spark):
+    """A null group key forms its own model rows at train time (groupBy
+    groups nulls) but can never be scored against: the score join uses
+    standard null-rejecting equality, so a null-group document falls
+    through every lookup to the OOV base case and scores 0.  Pinned as
+    the documented semantics — callers who want null-group scoring
+    must fill the group column first."""
+    df = spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, None, "a b a b")],
+        "doc_id long, lang string, text string",
+    )
+    model = X.ngram_lm_train(df, n=2, group_cols=["lang"])
+    langs = {r["lang"] for r in model.select("lang").distinct().collect()}
+    assert langs == {"en", None}  # the null group trains
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in X.ngram_lm_score(
+            df, model, n=2, scale=10**6, group_cols=["lang"]
+        ).collect()
+    }
+    assert got[2] == 0.0   # null group never matches its own rows
+    assert got[1] > 0.0

@@ -94,6 +94,10 @@ SINGLE_PARTITION_ALLOWED = {
     # sum of unigram counts) — one bigint partial per task; the
     # one-row result broadcasts into the per-token backoff join
     "q124_ngram_lm_score": 1,
+    # ANN ablation: eval_compare's final keys=[] comparison aggregate
+    # — its input is the 3-row paired per-query recall frame (q121's
+    # allowlisted shape), one constant-size partial per task
+    "q128_ann_ablation": 1,
     # LM quality gate: q124's one-row _N reduce appears in BOTH
     # consumers of the scored frame (threshold branch + kept output —
     # the heavy model/positions exchanges between them dedupe via

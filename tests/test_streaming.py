@@ -2528,3 +2528,76 @@ def test_serve_bm25_queries_torn_overlay_degrades_not_fails(
     # documented bounded-staleness degradation) — but served
     r1 = got.where((F.col("q_id") == 2) & (F.col("rank") == 1)).first()
     assert r1 is not None and r1["doc_id"] == 0
+
+
+def test_lm_gate_stream_matches_batch_filter(spark, tmp_path):
+    """The streaming LM quality gate lands exactly the docs the batch
+    filter keeps (frozen model + frozen threshold -> per-batch
+    decisions are deterministic), quarantine catches the rest
+    INCLUDING unscoreable blank docs, and kept + quarantined == every
+    streamed doc."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import text as X
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        lm_gate_stream,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sleeps"),
+        (3, "zzz qqq vvv kkk www"),          # OOV-heavy: low score
+        (4, "the quick brown fox jumps again"),
+        (5, "   "),                           # unscoreable -> quarantine
+        (6, "qqq zzz unseen unseen unseen"),
+        (7, "the quick brown fox jumps over the lazy dog again"),
+        (8, None),                            # unscoreable -> quarantine
+    ]
+    sch = "doc_id long, text string"
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    for name, part in (("f1", docs[:4]), ("f2", docs[4:])):
+        p = str(tmp_path / name)
+        spark.createDataFrame(part, sch).coalesce(1).write.parquet(p)
+        [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, name + ".parquet"))
+
+    all_df = spark.createDataFrame(docs, sch)
+    model = X.ngram_lm_train(all_df, n=3)
+    scored = X.ngram_lm_score(all_df, model, n=3, scale=10**6)
+    # freeze a mid-range threshold offline: the median batch score
+    vals = sorted(r["lm_score"] for r in scored.collect())
+    thr = vals[len(vals) // 2]
+
+    out, quar = str(tmp_path / "kept"), str(tmp_path / "quar")
+    q = lm_gate_stream(
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        model,
+        out,
+        checkpoint=str(tmp_path / "ck_gate"),
+        min_score=thr,
+        quarantine_path=quar,
+    )
+    q.awaitTermination(120)
+
+    from gcf_corima_parquet_converter_spark.operators.manifest import (
+        read_artifact,
+    )
+
+    kept = read_artifact(spark, out, drop_epoch=True)
+    rejected = read_artifact(spark, quar, drop_epoch=True)
+    want_kept = {
+        r["doc_id"] for r in scored.collect() if r["lm_score"] >= thr
+    }
+    got_kept = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    got_rej = {r["doc_id"] for r in rejected.select("doc_id").collect()}
+    assert got_kept == want_kept
+    assert got_kept | got_rej == {d for d, _ in docs}
+    assert not (got_kept & got_rej)
+    assert {5, 8} <= got_rej  # blank/null docs carry no LM evidence
+    # the landed rows carry the audit columns
+    assert {"doc_id", "text", "n_tokens", "lm_score"} <= set(kept.columns)

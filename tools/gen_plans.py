@@ -325,6 +325,25 @@ QUERIES = [
         "map-only scoring scans, zero single-partition funnels",
     ),
     (
+        "q127_perlang_lm_score",
+        "per-language LM scoring (r15): all languages' models train "
+        "in ONE (lang, order, gram) groupBy, lookups resolve through "
+        "ONE equi-join carrying lang as extra key, and the per-group "
+        "unigram totals JOIN (languages-sized frame) replaces q124's "
+        "global one-row reduce — the grouped variant has ZERO "
+        "single-partition exchanges",
+    ),
+    (
+        "q128_ann_ablation",
+        "ANN ablation (r15): two truncated-projection rankers graded "
+        "by ann_eval against full-dim truth, paired through "
+        "eval_compare (metric-generic, cross-tier).  All four "
+        "rankings end in local-then-global top-k; the eval joins and "
+        "the final keys=[] comparison aggregate see 3-row per-query "
+        "frames — the corpus appears only in the map-only scoring "
+        "scans",
+    ),
+    (
         "q126_lm_quality_gate",
         "LM perplexity gate (r15): q124's scorer feeds BOTH the exact-"
         "percentile threshold (1-row aggregate, broadcast back — the "
