@@ -1680,10 +1680,25 @@ def ann_eval(
                 F.col(rank_col).cast("int").alias(out),
             )
         elif score_col is not None and score_col in df.columns:
+            # two-phase rank derivation (batch_cosine_topk's guard):
+            # a per-input-partition local top-k first, so the global
+            # per-query window receives at most k x n_partitions rows
+            # per query — callers normally pass top-k lists, but a
+            # full scored corpus must not funnel corpus x queries rows
+            # into queries-many partitions
+            local = Window.partitionBy(
+                F.spark_partition_id(), q_id_col
+            ).orderBy(F.desc(score_col), F.col(id_col))
+            pre = (
+                df.select(q_id_col, id_col, score_col)
+                .withColumn("_lrk", F.row_number().over(local))
+                .where(F.col("_lrk") <= int(k))
+                .drop("_lrk")
+            )
             w = Window.partitionBy(q_id_col).orderBy(
                 F.desc(score_col), F.col(id_col)
             )
-            r = df.select(
+            r = pre.select(
                 F.col(q_id_col),
                 F.col(id_col),
                 F.row_number().over(w).alias(out),

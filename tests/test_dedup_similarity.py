@@ -2317,3 +2317,38 @@ def test_ann_eval_perfect_ranking_and_plan(spark):
     )
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ann_eval_score_derivation_two_phase_partition_invariant(spark):
+    """The score->rank derivation's local pre-top-k must not change
+    results under any partitioning: ranks derived from an 8-partition
+    scored frame equal the 1-partition derivation exactly (any global
+    top-k row survives its partition-local top-k by construction)."""
+    rows = [
+        (q, i, (i * 7919 + q * 104729) % 1000)
+        for q in (1, 2, 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "q_id long, vec_id long, sim_fx long")
+    exact = df  # grade the ranking against itself at k=5
+    one = sorted(
+        map(
+            tuple,
+            S.ann_eval(
+                df.coalesce(1), exact.coalesce(1), k=5, score_col="sim_fx"
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            S.ann_eval(
+                df.repartition(8), exact.repartition(8), k=5,
+                score_col="sim_fx",
+            ).collect(),
+        )
+    )
+    assert one == many
+    # self-graded: perfect by construction
+    for r in S.ann_eval(df, exact, k=5, score_col="sim_fx").collect():
+        assert r["recall"] == 1.0 and r["top1_hit"] == 1
