@@ -234,6 +234,75 @@ def phrase_search(
     )
 
 
+def proximity_search(
+    index: DataFrame,
+    terms: str | list[str],
+    slop: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ordered proximity match — :func:`phrase_search` relaxed to
+    allow up to ``slop`` intervening positions between consecutive
+    terms (the ordered-window feature family of the sequential
+    dependence model, Metzler & Croft 2005: phrase and proximity
+    evidence alongside bag-of-words BM25).  ``slop=0`` is exact
+    adjacency — identical results to ``phrase_search``, pinned by
+    test.
+
+    Matching semantics (exact existence, not a greedy heuristic — a
+    leftmost-greedy chain can miss valid matches, e.g. A@1 B@{2,3}
+    C@5 at slop=1): an occurrence of the FIRST term at position ``p``
+    is one match iff SOME ordered chain ``p < p_2 < ... < p_k``
+    exists with every consecutive gap ``p_i - p_{i-1}`` in
+    ``[1, slop + 1]``.  Computed by backward induction over the
+    positions arrays: ``T_k`` = last term's positions, ``T_i`` =
+    positions of term ``i`` with a ``T_{i+1}`` continuation in
+    bounds, matches = ``T_1``.
+
+    Returns ``(id, n_matches, first_pos)`` — the same shape as
+    ``phrase_search``, so :func:`snippets` hydrates either.
+
+    Plan: NO explode anywhere (tighter than ``phrase_search``'s
+    anchor explode) — each induction step is one ``id`` equi-join of
+    the term's postings plus a ``filter(positions, x -> exists(T,
+    bounds))`` expression over the packed arrays (per-doc cost
+    |pos_i| x |T_{i+1}|, term-frequency-bounded), and all joins run
+    over postings already filtered to the query's terms
+    (partition-pruned under :func:`load_postings`)."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    if not tl:
+        raise ValueError("terms must contain at least one term")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    step = int(slop) + 1
+    cur = index.where(F.col("term") == tl[-1]).select(
+        F.col(id_col), F.col("positions").alias("_T")
+    )
+    for t in reversed(tl[:-1]):
+        nxt = index.where(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias("_pos")
+        )
+        cur = (
+            nxt.join(cur, id_col)
+            .withColumn(
+                "_T",
+                F.filter(
+                    F.col("_pos"),
+                    lambda x: F.exists(
+                        F.col("_T"),
+                        lambda y: (y > x) & (y <= x + F.lit(step)),
+                    ),
+                ),
+            )
+            .where(F.size("_T") > 0)
+            .select(id_col, "_T")
+        )
+    return cur.select(
+        F.col(id_col),
+        F.size("_T").cast("long").alias("n_matches"),
+        F.array_min("_T").alias("first_pos"),
+    )
+
+
 # --------------------------------------------------------------- BM25
 
 

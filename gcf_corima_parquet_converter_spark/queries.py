@@ -5535,3 +5535,40 @@ def q128(spark, sf_dir):
     ev_a = S.ann_eval(truncated(32), exact, k=10, score_col="sim_fx")
     ev_b = S.ann_eval(truncated(16), exact, k=10, score_col="sim_fx")
     return R.eval_compare(ev_a, ev_b, metric="recall")
+
+
+# -- q129: ordered proximity search (retrieval.proximity_search) — the
+#    sequential-dependence-model window feature (Metzler & Croft 2005)
+#    relaxing q114's exact adjacency to gaps <= slop+1.  EXISTENCE
+#    semantics by backward induction (a greedy chain would miss valid
+#    matches — pinned by test); the Spark side runs it as packed-array
+#    filter/exists expressions with zero explodes, the oracle replays
+#    the same induction in position-row space (per-step DISTINCT
+#    continuation joins).
+@query(
+    "q129_proximity_search",
+    "WITH " + _BM25_SQL_STATS + """,
+    t3 AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+    t2 AS (
+      SELECT DISTINCT a.doc_id, a.p
+      FROM pos a JOIN t3 b
+        ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 3
+      WHERE a.term = 'window'
+    ),
+    t1 AS (
+      SELECT DISTINCT a.doc_id, a.p
+      FROM pos a JOIN t2 b
+        ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 3
+      WHERE a.term = 'spark'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(MIN(p) AS INT) AS first_pos
+    FROM t1 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q129(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    return R.proximity_search(
+        idx, "spark window merge", slop=2
+    ).orderBy("doc_id")

@@ -348,3 +348,39 @@ def test_retrieval_eval_and_prf_null_robustness(spark):
     assert R.prf_expand(
         docs, ranking.where(F.col("doc_id") > 10), n_terms=5
     ).count() == 0
+
+
+def test_proximity_and_lm_null_empty_whitespace_docs(spark):
+    """r15 additions under the same P8 bar: degenerate docs carry no
+    postings (proximity can never match them) and no LM rows (nothing
+    to score, grouped or not); an all-degenerate corpus yields empty
+    frames, not crashes."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+    d = _docs(spark)
+    idx = R.inverted_index(d)
+    assert {
+        r.doc_id for r in R.proximity_search(idx, "a c", slop=1).collect()
+    } == {1, 2}
+    empty_idx = R.inverted_index(d.where(F.col("doc_id").isin(3, 4, 5)))
+    assert R.proximity_search(empty_idx, "a b", slop=3).count() == 0
+
+    model = X.ngram_lm_train(d, n=2)
+    scored = X.ngram_lm_score(d, model, n=2, scale=10**6)
+    assert {r.doc_id for r in scored.collect()} == {1, 2, 6, 7}
+    allbad = d.where(F.col("doc_id").isin(3, 4, 5))
+    assert X.ngram_lm_train(allbad, n=2).count() == 0
+    assert X.ngram_lm_score(
+        allbad, model, n=2, scale=10**6
+    ).count() == 0
+    # grouped: null/blank text drops BEFORE grouping — a group whose
+    # docs are all degenerate simply has no model and no scored rows
+    g = d.withColumn(
+        "grp", F.when(F.col("doc_id") <= 2, "a").otherwise("b")
+    )
+    gm = X.ngram_lm_train(g, n=2, group_cols=["grp"])
+    assert {r["grp"] for r in gm.select("grp").distinct().collect()} == {
+        "a", "b",
+    }
+    gs = X.ngram_lm_score(g, gm, n=2, scale=10**6, group_cols=["grp"])
+    assert {r.doc_id for r in gs.collect()} == {1, 2, 6, 7}

@@ -1021,3 +1021,89 @@ def test_index_append_stats_first_closes_freshness_window(
     # pruned loader sees the same aligned pair
     p3, s3 = R.load_postings_artifact(spark, root, ["quick"])
     assert s3.first()["n_docs"] == total["n_docs"]
+
+
+# ------------------------------------------------------ proximity
+
+
+def _py_proximity(docs, terms, slop):
+    """Pure-python existence model: anchor matches iff an ordered
+    chain with gaps in [1, slop+1] completes."""
+    out = {}
+    for did, text in docs:
+        toks = text.split()
+        pos = {}
+        for i, t in enumerate(toks, start=1):
+            pos.setdefault(t, []).append(i)
+        T = list(pos.get(terms[-1], []))
+        for t in reversed(terms[:-1]):
+            T = [
+                x
+                for x in pos.get(t, [])
+                if any(x < y <= x + slop + 1 for y in T)
+            ]
+            if not T:
+                break
+        if T:
+            out[did] = (len(T), min(T))
+    return out
+
+
+def test_proximity_search_matches_python_model(spark):
+    docs = [
+        (1, "a b c"),                  # adjacent: matches every slop
+        (2, "a x b x c"),              # gaps of 2: needs slop >= 1
+        (3, "a x x b c"),              # mixed gaps 3,1: needs slop >= 2
+        (4, "c b a"),                  # wrong order: never matches
+        (5, "a b x x x c"),            # gap 4 at the end: slop >= 3
+        (6, "a a b c"),                # two anchors, both complete
+        (7, "a b"),                    # c missing entirely
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = R.inverted_index(df)
+    for slop in (0, 1, 2, 3):
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in R.proximity_search(idx, "a b c", slop=slop).collect()
+        }
+        assert got == _py_proximity(docs, ["a", "b", "c"], slop), slop
+
+
+def test_proximity_greedy_pitfall_case(spark):
+    # the case a leftmost-greedy chain MISSES: greedy takes b@2, then
+    # finds no c in (2, 4]; the valid chain is 1 -> 3 -> 5 (slop=1)
+    df = spark.createDataFrame(
+        [(1, "a b b x c")], "doc_id long, text string"
+    )
+    idx = R.inverted_index(df)
+    row = R.proximity_search(idx, "a b c", slop=1).first()
+    assert row is not None and row["n_matches"] == 1
+    assert row["first_pos"] == 1
+
+
+def test_proximity_slop0_equals_phrase_search(spark, sf_dir):
+    from gcf_corima_parquet_converter_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    idx = R.inverted_index(docs)
+    a = sorted(
+        map(tuple, R.phrase_search(idx, "spark window").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            R.proximity_search(idx, "spark window", slop=0).collect(),
+        )
+    )
+    assert a == b and a  # identical AND non-empty on the corpus
+
+
+def test_proximity_args_and_single_term(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    idx = R.inverted_index(df)
+    with pytest.raises(ValueError, match="at least one"):
+        R.proximity_search(idx, [])
+    with pytest.raises(ValueError, match="slop"):
+        R.proximity_search(idx, "a", slop=-1)
+    row = R.proximity_search(idx, "a").first()  # single term: tf + first
+    assert row["n_matches"] == 2 and row["first_pos"] == 1

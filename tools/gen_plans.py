@@ -334,6 +334,14 @@ QUERIES = [
         "single-partition exchanges",
     ),
     (
+        "q129_proximity_search",
+        "ordered proximity (r15): backward-induction window matching "
+        "as packed-array filter/exists expressions — ZERO explodes "
+        "(phrase_search explodes its anchor; this never does), one id "
+        "equi-join per query term over term-filtered postings, "
+        "existence semantics exact",
+    ),
+    (
         "q128_ann_ablation",
         "ANN ablation (r15): two truncated-projection rankers graded "
         "by ann_eval against full-dim truth, paired through "
