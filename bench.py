@@ -1112,6 +1112,13 @@ def bench_retrieval(spark) -> dict:
             "spark window",
         )
     )
+    # r15: ordered proximity over the same pruned persisted postings
+    # (slop=2 — the backward-induction window path, zero explodes)
+    prox_sec, n_prox = best(
+        lambda: R.proximity_search(
+            R.load_postings(spark, root, terms)[0], terms, slop=2
+        )
+    )
     out = {
         "corpus_docs": docs.count(),
         "postings_rows": spark.read.parquet(
@@ -1122,6 +1129,8 @@ def bench_retrieval(spark) -> dict:
         "persisted_speedup": round(inline_sec / persisted_sec, 2),
         "phrase_persisted_sec": round(phrase_sec, 3),
         "phrase_docs": n_phrase,
+        "proximity_persisted_sec": round(prox_sec, 3),
+        "proximity_docs": n_prox,
     }
     if build_sec is not None:
         out["index_build_sec"] = build_sec

@@ -303,6 +303,100 @@ def proximity_search(
     )
 
 
+def min_span(
+    index: DataFrame,
+    terms: str | list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Minimum covering span — the classic unordered proximity feature
+    (MinDist/MinCover family: Tao & Zhai 2007, "An exploration of
+    proximity measures in information retrieval"): for documents
+    containing ALL query terms, the length of the shortest position
+    window containing at least one occurrence of every term, any
+    order.  Smaller = tighter co-occurrence = stronger relevance
+    signal; the unordered companion to :func:`proximity_search`'s
+    ordered windows.
+
+    Returns ``(id, min_span, first_pos)`` — ``first_pos`` is the
+    start of the earliest minimal window (deterministic tie-break:
+    among equal spans the smallest start wins), so :func:`snippets`
+    hydrates the tightest cluster directly.
+
+    Exact by the standard sweep: sort the union of the terms'
+    positions; at each candidate window END, the minimal window
+    ending there spans back to the OLDEST of the per-term latest
+    positions; the global minimum over ends is the answer.  The sweep
+    runs as ONE ``aggregate`` fold over a per-doc sorted struct array
+    — packed arrays end to end, no explode, no UDF — after the same
+    per-term ``id`` equi-joins as ``phrase_search`` (inner, so only
+    docs containing every term pay anything), partition-pruned under
+    :func:`load_postings`."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    if not tl:
+        raise ValueError("terms must contain at least one term")
+    k = len(tl)
+    cur = index.where(F.col("term") == tl[0]).select(
+        F.col(id_col), F.col("positions").alias("_pos0")
+    )
+    for i, t in enumerate(tl[1:], start=1):
+        cur = cur.join(
+            index.where(F.col("term") == t).select(
+                F.col(id_col), F.col("positions").alias(f"_pos{i}")
+            ),
+            id_col,
+        )
+    def _tagger(i: int):
+        # a factory, NOT a defaulted lambda: F.transform treats a
+        # 2-parameter callable as (element, index) and would bind the
+        # array index over the default (ngram_lm_train's trap)
+        return lambda p: F.struct(p.alias("p"), F.lit(i).alias("t"))
+
+    union = F.array_sort(
+        F.concat(
+            *[F.transform(F.col(f"_pos{i}"), _tagger(i)) for i in range(k)]
+        )
+    )
+    # fold state: per-term latest position (0 = unseen), running best
+    # (span, start); BIG sentinel keeps comparisons integer-only
+    big = 1 << 30
+    init = F.struct(
+        *[F.lit(0).alias(f"l{i}") for i in range(k)],
+        F.lit(big).alias("best"),
+        F.lit(0).alias("bestp"),
+    )
+
+    def _step(acc, e):
+        ls = [
+            F.when(e["t"] == i, e["p"]).otherwise(acc[f"l{i}"]).alias(
+                f"l{i}"
+            )
+            for i in range(k)
+        ]
+        upd = [
+            F.when(e["t"] == i, e["p"]).otherwise(acc[f"l{i}"])
+            for i in range(k)
+        ]
+        oldest = upd[0] if k == 1 else F.least(*upd)
+        all_seen = oldest > 0
+        span = e["p"] - oldest + F.lit(1)
+        better = all_seen & (span < acc["best"])
+        return F.struct(
+            *ls,
+            F.when(better, span).otherwise(acc["best"]).alias("best"),
+            F.when(better, oldest).otherwise(acc["bestp"]).alias("bestp"),
+        )
+
+    folded = cur.select(
+        F.col(id_col),
+        F.aggregate(union, init, _step).alias("_st"),
+    )
+    return folded.select(
+        F.col(id_col),
+        F.col("_st")["best"].cast("int").alias("min_span"),
+        F.col("_st")["bestp"].cast("int").alias("first_pos"),
+    )
+
+
 # --------------------------------------------------------------- BM25
 
 

@@ -5572,3 +5572,63 @@ def q129(spark, sf_dir):
     return R.proximity_search(
         idx, "spark window merge", slop=2
     ).orderBy("doc_id")
+
+
+# -- q130: minimum covering span (retrieval.min_span) — the classic
+#    unordered proximity feature (MinDist family, Tao & Zhai 2007):
+#    shortest window containing every query term in any order, with
+#    the earliest such window's start for snippet hydration.  Spark
+#    runs the standard sweep as ONE aggregate fold over the per-doc
+#    sorted union of positions (packed arrays, zero explodes); the
+#    oracle replays it in position-row space: every candidate window
+#    END joins each term's latest preceding position, LEAST of those
+#    is the window start, rank (span, start, end) picks the answer.
+@query(
+    "q130_min_span",
+    "WITH " + _BM25_SQL_STATS + """,
+    cand AS (
+      SELECT DISTINCT doc_id, p FROM pos
+      WHERE term IN ('spark', 'window', 'merge')
+    ),
+    l1 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'spark' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l2 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'window' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l3 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'merge' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    spans AS (
+      SELECT l1.doc_id, l1.p,
+             l1.p - LEAST(l1.l, l2.l, l3.l) + 1 AS span,
+             LEAST(l1.l, l2.l, l3.l) AS start
+      FROM l1
+      JOIN l2 ON l2.doc_id = l1.doc_id AND l2.p = l1.p
+      JOIN l3 ON l3.doc_id = l1.doc_id AND l3.p = l1.p
+    ),
+    ranked AS (
+      SELECT doc_id, span, start,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY span, start, p
+             ) AS rn
+      FROM spans
+    )
+    SELECT doc_id, CAST(span AS INT) AS min_span,
+           CAST(start AS INT) AS first_pos
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q130(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    return R.min_span(idx, "spark window merge").orderBy("doc_id")

@@ -4,6 +4,7 @@ reference implementations, plus the persisted-index partition-pruning
 and no-Python plan contracts."""
 
 import math
+import os
 import shutil
 import tempfile
 from collections import Counter
@@ -1107,3 +1108,97 @@ def test_proximity_args_and_single_term(spark):
         R.proximity_search(idx, "a", slop=-1)
     row = R.proximity_search(idx, "a").first()  # single term: tf + first
     assert row["n_matches"] == 2 and row["first_pos"] == 1
+
+
+def test_proximity_over_persisted_pruned_index_matches_inline(spark, idx):
+    d = tempfile.mkdtemp()
+    try:
+        R.write_inverted_index(idx, d, n_buckets=16)
+        pruned, _ = R.load_postings(spark, d, ["quick", "fox"])
+        a = sorted(
+            map(tuple, R.proximity_search(idx, "quick fox", slop=1).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                R.proximity_search(pruned, "quick fox", slop=1).collect(),
+            )
+        )
+        assert a == b and a
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [tbucket" in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _py_min_span(docs, terms):
+    import itertools
+
+    out = {}
+    for did, text in docs:
+        toks = text.split()
+        pos = {
+            t: [i + 1 for i, x in enumerate(toks) if x == t]
+            for t in set(terms)
+        }
+        if any(not pos[t] for t in set(terms)):
+            continue
+        best = None
+        for tup in itertools.product(*[pos[t] for t in terms]):
+            cand = (max(tup) - min(tup) + 1, min(tup))
+            if best is None or cand < best:
+                best = cand
+        out[did] = best
+    return out
+
+
+def test_min_span_matches_bruteforce_python_model(spark):
+    docs = [
+        (1, "a x x b x a b"),     # tightest cluster at the end: span 2
+        (2, "b x x x a"),         # only one tuple: span 5
+        (3, "a x a"),             # b missing -> dropped
+        (4, "b a"),               # unordered: matches, span 2
+        (5, "a b a"),             # two span-2 windows: earliest start
+        (6, "c a b c"),           # 3 terms, span 3... c at both ends
+        (7, "a b c"),             # adjacent: span 3
+        (8, "c x b x a"),         # reverse order: span 5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = R.inverted_index(df)
+    got2 = {
+        r["doc_id"]: (r["min_span"], r["first_pos"])
+        for r in R.min_span(idx, "a b").collect()
+    }
+    assert got2 == _py_min_span(docs, ["a", "b"])
+    got3 = {
+        r["doc_id"]: (r["min_span"], r["first_pos"])
+        for r in R.min_span(idx, "a b c").collect()
+    }
+    assert got3 == _py_min_span(docs, ["a", "b", "c"])
+    # single term: span 1 at the first occurrence
+    got1 = {
+        r["doc_id"]: (r["min_span"], r["first_pos"])
+        for r in R.min_span(idx, "a").collect()
+    }
+    assert got1 == _py_min_span(docs, ["a"])
+    with pytest.raises(ValueError, match="at least one"):
+        R.min_span(idx, [])
+
+
+def test_min_span_plan_no_explode_no_python(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # round-trip the index through parquet so its own tokenize-explode
+    # lineage is gone — the assertion isolates min_span's plan
+    d = tempfile.mkdtemp()
+    try:
+        R.inverted_index(df).write.parquet(os.path.join(d, "idx"))
+        idx = spark.read.parquet(os.path.join(d, "idx"))
+        plan = (
+            R.min_span(idx, "a b")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Generate" not in plan  # zero explodes: packed-array sweep
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

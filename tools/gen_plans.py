@@ -342,6 +342,14 @@ QUERIES = [
         "existence semantics exact",
     ),
     (
+        "q130_min_span",
+        "minimum covering span (r15): the MinDist sweep as ONE "
+        "aggregate fold over the sorted per-doc position union — "
+        "packed arrays, zero explodes, inner joins restrict to docs "
+        "containing every term; the global answer needs no further "
+        "aggregation (one row per doc leaves the fold)",
+    ),
+    (
         "q128_ann_ablation",
         "ANN ablation (r15): two truncated-projection rankers graded "
         "by ann_eval against full-dim truth, paired through "
