@@ -1202,3 +1202,34 @@ def test_min_span_plan_no_explode_no_python(spark):
             assert marker not in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snippets_hydrate_min_span_and_proximity_matches(spark):
+    """The (id, n_matches/min_span, first_pos) shape contract: snippets
+    hydrates min_span and proximity_search output exactly like
+    phrase_search's — the window opens at the tightest cluster / the
+    first ordered match."""
+    docs_df = spark.createDataFrame(
+        [(1, "u v w a b x y z"), (2, "a q q q b")],
+        "doc_id long, text string",
+    )
+    idx = R.inverted_index(docs_df)
+    ms = R.min_span(idx, "a b")
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in R.snippets(
+            docs_df, ms, width=1, match_len=2
+        ).collect()
+    }
+    # doc1: min window [4,5] -> one token either side
+    assert got[1] == "w a b x"
+    # doc2: span 5 window starts at 1, match_len=2 clips inside the doc
+    assert got[2] == "a q q"
+    prox = R.proximity_search(idx, "a b", slop=3)
+    got_p = {
+        r["doc_id"]: r["snippet"]
+        for r in R.snippets(
+            docs_df, prox, width=1, match_len=2
+        ).collect()
+    }
+    assert got_p[2] == "a q q"  # anchored at the ordered match start
