@@ -5632,3 +5632,116 @@ def q130(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     idx = R.inverted_index(d)
     return R.min_span(idx, "spark window merge").orderBy("doc_id")
+
+
+# -- q131: proximity-evidence ranked retrieval — the SDM insight
+#    (Metzler & Croft 2005: term-proximity evidence improves
+#    bag-of-words ranking) assembled ONLY from principled published
+#    pieces already graded here: BM25 top-50 (q113) + a MinDist
+#    tightness ranking (q130's min_span, asc) fused calibration-free
+#    by reciprocal-rank fusion (Cormack 2009, q117's combiner).  No
+#    invented scoring formula — proximity enters as a RANKING, not a
+#    hand-weighted boost.
+@query(
+    "q131_proximity_rrf",
+    "WITH " + _BM25_SQL_STATS + """,
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores ORDER BY score_fx DESC, doc_id LIMIT 50
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id, p FROM pos
+      WHERE term IN ('spark', 'window', 'merge')
+    ),
+    l1 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'spark' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l2 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'window' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l3 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'merge' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    doc_span AS (
+      SELECT l1.doc_id, MIN(l1.p - LEAST(l1.l, l2.l, l3.l) + 1) AS span
+      FROM l1
+      JOIN l2 ON l2.doc_id = l1.doc_id AND l2.p = l1.p
+      JOIN l3 ON l3.doc_id = l1.doc_id AND l3.p = l1.p
+      GROUP BY l1.doc_id
+    ),
+    prox AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY span, doc_id) AS INT) AS rank
+      FROM doc_span ORDER BY span, doc_id LIMIT 50
+    ),
+    u AS (
+      SELECT doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM bm
+      UNION ALL
+      SELECT doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM prox
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_fx DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, rrf_fx, n_sources
+    FROM fused ORDER BY rrf_fx DESC, doc_id LIMIT 10
+    """,
+)
+def q131(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    terms = ["spark", "window", "merge"]
+    idx = R.inverted_index(d)
+    bm = R.bm25_topk(
+        idx, terms, k=50, idf="rational", scale=1_000_000
+    ).select("doc_id", "rank")
+    spans = R.min_span(idx, terms)
+    w = Window.partitionBy(F.lit(0)).orderBy("min_span", "doc_id")
+    prox = (
+        spans.orderBy("min_span", "doc_id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    out = R.rrf_fuse([bm, prox], topk=10, scale=1_000_000_000)
+    return out.select(
+        "rank", "doc_id",
+        fx("rrf_score", 1_000_000_000).alias("rrf_fx"),
+        "n_sources",
+    ).orderBy("rank")

@@ -94,6 +94,11 @@ SINGLE_PARTITION_ALLOWED = {
     # sum of unigram counts) — one bigint partial per task; the
     # one-row result broadcasts into the per-token backoff join
     "q124_ngram_lm_score": 1,
+    # proximity-evidence fusion: one funnel — q113's benign one-row
+    # BM25 corpus-stats scalar reduce; the proximity ranking's global
+    # row_number window runs over its LIMIT-50 frame (bounded by
+    # construction, q117's fusion regime)
+    "q131_proximity_rrf": 1,
     # ANN ablation: eval_compare's final keys=[] comparison aggregate
     # — its input is the 3-row paired per-query recall frame (q121's
     # allowlisted shape), one constant-size partial per task

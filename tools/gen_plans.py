@@ -350,6 +350,19 @@ QUERIES = [
         "aggregation (one row per doc leaves the fold)",
     ),
     (
+        "q131_proximity_rrf",
+        "proximity-evidence ranked retrieval (r15): BM25 top-50 + the "
+        "MinDist tightness ranking fused by RRF — both arms end "
+        "bounded (TakeOrdered / LIMIT-50) and fusion touches only two "
+        "<= 50-row lists.  Measured at sf0.1: fused 3.11s vs 2.57s "
+        "for the two arms run separately (1.21x) — the arms' index "
+        "subtrees do NOT currently share exchanges (different "
+        "aggregation shapes defeat reuse), so the composition cost is "
+        "the sum of arms plus bounded fusion; at serving scale both "
+        "arms read the PERSISTED pruned index instead of re-deriving "
+        "it, which removes the shared-subtree question entirely",
+    ),
+    (
         "q128_ann_ablation",
         "ANN ablation (r15): two truncated-projection rankers graded "
         "by ann_eval against full-dim truth, paired through "
