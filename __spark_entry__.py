@@ -271,6 +271,50 @@ _DEMOTED_REDUNDANT = (
     "q117_hybrid_rrf",
     "q118_retrieval_eval",
     "q96_quality_score",
+    # r16 rotation: q125_ann_recall_eval / q126_lm_quality_gate /
+    # q127_perlang_lm_score / q128_ann_ablation /
+    # q129_proximity_search / q130_min_span / q131_proximity_rrf
+    # PROMOTED into the graded window (the r15 overflow backlog —
+    # r15 verdict #3, the largest any round carried; all seven
+    # oracle-green locally every round via driver_sim +
+    # test_queries_oracle).  Seven veterans take their slots, each
+    # family still graded by an in-window SUPERSET twin (the
+    # q91->q99 logic) and oracle-verified locally every round:
+    # q66's tf-idf term-weight ranking family is graded by q113/q122
+    # (BM25 — the Okapi superset of tf-idf weighting: idf variants +
+    # tf saturation + length normalization over the same
+    # postings-statistics machinery); tfidf_topk itself stays pinned
+    # by test_text_multimodal + the local oracle;
+    # q88's histogram-sketch percentile family by q100 (the sketch
+    # capstone's pct stage IS histogram_merge +
+    # histogram_percentiles — byte-shared kernel, hash-graded);
+    # q107's span-strip rewrite by q111 (strip_contaminated_spans IS
+    # stage 2 of the graded decontamination capstone — byte-shared),
+    # with detection graded by q75 + q106 (both in-window);
+    # q109's per-(doc,bench) window-provenance aggregation by q106
+    # (span detection with positions, graded) and q111 (the
+    # capstone's heavy stage aggregates shared-gram counts per doc
+    # in the same graded hash); contamination_report stays pinned by
+    # test_membership + the local oracle;
+    # q110's semantic decontamination by q111 (semantic_decontaminate
+    # IS stage 3 of the graded capstone — same operator, same
+    # threshold semantics) and the cosine machinery by q25;
+    # q120's snippet hydration by q123 (the capstone's snippet stage
+    # hydrates the same phrase matches inside the graded hash), its
+    # phrase arm also by the promoted q129 (slop=0 ≡ phrase_search,
+    # pinned by test_retrieval);
+    # q121's eval_compare paired ablation by the promoted q128 (the
+    # metric-generic eval_compare over ANN arms — the cross-tier
+    # twin), its retrieval_eval triple by q123 (graded in-plan), and
+    # its batch-BM25 shape by q113/q122 (bm25_topk IS a one-row
+    # bm25_topk_batch — byte-shared scorer).
+    "q66_tfidf_topk",
+    "q88_histogram_percentiles",
+    "q107_strip_contaminated_spans",
+    "q109_contamination_report",
+    "q110_semantic_decontaminate",
+    "q120_phrase_snippets",
+    "q121_eval_compare_bm25_b",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -1902,6 +1902,23 @@ def main() -> None:
             "(q53 2.21 vs 2.31, q15 0.49 vs 0.54, overlapping ranges) "
             "-> r14 elevation was host drift"
         ),
+        # r16 closes the r15 verdict's q49/q50/facade question the
+        # same way (solo fresh-JVM micro-bench per side, r14-judge
+        # commit b5e41e8 in a worktree vs HEAD, same host-day):
+        # q49 cold 1.14 vs 1.12, q50 cold 0.97 vs 0.93, facade_full
+        # 50.4s vs 46.5s — the two CODE lines are indistinguishable
+        # (HEAD marginally faster), while BOTH read far above either
+        # round's recorded numbers (q49 0.486/0.568, facade
+        # 30.5/34.2) under a canary of 0.094-0.116 vs r14-day's
+        # 0.076-0.092.  The r15-recorded +17%/+17%/+12% on untouched
+        # code was host-day drift, third consecutive confirmation of
+        # the cross_round_note protocol.
+        "ab_q49_q50_facade_note": (
+            "same-day A/B vs b5e41e8: code lines indistinguishable "
+            "(q49 1.14 vs 1.12, q50 0.97 vs 0.93, facade 50.4 vs "
+            "46.5 with HEAD ahead), both elevated vs recorded rounds "
+            "under canary 0.094-0.116 -> r15 elevation was host drift"
+        ),
         # work-normalized where the query measures its output volume
         # (ratio_work_norm, see bench_scaling's q94 note) — the raw max
         # is kept alongside so nothing is hidden

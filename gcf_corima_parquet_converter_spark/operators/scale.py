@@ -457,6 +457,27 @@ def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
       the final reduce of a scalar aggregate (one row per upstream
       task); a global window/sort funnels FULL-WIDTH data through one
       reducer.
+    * ``unguarded_rank_funnels`` — the shape the raw SinglePartition
+      COUNT cannot grade: a ranking window (``row_number``/``rank``/
+      ``ntile``) with a constant/empty partition key, fed by an
+      ``Exchange SinglePartition`` whose subtree carries NO bounding
+      operator.  A rank-then-``filter rank <= k`` source shape is
+      normally rewritten by Catalyst (SPARK-37099) into
+      ``TakeOrderedAndProject`` or a pre-exchange ``WindowGroupLimit
+      ... Partial`` — a partition-local top-k BEFORE the funnel — so
+      a surviving unbounded constant-key rank exchange means the
+      rewrite did not fire (k above
+      ``spark.sql.optimizer.windowGroupLimitThreshold``, the filter
+      detached from the window, or ranks consumed unbounded): at
+      100x that single reducer receives the full frame.  Bounding
+      operators recognized below the exchange: ``WindowGroupLimit``,
+      ``TakeOrderedAndProject``, ``GlobalLimit``/``LocalLimit``/
+      ``CollectLimit``, or another ranking window (a manual
+      partition-local guard, similarity.py's pattern).  Inputs
+      bounded by CONTRACT rather than by plan (rrf_fuse over
+      persisted top-k lists) are invisible statically — allowlist
+      those call sites deliberately, the test_plan_invariants
+      regime.
     * ``exchanges`` / ``broadcast_joins`` — counted for context (every
       exchange is a shuffle; is each one expected?).
 
@@ -475,6 +496,7 @@ def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
             plan.count("ArrowEvalPython") + plan.count("InPandas")
         ),
         "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "unguarded_rank_funnels": _count_unguarded_rank_funnels(plan),
         "exchanges": plan.count("Exchange"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
     }
@@ -510,9 +532,106 @@ def plan_audit(df: DataFrame, python_ok: bool = False) -> dict:
             "reduce; a global window/sort here is the single-reducer "
             "trap (see pipeline.global_running_sum)"
         )
+    if counts["unguarded_rank_funnels"]:
+        findings.append(
+            f"{counts['unguarded_rank_funnels']} unguarded constant-key "
+            "rank window(s): a ranking window over Exchange "
+            "SinglePartition with no partition-local bound below — "
+            "filter rank <= k adjacent to the window (so Catalyst's "
+            "WindowGroupLimit/TakeOrdered rewrite fires), raise "
+            "spark.sql.optimizer.windowGroupLimitThreshold above k, "
+            "or pre-top-k per input partition "
+            "(similarity.batch_cosine_topk's guard)"
+        )
     counts["findings"] = findings
     counts["ok"] = not findings
     return counts
+
+
+_RANK_FNS = ("row_number(", "rank(", "ntile(")
+_RANK_BOUNDS = (
+    "WindowGroupLimit",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+)
+_PASSTHROUGH_OPS = ("Sort ", "Project ", "Filter ", "InputAdapter",
+                    "WholeStageCodegen", "AQEShuffleRead",
+                    "ShuffleQueryStage", "ColumnarToRow", "Exchange ")
+
+
+def _plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse an ``executedPlan().toString()`` into (depth, op-text)
+    nodes.  Depth derives from the ``+-``/``:-`` marker column (3
+    chars per level); the op text strips the codegen ``*(n)``
+    prefix."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.search(r"[+:]- ", line)
+        if m is None:
+            if line.strip():
+                nodes.append((0, re.sub(r"^\*\(\d+\) ", "", line.strip())))
+            continue
+        depth = m.start() // 3 + 1
+        text = re.sub(r"^\*\(\d+\) ", "", line[m.end():].strip())
+        nodes.append((depth, text))
+    return nodes
+
+
+def _count_unguarded_rank_funnels(plan: str) -> int:
+    """Count ranking windows feeding an unbounded ``Exchange
+    SinglePartition`` — the constant-key window funnel the raw
+    SinglePartition count cannot distinguish from a benign scalar
+    reduce (see :func:`plan_audit`).  For each SinglePartition
+    exchange: the nearest non-passthrough ANCESTOR must be a Window
+    computing a rank function (else the funnel is graded by the
+    scalar-reduce rule, not this one), and the exchange's DESCENDANT
+    subtree must carry no bounding operator (WindowGroupLimit /
+    TakeOrdered / Limit / another rank window)."""
+    nodes = _plan_nodes(plan)
+    n_flagged = 0
+    for i, (depth, text) in enumerate(nodes):
+        if not text.startswith("Exchange SinglePartition"):
+            continue
+        # ancestor walk: nearest shallower node, skipping pass-through
+        # operators that preserve row count/width
+        anc = None
+        want = depth - 1
+        for j in range(i - 1, -1, -1):
+            d, t = nodes[j]
+            if d == want:
+                if t.startswith(_PASSTHROUGH_OPS):
+                    want -= 1
+                    continue
+                anc = t
+                break
+            if d < want:
+                want = d - 1
+        if anc is None or anc.startswith("WindowGroupLimit"):
+            # a WindowGroupLimit(Final) directly above IS the bound
+            continue
+        if not (
+            anc.startswith("Window")
+            and any(fn in anc for fn in _RANK_FNS)
+        ):
+            continue
+        bounded = False
+        for j in range(i + 1, len(nodes)):
+            d, t = nodes[j]
+            if d <= depth:
+                break
+            if t.startswith(_RANK_BOUNDS) or (
+                t.startswith("Window")
+                and any(fn in t for fn in _RANK_FNS)
+            ):
+                bounded = True
+                break
+        if not bounded:
+            n_flagged += 1
+    return n_flagged
 
 
 def atomic_swap_dir(spark: SparkSession, live: str, tmp: str) -> None:

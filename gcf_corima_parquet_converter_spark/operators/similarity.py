@@ -1708,7 +1708,15 @@ def ann_eval(
                 f"frame has neither rank column {rank_col!r} nor score "
                 f"column {score_col!r}"
             )
-        return r.where(F.col(out) <= int(k))
+        # duplicate (q_id, id) rows in either input would multiply
+        # through the left join and inflate n_exact/n_hits silently
+        # (e.g. a query batch with repeated q_ids); dedupe keeping the
+        # best rank — cheap, the frames are eval-sized (ADVICE r15)
+        return (
+            r.where(F.col(out) <= int(k))
+            .groupBy(q_id_col, id_col)
+            .agg(F.min(out).alias(out))
+        )
 
     a = _ranked(approx, "_arank")
     e = _ranked(exact, "_erank")

@@ -5100,6 +5100,14 @@ def q123(spark, sf_dir):
     terms = ["spark", "window", "merge"]
     bm = R.bm25_topk(idx, terms, k=20, idf="rational", scale=1_000_000)
     ph = R.phrase_search(idx, "spark window")
+    # phrase_search's match frame is unbounded (every doc containing
+    # the phrase), so the constant-key ranking below must NOT funnel
+    # it through one partition: on this engine the row_number +
+    # rank<=20 filter shape compiles to TakeOrderedAndProject(20) —
+    # a partial take per input partition then a 20-row merge, the
+    # two-phase guard natively (pinned by test_plan_invariants'
+    # constant-key-window audit; see retrieval.bm25_topk_batch for
+    # the WindowGroupLimit contract and the k>threshold fallback)
     wp = Window.partitionBy(F.lit(0)).orderBy(
         F.desc("n_matches"), F.col("doc_id")
     )
@@ -5745,3 +5753,378 @@ def q131(spark, sf_dir):
         fx("rrf_score", 1_000_000_000).alias("rrf_fx"),
         "n_sources",
     ).orderBy("rank")
+
+
+# -- q132: analyzer-composed proximity (r15 verdict #7) — q129/q130
+#    grade the raw-token path; proximity_search/min_span take
+#    caller-provided terms, so an ANALYZED index needs analyze_terms
+#    at the call site (the same same-analyzer contract bm25 has,
+#    graded for BM25 by q122).  Over q122's deterministically-noised
+#    corpus (upper-case + trailing commas) the 'simple' analyzer is
+#    load-bearing: raw postings would contain 'SPARK,' and match
+#    nothing.  min_span anchors the result (every doc containing all
+#    terms), the ordered slop-2 chain left-joins on top — one plan
+#    grades both operators on the analyzed stream.  The oracle
+#    replays the analyzer in DuckDB (q122's CTE) then re-derives
+#    MinDist in position-row space (q130's latest-preceding-position
+#    joins) and the ordered chain by backward induction (q129's
+#    per-step DISTINCT continuation joins).
+@query(
+    "q132_analyzed_proximity",
+    "WITH " + _Q122_STATS + """,
+    t3 AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+    t2 AS (
+      SELECT DISTINCT a.doc_id, a.p
+      FROM pos a JOIN t3 b
+        ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 3
+      WHERE a.term = 'window'
+    ),
+    t1 AS (
+      SELECT DISTINCT a.doc_id, a.p
+      FROM pos a JOIN t2 b
+        ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 3
+      WHERE a.term = 'spark'
+    ),
+    ordered AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ordered,
+             CAST(MIN(p) AS INT) AS ordered_first
+      FROM t1 GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id, p FROM pos
+      WHERE term IN ('spark', 'window', 'merge')
+    ),
+    l1 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'spark' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l2 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'window' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    l3 AS (
+      SELECT c.doc_id, c.p, MAX(q.p) AS l
+      FROM cand c JOIN pos q
+        ON q.doc_id = c.doc_id AND q.term = 'merge' AND q.p <= c.p
+      GROUP BY c.doc_id, c.p
+    ),
+    spans AS (
+      SELECT l1.doc_id, l1.p,
+             l1.p - LEAST(l1.l, l2.l, l3.l) + 1 AS span,
+             LEAST(l1.l, l2.l, l3.l) AS start
+      FROM l1
+      JOIN l2 ON l2.doc_id = l1.doc_id AND l2.p = l1.p
+      JOIN l3 ON l3.doc_id = l1.doc_id AND l3.p = l1.p
+    ),
+    ranked AS (
+      SELECT doc_id, span, start,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY span, start, p
+             ) AS rn
+      FROM spans
+    ),
+    ms AS (
+      SELECT doc_id, CAST(span AS INT) AS min_span,
+             CAST(start AS INT) AS span_start
+      FROM ranked WHERE rn = 1
+    )
+    SELECT ms.doc_id, ms.min_span, ms.span_start,
+           COALESCE(o.n_ordered, CAST(0 AS BIGINT)) AS n_ordered,
+           COALESCE(o.ordered_first, CAST(0 AS INT)) AS ordered_first
+    FROM ms LEFT JOIN ordered o USING (doc_id)
+    ORDER BY ms.doc_id
+    """,
+)
+def q132(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), r"(\S+)", "$1,"),
+            F.lit(" ..."),
+        ).alias("text"),
+    )
+    idx = R.inverted_index(noisy, analyzer="simple")
+    terms = R.analyze_terms("SPARK, Window. MERGE,", "simple")
+    ms = R.min_span(idx, terms).select(
+        "doc_id", "min_span", F.col("first_pos").alias("span_start")
+    )
+    px = R.proximity_search(idx, terms, slop=2).select(
+        "doc_id",
+        F.col("n_matches").alias("n_ordered"),
+        F.col("first_pos").alias("ordered_first"),
+    )
+    return (
+        ms.join(px, "doc_id", "left")
+        .select(
+            "doc_id",
+            "min_span",
+            "span_start",
+            F.coalesce("n_ordered", F.lit(0).cast("long")).alias(
+                "n_ordered"
+            ),
+            F.coalesce("ordered_first", F.lit(0).cast("int")).alias(
+                "ordered_first"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- q133: corpus-mean eval summaries graded in-plan (r15 verdict #8)
+#    — the per-query eval rows are driver-graded (q118-family, q125)
+#    but retrieval_eval_summary / ann_eval_summary rode only bench
+#    assertions.  This composes BOTH summaries over their graded
+#    per-query producers (q118's BM25-vs-mined-qrels eval; q125's
+#    truncated-vs-exact ANN eval) and unions them into one row set
+#    (kind column — q112's pattern).  Hash contract: each summary
+#    mean is SUM(per-query fx)/scale/n re-fixed at 1e6 — the oracle
+#    replays the identical two-division order, so the doubles never
+#    diverge.
+@query(
+    "q133_eval_summaries",
+    "WITH " + _BM25_SQL_STATS + f""",
+    q(q_id, term) AS (
+      VALUES (1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'batch'),
+             (2, 'join'), (3, 'vector')
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id) AS INT)
+               AS rank
+      FROM scores
+    ),
+    nt AS (SELECT q_id, count(*) AS n_terms FROM q GROUP BY q_id),
+    matched AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(count(DISTINCT tf.term) AS INT) AS m,
+             CAST(SUM(tf.tf) AS BIGINT) AS tfs
+      FROM tf JOIN q USING (term) GROUP BY q.q_id, tf.doc_id
+    ),
+    qrels AS (
+      SELECT matched.q_id, doc_id, CAST(least(tfs, 8) AS INT) AS rel
+      FROM matched JOIN nt USING (q_id)
+      WHERE m = n_terms AND tfs >= 4
+    ),
+    j AS (
+      SELECT r.q_id, r.rank, qr.rel
+      FROM ranked r
+      LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10
+    ),
+    jc AS (
+      SELECT q_id, rank, rel,
+             SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY rank) AS cum
+      FROM j
+    ),
+    perres AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    CAST(floor(CAST(cum AS DOUBLE)
+                         * CAST(1000000000 AS DOUBLE)
+                         / CAST(rank AS DOUBLE) + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ap_fx9
+      FROM jc GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT q_id, rel,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    perrel AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN ir <= 10 THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('ir')})
+                  ELSE 0 END) AS BIGINT) AS idcg_fx
+      FROM ideal GROUP BY q_id
+    ),
+    retq AS (
+      SELECT perrel.q_id,
+             CAST(COALESCE(n_hits, 0) AS DOUBLE)
+               / CAST(n_rel AS DOUBLE) AS recall,
+             COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0) AS rr,
+             CAST(COALESCE(ap_fx9, 0) AS DOUBLE)
+               / CAST(1000000000 AS DOUBLE)
+               / CAST(n_rel AS DOUBLE) AS ap,
+             CAST(COALESCE(dcg_fx, 0) AS DOUBLE)
+               / CAST(idcg_fx AS DOUBLE) AS ndcg
+      FROM perrel LEFT JOIN perres USING (q_id)
+    ),
+    retsum AS (
+      SELECT 'ret' AS kind,
+             CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(floor((CAST(SUM(CAST(floor(recall * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS recall_fx,
+             CAST(floor((CAST(SUM(CAST(floor(rr * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS mrr_fx,
+             CAST(floor((CAST(SUM(CAST(floor(ap * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS map_fx,
+             CAST(floor((CAST(SUM(CAST(floor(ndcg * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS ndcg_fx,
+             CAST(0 AS BIGINT) AS top1_fx
+      FROM retq
+    ),
+    qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT qv.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v, qv.v)*1000000 + 0.5)
+                      AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv)
+      WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT qv.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                 CAST(floor(list_dot_product(c.v[1:16], qv.v[1:16])*1000000
+                            + 0.5) AS BIGINT) DESC, c.vec_id) AS rank
+        FROM corpus c CROSS JOIN qv)
+      WHERE rank <= 10
+    ),
+    annq AS (
+      SELECT e.q_id,
+             CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
+             COALESCE(1.0 / CAST(min(a.rank) AS DOUBLE), 0.0) AS rr,
+             CAST(max(CASE WHEN e.rank = 1 AND a.rank = 1 THEN 1 ELSE 0
+                  END) AS INTEGER) AS top1_hit
+      FROM exact e LEFT JOIN approx a
+        ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+      GROUP BY e.q_id
+    ),
+    annsum AS (
+      SELECT 'ann' AS kind,
+             CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(floor((CAST(SUM(CAST(floor(recall * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS recall_fx,
+             CAST(floor((CAST(SUM(CAST(floor(rr * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS mrr_fx,
+             CAST(0 AS BIGINT) AS map_fx,
+             CAST(0 AS BIGINT) AS ndcg_fx,
+             CAST(floor((CAST(SUM(top1_hit) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS top1_fx
+      FROM annq
+    )
+    SELECT * FROM retsum UNION ALL SELECT * FROM annsum ORDER BY kind
+    """,
+)
+def q133(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
+         (3, ["vector"])],
+        "q_id long, terms array<string>",
+    )
+    results = R.bm25_topk_batch(idx, qs, k=10, idf="rational", scale=10**6)
+    qterms = qs.select("q_id", F.explode("terms").alias("term"))
+    nt = qs.select("q_id", F.size("terms").alias("n_terms"))
+    matched = (
+        idx.join(F.broadcast(qterms), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("int").alias("m"),
+            F.sum("tf").alias("tfs"),
+        )
+    )
+    qrels = (
+        matched.join(F.broadcast(nt), "q_id")
+        .where((F.col("m") == F.col("n_terms")) & (F.col("tfs") >= 4))
+        .select(
+            "q_id", "doc_id",
+            F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
+        )
+    )
+    rsum = R.retrieval_eval_summary(
+        R.retrieval_eval(results, qrels, k=10)
+    ).select(
+        F.lit("ret").alias("kind"),
+        "n_queries",
+        fx("recall_at_k", 10**6).alias("recall_fx"),
+        fx("mrr", 10**6).alias("mrr_fx"),
+        fx("map", 10**6).alias("map_fx"),
+        fx("ndcg_at_k", 10**6).alias("ndcg_fx"),
+        F.lit(0).cast("long").alias("top1_fx"),
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.batch_cosine_topk(e, qv, k=10)
+    approx = S.batch_cosine_topk(
+        e.withColumn("embedding", F.slice("embedding", 1, 16)),
+        qv.withColumn("q_vec", F.slice("q_vec", 1, 16)),
+        k=10,
+    )
+    asum = S.ann_eval_summary(
+        S.ann_eval(approx, exact, k=10, score_col="sim_fx")
+    ).select(
+        F.lit("ann").alias("kind"),
+        "n_queries",
+        fx("recall_at_k", 10**6).alias("recall_fx"),
+        fx("mrr", 10**6).alias("mrr_fx"),
+        F.lit(0).cast("long").alias("map_fx"),
+        F.lit(0).cast("long").alias("ndcg_fx"),
+        fx("top1_rate", 10**6).alias("top1_fx"),
+    )
+    return rsum.unionByName(asum).orderBy("kind")

@@ -1415,7 +1415,10 @@ def lm_gate_stream(
     the rejects (kept ∪ quarantined == batch, the audit invariant);
     unscoreable docs (null/blank text — no LM evidence) go to
     quarantine, the CCNet drop-empty convention.  Returns the started
-    StreamingQuery."""
+    StreamingQuery; the persisted model is released automatically when
+    the query terminates (a QueryTerminatedEvent listener keyed on the
+    query id — availableNow runs clean up after themselves, and
+    callers of long-lived streams need no handle)."""
     from ..operators.manifest import write_epoch
     from ..operators.text import ngram_lm_score
 
@@ -1428,17 +1431,24 @@ def lm_gate_stream(
         scored = ngram_lm_score(
             df, model, n=n, scale=scale, group_cols=group_cols
         ).select(id_col, "n_tokens", "lm_score")
-        joined = df.join(scored, id_col, "left")
-        keep = F.col("lm_score").isNotNull() & (
-            F.col("lm_score") >= F.lit(float(min_score))
-        )
-        write_epoch(joined.where(keep), output_path, int(epoch_id))
-        if quarantine_path is not None:
-            write_epoch(
-                joined.where(~F.coalesce(keep, F.lit(False))),
-                quarantine_path,
-                int(epoch_id),
+        # persist: the scored join (the expensive 2n-1-lookup subtree)
+        # is consumed twice when quarantine_path is set — without this
+        # every batch re-scores once per sink, and a nondeterministic
+        # source could even break kept ∪ quarantined == batch
+        joined = df.join(scored, id_col, "left").persist()
+        try:
+            keep = F.col("lm_score").isNotNull() & (
+                F.col("lm_score") >= F.lit(float(min_score))
             )
+            write_epoch(joined.where(keep), output_path, int(epoch_id))
+            if quarantine_path is not None:
+                write_epoch(
+                    joined.where(~F.coalesce(keep, F.lit(False))),
+                    quarantine_path,
+                    int(epoch_id),
+                )
+        finally:
+            joined.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_batch)
@@ -1446,4 +1456,28 @@ def lm_gate_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    spark = model.sparkSession
+
+    class _Release(StreamingQueryListener):
+        # releases the cached model when THIS query ends, so
+        # availableNow runs don't leak executor memory for the
+        # application lifetime (ADVICE r15)
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == str(query.id):
+                try:
+                    model.unpersist()
+                finally:
+                    spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Release())
+    return query

@@ -2352,3 +2352,28 @@ def test_ann_eval_score_derivation_two_phase_partition_invariant(spark):
     # self-graded: perfect by construction
     for r in S.ann_eval(df, exact, k=5, score_col="sim_fx").collect():
         assert r["recall"] == 1.0 and r["top1_hit"] == 1
+
+
+def test_ann_eval_duplicate_rows_do_not_inflate_counts(spark):
+    """ADVICE r15: duplicate (q_id, id) rows in either input used to
+    multiply through the left join and silently inflate
+    n_exact/n_hits.  _ranked now collapses dups to their best rank,
+    so a duplicated truth row / a repeated approx row grade exactly
+    like the clean frames."""
+    clean_exact = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    clean_approx = [(1, 11, 1), (1, 77, 2), (1, 10, 3)]
+    dup_exact = clean_exact + [(1, 10, 1), (1, 11, 2)]
+    dup_approx = clean_approx + [(1, 11, 1), (1, 11, 5)]
+    sch = "q_id long, vec_id long, rank int"
+    want = S.ann_eval(
+        spark.createDataFrame(clean_approx, sch),
+        spark.createDataFrame(clean_exact, sch),
+        k=10,
+    ).first()
+    got = S.ann_eval(
+        spark.createDataFrame(dup_approx, sch),
+        spark.createDataFrame(dup_exact, sch),
+        k=10,
+    ).first()
+    assert got.asDict() == want.asDict()
+    assert got["n_exact"] == 3 and got["n_hits"] == 2

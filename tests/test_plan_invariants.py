@@ -23,6 +23,7 @@ make this test do a little real work.
 import pytest
 
 from gcf_corima_parquet_converter_spark import queries as Q
+from gcf_corima_parquet_converter_spark.operators import scale as SC
 
 # ext -> why Python is unavoidable there
 PYTHON_ALLOWED = {
@@ -103,6 +104,12 @@ SINGLE_PARTITION_ALLOWED = {
     # — its input is the 3-row paired per-query recall frame (q121's
     # allowlisted shape), one constant-size partial per task
     "q128_ann_ablation": 1,
+    # eval summaries: the BM25 arm's one-row corpus-stats scalar
+    # reduce (q113's funnel) + the two keys=[] summary aggregates
+    # themselves — each consumes a per-query eval frame (3 rows by
+    # construction: 3 retrieval queries / 3 ANN queries), one
+    # constant-size partial per task crossing each funnel
+    "q133_eval_summaries": 3,
     # LM quality gate: q124's one-row _N reduce appears in BOTH
     # consumers of the scored frame (threshold branch + kept output —
     # the heavy model/positions exchanges between them dedupe via
@@ -131,4 +138,19 @@ def test_plan_invariants(spark, sf_dir, name):
         f"{name}: {n_single} SinglePartition exchange(s) — a new global "
         "funnel (if this is a scalar-aggregate reduce, extend the "
         "allowlist with a why-benign comment)"
+    )
+    # r16 (VERDICT r15 #2): the count above cannot tell a scalar
+    # reduce from a constant-key RANKING funnel — grade the shape
+    # directly.  No query may rank an unbounded frame through a
+    # single partition; rank-then-filter shapes compile to
+    # TakeOrderedAndProject / WindowGroupLimit (bounded before the
+    # exchange) and pass.  Inputs bounded by CONTRACT (rrf_fuse over
+    # persisted top-k lists) would need an allowlist entry here —
+    # today no graded query needs one.
+    n_funnels = SC._count_unguarded_rank_funnels(plan)
+    assert n_funnels == 0, (
+        f"{name}: {n_funnels} unguarded constant-key rank window(s) — "
+        "an unbounded frame ranked through one partition; keep the "
+        "rank filter adjacent to the window or add the partition-"
+        "local pre-top-k guard"
     )

@@ -1233,3 +1233,154 @@ def test_snippets_hydrate_min_span_and_proximity_matches(spark):
         ).collect()
     }
     assert got_p[2] == "a q q"  # anchored at the ordered match start
+
+
+# ---------------------------------------------------------- r16: the
+# two-phase top-k guard contract (VERDICT r15 #1).  The scored frame
+# feeding bm25's final per-query ranking is unbounded, so rows must be
+# bounded BEFORE the partitionBy(q_id) exchange.  On this engine the
+# rank-then-filter shape triggers Catalyst's WindowGroupLimit rewrite
+# (SPARK-37099) — a partition-local top-k with NO extra exchange —
+# and bm25_topk_batch falls back to the explicit spark_partition_id
+# pre-top-k only when k exceeds windowGroupLimitThreshold.  These
+# tests pin the plan shape structurally and prove partition
+# invariance, so neither an engine upgrade nor a refactor can
+# silently reopen the funnel.
+
+
+def test_bm25_topk_native_plan_is_two_phase(idx):
+    """The native path: a WindowGroupLimit Partial must sit BELOW the
+    q_id exchange (bounding what crosses to k rows per input
+    partition per query), and the manual fallback must be absent."""
+    out = R.bm25_topk(idx, ["quick", "brown"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_lrk" not in plan  # manual guard not in the common path
+    lines = plan.splitlines()
+    exch = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(q_id" in ln
+    ]
+    assert exch, "expected a q_id exchange under the final ranking"
+    below = "\n".join(lines[exch[0]:])
+    assert "WindowGroupLimit" in below and ", Partial" in below, (
+        "no partition-local bound below the q_id exchange — the "
+        "WindowGroupLimit rewrite did not fire; the 100 TB funnel "
+        "is open"
+    )
+
+
+def test_bm25_topk_fallback_guard_when_k_above_threshold(spark, idx):
+    """k above windowGroupLimitThreshold disables the Catalyst
+    rewrite; bm25_topk_batch must then apply the explicit
+    partition-local pre-top-k, and results must be identical."""
+    expected = [
+        (r["rank"], r["doc_id"])
+        for r in R.bm25_topk(idx, ["quick", "brown"], k=3).collect()
+    ]
+    old = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "2")
+    try:
+        out = R.bm25_topk(idx, ["quick", "brown"], k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_lrk" in plan, "fallback guard missing"
+        got = [(r["rank"], r["doc_id"]) for r in out.collect()]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.windowGroupLimitThreshold", old
+        )
+    assert got == expected
+
+
+def test_bm25_topk_partition_invariance(spark, docs_df):
+    """The guard's correctness claim: the top-k is identical under
+    any input partitioning (1 partition, default, prime skew), in
+    both the native and the fallback regime."""
+    base = None
+    for n_parts, thresh in [(1, None), (7, None), (13, "2")]:
+        idx_n = R.inverted_index(docs_df.repartition(n_parts))
+        old = spark.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold"
+        )
+        if thresh is not None:
+            spark.conf.set(
+                "spark.sql.optimizer.windowGroupLimitThreshold", thresh
+            )
+        try:
+            got = [
+                (r["rank"], r["doc_id"], r["score"])
+                for r in R.bm25_topk(
+                    idx_n, ["quick", "brown", "dog"], k=4,
+                    idf="rational", scale=1_000_000,
+                ).collect()
+            ]
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.windowGroupLimitThreshold", old
+            )
+        if base is None:
+            base = got
+        assert got == base, f"top-k changed under {n_parts} partitions"
+
+
+def test_min_span_duplicate_terms_collapse(spark):
+    """Duplicate query terms collapse to distinct terms up front
+    (ADVICE r15): min_span('a a b') == min_span('a b') — MinDist is a
+    per-distinct-term covering measure, and without the dedupe one
+    occurrence would silently satisfy both duplicate slots."""
+    docs_df = spark.createDataFrame(
+        [(1, "a x b"), (2, "a a b"), (3, "b x x a")],
+        "doc_id long, text string",
+    )
+    idx = R.inverted_index(docs_df)
+    dup = {
+        r["doc_id"]: (r["min_span"], r["first_pos"])
+        for r in R.min_span(idx, "a a b").collect()
+    }
+    ded = {
+        r["doc_id"]: (r["min_span"], r["first_pos"])
+        for r in R.min_span(idx, "a b").collect()
+    }
+    assert dup == ded
+    assert dup[1] == (3, 1) and dup[2] == (2, 2) and dup[3] == (4, 1)
+
+
+def test_proximity_and_min_span_analyzer_composition(spark):
+    """r15 verdict #7: proximity_search/min_span take caller-provided
+    terms, so an analyzed index composes via analyze_terms (the
+    same-analyzer contract BM25 has).  Over a noised corpus (upper +
+    edge punctuation) the 'simple'-analyzed index with analyzed query
+    terms must match the raw index over the clean lowercase corpus
+    exactly — positions included, since the analyzer drops no tokens
+    here and positions are assigned AFTER analysis."""
+    clean = [
+        (1, "spark window merge runs fast"),
+        (2, "spark then window then much later merge spark window merge"),
+        (3, "merge window spark"),  # wrong order: min_span only
+        (4, "spark window"),        # missing term
+    ]
+    noisy = [
+        (i, " ".join(w.upper() + "," for w in t.split())) for i, t in clean
+    ]
+    sch = "doc_id long, text string"
+    raw_idx = R.inverted_index(spark.createDataFrame(clean, sch))
+    an_idx = R.inverted_index(
+        spark.createDataFrame(noisy, sch), analyzer="simple"
+    )
+    terms = R.analyze_terms("SPARK, Window. MERGE,", "simple")
+    assert terms == ["spark", "window", "merge"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        R.proximity_search(an_idx, terms, slop=2)
+    ) == rows(R.proximity_search(raw_idx, "spark window merge", slop=2))
+    assert rows(R.min_span(an_idx, terms)) == rows(
+        R.min_span(raw_idx, "spark window merge")
+    )
+    # raw terms against the analyzed index miss by contract: the
+    # postings store analyzed tokens only
+    assert (
+        R.proximity_search(an_idx, ["SPARK,", "Window."], slop=2).count()
+        == 0
+    )

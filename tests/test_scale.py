@@ -533,3 +533,63 @@ def test_atomic_swap_dir_recovers_crash_between_renames(spark, tmp_path):
         100, 101, 102,
     ]
     assert not glob.glob(str(tmp_path) + "/*.compact.*")
+
+
+def test_plan_audit_flags_unguarded_constant_key_rank_window(spark):
+    """VERDICT r15 #2: the raw SinglePartition count cannot tell a
+    benign scalar reduce from a constant-key ranking funnel.  The
+    unguarded_rank_funnels counter must (a) pass the shape Catalyst
+    rewrites to TakeOrderedAndProject / WindowGroupLimit, (b) flag
+    the SAME source shape when the rewrite is disabled (the pre-fix
+    q123 plan), (c) pass it again once a manual partition-local
+    guard bounds the exchange, and (d) never fire on a scalar
+    aggregate's final reduce."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gcf_corima_parquet_converter_spark.operators import scale as SC
+
+    df = spark.range(200).withColumn("v", F.col("id") * 2)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("v"), "id")
+
+    # (a) rewrite on: TakeOrderedAndProject, no funnel
+    ranked = df.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= 5
+    )
+    r = SC.plan_audit(ranked)
+    assert r["unguarded_rank_funnels"] == 0
+
+    old = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    try:
+        # (b) rewrite off: the pre-fix funnel — flagged
+        bad = df.withColumn("r", F.row_number().over(w)).where(
+            F.col("r") <= 5
+        )
+        rb = SC.plan_audit(bad)
+        assert rb["unguarded_rank_funnels"] == 1 and not rb["ok"]
+        assert any("rank window" in f for f in rb["findings"])
+
+        # (c) manual partition-local guard: bounded below — passes
+        wl = Window.partitionBy(F.spark_partition_id()).orderBy(
+            F.desc("v"), "id"
+        )
+        pre = (
+            df.withColumn("l", F.row_number().over(wl))
+            .where(F.col("l") <= 5)
+            .drop("l")
+        )
+        good = pre.withColumn("r", F.row_number().over(w)).where(
+            F.col("r") <= 5
+        )
+        rc = SC.plan_audit(good)
+        assert rc["unguarded_rank_funnels"] == 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.windowGroupLimitThreshold", old
+        )
+
+    # (d) scalar reduce: SinglePartition but not a rank funnel
+    rd = SC.plan_audit(df.agg(F.sum("v")))
+    assert rd["unguarded_rank_funnels"] == 0
+    assert rd["single_partition_exchanges"] >= 1

@@ -2601,3 +2601,41 @@ def test_lm_gate_stream_matches_batch_filter(spark, tmp_path):
     assert {5, 8} <= got_rej  # blank/null docs carry no LM evidence
     # the landed rows carry the audit columns
     assert {"doc_id", "text", "n_tokens", "lm_score"} <= set(kept.columns)
+
+
+def test_lm_gate_stream_releases_model_cache_on_termination(
+    spark, tmp_path
+):
+    """ADVICE r15: lm_gate_stream persists the model but used to leak
+    the cache for the application lifetime.  The termination listener
+    must unpersist it once the (availableNow) query ends."""
+    import os
+    import time
+
+    from gcf_corima_parquet_converter_spark.operators import text as X
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        lm_gate_stream,
+    )
+
+    sch = "doc_id long, text string"
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b a b a")], sch
+    )
+    src = str(tmp_path / "rel_src")
+    docs.coalesce(1).write.parquet(src)
+    model = X.ngram_lm_train(docs, n=2)
+    q = lm_gate_stream(
+        spark.readStream.schema(sch).parquet(src),
+        model,
+        str(tmp_path / "rel_out"),
+        checkpoint=str(tmp_path / "rel_ck"),
+        min_score=-100.0,
+    )
+    q.awaitTermination(120)
+    # listener fires asynchronously after termination
+    deadline = time.time() + 30
+    while time.time() < deadline and model.storageLevel.useMemory:
+        time.sleep(0.5)
+    assert not model.storageLevel.useMemory, (
+        "model cache not released after query termination"
+    )
