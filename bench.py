@@ -1336,11 +1336,112 @@ def _bench_bm25_serving(spark, root: str) -> dict:
                 "note": "scale payoff = batch_read_files ratio; "
                         "local wall is plan-overhead-bound",
             },
+            "mixed": _bench_mixed_serving(spark, inc_root, work, pool),
         }
     finally:
         shutil.rmtree(inc_root, ignore_errors=True)
         shutil.rmtree(ab_root, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
+    """r15 verdict #5: the serving bench must exercise FUSED serving,
+    not just BM25 — 4 batches x 16 queries cycling through
+    bm25/phrase/proximity/fused against the SAME incremental artifact
+    the lifecycle run left behind (post-append, post-compact), with
+    one more mid-stream index_append inside the measured window so
+    the freshness loop is part of the number.  Phrase/proximity rows
+    here use 2-term queries from the high-df pool (worst-case
+    positional join volume)."""
+    import glob as _glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    sch = "q_id long, mode string, terms array<string>, slop int"
+    n_batches, per_batch = 4, 16
+    modes = ("bm25", "phrase", "proximity", "fused")
+    qsrc = os.path.join(work, "mixed_qsrc")
+    os.makedirs(qsrc)
+    qid = 10_000
+    for bch in range(n_batches):
+        rows = []
+        for j in range(per_batch):
+            mode = modes[j % len(modes)]
+            n_terms = 3 if mode in ("bm25", "fused") else 2
+            terms = [
+                pool[(qid * 11 + t * 17 + 3) % len(pool)]
+                for t in range(n_terms)
+            ]
+            rows.append(
+                (qid, mode, terms, 2 if mode == "proximity" else None)
+            )
+            qid += 1
+        stage = os.path.join(work, f"mixed_stage{bch}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        [f] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.copy(f, os.path.join(qsrc, f"{bch:03d}.parquet"))
+
+    freshness = {"appended": False}
+
+    def hook(batch_id):
+        if batch_id == 2 and not freshness["appended"]:
+            # re-append a slice already served once under epoch 0 —
+            # epoch-owned overwrite makes this idempotent for the
+            # bench; what matters is the append lands INSIDE the
+            # measured window and the next batch re-resolves it
+            post, _ = R.read_index_artifact(spark, inc_root)
+            R.index_append(
+                post.where(F.col("doc_id") % 1009 == 0).drop("tbucket"),
+                inc_root, 813,
+            )
+            freshness["appended"] = True
+
+    out = os.path.join(work, "mixed_out")
+    t0 = time.perf_counter()
+    q = serve_search_queries(
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qsrc),
+        inc_root,
+        out,
+        checkpoint=os.path.join(work, "mixed_ckpt"),
+        k=10,
+        _pre_batch_hook=hook,
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    res = spark.read.parquet(out)
+    n_queries = n_batches * per_batch
+    answered = res.select("q_id").distinct().count()
+    per_mode = {
+        r["mode"]: r["n"]
+        for r in res.groupBy("mode")
+        .agg(F.countDistinct("q_id").alias("n"))
+        .collect()
+    }
+    assert freshness["appended"]
+    # bm25/fused answer every query (any doc containing any term
+    # scores); phrase/proximity legitimately answer zero when the
+    # pooled hot terms never co-occur in order — reported, not
+    # asserted
+    assert per_mode.get("bm25") == per_mode.get("fused") == (
+        n_queries // len(modes)
+    ), per_mode
+    return {
+        "n_queries": n_queries,
+        "answered": answered,
+        "wall_sec": round(wall, 2),
+        "queries_per_sec": round(n_queries / wall, 1),
+        "per_mode_answered": per_mode,
+        "mid_stream_ops": "index_append@batch2",
+        **_batch_percentiles(q),
+    }
 
 
 def bench_plan_audit(spark, sf_dir: str) -> dict:

@@ -1377,6 +1377,254 @@ def serve_bm25_queries(
     return writer.start()
 
 
+def serve_search_queries(
+    stream: DataFrame,
+    index_root: str,
+    output_path: str,
+    checkpoint: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "robertson",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    mode_col: str = "mode",
+    slop_col: str = "slop",
+    scale: int | None = None,
+    rrf_k0: int = 60,
+    max_pruned_terms: int = 10_000,
+    pending_deletes_path: str | None = None,
+    available_now: bool = True,
+    _pre_batch_hook=None,
+):
+    """Mixed-mode search serving (r15 verdict #5): one query stream,
+    FOUR query shapes, ONE pruned index load per micro-batch.  Real
+    serving is fused — the tier's own capstones (q123/q131) rank by
+    BM25 *and* positional evidence — so the server accepts per-row
+    modes instead of forcing a BM25-only loop next to offline
+    proximity jobs:
+
+    * ``'bm25'``   — Okapi top-k (:func:`retrieval.bm25_topk_batch`),
+      set-based over the whole batch, exactly
+      :func:`serve_bm25_queries`' answer shape.  ``score`` = BM25.
+    * ``'phrase'`` — exact adjacency (:func:`retrieval.phrase_search`)
+      ranked by (n_matches DESC, doc); ``score`` = n_matches.
+    * ``'proximity'`` — ordered slop windows
+      (:func:`retrieval.proximity_search`, per-row ``slop``, null →
+      0 ≡ phrase semantics); ``score`` = n_matches.
+    * ``'fused'``  — the q131 recipe: BM25 top-``4k`` fused with the
+      MinDist tightness ranking (:func:`retrieval.min_span` ASC) by
+      reciprocal-rank fusion; ``score`` = RRF score.
+
+    Index resolution, term-bounded pruning, pending-deletes overlay,
+    epoch-owned output and poison-pill hardening are all inherited
+    from :func:`serve_bm25_queries` — same manifest re-resolve per
+    batch, so maintenance appends/compactions are searchable
+    mid-stream in every mode.
+
+    Scale posture: the batch's DISTINCT terms (all modes pooled)
+    drive ONE partition-pruned postings load shared by every arm.
+    BM25 rows stay fully set-based.  Positional/fused rows are
+    collected driver-side to build their per-query subplans — bounded
+    by contract (a micro-batch's queries are human-sized, the same
+    boundedness the term collect and the ANN server's query batch
+    already assume) and unioned into ONE plan per batch; each
+    subplan's ranking bounds before its exchange (the
+    WindowGroupLimit/TakeOrdered contract pinned in
+    ``retrieval.bm25_topk_batch``).  Rows with an unknown mode are
+    skipped with a warning — a malformed producer must not wedge the
+    stream.
+
+    Output schema: ``(q_id, mode, rank, doc_id, score)`` under
+    ``output_path/epoch=<id>/``.  Returns the started StreamingQuery."""
+    import warnings
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from ..operators.manifest import manifest_resolve
+    from ..operators.retrieval import (
+        _POSTINGS_SUBDIR,
+        bm25_topk_batch,
+        load_postings_artifact,
+        min_span,
+        phrase_search,
+        proximity_search,
+        read_index_artifact,
+        rrf_fuse,
+    )
+
+    spark = stream.sparkSession
+    _MODES = ("bm25", "phrase", "proximity", "fused")
+
+    def _batch(df, epoch_id):
+        if _pre_batch_hook is not None:
+            _pre_batch_hook(int(epoch_id))
+        if not df.head(1):
+            return
+        term_rows = (
+            df.select(F.explode(terms_col).alias("t"))
+            .where(F.col("t").isNotNull() & (F.col("t") != ""))
+            .distinct()
+            .limit(int(max_pruned_terms) + 1)
+            .collect()
+        )
+        terms = sorted(r["t"] for r in term_rows)
+        if not terms:
+            return
+        if manifest_resolve(spark, f"{index_root}/{_POSTINGS_SUBDIR}") is None:
+            warnings.warn(
+                f"serve_search_queries: index artifact {index_root!r} "
+                "not initialized yet; batch served with no results"
+            )
+            return
+        dels = None
+        if pending_deletes_path is not None:
+            try:
+                overlay = spark.read.option(
+                    "ignoreMissingFiles", "true"
+                ).parquet(pending_deletes_path)
+                rows = overlay.collect()
+                if rows:
+                    dels = spark.createDataFrame(rows, overlay.schema)
+            except AnalysisException:
+                dels = None
+            except Exception as exc:
+                warnings.warn(
+                    "serve_search_queries: pending-deletes overlay at "
+                    f"{pending_deletes_path!r} unreadable this batch "
+                    f"({type(exc).__name__}); serving without it"
+                )
+                dels = None
+        if len(terms) > max_pruned_terms:
+            post, stats = read_index_artifact(
+                spark, index_root, pending_deletes=dels, id_col=id_col
+            )
+        else:
+            post, stats = load_postings_artifact(
+                spark, index_root, terms, pending_deletes=dels,
+                id_col=id_col,
+            )
+
+        outs = []
+        bm = df.where(F.col(mode_col) == "bm25").select(
+            q_id_col, terms_col
+        )
+        if bm.head(1):
+            outs.append(
+                bm25_topk_batch(
+                    post, bm, k=k, k1=k1, b=b, idf=idf, id_col=id_col,
+                    q_id_col=q_id_col, terms_col=terms_col, stats=stats,
+                    scale=scale,
+                ).select(
+                    F.col(q_id_col),
+                    F.lit("bm25").alias("mode"),
+                    "rank",
+                    F.col(id_col).alias("doc_id"),
+                    F.col("score").cast("double").alias("score"),
+                )
+            )
+        # positional/fused rows: driver-side per-query subplans over
+        # the SAME pruned postings (bounded by contract — see
+        # docstring); slop defaults to 0 when the column is absent
+        pos_rows = df.where(
+            F.col(mode_col).isin("phrase", "proximity", "fused")
+        ).collect()
+        bad = df.where(
+            ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
+        ).count()
+        if bad:
+            warnings.warn(
+                f"serve_search_queries: {bad} row(s) with unknown mode "
+                "skipped"
+            )
+        for r in pos_rows:
+            qid, mode = r[q_id_col], r[mode_col]
+            tl = [t for t in (r[terms_col] or []) if t]
+            if not tl:
+                continue
+            if mode == "phrase" or mode == "proximity":
+                slop = 0
+                if mode == "proximity":
+                    try:
+                        slop = int(r[slop_col] or 0)
+                    except (KeyError, ValueError):
+                        slop = 0
+                m = (
+                    phrase_search(post, tl, id_col=id_col)
+                    if mode == "phrase"
+                    else proximity_search(
+                        post, tl, slop=slop, id_col=id_col
+                    )
+                )
+                w = Window.partitionBy(F.lit(0)).orderBy(
+                    F.desc("n_matches"), F.col(id_col)
+                )
+                outs.append(
+                    m.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= int(k))
+                    .select(
+                        F.lit(qid).cast("long").alias(q_id_col),
+                        F.lit(mode).alias("mode"),
+                        "rank",
+                        F.col(id_col).alias("doc_id"),
+                        F.col("n_matches").cast("double").alias("score"),
+                    )
+                )
+            else:  # fused — the q131 recipe over the pruned postings
+                one = spark.createDataFrame(
+                    [(0, tl)], f"{q_id_col} long, {terms_col} array<string>"
+                )
+                bm1 = bm25_topk_batch(
+                    post, one, k=4 * int(k), k1=k1, b=b, idf=idf,
+                    id_col=id_col, q_id_col=q_id_col, terms_col=terms_col,
+                    stats=stats, scale=scale,
+                ).select(id_col, "rank")
+                spans = min_span(post, tl, id_col=id_col)
+                ws = Window.partitionBy(F.lit(0)).orderBy(
+                    "min_span", F.col(id_col)
+                )
+                prox = (
+                    spans.withColumn("rank", F.row_number().over(ws))
+                    .where(F.col("rank") <= 4 * int(k))
+                    .select(id_col, "rank")
+                )
+                fused = rrf_fuse(
+                    [bm1, prox], id_col=id_col, k=rrf_k0,
+                    topk=int(k), scale=scale,
+                )
+                outs.append(
+                    fused.select(
+                        F.lit(qid).cast("long").alias(q_id_col),
+                        F.lit("fused").alias("mode"),
+                        "rank",
+                        F.col(id_col).alias("doc_id"),
+                        F.col("rrf_score").cast("double").alias("score"),
+                    )
+                )
+        if not outs:
+            return
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        (
+            out.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def lm_gate_stream(
     stream: DataFrame,
     model: DataFrame,
