@@ -1071,6 +1071,8 @@ def ngram_lm_score(
     scale: int | None = None,
     log: bool = False,
     group_cols: list[str] | None = None,
+    salt: int | None = None,
+    salt_hot_frac: float = 0.005,
 ) -> DataFrame:
     """Per-document mean stupid-backoff token score against a trained
     ``model`` (:func:`ngram_lm_train`, same ``n`` — typically trained
@@ -1112,7 +1114,36 @@ def ngram_lm_score(
     all-OOV document does.  A NULL group key trains rows (groupBy
     groups nulls) but never matches at score time (null-rejecting
     join equality) and likewise scores 0 — fill the group column
-    before training if null-group scoring is wanted."""
+    before training if null-group scoring is wanted.
+
+    ``salt`` (hot-gram salting, the stopword-skew fix): the count
+    join's hot keys are the stopword grams — a Zipfian head term can
+    put several percent of ALL lookup rows on one join key.  AQE's
+    skew-join only repairs that when BOTH join children are bare
+    shuffle stages; the production model shapes — a
+    :func:`ngram_lm_merge`/:func:`load_ngram_lm` aggregation (its
+    output partitioning already satisfies the join, so no exchange
+    is inserted under the join) or a cached model
+    (``lm_gate_stream`` persists it) — leave the model side without
+    one, and the hot partition cannot be split (measured in
+    ``bench.py``'s ``lm_skew`` probe).  With ``salt=S``, grams whose
+    count is >= ``salt_hot_frac`` of their (group's) total token
+    mass are declared hot FROM THE MODEL'S OWN COUNTS
+    (self-describing skew, no extra corpus pass; the hot set is
+    <= ~n/salt_hot_frac keys per group, broadcast-sized by
+    construction): hot model rows replicate into all ``S`` salt
+    buckets, each kv row salts by a deterministic position hash when
+    its key is hot (resolved via the broadcast hot set — no shuffle
+    added to the corpus side) and bucket 0 otherwise, and the join
+    key grows by the salt column — the hot key's lookup rows spread
+    over ``S`` partitions.  Join matches are IDENTICAL (a hot kv row
+    meets its model row in exactly its bucket, a cold one in bucket
+    0; OOV stays unmatched), so results are bit-identical to the
+    unsalted plan — only the partitioning changes.  Size ``S`` on
+    the order of the shuffle partition count (measured in the
+    ``lm_skew`` probe: S=8 halves the hot partition, S=32 levels it
+    to ~1.3x median at no wall cost).  ``salt=None``/``<=1`` is the
+    unchanged plan."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from .scale import ensure_min_parallelism
@@ -1168,11 +1199,63 @@ def ngram_lm_score(
     # grouped mode: each position's lookups resolve against ITS
     # group's model — the group columns simply join along with
     # (order, gram), still ONE equi-join
-    resolved = kv.join(
-        model.select(*groups, "order", "gram", "cnt"),
-        [*groups, "order", "gram"],
-        "left",
-    )
+    msel = model.select(*groups, "order", "gram", "cnt")
+    join_keys = [*groups, "order", "gram"]
+    if salt is not None and int(salt) > 1:
+        S = int(salt)
+        # hot set from the model's own counts: cnt >= frac * the
+        # (group's) unigram mass.  Bounded by construction (each
+        # order's counts sum to ~the token mass, so <= n/frac keys
+        # per group) -> broadcast; the kv-side hot probe is a
+        # broadcast join, adding NO shuffle to the corpus side.
+        if groups:
+            tot_n = (
+                msel.where(F.col("order") == 1)
+                .groupBy(*groups)
+                .agg(F.sum("cnt").alias("_tN"))
+            )
+            hot = (
+                msel.join(tot_n, groups)
+                .where(
+                    F.col("cnt")
+                    >= F.lit(float(salt_hot_frac)) * F.col("_tN")
+                )
+                .select(*join_keys)
+            )
+        else:
+            tot_n = msel.where(F.col("order") == 1).agg(
+                F.sum("cnt").alias("_tN")
+            )
+            hot = (
+                msel.crossJoin(F.broadcast(tot_n))
+                .where(
+                    F.col("cnt")
+                    >= F.lit(float(salt_hot_frac)) * F.col("_tN")
+                )
+                .select(*join_keys)
+            )
+        hot = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+        kv = kv.join(hot, join_keys, "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.hash(F.col(id_col), F.col("_pi")), F.lit(S)),
+            ).otherwise(F.lit(0)),
+        ).drop("_hot")
+        msel = (
+            msel.join(hot, join_keys, "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_hot"), F.sequence(F.lit(0), F.lit(S - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot")
+        )
+        join_keys = join_keys + ["_salt"]
+    resolved = kv.join(msel, join_keys, "left")
     percell = resolved.groupBy(id_col, *groups, "_pi").agg(
         *[
             F.max(F.when(F.col("_slot") == i, F.col("cnt"))).alias(f"_c{i}")

@@ -1637,6 +1637,7 @@ def lm_gate_stream(
     text_col: str = "text",
     scale: int = 10**6,
     group_cols: list[str] | None = None,
+    salt: int | None = None,
     available_now: bool = True,
 ):
     """Streaming LM quality gate: score each ingested document against
@@ -1655,7 +1656,10 @@ def lm_gate_stream(
     the same model-reload contract as ``serve_ann_queries``.
 
     The model persists ONCE at start (it is the stable side; counts
-    are vocabulary-sized).  Per batch: one ``ngram_lm_score`` pass
+    are vocabulary-sized).  Because a persisted model side blocks
+    AQE's skew-join (no shuffle stage to split against), ``salt`` is
+    THE stopword-skew knob for this stream — hot-gram salting in
+    ``ngram_lm_score``, bit-identical results.  Per batch: one ``ngram_lm_score`` pass
     (fixed-point ``scale`` — deterministic, so a replayed batch
     re-decides identically), one id join back to the full rows, and
     the kept docs land via ``manifest.write_epoch`` — epoch-owned
@@ -1677,7 +1681,8 @@ def lm_gate_stream(
         if not df.head(1):
             return
         scored = ngram_lm_score(
-            df, model, n=n, scale=scale, group_cols=group_cols
+            df, model, n=n, scale=scale, group_cols=group_cols,
+            salt=salt,
         ).select(id_col, "n_tokens", "lm_score")
         # persist: the scored join (the expensive 2n-1-lookup subtree)
         # is consumed twice when quarantine_path is set — without this

@@ -412,3 +412,94 @@ def test_grouped_lm_null_group_trains_but_never_matches(spark):
     }
     assert got[2] == 0.0   # null group never matches its own rows
     assert got[1] > 0.0
+
+
+def test_salted_score_bit_identical_to_unsalted(docs_df, model3, spark):
+    """Hot-gram salting (the stopword-skew fix, r15 verdict #4) must
+    change ONLY the join partitioning: for every S and hot threshold
+    the salted scores equal the unsalted ones bit-for-bit — including
+    an OOV-bearing doc (unmatched in every salt bucket) — and the
+    salted plan actually carries the salt in the join key while the
+    output schema stays clean."""
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in X.ngram_lm_score(docs_df, model3, n=3, scale=10**6).collect()
+    }
+    # salt_hot_frac=0.01 on this tiny corpus makes most grams hot —
+    # the salted path is exercised hard, not vacuously
+    for s, frac in ((2, 0.01), (8, 0.01), (8, 0.5), (16, 0.001)):
+        salted = X.ngram_lm_score(
+            docs_df, model3, n=3, scale=10**6, salt=s, salt_hot_frac=frac
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["lm_score"])
+            for r in salted.collect()
+        }
+        assert got == base, (s, frac)
+        assert set(salted.columns) == {"doc_id", "n_tokens", "lm_score"}
+    # salt=None / salt<=1 is the unchanged plan
+    for s in (None, 0, 1):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["lm_score"])
+            for r in X.ngram_lm_score(
+                docs_df, model3, n=3, scale=10**6, salt=s
+            ).collect()
+        }
+        assert got == base
+    # OOV doc: unmatched through every bucket, same 0-chain either way
+    oov = spark.createDataFrame(
+        [(99, "zz yy xx ww vv")], "doc_id long, text string"
+    )
+    a = X.ngram_lm_score(oov, model3, n=3, scale=10**6).first()
+    b = X.ngram_lm_score(oov, model3, n=3, scale=10**6, salt=8).first()
+    assert (a["n_tokens"], a["lm_score"]) == (b["n_tokens"], b["lm_score"])
+    # the salted plan joins on the salt column; the unsalted one doesn't
+    salted_plan = X.ngram_lm_score(
+        docs_df, model3, n=3, salt=8, salt_hot_frac=0.01
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in salted_plan
+    unsalted_plan = X.ngram_lm_score(
+        docs_df, model3, n=3
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in unsalted_plan
+
+
+def test_salted_score_grouped_mode_bit_identical(spark):
+    """Salting composes with per-group models: the hot set is
+    per-group (each group's own count mass), a modelless group still
+    scores 0, and a null group key still never matches — all equal to
+    the unsalted grouped run."""
+    df = spark.createDataFrame(GDOCS, "doc_id long, lang string, text string")
+    model = X.ngram_lm_train(
+        df.where(F.col("lang") != "xx"), n=3, group_cols=["lang"]
+    )
+    base = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["lm_score"])
+        for r in X.ngram_lm_score(
+            df, model, n=3, scale=10**6, group_cols=["lang"]
+        ).collect()
+    }
+    for s, frac in ((4, 0.01), (8, 0.2)):
+        got = {
+            r["doc_id"]: (r["lang"], r["n_tokens"], r["lm_score"])
+            for r in X.ngram_lm_score(
+                df, model, n=3, scale=10**6, group_cols=["lang"],
+                salt=s, salt_hot_frac=frac,
+            ).collect()
+        }
+        assert got == base, (s, frac)
+    # null group: trains rows, never matches, salted or not
+    ndf = spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, None, "a b a b")],
+        "doc_id long, lang string, text string",
+    )
+    nmodel = X.ngram_lm_train(ndf, n=2, group_cols=["lang"])
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in X.ngram_lm_score(
+            ndf, nmodel, n=2, scale=10**6, group_cols=["lang"],
+            salt=4, salt_hot_frac=0.01,
+        ).collect()
+    }
+    assert got[2] == 0.0
+    assert got[1] > 0.0

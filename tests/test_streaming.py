@@ -2581,6 +2581,10 @@ def test_lm_gate_stream_matches_batch_filter(spark, tmp_path):
         checkpoint=str(tmp_path / "ck_gate"),
         min_score=thr,
         quarantine_path=quar,
+        # hot-gram salting on (the cached-model stream's skew knob);
+        # the batch-side `scored` above is UNSALTED, so the equality
+        # below also pins salted == unsalted through the gate
+        salt=4,
     )
     q.awaitTermination(120)
 
