@@ -404,6 +404,200 @@ def min_span(
     )
 
 
+# ------------------------------------------- batched positional search
+
+
+def _query_postings(
+    index: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    q_id_col: str,
+    extra_cols: list[str],
+) -> DataFrame:
+    """Shared batch-positional base: explode each query's terms with
+    their ordinal, resolve ALL queries' postings through ONE broadcast
+    equi-join on ``term``, and regroup per ``(q_id, doc)`` into an
+    ordinal-sorted array of ``(ti, pos)`` structs — keeping only docs
+    containing EVERY query term (``size == n_terms``; a repeated term
+    matches the same posting row once per ordinal, so presence
+    semantics match the single-query join chains).  ``extra_cols``
+    ride from the query frame to the output via ``first()``."""
+    qt = q.select(
+        F.col(q_id_col),
+        *extra_cols,
+        F.size("_tl").alias("_nt"),
+        F.posexplode("_tl").alias("_ti", "term"),
+    )
+    j = index.select("term", id_col, "positions").join(
+        F.broadcast(qt), "term"
+    )
+    return (
+        j.groupBy(q_id_col, id_col)
+        .agg(
+            F.first("_nt").alias("_nt"),
+            *[F.first(c).alias(c) for c in extra_cols],
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_ti").alias("ti"),
+                        F.col("positions").alias("pos"),
+                    )
+                )
+            ).alias("_a"),
+        )
+        .where(F.size("_a") == F.col("_nt"))
+    )
+
+
+def positional_search_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    slop: int = 0,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    slop_col: str | None = None,
+) -> DataFrame:
+    """Ordered proximity matching for EVERY query in ``queries`` in
+    one set-based pass — the batch companion to
+    :func:`proximity_search` exactly as :func:`bm25_topk_batch` is to
+    :func:`bm25_topk` (``slop=0`` rows are phrase queries:
+    adjacency ≡ :func:`phrase_search`, pinned by the single-query
+    tests).  ``queries`` carries ``(q_id, terms array<string>)`` plus
+    optionally ``slop_col`` for per-query slop (null → the ``slop``
+    default).  Returns ``(q_id, id, n_matches, first_pos)`` — one row
+    per (query, matching doc), the single-query output shape keyed by
+    query.
+
+    Same exact-existence semantics as the single-query operator, via
+    the same backward induction — but since the term count is only
+    known per ROW here, the induction runs as ONE ``aggregate`` fold
+    over the ordinal-sorted ``(ti, positions)`` structs (state = the
+    surviving continuation positions, exactly the join chain's ``_T``)
+    instead of a plan-time join chain.
+
+    Scale posture: ONE broadcast term join resolves every query's
+    postings (queries are human-sized — the bm25_topk_batch
+    contract), one ``(q_id, doc)`` shuffle groups them, and the fold
+    is per-row JVM codegen over packed arrays — no explode, no UDF.
+    Work is postings-bounded: sum over (query, term) of that term's
+    postings rows, the same bound as batch BM25.  Rows with null or
+    empty ``terms`` (or a null/negative slop cell) are skipped, the
+    serve-layer malformed-producer convention.
+
+    Like every scorer here, terms must already be analyzed to match
+    the index (:func:`analyze_terms`, the same-analyzer contract)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    sl = (
+        F.coalesce(
+            F.col(slop_col).cast("int"), F.lit(int(slop))
+        )
+        if slop_col is not None
+        else F.lit(int(slop))
+    )
+    q = (
+        queries.select(
+            F.col(q_id_col),
+            F.col(terms_col).alias("_tl"),
+            sl.alias("_slop"),
+        )
+        .where(
+            F.col("_tl").isNotNull()
+            & (F.size("_tl") > 0)
+            & (F.col("_slop") >= 0)
+        )
+    )
+    per = _query_postings(index, q, id_col, q_id_col, ["_slop"])
+    step = F.col("_slop") + F.lit(1)
+    arr = F.col("_a")
+    surviving = F.aggregate(
+        F.reverse(F.slice(arr, F.lit(1), F.size(arr) - F.lit(1))),
+        F.element_at(arr, -1)["pos"],
+        lambda acc, e: F.filter(
+            e["pos"],
+            lambda x: F.exists(
+                acc, lambda y: (y > x) & (y <= x + step)
+            ),
+        ),
+    )
+    return (
+        per.select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.size(surviving).cast("long").alias("n_matches"),
+            F.array_min(surviving).alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def min_span_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Minimum covering span for EVERY query in ``queries`` in one
+    set-based pass — the batch companion to :func:`min_span` (same
+    MinDist semantics: duplicate terms collapse, smallest window
+    containing every distinct term, smallest start among equal spans).
+    Returns ``(q_id, id, min_span, first_pos)``.
+
+    The single-query sweep folds with one state SLOT per term — a
+    plan-time struct width.  Per-row term counts make the state an
+    ARRAY instead: per-term latest positions start as
+    ``array_repeat(0, n_terms)`` and each sorted (position, term)
+    event updates its slot via an index-aware ``transform`` — the
+    identical sweep, variable-width.  Plan shape matches
+    :func:`positional_search_batch`: one broadcast term join, one
+    ``(q_id, doc)`` shuffle, per-row packed-array fold, no explode."""
+    q = queries.select(
+        F.col(q_id_col),
+        F.array_distinct(F.col(terms_col)).alias("_tl"),
+    ).where(F.col("_tl").isNotNull() & (F.size("_tl") > 0))
+    per = _query_postings(index, q, id_col, q_id_col, [])
+    tagged = F.flatten(
+        F.transform(
+            F.col("_a"),
+            lambda s: F.transform(
+                s["pos"],
+                lambda p: F.struct(p.alias("p"), s["ti"].alias("t")),
+            ),
+        )
+    )
+    union = F.array_sort(tagged)
+    big = 1 << 30
+    init = F.struct(
+        F.array_repeat(F.lit(0), F.col("_nt")).alias("ls"),
+        F.lit(big).alias("best"),
+        F.lit(0).alias("bestp"),
+    )
+
+    def _step(acc, e):
+        ls2 = F.transform(
+            acc["ls"],
+            lambda v, i: F.when(i == e["t"], e["p"]).otherwise(v),
+        )
+        oldest = F.array_min(ls2)
+        span = e["p"] - oldest + F.lit(1)
+        better = (oldest > 0) & (span < acc["best"])
+        return F.struct(
+            ls2.alias("ls"),
+            F.when(better, span).otherwise(acc["best"]).alias("best"),
+            F.when(better, oldest).otherwise(acc["bestp"]).alias("bestp"),
+        )
+
+    st = F.aggregate(union, init, _step)
+    return per.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        st["best"].cast("int").alias("min_span"),
+        st["bestp"].cast("int").alias("first_pos"),
+    )
+
+
 # --------------------------------------------------------------- BM25
 
 
@@ -1035,6 +1229,54 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(topk))
         .select("rank", id_col, "rrf_score", "n_sources")
+    )
+
+
+def rrf_fuse_batch(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    k: int = 60,
+    topk: int = 10,
+    scale: int | None = None,
+) -> DataFrame:
+    """:func:`rrf_fuse` for a BATCH of queries: every input ranking
+    carries ``(q_id, id, rank)`` (per-query 1-based ranks, absent =
+    no contribution) and fusion happens per ``q_id`` in one plan.
+    Returns ``(q_id, rank, id, rrf_score, n_sources)``.
+
+    Scale posture mirrors :func:`rrf_fuse`'s bounded-input contract,
+    per query: inputs are per-query top-k lists by construction, so
+    each ``q_id`` window partition holds at most ``k * len(rankings)``
+    rows — the final ranking window is bounded by contract, not a
+    rank funnel (and the rank-then-filter shape below keeps the
+    WindowGroupLimit guard anyway)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        c = F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))
+        if scale is not None:
+            c = F.floor(c * F.lit(float(scale)) + F.lit(0.5))
+        parts.append(
+            r.select(F.col(q_id_col), F.col(id_col), c.alias("_c"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score = F.sum("_c")
+    if scale is not None:
+        score = score / F.lit(float(scale))
+    fused = u.groupBy(q_id_col, id_col).agg(
+        score.alias("rrf_score"), F.count(F.lit(1)).alias("n_sources")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("rrf_score"), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select(q_id_col, "rank", id_col, "rrf_score", "n_sources")
     )
 
 

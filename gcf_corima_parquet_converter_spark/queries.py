@@ -6128,3 +6128,132 @@ def q133(spark, sf_dir):
         fx("top1_rate", 10**6).alias("top1_fx"),
     )
     return rsum.unionByName(asum).orderBy("kind")
+
+
+# -- q134: BATCHED positional search (retrieval.positional_search_batch)
+#    — q129's ordered-proximity semantics for a whole query batch in
+#    ONE set-based pass (one broadcast term join + a per-row backward-
+#    induction fold over packed arrays), per-row slop, phrase rows as
+#    slop=0, a repeated-term query exercising the ordinal slots.  The
+#    oracle replays the induction in position-row space GENERICALLY: a
+#    recursive CTE walks term ordinals from last to first, the
+#    recursion's UNION dedupe being exactly q129's per-step DISTINCT.
+@query(
+    "q134_positional_search_batch",
+    "WITH RECURSIVE " + _BM25_SQL_STATS + """,
+    queries(q_id, terms, slop) AS (VALUES
+      (1, ['spark', 'window'], 0),
+      (2, ['spark', 'window', 'merge'], 2),
+      (3, ['hash', 'join'], 1),
+      (4, ['data', 'data'], 1)),
+    qt AS (
+      SELECT q_id, slop,
+             unnest(generate_series(1, len(terms))) AS ti,
+             unnest(terms) AS term, len(terms) AS nt
+      FROM queries
+    ),
+    chain AS (
+      SELECT t.q_id, t.slop, t.ti, p.doc_id, p.p
+      FROM qt t JOIN pos p ON p.term = t.term
+      WHERE t.ti = t.nt
+      UNION
+      SELECT t.q_id, t.slop, t.ti, a.doc_id, a.p
+      FROM chain c
+      JOIN qt t ON t.q_id = c.q_id AND t.ti = c.ti - 1
+      JOIN pos a ON a.term = t.term AND a.doc_id = c.doc_id
+                AND c.p > a.p AND c.p <= a.p + c.slop + 1
+    )
+    SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(MIN(p) AS INT) AS first_pos
+    FROM chain WHERE ti = 1
+    GROUP BY q_id, doc_id ORDER BY q_id, doc_id
+    """,
+)
+def q134(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "window"], 0),
+            (2, ["spark", "window", "merge"], 2),
+            (3, ["hash", "join"], 1),
+            (4, ["data", "data"], 1),
+        ],
+        "q_id long, terms array<string>, slop int",
+    )
+    return R.positional_search_batch(idx, qdf, slop_col="slop").orderBy(
+        "q_id", "doc_id"
+    )
+
+
+# -- q135: BATCHED minimum covering span (retrieval.min_span_batch) —
+#    q130's MinDist for a whole query batch: the fixed-slot sweep
+#    becomes an array-state fold (array_repeat(0, n_terms) latest-
+#    position slots updated by an index-aware transform), duplicate
+#    terms collapse per query.  The oracle generalizes q130's
+#    position-row recipe: per (query, candidate end) each term's
+#    latest preceding position aggregates in ONE grouped join (no
+#    per-term CTE), COUNT(*)==n_terms keeps full-coverage ends, and
+#    the (span, start, end) rank picks each doc's answer.
+@query(
+    "q135_min_span_batch",
+    "WITH " + _BM25_SQL_STATS + """,
+    queries(q_id, tin) AS (VALUES
+      (1, ['spark', 'window']),
+      (2, ['spark', 'window', 'merge']),
+      (3, ['hash', 'join', 'scan']),
+      (4, ['data', 'data', 'table'])),
+    qd AS (SELECT q_id, list_distinct(tin) AS terms FROM queries),
+    qt AS (
+      SELECT q_id,
+             unnest(generate_series(1, len(terms))) AS ti,
+             unnest(terms) AS term, len(terms) AS nt
+      FROM qd
+    ),
+    cand AS (
+      SELECT DISTINCT t.q_id, p.doc_id, p.p
+      FROM qt t JOIN pos p ON p.term = t.term
+    ),
+    lat AS (
+      SELECT c.q_id, c.doc_id, c.p, t.ti, MAX(q.p) AS l
+      FROM cand c
+      JOIN qt t ON t.q_id = c.q_id
+      JOIN pos q ON q.doc_id = c.doc_id AND q.term = t.term
+                AND q.p <= c.p
+      GROUP BY c.q_id, c.doc_id, c.p, t.ti
+    ),
+    spans AS (
+      SELECT l.q_id, l.doc_id, l.p, COUNT(*) AS nseen,
+             l.p - MIN(l.l) + 1 AS span, MIN(l.l) AS start
+      FROM lat l GROUP BY l.q_id, l.doc_id, l.p
+    ),
+    covered AS (
+      SELECT s.* FROM spans s
+      JOIN (SELECT DISTINCT q_id, nt FROM qt) n
+        ON n.q_id = s.q_id AND s.nseen = n.nt
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, span, start,
+             row_number() OVER (
+               PARTITION BY q_id, doc_id ORDER BY span, start, p
+             ) AS rn
+      FROM covered
+    )
+    SELECT q_id, doc_id, CAST(span AS INT) AS min_span,
+           CAST(start AS INT) AS first_pos
+    FROM ranked WHERE rn = 1 ORDER BY q_id, doc_id
+    """,
+)
+def q135(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "window"]),
+            (2, ["spark", "window", "merge"]),
+            (3, ["hash", "join", "scan"]),
+            (4, ["data", "data", "table"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    return R.min_span_batch(idx, qdf).orderBy("q_id", "doc_id")

@@ -1424,13 +1424,14 @@ def serve_search_queries(
     mid-stream in every mode.
 
     Scale posture: the batch's DISTINCT terms (all modes pooled)
-    drive ONE partition-pruned postings load shared by every arm.
-    BM25 rows stay fully set-based.  Positional/fused rows are
-    collected driver-side to build their per-query subplans — bounded
-    by contract (a micro-batch's queries are human-sized, the same
-    boundedness the term collect and the ANN server's query batch
-    already assume) and unioned into ONE plan per batch; each
-    subplan's ranking bounds before its exchange (the
+    drive ONE partition-pruned postings load shared by every arm, and
+    EVERY arm is set-based over the whole batch — BM25 via
+    :func:`retrieval.bm25_topk_batch`, phrase/proximity via
+    :func:`retrieval.positional_search_batch` (per-row slop; phrase =
+    slop 0), fused via batch BM25 + :func:`retrieval.min_span_batch`
+    + :func:`retrieval.rrf_fuse_batch` — three subplans per batch
+    regardless of query count, no driver-side per-query planning.
+    Each ranking bounds before its exchange (the
     WindowGroupLimit/TakeOrdered contract pinned in
     ``retrieval.bm25_topk_batch``).  Rows with an unknown mode are
     skipped with a warning — a malformed producer must not wedge the
@@ -1448,11 +1449,10 @@ def serve_search_queries(
         _POSTINGS_SUBDIR,
         bm25_topk_batch,
         load_postings_artifact,
-        min_span,
-        phrase_search,
-        proximity_search,
+        min_span_batch,
+        positional_search_batch,
         read_index_artifact,
-        rrf_fuse,
+        rrf_fuse_batch,
     )
 
     spark = stream.sparkSession
@@ -1507,9 +1507,23 @@ def serve_search_queries(
                 id_col=id_col,
             )
 
+        bad = df.where(
+            ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
+        ).count()
+        if bad:
+            warnings.warn(
+                f"serve_search_queries: {bad} row(s) with unknown mode "
+                "skipped"
+            )
+        # null/empty term CELLS drop row-side (a producer convenience
+        # the single-query path also had); fully-empty rows are then
+        # skipped by the batch operators' contracts
+        clean_terms = F.filter(
+            F.col(terms_col), lambda t: t.isNotNull() & (t != "")
+        )
         outs = []
         bm = df.where(F.col(mode_col) == "bm25").select(
-            q_id_col, terms_col
+            q_id_col, clean_terms.alias(terms_col)
         )
         if bm.head(1):
             outs.append(
@@ -1525,84 +1539,86 @@ def serve_search_queries(
                     F.col("score").cast("double").alias("score"),
                 )
             )
-        # positional/fused rows: driver-side per-query subplans over
-        # the SAME pruned postings (bounded by contract — see
-        # docstring); slop defaults to 0 when the column is absent
-        pos_rows = df.where(
-            F.col(mode_col).isin("phrase", "proximity", "fused")
-        ).collect()
-        bad = df.where(
-            ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
-        ).count()
-        if bad:
-            warnings.warn(
-                f"serve_search_queries: {bad} row(s) with unknown mode "
-                "skipped"
+        # phrase + proximity: ONE batched positional pass (phrase =
+        # slop 0), ranked (n_matches desc, doc) per query with the
+        # rank-then-filter WindowGroupLimit shape
+        posq = df.where(
+            F.col(mode_col).isin("phrase", "proximity")
+        ).select(
+            q_id_col,
+            F.col(mode_col).alias("mode"),
+            clean_terms.alias(terms_col),
+            F.when(
+                F.col(mode_col) == "proximity",
+                F.coalesce(
+                    (
+                        F.col(slop_col).cast("int")
+                        if slop_col in df.columns
+                        else F.lit(0)
+                    ),
+                    F.lit(0),
+                ),
+            ).otherwise(F.lit(0)).alias("_slop"),
+        )
+        if posq.head(1):
+            matches = positional_search_batch(
+                post, posq, id_col=id_col, q_id_col=q_id_col,
+                terms_col=terms_col, slop_col="_slop",
             )
-        for r in pos_rows:
-            qid, mode = r[q_id_col], r[mode_col]
-            tl = [t for t in (r[terms_col] or []) if t]
-            if not tl:
-                continue
-            if mode == "phrase" or mode == "proximity":
-                slop = 0
-                if mode == "proximity":
-                    try:
-                        slop = int(r[slop_col] or 0)
-                    except (KeyError, ValueError):
-                        slop = 0
-                m = (
-                    phrase_search(post, tl, id_col=id_col)
-                    if mode == "phrase"
-                    else proximity_search(
-                        post, tl, slop=slop, id_col=id_col
-                    )
+            wp = Window.partitionBy(q_id_col).orderBy(
+                F.desc("n_matches"), F.col(id_col)
+            )
+            ranked = (
+                matches.withColumn("rank", F.row_number().over(wp))
+                .where(F.col("rank") <= int(k))
+            )
+            outs.append(
+                ranked.join(
+                    F.broadcast(posq.select(q_id_col, "mode")), q_id_col
+                ).select(
+                    F.col(q_id_col),
+                    "mode",
+                    "rank",
+                    F.col(id_col).alias("doc_id"),
+                    F.col("n_matches").cast("double").alias("score"),
                 )
-                w = Window.partitionBy(F.lit(0)).orderBy(
-                    F.desc("n_matches"), F.col(id_col)
+            )
+        # fused — the q131 recipe, batched: batch BM25 top-4k + batch
+        # MinDist tightness ranking, RRF-fused per query
+        fq = df.where(F.col(mode_col) == "fused").select(
+            q_id_col, clean_terms.alias(terms_col)
+        ).where(F.size(terms_col) > 0)
+        if fq.head(1):
+            bm4 = bm25_topk_batch(
+                post, fq, k=4 * int(k), k1=k1, b=b, idf=idf,
+                id_col=id_col, q_id_col=q_id_col, terms_col=terms_col,
+                stats=stats, scale=scale,
+            ).select(q_id_col, id_col, "rank")
+            spans = min_span_batch(
+                post, fq, id_col=id_col, q_id_col=q_id_col,
+                terms_col=terms_col,
+            )
+            ws = Window.partitionBy(q_id_col).orderBy(
+                "min_span", F.col(id_col)
+            )
+            prox = (
+                spans.withColumn("rank", F.row_number().over(ws))
+                .where(F.col("rank") <= 4 * int(k))
+                .select(q_id_col, id_col, "rank")
+            )
+            fused = rrf_fuse_batch(
+                [bm4, prox], id_col=id_col, q_id_col=q_id_col,
+                k=rrf_k0, topk=int(k), scale=scale,
+            )
+            outs.append(
+                fused.select(
+                    F.col(q_id_col),
+                    F.lit("fused").alias("mode"),
+                    "rank",
+                    F.col(id_col).alias("doc_id"),
+                    F.col("rrf_score").cast("double").alias("score"),
                 )
-                outs.append(
-                    m.withColumn("rank", F.row_number().over(w))
-                    .where(F.col("rank") <= int(k))
-                    .select(
-                        F.lit(qid).cast("long").alias(q_id_col),
-                        F.lit(mode).alias("mode"),
-                        "rank",
-                        F.col(id_col).alias("doc_id"),
-                        F.col("n_matches").cast("double").alias("score"),
-                    )
-                )
-            else:  # fused — the q131 recipe over the pruned postings
-                one = spark.createDataFrame(
-                    [(0, tl)], f"{q_id_col} long, {terms_col} array<string>"
-                )
-                bm1 = bm25_topk_batch(
-                    post, one, k=4 * int(k), k1=k1, b=b, idf=idf,
-                    id_col=id_col, q_id_col=q_id_col, terms_col=terms_col,
-                    stats=stats, scale=scale,
-                ).select(id_col, "rank")
-                spans = min_span(post, tl, id_col=id_col)
-                ws = Window.partitionBy(F.lit(0)).orderBy(
-                    "min_span", F.col(id_col)
-                )
-                prox = (
-                    spans.withColumn("rank", F.row_number().over(ws))
-                    .where(F.col("rank") <= 4 * int(k))
-                    .select(id_col, "rank")
-                )
-                fused = rrf_fuse(
-                    [bm1, prox], id_col=id_col, k=rrf_k0,
-                    topk=int(k), scale=scale,
-                )
-                outs.append(
-                    fused.select(
-                        F.lit(qid).cast("long").alias(q_id_col),
-                        F.lit("fused").alias("mode"),
-                        "rank",
-                        F.col(id_col).alias("doc_id"),
-                        F.col("rrf_score").cast("double").alias("score"),
-                    )
-                )
+            )
         if not outs:
             return
         out = outs[0]

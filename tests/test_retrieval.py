@@ -1384,3 +1384,173 @@ def test_proximity_and_min_span_analyzer_composition(spark):
         R.proximity_search(an_idx, ["SPARK,", "Window."], slop=2).count()
         == 0
     )
+
+
+def test_positional_search_batch_matches_per_query_operators(spark):
+    """The batched positional pass (one term join + per-row induction
+    fold) equals running proximity_search per query — over a
+    randomized corpus and a query mix covering per-row slop, k=1,
+    repeated terms, a missing term, and malformed rows (null/empty
+    terms arrays are skipped per contract)."""
+    import random
+
+    rnd = random.Random(77)
+    voc = ["a", "b", "c", "d", "e", "f"]
+    docs = [
+        (i, " ".join(rnd.choice(voc) for _ in range(rnd.randint(3, 30))))
+        for i in range(60)
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    queries = [
+        (1, ["a", "b"], 0),
+        (2, ["a", "b"], 2),
+        (3, ["c"], 0),                # single term
+        (4, ["a", "b", "c"], 1),
+        (5, ["b", "a", "b"], 1),      # repeated term: ordinal slots
+        (6, ["zz", "a"], 3),          # missing term -> no rows
+        (7, None, 1),                 # null terms -> skipped
+        (8, [], 2),                   # empty terms -> skipped
+    ]
+    qdf = spark.createDataFrame(
+        queries, "q_id long, terms array<string>, slop int"
+    )
+    got = {
+        (r["q_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in R.positional_search_batch(
+            idx, qdf, slop_col="slop"
+        ).collect()
+    }
+    want = {}
+    for qid, tl, sl in queries:
+        if not tl:
+            continue
+        for r in R.proximity_search(idx, tl, slop=sl).collect():
+            want[(qid, r["doc_id"])] = (r["n_matches"], r["first_pos"])
+    assert got == want
+    assert got  # the fixture really produces matches
+
+    # constant-slop mode (no slop_col): every query at slop=1
+    got1 = {
+        (r["q_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in R.positional_search_batch(idx, qdf, slop=1).collect()
+    }
+    want1 = {}
+    for qid, tl, _ in queries:
+        if not tl:
+            continue
+        for r in R.proximity_search(idx, tl, slop=1).collect():
+            want1[(qid, r["doc_id"])] = (r["n_matches"], r["first_pos"])
+    assert got1 == want1
+    with pytest.raises(ValueError):
+        R.positional_search_batch(idx, qdf, slop=-1)
+
+
+def test_min_span_batch_matches_per_query_operator(spark):
+    """min_span_batch (array-state sweep, variable per-row term count)
+    equals per-query min_span — including duplicate-term collapse and
+    all-terms-present filtering — over the randomized corpus."""
+    import random
+
+    rnd = random.Random(78)
+    voc = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, " ".join(rnd.choice(voc) for _ in range(rnd.randint(3, 25))))
+        for i in range(50)
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    queries = [
+        (1, ["a", "b"]),
+        (2, ["a", "b", "c"]),
+        (3, ["d"]),                   # single term: span 1
+        (4, ["b", "a", "b"]),         # duplicates collapse
+        (5, ["zz", "a"]),             # missing term -> no rows
+        (6, None),
+        (7, []),
+    ]
+    qdf = spark.createDataFrame(queries, "q_id long, terms array<string>")
+    got = {
+        (r["q_id"], r["doc_id"]): (r["min_span"], r["first_pos"])
+        for r in R.min_span_batch(idx, qdf).collect()
+    }
+    want = {}
+    for qid, tl in queries:
+        if not tl:
+            continue
+        for r in R.min_span(idx, tl).collect():
+            want[(qid, r["doc_id"])] = (r["min_span"], r["first_pos"])
+    assert got == want
+    assert got
+    # single-term spans are 1 at the term's first occurrence
+    for (qid, _), (span, _) in got.items():
+        if qid == 3:
+            assert span == 1
+
+
+def test_rrf_fuse_batch_matches_per_query_fuse(spark):
+    """rrf_fuse_batch over (q_id, id, rank) rankings equals rrf_fuse
+    run per query — scores, n_sources, ranks and the topk cut."""
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 10, 2)],
+        "q_id long, doc_id long, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 10, 1)],
+        "q_id long, doc_id long, rank int",
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["rrf_score"], r["n_sources"])
+        for r in R.rrf_fuse_batch([r1, r2], topk=2, scale=10**6).collect()
+    }
+    want = {}
+    for qid in (1, 2):
+        a = r1.where(F.col("q_id") == qid).select("doc_id", "rank")
+        b = r2.where(F.col("q_id") == qid).select("doc_id", "rank")
+        for r in R.rrf_fuse([a, b], topk=2, scale=10**6).collect():
+            want[(qid, r["rank"])] = (
+                r["doc_id"], r["rrf_score"], r["n_sources"]
+            )
+    assert got == want
+    with pytest.raises(ValueError):
+        R.rrf_fuse_batch([])
+
+
+def test_positional_batch_plan_one_term_join_no_explode_no_python(spark):
+    """The batch operators' plan shape IS the point: ONE postings
+    equi-join regardless of query count or term count (the
+    single-query operators build one join per term per query), no
+    positions explode, no Python stages — so a 100-query batch costs
+    three joins total, not hundreds."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = R.inverted_index(docs)
+
+    def n_joins(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Join ")
+
+    small = spark.createDataFrame(
+        [(1, ["a", "b"], 0)], "q_id long, terms array<string>, slop int"
+    )
+    big = spark.createDataFrame(
+        [
+            (q, [["a", "b", "c"], ["d", "e"], ["f", "g", "a", "b"]][q % 3], q % 3)
+            for q in range(40)
+        ],
+        "q_id long, terms array<string>, slop int",
+    )
+    for op in (
+        lambda qd: R.positional_search_batch(idx, qd, slop_col="slop"),
+        lambda qd: R.min_span_batch(idx, qd),
+    ):
+        js, jb = n_joins(op(small)), n_joins(op(big))
+        assert js == jb, (js, jb)
+        phys = op(big)._jdf.queryExecution().executedPlan().toString()
+        assert "Generate explode(positions" not in phys
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in phys
