@@ -6257,3 +6257,136 @@ def q135(spark, sf_dir):
         "q_id long, terms array<string>",
     )
     return R.min_span_batch(idx, qdf).orderBy("q_id", "doc_id")
+
+
+# -- q136: HYBRID dense+lexical retrieval — the modern RAG-stack
+#    baseline (and rrf_fuse's original raison d'etre, per its
+#    docstring): BM25 over the positional index and embedding cosine
+#    over the vectors produce two per-query rankings for the SAME
+#    query batch, fused calibration-free by reciprocal-rank fusion
+#    (Cormack et al. 2009).  Queries are document-anchored (q_id =
+#    vec_id: each query carries that document's embedding as its
+#    dense arm and a term list as its lexical arm).  Every piece is
+#    individually graded (q113/q122 BM25, q25/q133 cosine, q117/q131
+#    RRF); this composes them ACROSS tiers in one plan.  The dense
+#    arm's rank derivation rides batch_cosine_topk's two-phase
+#    guard; the fusion window is bounded by contract (top-20 lists).
+@query(
+    "q136_hybrid_retrieval",
+    "WITH " + _BM25_SQL_STATS + """,
+    queries(q_id, terms) AS (VALUES
+      (0, ['spark', 'window']),
+      (7, ['merge', 'join']),
+      (21, ['data', 'table', 'scan'])),
+    qt AS (
+      SELECT DISTINCT q_id, unnest(terms) AS term FROM queries
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM qt q
+      JOIN tf ON tf.term = q.term
+      JOIN idf ON idf.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    bm AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id
+             ) AS rank
+      FROM scores
+      QUALIFY rank <= 20
+    ),
+    qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    sims AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             CAST(floor(list_dot_product(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v
+             ) * 1000000 + 0.5) AS BIGINT) AS sim_fx
+      FROM embeddings e, qv
+    ),
+    cos AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY sim_fx DESC, doc_id
+             ) AS rank
+      FROM sims
+      QUALIFY rank <= 20
+    ),
+    u AS (
+      SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM bm
+      UNION ALL
+      SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM cos
+    ),
+    fused AS (
+      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY q_id, doc_id
+    ),
+    final AS (
+      SELECT q_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf_fx DESC, doc_id
+             ) AS INT) AS rank,
+             doc_id, rrf_fx, n_sources
+      FROM fused
+      QUALIFY rank <= 10
+    )
+    SELECT q_id, rank, doc_id, rrf_fx, n_sources
+    FROM final ORDER BY q_id, rank
+    """,
+)
+def q136(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spark", "window"]),
+            (7, ["merge", "join"]),
+            (21, ["data", "table", "scan"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    bm = R.bm25_topk_batch(
+        idx, qdf, k=20, idf="rational", scale=1_000_000
+    ).select("q_id", "doc_id", "rank")
+    qv = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_fx"), "vec_id")
+    cos = (
+        S.batch_cosine_topk(e, qv, k=20)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("q_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    out = R.rrf_fuse_batch([bm, cos], topk=10, scale=10**9)
+    return out.select(
+        "q_id", "rank", "doc_id",
+        fx("rrf_score", 10**9).alias("rrf_fx"),
+        "n_sources",
+    ).orderBy("q_id", "rank")

@@ -59,6 +59,11 @@ SINGLE_PARTITION_ALLOWED = {
     # one-row stats join, same shape as q104's bloom words row)
     "q113_bm25_topk": 1,
     "q115_bm25_batch": 1,
+    # hybrid dense+lexical fusion: the one funnel is q113's benign
+    # BM25 corpus-stats scalar reduce on the lexical arm; the dense
+    # arm rides batch_cosine_topk's two-phase guard and the RRF
+    # window is bounded by contract (top-20 lists per query)
+    "q136_hybrid_retrieval": 1,
     # collocation totals: TWO keys=[] scalar reduces (unigram total,
     # bigram total) — each is one bigint partial per task crossing the
     # funnel; their one-row product broadcasts back over the
