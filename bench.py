@@ -787,6 +787,15 @@ SCALING_QUERIES = HEADLINE + [
     "q124_ngram_lm_score",
     "q126_lm_quality_gate",
     "q127_perlang_lm_score",
+    # r16: decade rows for the round's new families — the batched
+    # positional pass (one term join + per-row induction fold; the
+    # collect_list of (ti, positions) structs per (q_id, doc) is the
+    # novel growth term), its MinDist twin (array-state sweep), and
+    # the cross-tier hybrid fusion (BM25 + dense cosine + RRF in one
+    # plan)
+    "q134_positional_search_batch",
+    "q135_min_span_batch",
+    "q136_hybrid_retrieval",
 ]
 
 
@@ -1346,26 +1355,55 @@ def _bench_bm25_serving(spark, root: str) -> dict:
 
 def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     """r15 verdict #5: the serving bench must exercise FUSED serving,
-    not just BM25 — 4 batches x 16 queries cycling through
-    bm25/phrase/proximity/fused against the SAME incremental artifact
-    the lifecycle run left behind (post-append, post-compact), with
-    one more mid-stream index_append inside the measured window so
-    the freshness loop is part of the number.  Phrase/proximity rows
-    here use 2-term queries from the high-df pool (worst-case
-    positional join volume)."""
+    not just BM25 — 4 batches x 15 queries cycling through
+    bm25/phrase/proximity/fused/hybrid against the SAME incremental
+    artifact the lifecycle run left behind (post-append,
+    post-compact), with one more mid-stream index_append inside the
+    measured window so the freshness loop is part of the number.
+    Phrase/proximity rows use 2-term queries from the high-df pool
+    (worst-case positional join volume); hybrid rows carry a real sf1
+    document embedding against a persisted IVF artifact (built once
+    into .scratch/, reused across rounds like the sf1 postings
+    index)."""
     import glob as _glob
     import shutil
 
     import pyspark.sql.functions as F
 
     from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.operators import (
+        similarity as S,
+    )
     from gcf_corima_parquet_converter_spark.streaming.ingest import (
         serve_search_queries,
     )
 
-    sch = "q_id long, mode string, terms array<string>, slop int"
-    n_batches, per_batch = 4, 16
-    modes = ("bm25", "phrase", "proximity", "fused")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1.0"
+    )
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    hyb_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch", "hybrid_ivf_sf1",
+    )
+    if not os.path.exists(os.path.join(hyb_root, "centroids")):
+        cents = S.train_centroids_sample(emb, n_centroids=32)
+        S.ivf_save(S.ivf_assign(emb, cents), cents, hyb_root)
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(
+            F.col("vec_id").isin(
+                *[(q * 37) % 20_000 for q in range(10_000, 10_060)]
+            )
+        ).collect()
+    }
+
+    sch = (
+        "q_id long, mode string, terms array<string>, slop int, "
+        "q_vec array<float>"
+    )
+    n_batches, per_batch = 4, 15
+    modes = ("bm25", "phrase", "proximity", "fused", "hybrid")
     qsrc = os.path.join(work, "mixed_qsrc")
     os.makedirs(qsrc)
     qid = 10_000
@@ -1373,14 +1411,16 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         rows = []
         for j in range(per_batch):
             mode = modes[j % len(modes)]
-            n_terms = 3 if mode in ("bm25", "fused") else 2
+            n_terms = 3 if mode in ("bm25", "fused", "hybrid") else 2
             terms = [
                 pool[(qid * 11 + t * 17 + 3) % len(pool)]
                 for t in range(n_terms)
             ]
-            rows.append(
-                (qid, mode, terms, 2 if mode == "proximity" else None)
-            )
+            rows.append((
+                qid, mode, terms,
+                2 if mode == "proximity" else None,
+                qvecs[(qid * 37) % 20_000] if mode == "hybrid" else None,
+            ))
             qid += 1
         stage = os.path.join(work, f"mixed_stage{bch}")
         spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
@@ -1412,6 +1452,7 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         out,
         checkpoint=os.path.join(work, "mixed_ckpt"),
         k=10,
+        ann_index_path=hyb_root,
         _pre_batch_hook=hook,
     )
     q.awaitTermination(600)
@@ -1430,9 +1471,9 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     # scores); phrase/proximity legitimately answer zero when the
     # pooled hot terms never co-occur in order — reported, not
     # asserted
-    assert per_mode.get("bm25") == per_mode.get("fused") == (
-        n_queries // len(modes)
-    ), per_mode
+    assert per_mode.get("bm25") == per_mode.get("fused") == per_mode.get(
+        "hybrid"
+    ) == (n_queries // len(modes)), per_mode
     return {
         "n_queries": n_queries,
         "answered": answered,

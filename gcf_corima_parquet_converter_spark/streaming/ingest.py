@@ -1395,14 +1395,17 @@ def serve_search_queries(
     rrf_k0: int = 60,
     max_pruned_terms: int = 10_000,
     pending_deletes_path: str | None = None,
+    ann_index_path: str | None = None,
+    q_vec_col: str = "q_vec",
+    n_probe: int = 4,
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
     """Mixed-mode search serving (r15 verdict #5): one query stream,
-    FOUR query shapes, ONE pruned index load per micro-batch.  Real
-    serving is fused — the tier's own capstones (q123/q131) rank by
-    BM25 *and* positional evidence — so the server accepts per-row
-    modes instead of forcing a BM25-only loop next to offline
+    FIVE query shapes, ONE pruned index load per micro-batch.  Real
+    serving is fused — the tier's own capstones (q123/q131/q136) rank
+    by BM25 *and* positional or dense evidence — so the server accepts
+    per-row modes instead of forcing a BM25-only loop next to offline
     proximity jobs:
 
     * ``'bm25'``   — Okapi top-k (:func:`retrieval.bm25_topk_batch`),
@@ -1416,6 +1419,18 @@ def serve_search_queries(
     * ``'fused'``  — the q131 recipe: BM25 top-``4k`` fused with the
       MinDist tightness ranking (:func:`retrieval.min_span` ASC) by
       reciprocal-rank fusion; ``score`` = RRF score.
+    * ``'hybrid'`` — the q136 recipe, dense+lexical: BM25 top-``4k``
+      fused by RRF with an IVF ANN top-``4k`` over the row's
+      ``q_vec_col`` vector against the ``ann_index_path`` artifact
+      (an :func:`similarity.ivf_save` layout whose vector ids ARE
+      document ids — document embeddings); ``score`` = RRF score.
+      Requires ``ann_index_path``; hybrid rows are skipped with a
+      warning without it.  The ANN model state (centroids) loads once
+      at start and the assignments re-resolve through their manifest
+      per batch — :func:`serve_ann_queries`'s freshness contract, so
+      :func:`maintain_ivf_index` appends and ``ivf_compact`` commits
+      are searchable mid-stream here too (a full rebuild still needs
+      a serving restart, same boundary).
 
     Index resolution, term-bounded pruning, pending-deletes overlay,
     epoch-owned output and poison-pill hardening are all inherited
@@ -1456,7 +1471,22 @@ def serve_search_queries(
     )
 
     spark = stream.sparkSession
-    _MODES = ("bm25", "phrase", "proximity", "fused")
+    _MODES = ("bm25", "phrase", "proximity", "fused", "hybrid")
+    ann_cents = None
+    ann_codes_root = None
+    if ann_index_path is not None:
+        if q_vec_col not in stream.columns:
+            raise ValueError(
+                f"ann_index_path set but the query stream has no "
+                f"{q_vec_col!r} column for hybrid rows"
+            )
+        from ..operators.similarity import ivf_load
+
+        # model state (centroids) loads ONCE — the stable part of the
+        # index (serve_ann_queries's contract); assignments re-resolve
+        # per batch below for freshness
+        _, ann_cents = ivf_load(spark, ann_index_path)
+        ann_codes_root = ann_index_path.rstrip("/") + "/assignments"
 
     def _batch(df, epoch_id):
         if _pre_batch_hook is not None:
@@ -1619,6 +1649,70 @@ def serve_search_queries(
                     F.col("rrf_score").cast("double").alias("score"),
                 )
             )
+        # hybrid — the q136 recipe: batch BM25 + batch IVF ANN over
+        # the persisted vector artifact, RRF-fused per query
+        hyq = df.where(F.col(mode_col) == "hybrid")
+        if hyq.head(1):
+            if ann_codes_root is None:
+                warnings.warn(
+                    "serve_search_queries: hybrid row(s) skipped — no "
+                    "ann_index_path configured"
+                )
+            else:
+                from ..operators.manifest import read_artifact
+                from ..operators.similarity import ivf_topk_batch
+
+                hl = hyq.select(
+                    q_id_col, clean_terms.alias(terms_col)
+                ).where(F.size(terms_col) > 0)
+                arms = []
+                if hl.head(1):
+                    arms.append(
+                        bm25_topk_batch(
+                            post, hl, k=4 * int(k), k1=k1, b=b, idf=idf,
+                            id_col=id_col, q_id_col=q_id_col,
+                            terms_col=terms_col, stats=stats, scale=scale,
+                        ).select(q_id_col, id_col, "rank")
+                    )
+                hv = hyq.where(F.col(q_vec_col).isNotNull()).select(
+                    q_id_col, q_vec_col
+                )
+                if hv.head(1):
+                    sims = ivf_topk_batch(
+                        read_artifact(spark, ann_codes_root),
+                        ann_cents, hv, k=4 * int(k), n_probe=n_probe,
+                        q_id_col=q_id_col, q_vec_col=q_vec_col,
+                    )
+                    # bounded frame (<= 4k rows per query from the
+                    # batch probe's own two-phase top-k)
+                    wv = Window.partitionBy(q_id_col).orderBy(
+                        F.desc("sim_fx"), F.col("vec_id")
+                    )
+                    arms.append(
+                        sims.withColumn("rank", F.row_number().over(wv))
+                        .where(F.col("rank") <= 4 * int(k))
+                        .select(
+                            q_id_col,
+                            F.col("vec_id").alias(id_col),
+                            "rank",
+                        )
+                    )
+                if arms:
+                    hfused = rrf_fuse_batch(
+                        arms, id_col=id_col, q_id_col=q_id_col,
+                        k=rrf_k0, topk=int(k), scale=scale,
+                    )
+                    outs.append(
+                        hfused.select(
+                            F.col(q_id_col),
+                            F.lit("hybrid").alias("mode"),
+                            "rank",
+                            F.col(id_col).alias("doc_id"),
+                            F.col("rrf_score").cast("double").alias(
+                                "score"
+                            ),
+                        )
+                    )
         if not outs:
             return
         out = outs[0]

@@ -2663,6 +2663,12 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         serve_search_queries,
     )
 
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import (
+        similarity as S,
+    )
+
     docs1 = [
         (i, f"base doc {i} quick brown gap{i % 3} fox w{i % 5}")
         for i in range(10)
@@ -2675,24 +2681,39 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         ),
         root, 0, n_buckets=8,
     )
+    # document embeddings (vec_id == doc_id) + a persisted IVF artifact
+    # for the hybrid arm
+    embs = [
+        (i, [float(i % 4), float((i * 3) % 5), 1.0, float(i % 2)])
+        for i in range(10)
+    ]
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    cents = np.array([[0.0, 0.0, 1.0, 0.0], [3.0, 4.0, 1.0, 1.0]])
+    ann_root = str(tmp_path / "mix_ann")
+    S.ivf_save(S.ivf_assign(edf, cents), cents, ann_root)
 
-    sch = "q_id long, mode string, terms array<string>, slop int"
-    qsrc = str(tmp_path / "mix_qsrc")
-    os.makedirs(qsrc)
+    sch = (
+        "q_id long, mode string, terms array<string>, slop int, "
+        "q_vec array<float>"
+    )
+    qv6 = [1.0, 2.0, 1.0, 0.0]
     batches = (
         ("a", [
-            (1, "bm25", ["quick", "brown"], None),
-            (2, "phrase", ["quick", "brown"], None),
+            (1, "bm25", ["quick", "brown"], None, None),
+            (2, "phrase", ["quick", "brown"], None, None),
         ]),
         ("b", [
             # doc 100 has TWO ordered quick->brown windows within
             # slop=1 (pos 1->3 and 4->5); base docs have one exact
             # adjacency each -> the appended doc must rank FIRST
-            (3, "proximity", ["quick", "brown"], 1),
-            (4, "fused", ["quick", "brown", "fox"], None),
-            (5, "bogus_mode", ["quick"], None),
+            (3, "proximity", ["quick", "brown"], 1, None),
+            (4, "fused", ["quick", "brown", "fox"], None, None),
+            (5, "bogus_mode", ["quick"], None, None),
+            (6, "hybrid", ["quick", "fox"], None, qv6),
         ]),
     )
+    qsrc = str(tmp_path / "mix_qsrc")
+    os.makedirs(qsrc)
     for name, rows in batches:
         p = str(tmp_path / ("mix_" + name))
         spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
@@ -2717,6 +2738,7 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         .parquet(qsrc),
         root, out_path, checkpoint=str(tmp_path / "mix_ck"),
         k=5, idf="rational", scale=10**6, _pre_batch_hook=hook,
+        ann_index_path=ann_root,
     )
     q.awaitTermination(180)
 
@@ -2800,8 +2822,41 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     }
     assert got4 == want4
 
+    # q6 hybrid (batch 1): the q136 recipe — BM25 over the index
+    # (post-append corpus) RRF-fused with IVF ANN over the persisted
+    # vector artifact (exhaustive probe: n_probe covers both lists)
+    bmh = R.bm25_topk(
+        idx_all, ["quick", "fox"], k=20, idf="rational", scale=10**6
+    ).select("doc_id", "rank")
+    import numpy as _np
+
+    qarr = _np.asarray(qv6)
+    sims = sorted(
+        (
+            (
+                int(_np.floor(_np.dot(_np.asarray(v), qarr) * 10**6 + 0.5)),
+                i,
+            )
+            for i, v in embs
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    dense = spark.createDataFrame(
+        [(d, r + 1) for r, (_, d) in enumerate(sims)],
+        "doc_id long, rank int",
+    )
+    want6 = {
+        (r["rank"], r["doc_id"], float(r["rrf_score"]))
+        for r in R.rrf_fuse([bmh, dense], topk=5, scale=10**6).collect()
+    }
+    got6 = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in got.where(F.col("q_id") == 6).collect()
+    }
+    assert got6 == want6
+
     # the bogus-mode row produced nothing and wedged nothing
     assert got.where(F.col("q_id") == 5).count() == 0
     assert set(
         r["mode"] for r in got.select("mode").distinct().collect()
-    ) == {"bm25", "phrase", "proximity", "fused"}
+    ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
