@@ -598,6 +598,226 @@ def min_span_batch(
     )
 
 
+# ------------------------------------------------- fuzzy term matching
+
+
+def _del_variants_py(w: str, max_edits: int) -> set[str]:
+    out = {w}
+    frontier = {w}
+    for _ in range(max_edits):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def fuzzy_expand_terms(
+    index: DataFrame,
+    terms: list[str] | str,
+    max_edits: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map each (possibly misspelled) query term to the index
+    vocabulary terms within Levenshtein distance ``max_edits`` — the
+    SymSpell recipe (Garbe's deletion-neighborhood trick, the same
+    candidate structure as Norvig's spelling corrector but
+    join-shaped): a pair is within distance ``e`` only if their
+    ``<= e``-deletion neighborhoods intersect, so candidates come from
+    ONE equi-join on deletion variants instead of a vocabulary
+    cross-product, then exact ``levenshtein`` (JVM built-in) verifies
+    — the classic candidates-then-verify shape of the near-dup tier
+    (``minhash_candidate_pairs`` + ``verify_flagged_pairs``), at
+    vocabulary scale.
+
+    Returns ``(q_term, term, dist, df)`` — every vocabulary term
+    within distance, its exact distance, and its document frequency
+    (so callers cap expansion to the most-attested matches before
+    re-querying BM25 with the union; ``prf_expand`` is the recall
+    twin, this is the robustness twin).
+
+    Scale posture: the vocabulary derives from the postings by one
+    keyed aggregation; its deletion variants explode ~``len+1``
+    rows per term per edit (expression-level ``transform``, no
+    Python); the query side is human-sized by contract — its variants
+    generate driver-side and BROADCAST into the one candidate join,
+    so nothing corpus- or vocabulary-sized shuffles.  ``max_edits``
+    supports 1 (production: covers typo substitution/insertion/
+    deletion; transpositions verify to distance 2 and drop) and 2."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    tl = [t for t in dict.fromkeys(tl) if t]
+    if not tl:
+        raise ValueError("terms must contain at least one term")
+    if max_edits not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
+    spark = index.sparkSession
+    vocab = index.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    vv = vocab.select(
+        "term", "df",
+        F.explode(_deletion_variants_col(max_edits)).alias("_variant"),
+    )
+    qv = spark.createDataFrame(
+        [(q, v) for q in tl for v in _del_variants_py(q, max_edits)],
+        "q_term string, _variant string",
+    )
+    return _verify_fuzzy(vv.join(F.broadcast(qv), "_variant"), max_edits)
+
+
+def _deletion_variants_col(max_edits: int):
+    """Expression-level ``<= max_edits``-deletion neighborhood of the
+    ``term`` column (the term itself included), as an array column —
+    pure JVM transforms, no UDF."""
+    d1 = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.concat(
+            F.col("term").substr(F.lit(1), i - F.lit(1)),
+            F.col("term").substr(i + F.lit(1), F.lit(1 << 20)),
+        ),
+    )
+    variants = F.array_union(F.array(F.col("term")), d1)
+    if max_edits == 2:
+        d2 = F.flatten(
+            F.transform(
+                d1,
+                lambda v: F.transform(
+                    F.sequence(F.lit(1), F.length(v)),
+                    lambda i: F.concat(
+                        v.substr(F.lit(1), i - F.lit(1)),
+                        v.substr(i + F.lit(1), F.lit(1 << 20)),
+                    ),
+                ),
+            )
+        )
+        variants = F.array_union(variants, d2)
+    return variants
+
+
+def _verify_fuzzy(cands: DataFrame, max_edits: int) -> DataFrame:
+    """The exact-verify tail shared by the inline and persisted fuzzy
+    paths: dedupe candidate (q_term, term) pairs, keep those within
+    true Levenshtein distance, attach the distance."""
+    return (
+        cands.select("q_term", "term", "df")
+        .distinct()
+        .where(
+            F.levenshtein(F.col("q_term"), F.col("term"))
+            <= F.lit(int(max_edits))
+        )
+        .select(
+            "q_term",
+            "term",
+            F.levenshtein(F.col("q_term"), F.col("term"))
+            .cast("int")
+            .alias("dist"),
+            "df",
+        )
+    )
+
+
+_FUZZY_SUBDIR = "fuzzy_vocab"
+_FUZZY_META_SUBDIR = "fuzzy_meta"
+
+
+def write_fuzzy_vocab(
+    index: DataFrame,
+    path: str,
+    max_edits: int = 1,
+    n_buckets: int = 64,
+) -> dict:
+    """Persist the vocabulary's deletion-variant table so fuzzy
+    lookups never re-derive it: ``(variant, term, df)`` partitioned
+    by md5 VARIANT bucket (``vbucket``) — the :func:`load_postings`
+    pattern applied to the SymSpell candidate structure.  A query's
+    variants are computed driver-side, their buckets become static
+    partition filters, and the candidate join reads only those bucket
+    directories — however large the vocabulary (at web scale the
+    variant table is ~|vocab| x (len+1)^e rows; an inline
+    :func:`fuzzy_expand_terms` re-derives and scans ALL of it per
+    query batch).  A ``max_edits=2`` artifact also serves
+    ``max_edits=1`` lookups (the verify re-filters); the reverse
+    raises at load."""
+    if max_edits not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
+    vocab = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vv = vocab.select(
+        "term", "df",
+        F.explode(_deletion_variants_col(max_edits)).alias("variant"),
+    )
+    (
+        vv.withColumn(
+            "vbucket",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("variant")), 1, 8), 16, 10
+                ).cast("bigint"),
+                F.lit(int(n_buckets)),
+            ),
+        )
+        .repartition("vbucket")
+        .write.partitionBy("vbucket")
+        .mode("overwrite")
+        .parquet(f"{path}/{_FUZZY_SUBDIR}")
+    )
+    spark = index.sparkSession
+    meta = spark.createDataFrame(
+        [(int(n_buckets), int(max_edits))],
+        "n_buckets int, max_edits int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_FUZZY_META_SUBDIR}"
+    )
+    return {"path": path, "n_buckets": n_buckets, "max_edits": max_edits}
+
+
+def fuzzy_match_terms(
+    spark: SparkSession,
+    path: str,
+    terms: list[str] | str,
+    max_edits: int | None = None,
+) -> DataFrame:
+    """:func:`fuzzy_expand_terms` over a persisted
+    :func:`write_fuzzy_vocab` artifact, with STATIC partition pruning:
+    the query terms' deletion variants and their md5 buckets are
+    computed driver-side (no Spark job), and the scan filters
+    ``vbucket IN (...) AND variant IN (...)`` — only the buckets the
+    query's variants live in are listed and read.  Same output and
+    semantics as the inline operator (pinned by test).  ``max_edits``
+    defaults to the artifact's build setting; asking for more than
+    was built raises (distance-2 candidates were never materialized)."""
+    tl = terms.split() if isinstance(terms, str) else list(terms)
+    tl = [t for t in dict.fromkeys(tl) if t]
+    if not tl:
+        raise ValueError("terms must contain at least one term")
+    mrow = spark.read.parquet(f"{path}/{_FUZZY_META_SUBDIR}").first()
+    built = int(mrow["max_edits"])
+    n_buckets = int(mrow["n_buckets"])
+    e = built if max_edits is None else int(max_edits)
+    if e > built:
+        raise ValueError(
+            f"artifact at {path!r} was built with max_edits={built}; "
+            f"cannot serve max_edits={e} (rebuild with write_fuzzy_vocab)"
+        )
+    if e not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2, got {e}")
+    qrows = [(q, v) for q in tl for v in _del_variants_py(q, e)]
+    buckets = sorted(
+        {_term_bucket_py(v, n_buckets) for _, v in qrows}
+    )
+    allv = sorted({v for _, v in qrows})
+    vv = (
+        spark.read.parquet(f"{path}/{_FUZZY_SUBDIR}")
+        .where(F.col("vbucket").isin(buckets) & F.col("variant").isin(allv))
+        .drop("vbucket")
+        .withColumnRenamed("variant", "_variant")
+    )
+    qv = spark.createDataFrame(qrows, "q_term string, _variant string")
+    return _verify_fuzzy(vv.join(F.broadcast(qv), "_variant"), e)
+
+
 # --------------------------------------------------------------- BM25
 
 

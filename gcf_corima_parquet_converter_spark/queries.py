@@ -6390,3 +6390,35 @@ def q136(spark, sf_dir):
         fx("rrf_score", 10**9).alias("rrf_fx"),
         "n_sources",
     ).orderBy("q_id", "rank")
+
+
+# -- q137: fuzzy term matching (retrieval.fuzzy_expand_terms) — query
+#    robustness via the SymSpell deletion-neighborhood recipe: a pair
+#    is within Levenshtein e only if their <=e-deletion neighborhoods
+#    intersect, so candidates come from ONE equi-join on deletion
+#    variants (vocabulary side exploded by expression-level transform,
+#    query side generated driver-side and broadcast), then the exact
+#    JVM levenshtein verifies — candidates-then-verify at vocabulary
+#    scale, never a vocabulary cross-product.  The oracle IS the
+#    cross-product (DuckDB's levenshtein over vocab x queries): brute
+#    force as ground truth, the scalable algorithm under test.
+@query(
+    "q137_fuzzy_expand",
+    "WITH " + _BM25_SQL_STATS + """,
+    vocab AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pos GROUP BY term
+    ),
+    q(q_term) AS (VALUES ('spak'), ('windo'), ('merge'), ('joinn'))
+    SELECT q.q_term, v.term,
+           CAST(levenshtein(q.q_term, v.term) AS INT) AS dist, v.df
+    FROM q JOIN vocab v ON levenshtein(q.q_term, v.term) <= 2
+    ORDER BY q_term, term
+    """,
+)
+def q137(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    return R.fuzzy_expand_terms(
+        idx, ["spak", "windo", "merge", "joinn"], max_edits=2
+    ).orderBy("q_term", "term")

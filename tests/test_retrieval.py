@@ -1554,3 +1554,184 @@ def test_positional_batch_plan_one_term_join_no_explode_no_python(spark):
         assert "Generate explode(positions" not in phys
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in phys
+
+
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def test_fuzzy_expand_terms_matches_bruteforce_levenshtein(spark):
+    """The deletion-neighborhood candidate join + levenshtein verify
+    finds EXACTLY the vocabulary terms within distance e — equal to
+    brute-force Levenshtein over vocab x queries for e=1 and e=2,
+    including the transposition case ('ab' vs 'ba' intersects
+    deletion neighborhoods at e=1 but verifies to distance 2 and must
+    drop) and a no-match query."""
+    import random
+
+    rnd = random.Random(5)
+    words = [
+        "spark", "spork", "park", "sparks", "window", "widow",
+        "windows", "merge", "marge", "mergee", "join", "coin", "jon",
+        "banana", "bananna", "table", "cable", "stable", "ab", "ba", "a",
+    ]
+    docs = [
+        (i, " ".join(rnd.sample(words, rnd.randint(3, 8))))
+        for i in range(40)
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    vocab = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    queries = ["spakr", "windw", "merge", "jion", "ba", "zzz"]
+    for e in (1, 2):
+        got = {
+            (r["q_term"], r["term"]): (r["dist"], r["df"])
+            for r in R.fuzzy_expand_terms(
+                idx, queries, max_edits=e
+            ).collect()
+        }
+        want = {
+            (q, w): (_py_lev(q, w), dfc)
+            for q in queries
+            for w, dfc in vocab.items()
+            if _py_lev(q, w) <= e
+        }
+        assert got == want, e
+    # transposition: candidate at e=1 (deletion sets intersect) but
+    # the exact verify rejects it — only the identical term survives
+    e1 = {
+        (r["q_term"], r["term"])
+        for r in R.fuzzy_expand_terms(idx, ["ba"], max_edits=1).collect()
+    }
+    assert ("ba", "ab") not in e1 and ("ba", "ba") in e1
+    # arg validation + duplicate-term collapse
+    with pytest.raises(ValueError):
+        R.fuzzy_expand_terms(idx, [], max_edits=1)
+    with pytest.raises(ValueError):
+        R.fuzzy_expand_terms(idx, ["a"], max_edits=3)
+    dup = R.fuzzy_expand_terms(idx, ["spark", "spark"], max_edits=1)
+    assert dup.count() == dup.distinct().count()
+
+
+def test_fuzzy_expand_composes_with_bm25_and_plan_is_jvm(spark):
+    """The robustness loop: a misspelled query expands through the
+    vocabulary and re-queries BM25 with the matched terms — the
+    corrected ranking equals querying the true terms directly (when
+    the expansion is unambiguous).  Plan: the candidate join's query
+    side is broadcast, no Python stages, no vocabulary
+    cross-product (BroadcastNestedLoopJoin absent)."""
+    docs = [
+        (i, f"spark window shuffle doc{i} " + ("merge " * (i % 3)))
+        for i in range(30)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = R.inverted_index(ddf)
+    exp = R.fuzzy_expand_terms(idx, ["spak", "window"], max_edits=1)
+    terms = sorted({r["term"] for r in exp.collect()})
+    assert terms == ["spark", "window"]
+    corrected = R.bm25_topk(idx, terms, k=5, idf="rational", scale=10**6)
+    direct = R.bm25_topk(
+        idx, ["spark", "window"], k=5, idf="rational", scale=10**6
+    )
+    assert [tuple(r) for r in corrected.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    plan = exp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fuzzy_vocab_artifact_prunes_and_matches_inline(spark):
+    """The persisted fuzzy-vocab artifact (write_fuzzy_vocab /
+    fuzzy_match_terms) answers identically to the inline operator,
+    with STATIC vbucket partition filters + variant pushdown reaching
+    the scan — the load_postings pattern applied to the SymSpell
+    candidate table.  A max_edits=2 artifact serves e=1 lookups; the
+    reverse raises."""
+    import random
+
+    rnd = random.Random(9)
+    words = [
+        "spark", "spork", "park", "window", "widow", "merge", "marge",
+        "join", "coin", "table", "cable", "ab", "ba",
+    ]
+    docs = [
+        (i, " ".join(rnd.sample(words, rnd.randint(3, 7))))
+        for i in range(40)
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    d = tempfile.mkdtemp()
+    try:
+        info = R.write_fuzzy_vocab(idx, d, max_edits=2, n_buckets=16)
+        assert info["max_edits"] == 2
+        queries = ["spakr", "windw", "merge", "ba", "zzz"]
+        for e in (1, 2):
+            inline = {
+                tuple(r)
+                for r in R.fuzzy_expand_terms(
+                    idx, queries, max_edits=e
+                ).collect()
+            }
+            persisted = {
+                tuple(r)
+                for r in R.fuzzy_match_terms(
+                    spark, d, queries, max_edits=e
+                ).collect()
+            }
+            assert persisted == inline, e
+        # default e = the artifact's build setting
+        dflt = {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, queries).collect()
+        }
+        assert dflt == {
+            tuple(r)
+            for r in R.fuzzy_expand_terms(
+                idx, queries, max_edits=2
+            ).collect()
+        }
+        # static pruning reaches the scan
+        plan = (
+            R.fuzzy_match_terms(spark, d, ["spakr"], max_edits=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [vbucket" in plan
+        assert "In(variant" in plan
+        want = sorted({
+            R._term_bucket_py(v, 16)
+            for v in R._del_variants_py("spakr", 1)
+        })
+        head = plan.split("PartitionFilters")[1][:200]
+        for b in want:
+            assert str(b) in head
+        # e above the build setting is refused, not silently wrong
+        lo = tempfile.mkdtemp()
+        try:
+            R.write_fuzzy_vocab(idx, lo, max_edits=1, n_buckets=8)
+            with pytest.raises(ValueError, match="max_edits=1"):
+                R.fuzzy_match_terms(spark, lo, ["spakr"], max_edits=2)
+        finally:
+            shutil.rmtree(lo, ignore_errors=True)
+        with pytest.raises(ValueError):
+            R.fuzzy_match_terms(spark, d, [])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
