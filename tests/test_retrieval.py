@@ -1735,3 +1735,60 @@ def test_fuzzy_vocab_artifact_prunes_and_matches_inline(spark):
             R.fuzzy_match_terms(spark, d, [])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_batch_positional_and_fuzzy_analyzer_composition(spark):
+    """The batch operators and the fuzzy expander keep the
+    same-analyzer contract: caller-provided terms pass through
+    analyze_terms and the analyzed index answers exactly like the raw
+    index over the clean corpus.  For fuzzy matching the analyzer
+    runs BEFORE the edit-distance step (match against the analyzed
+    vocabulary — 'SPAKR,' analyzed to 'spakr' then matched to
+    'spark')."""
+    clean = [
+        (1, "spark window merge runs fast"),
+        (2, "spark then window then much later merge spark window merge"),
+        (3, "merge window spark"),
+        (4, "spark window"),
+    ]
+    noisy = [
+        (i, " ".join(w.upper() + "," for w in t.split())) for i, t in clean
+    ]
+    sch = "doc_id long, text string"
+    raw_idx = R.inverted_index(spark.createDataFrame(clean, sch))
+    an_idx = R.inverted_index(
+        spark.createDataFrame(noisy, sch), analyzer="simple"
+    )
+    terms = R.analyze_terms("SPARK, Window. MERGE,", "simple")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    qd_an = spark.createDataFrame(
+        [(1, terms, 2), (2, terms[:2], 0)],
+        "q_id long, terms array<string>, slop int",
+    )
+    qd_raw = spark.createDataFrame(
+        [(1, ["spark", "window", "merge"], 2), (2, ["spark", "window"], 0)],
+        "q_id long, terms array<string>, slop int",
+    )
+    assert rows(
+        R.positional_search_batch(an_idx, qd_an, slop_col="slop")
+    ) == rows(R.positional_search_batch(raw_idx, qd_raw, slop_col="slop"))
+    assert rows(R.min_span_batch(an_idx, qd_an)) == rows(
+        R.min_span_batch(raw_idx, qd_raw)
+    )
+    # fuzzy: analyzed query term against the analyzed vocabulary
+    fq = R.analyze_terms("SPAKR,", "simple")
+    assert fq == ["spakr"]
+    got = {
+        (r["q_term"], r["term"], r["dist"])
+        for r in R.fuzzy_expand_terms(an_idx, fq, max_edits=2).collect()
+    }
+    want = {
+        (r["q_term"], r["term"], r["dist"])
+        for r in R.fuzzy_expand_terms(
+            raw_idx, ["spakr"], max_edits=2
+        ).collect()
+    }
+    assert got == want and ("spakr", "spark", 2) in got
