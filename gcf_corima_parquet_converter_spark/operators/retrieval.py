@@ -818,6 +818,55 @@ def fuzzy_match_terms(
     return _verify_fuzzy(vv.join(F.broadcast(qv), "_variant"), e)
 
 
+def fuzzy_correct_terms(
+    index: DataFrame,
+    queries: DataFrame,
+    max_edits: int = 1,
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Spelling-correct a query FRAME against the index vocabulary —
+    the "did you mean" step ahead of batch BM25: each query term maps
+    to its best vocabulary match within ``max_edits``
+    (:func:`fuzzy_expand_terms` candidates ranked ``dist`` asc →
+    ``df`` desc → ``term`` asc, the Norvig tie-break: prefer closer,
+    then more attested).  Returns ``(q_id, terms)`` with corrected
+    term sets — exact terms correct to themselves (distance 0 always
+    wins), terms with no match within distance drop, and a query
+    whose every term drops vanishes from the output (nothing left to
+    score; the caller's no-rows contract, same as an all-OOV BM25).
+
+    The distinct query terms collect driver-side (human-sized by the
+    batch-scoring contract — the same bound as the serving tier's
+    term pool) and expand through ONE vocabulary candidate join; the
+    per-term best pick is a rank-then-filter over
+    neighborhood-bounded groups."""
+    qt = queries.select(
+        F.col(q_id_col), F.explode(terms_col).alias("q_term")
+    ).distinct()
+    uniq = sorted(
+        r["q_term"]
+        for r in qt.select("q_term").distinct().collect()
+        if r["q_term"]
+    )
+    if not uniq:
+        raise ValueError("queries carry no terms to correct")
+    exp = fuzzy_expand_terms(index, uniq, max_edits=max_edits)
+    w = Window.partitionBy("q_term").orderBy(
+        "dist", F.desc("df"), "term"
+    )
+    best = (
+        exp.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("q_term", "term")
+    )
+    return (
+        qt.join(F.broadcast(best), "q_term")
+        .groupBy(q_id_col)
+        .agg(F.collect_set("term").alias(terms_col))
+    )
+
+
 # --------------------------------------------------------------- BM25
 
 

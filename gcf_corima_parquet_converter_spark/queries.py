@@ -6422,3 +6422,99 @@ def q137(spark, sf_dir):
     return R.fuzzy_expand_terms(
         idx, ["spak", "windo", "merge", "joinn"], max_edits=2
     ).orderBy("q_term", "term")
+
+
+# -- q138: the spelling-correction loop (retrieval.fuzzy_correct_terms
+#    + bm25_topk_batch) — "did you mean" composed with ranked
+#    retrieval: each query term maps to its BEST vocabulary match
+#    within edit distance 2 (dist asc -> df desc -> term asc, the
+#    Norvig tie-break), exact terms correct to themselves (distance 0
+#    wins), the no-match term 'zzzzzzz' drops, and the corrected term
+#    sets score through the graded batch BM25.  The oracle replays
+#    correction by brute-force levenshtein (q137's ground-truth
+#    stance) and scoring by the q136 per-query BM25 recipe.
+@query(
+    "q138_fuzzy_corrected_bm25",
+    "WITH " + _BM25_SQL_STATS + """,
+    vocab AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pos GROUP BY term
+    ),
+    queries(q_id, terms) AS (VALUES
+      (1, ['spak', 'windo']),
+      (2, ['mrege', 'joinn', 'zzzzzzz']),
+      (3, ['spark', 'window'])),
+    qe AS (SELECT DISTINCT q_id, unnest(terms) AS q_term FROM queries),
+    cand AS (
+      SELECT q.q_term, v.term, levenshtein(q.q_term, v.term) AS dist,
+             v.df
+      FROM (SELECT DISTINCT q_term FROM qe) q
+      JOIN vocab v ON levenshtein(q.q_term, v.term) <= 2
+    ),
+    best AS (
+      SELECT q_term, term FROM (
+        SELECT q_term, term,
+               row_number() OVER (
+                 PARTITION BY q_term ORDER BY dist, df DESC, term
+               ) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    corrected AS (
+      SELECT DISTINCT qe.q_id, b.term
+      FROM qe JOIN best b ON b.q_term = qe.q_term
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT DISTINCT term FROM corrected)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT c.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM corrected c
+      JOIN tf ON tf.term = c.term
+      JOIN idf ON idf.term = c.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id
+             ) AS INT) AS rank,
+             doc_id, score_fx
+      FROM scores
+      QUALIFY rank <= 10
+    )
+    SELECT q_id, rank, doc_id, score_fx
+    FROM ranked ORDER BY q_id, rank
+    """,
+)
+def q138(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spak", "windo"]),
+            (2, ["mrege", "joinn", "zzzzzzz"]),
+            (3, ["spark", "window"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    corrected = R.fuzzy_correct_terms(idx, qdf, max_edits=2)
+    out = R.bm25_topk_batch(
+        idx, corrected, k=10, idf="rational", scale=1_000_000
+    )
+    return out.select(
+        "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    ).orderBy("q_id", "rank")

@@ -64,6 +64,11 @@ SINGLE_PARTITION_ALLOWED = {
     # arm rides batch_cosine_topk's two-phase guard and the RRF
     # window is bounded by contract (top-20 lists per query)
     "q136_hybrid_retrieval": 1,
+    # fuzzy-corrected BM25: again q113's corpus-stats scalar reduce
+    # (the scoring stage); the correction stage's per-term best pick
+    # windows over neighborhood-bounded groups (hash exchange, not a
+    # funnel)
+    "q138_fuzzy_corrected_bm25": 1,
     # collocation totals: TWO keys=[] scalar reduces (unigram total,
     # bigram total) — each is one bigint partial per task crossing the
     # funnel; their one-row product broadcasts back over the

@@ -1792,3 +1792,38 @@ def test_batch_positional_and_fuzzy_analyzer_composition(spark):
         ).collect()
     }
     assert got == want and ("spakr", "spark", 2) in got
+
+
+def test_fuzzy_correct_terms_best_pick_and_composition(spark):
+    """fuzzy_correct_terms picks ONE best vocabulary match per query
+    term (dist asc -> df desc -> term asc): exact terms correct to
+    themselves, ties on distance break toward the more attested term,
+    no-match terms drop, and a query whose every term drops vanishes
+    (nothing to score)."""
+    # 'aable' is distance 1 to BOTH 'table' and 'cable' (substitute
+    # the first letter); document frequency must break the tie
+    docs = (
+        [(i, "cable spark") for i in range(10)]
+        + [(100, "table spark"), (101, "window cable")]
+    )
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    qdf = spark.createDataFrame(
+        [
+            (1, ["aable", "spark"]),     # tie -> 'cable' (df 11 vs 1)
+            (2, ["windoq"]),             # -> window
+            (3, ["qqqqqqq"]),            # no match -> query vanishes
+        ],
+        "q_id long, terms array<string>",
+    )
+    got = {
+        r["q_id"]: sorted(r["terms"])
+        for r in R.fuzzy_correct_terms(idx, qdf, max_edits=1).collect()
+    }
+    assert got == {1: ["cable", "spark"], 2: ["window"]}
+    with pytest.raises(ValueError):
+        R.fuzzy_correct_terms(
+            idx,
+            spark.createDataFrame([], "q_id long, terms array<string>"),
+        )
