@@ -2118,6 +2118,7 @@ def main() -> None:
         "facade_sf_full": samples[-1].get("facade_sf_full"),
         "membership": samples[-1].get("membership"),
         "retrieval": samples[-1].get("retrieval"),
+        "lm_skew": samples[-1].get("lm_skew"),
         "runs": N_RUNS,
         "aggregation": "median",
         "sf": sf,
@@ -2209,6 +2210,30 @@ def main() -> None:
             )
             or {}
         ),
+        # r16 mixed-mode serving (bm25/phrase/proximity/fused/hybrid
+        # from one pruned load per batch) and the LM skew evidence:
+        # AQE splits the raw-scan model shape (markers >= 1), cannot
+        # split the merged production shape (markers == 0), salting
+        # levels the hot partition (read spread, lower = flatter)
+        "retrieval_serve_mixed_qps": (
+            ((result.get("retrieval") or {}).get("serving") or {}).get(
+                "mixed"
+            )
+            or {}
+        ).get("queries_per_sec"),
+        "lm_skew_raw_scan_aqe_splits": (
+            (result.get("lm_skew") or {}).get("raw_scan_model") or {}
+        ).get("skew_split_joins"),
+        "lm_skew_merged_aqe_splits": (
+            (result.get("lm_skew") or {}).get("merged_model") or {}
+        ).get("skew_split_joins"),
+        "lm_skew_spread_unsalted_vs_salted": [
+            (
+                ((result.get("lm_skew") or {}).get(m) or {}).get("spread")
+                or {}
+            ).get("read_spread")
+            for m in ("merged_model", "merged_model_salt32")
+        ],
         # r14 bench-honesty note (method: same-day A/B — the r13-final
         # commit re-benched on THIS host read 16.5s cold vs its
         # recorded 14.4s, identical per-query elevation, canary

@@ -384,6 +384,67 @@ QUERIES = [
         "a recompute would cost) — drop-the-worst-quartile without a "
         "second corpus pass",
     ),
+    (
+        "q133_eval_summaries",
+        "eval summaries in-plan (r16): retrieval_eval_summary and "
+        "ann_eval_summary compose over their graded per-query "
+        "producers and union kind-wise — every eval frame is "
+        "(queries x k)-sized, the corpus appears only in the map-only "
+        "scoring scans, and the two keys=[] summary aggregates reduce "
+        "3-row frames",
+    ),
+    (
+        "q132_analyzed_proximity",
+        "analyzer-composed proximity (r16): the 'simple'-analyzed "
+        "index feeds BOTH the ordered-slop chain and the MinDist "
+        "sweep with analyze_terms at the call sites — same zero-"
+        "explode packed-array shapes as q129/q130, positions assigned "
+        "after analysis so adjacency holds on the analyzed stream",
+    ),
+    (
+        "q134_positional_search_batch",
+        "batched positional search (r16): ONE broadcast term join "
+        "resolves every query's postings (the bm25_topk_batch shape), "
+        "one (q_id, doc) shuffle collects ordinal-sorted (ti, "
+        "positions) structs, and the backward induction runs as a "
+        "per-row aggregate fold — join count is independent of query "
+        "and term count (the single-query chain builds one join per "
+        "term per query), zero explodes of positions",
+    ),
+    (
+        "q135_min_span_batch",
+        "batched MinDist (r16): q130's sweep with an ARRAY fold state "
+        "(array_repeat(0, n_terms) latest-position slots updated by "
+        "an index-aware transform) so per-row term counts need no "
+        "plan-time struct width — same one-term-join/one-shuffle "
+        "shape as q134",
+    ),
+    (
+        "q136_hybrid_retrieval",
+        "hybrid dense+lexical (r16): batch BM25 and batch cosine rank "
+        "the SAME query batch, RRF-fused per q_id — the dense arm "
+        "ends in the local-then-global two-phase top-k, the lexical "
+        "arm in the WindowGroupLimit rank-then-filter, and fusion "
+        "touches only two <= 20-row lists per query; the one "
+        "SinglePartition exchange is the benign BM25 corpus-stats "
+        "scalar reduce (allowlisted with q113)",
+    ),
+    (
+        "q137_fuzzy_expand",
+        "fuzzy term matching (r16): vocabulary deletion variants "
+        "explode via expression-level transforms (JVM), query "
+        "variants broadcast, ONE equi-join on the variant produces "
+        "candidates, exact levenshtein verifies — no vocabulary "
+        "cross-product (BroadcastNestedLoopJoin absent), no Python",
+    ),
+    (
+        "q138_fuzzy_corrected_bm25",
+        "spelling-corrected retrieval (r16): q137's candidate join + "
+        "a per-q_term best-pick window over neighborhood-bounded "
+        "groups feeds the corrected term sets into the graded batch "
+        "BM25 — the only funnel is the allowlisted corpus-stats "
+        "scalar reduce",
+    ),
 ]
 
 
