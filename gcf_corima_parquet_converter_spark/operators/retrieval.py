@@ -852,18 +852,26 @@ def fuzzy_correct_terms(
     if not uniq:
         raise ValueError("queries carry no terms to correct")
     exp = fuzzy_expand_terms(index, uniq, max_edits=max_edits)
+    return (
+        qt.join(F.broadcast(fuzzy_best_match(exp)), "q_term")
+        .groupBy(q_id_col)
+        .agg(F.collect_set("term").alias(terms_col))
+    )
+
+
+def fuzzy_best_match(expanded: DataFrame) -> DataFrame:
+    """Reduce a :func:`fuzzy_expand_terms` /
+    :func:`fuzzy_match_terms` result to ONE best match per
+    ``q_term`` — ``dist`` asc → ``df`` desc → ``term`` asc (prefer
+    closer, then more attested; the Norvig tie-break).  Groups are
+    neighborhood-bounded, so the rank window is never a funnel."""
     w = Window.partitionBy("q_term").orderBy(
         "dist", F.desc("df"), "term"
     )
-    best = (
-        exp.withColumn("_r", F.row_number().over(w))
+    return (
+        expanded.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") == 1)
         .select("q_term", "term")
-    )
-    return (
-        qt.join(F.broadcast(best), "q_term")
-        .groupBy(q_id_col)
-        .agg(F.collect_set("term").alias(terms_col))
     )
 
 

@@ -1398,6 +1398,8 @@ def serve_search_queries(
     ann_index_path: str | None = None,
     q_vec_col: str = "q_vec",
     n_probe: int = 4,
+    fuzzy_vocab_path: str | None = None,
+    fuzzy_max_edits: int | None = None,
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
@@ -1437,6 +1439,19 @@ def serve_search_queries(
     from :func:`serve_bm25_queries` — same manifest re-resolve per
     batch, so maintenance appends/compactions are searchable
     mid-stream in every mode.
+
+    ``fuzzy_vocab_path`` (typo-robust serving): a
+    :func:`retrieval.write_fuzzy_vocab` artifact; when set, ``bm25``
+    rows' terms spelling-correct per batch through the pruned
+    variant-bucket lookup (:func:`retrieval.fuzzy_match_terms` +
+    :func:`retrieval.fuzzy_best_match` — dist asc, df desc, term asc;
+    exact terms correct to themselves at distance 0, no-match terms
+    drop, a fully-dropped query goes unanswered: the q138 recipe
+    online).  Positional modes stay exact-match by contract (their
+    semantics ARE the literal tokens); fused/hybrid compose their own
+    lexical arms uncorrected.  The artifact is a static offline
+    build — rebuild it when the vocabulary drifts (same boundary as
+    the ANN model state).
 
     Scale posture: the batch's DISTINCT terms (all modes pooled)
     drive ONE partition-pruned postings load shared by every arm, and
@@ -1493,6 +1508,51 @@ def serve_search_queries(
             _pre_batch_hook(int(epoch_id))
         if not df.head(1):
             return
+        if fuzzy_vocab_path is not None:
+            from ..operators.retrieval import (
+                fuzzy_best_match,
+                fuzzy_match_terms,
+            )
+
+            bm_terms = sorted(
+                r["t"]
+                for r in df.where(F.col(mode_col) == "bm25")
+                .select(F.explode(terms_col).alias("t"))
+                .where(F.col("t").isNotNull() & (F.col("t") != ""))
+                .distinct()
+                .limit(int(max_pruned_terms) + 1)
+                .collect()
+            )
+            if bm_terms:
+                best = fuzzy_best_match(
+                    fuzzy_match_terms(
+                        spark, fuzzy_vocab_path, bm_terms,
+                        max_edits=fuzzy_max_edits,
+                    )
+                )
+                cor = (
+                    df.where(F.col(mode_col) == "bm25")
+                    .select(
+                        q_id_col, F.explode(terms_col).alias("q_term")
+                    )
+                    .join(F.broadcast(best), "q_term")
+                    .groupBy(q_id_col)
+                    .agg(F.collect_set("term").alias("_cterms"))
+                )
+                df = (
+                    df.join(F.broadcast(cor), q_id_col, "left")
+                    .withColumn(
+                        terms_col,
+                        F.when(
+                            F.col(mode_col) == "bm25",
+                            F.coalesce(
+                                F.col("_cterms"),
+                                F.array().cast("array<string>"),
+                            ),
+                        ).otherwise(F.col(terms_col)),
+                    )
+                    .drop("_cterms")
+                )
         term_rows = (
             df.select(F.explode(terms_col).alias("t"))
             .where(F.col("t").isNotNull() & (F.col("t") != ""))

@@ -2691,6 +2691,15 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     cents = np.array([[0.0, 0.0, 1.0, 0.0], [3.0, 4.0, 1.0, 1.0]])
     ann_root = str(tmp_path / "mix_ann")
     S.ivf_save(S.ivf_assign(edf, cents), cents, ann_root)
+    # fuzzy vocabulary artifact (static offline build) for the
+    # typo-robust bm25 path
+    fz_root = str(tmp_path / "mix_fz")
+    R.write_fuzzy_vocab(
+        R.inverted_index(
+            spark.createDataFrame(docs1, "doc_id long, text string")
+        ),
+        fz_root, max_edits=1, n_buckets=8,
+    )
 
     sch = (
         "q_id long, mode string, terms array<string>, slop int, "
@@ -2701,6 +2710,10 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         ("a", [
             (1, "bm25", ["quick", "brown"], None, None),
             (2, "phrase", ["quick", "brown"], None, None),
+            # typo'd bm25: 'quik'/'brwn' must spelling-correct to
+            # quick/brown through the fuzzy artifact and rank
+            # IDENTICALLY to q1
+            (7, "bm25", ["quik", "brwn"], None, None),
         ]),
         ("b", [
             # doc 100 has TWO ordered quick->brown windows within
@@ -2738,7 +2751,7 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         .parquet(qsrc),
         root, out_path, checkpoint=str(tmp_path / "mix_ck"),
         k=5, idf="rational", scale=10**6, _pre_batch_hook=hook,
-        ann_index_path=ann_root,
+        ann_index_path=ann_root, fuzzy_vocab_path=fz_root,
     )
     q.awaitTermination(180)
 
@@ -2762,6 +2775,14 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         for r in got.where(F.col("q_id") == 1).collect()
     }
     assert got1 == want1
+
+    # q7: the typo'd twin of q1 — spelling-corrected serving answers
+    # exactly what the clean query answers
+    got7 = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in got.where(F.col("q_id") == 7).collect()
+    }
+    assert got7 == want1
 
     # q2 phrase (batch 0): ranked (n_matches desc, doc), score=n_matches
     ph = sorted(
