@@ -1128,6 +1128,58 @@ def bench_retrieval(spark) -> dict:
             R.load_postings(spark, root, terms)[0], terms, slop=2
         )
     )
+    # r16: batched positional search vs the per-query loop it
+    # replaces — 24 two-term slop-2 queries from the high-df pool
+    # over the SAME pruned persisted postings.  The loop builds one
+    # join chain per query (24 plans); the batch is ONE term join +
+    # a per-row induction fold.  Wall ratio is the serving argument
+    # for positional_search_batch in numbers.
+    import pyspark.sql.functions as F
+
+    pool64 = [
+        r["term"]
+        for r in spark.read.parquet(os.path.join(root, "postings"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(64)
+        .collect()
+    ]
+    npool = len(pool64)
+    pos_queries = [
+        (
+            q,
+            [pool64[(q * 7 + 3) % npool], pool64[(q * 13 + 11) % npool]],
+            2,
+        )
+        for q in range(24)
+    ]
+    all_pos_terms = sorted({t for _, tl, _ in pos_queries for t in tl})
+
+    def _loop():
+        post_l, _ = R.load_postings(spark, root, all_pos_terms)
+        n = 0
+        for _, tl, sl in pos_queries:
+            n += R.proximity_search(post_l, tl, slop=sl).count()
+        return n
+
+    def _batched():
+        post_l, _ = R.load_postings(spark, root, all_pos_terms)
+        qdf = spark.createDataFrame(
+            pos_queries, "q_id long, terms array<string>, slop int"
+        )
+        return R.positional_search_batch(
+            post_l, qdf, slop_col="slop"
+        ).count()
+
+    t0 = time.perf_counter()
+    n_loop = _loop()
+    loop_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_batch = _batched()
+    batch_sec = time.perf_counter() - t0
+    assert n_loop == n_batch, (n_loop, n_batch)
+
     out = {
         "corpus_docs": docs.count(),
         "postings_rows": spark.read.parquet(
@@ -1140,6 +1192,12 @@ def bench_retrieval(spark) -> dict:
         "phrase_docs": n_phrase,
         "proximity_persisted_sec": round(prox_sec, 3),
         "proximity_docs": n_prox,
+        "positional_batch24": {
+            "per_query_loop_sec": round(loop_sec, 3),
+            "batched_sec": round(batch_sec, 3),
+            "batch_speedup": round(loop_sec / batch_sec, 2),
+            "match_rows": n_batch,
+        },
     }
     if build_sec is not None:
         out["index_build_sec"] = build_sec
