@@ -903,6 +903,8 @@ def bm25_topk_batch(
     terms_col: str = "terms",
     stats: DataFrame | None = None,
     scale: int | None = None,
+    dfreq: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``k`` documents for EVERY query in ``queries``
     (``(q_id, terms array<string>)``) in one pass: the exploded query
@@ -928,7 +930,20 @@ def bm25_topk_batch(
     when set, per-term contributions are fixed-pointed
     (``floor(x*scale + 0.5)``) before the cross-term sum and ``score``
     is that exact integer sum divided by ``scale``: hash-stable across
-    engines (the graded-oracle mode; see module docstring)."""
+    engines (the graded-oracle mode; see module docstring).
+    ``dfreq`` — a ``(term, df)`` frame overriding the per-term
+    document frequencies otherwise derived from ``index``.  REQUIRED
+    when ``index`` holds a within-term SUBSET of postings
+    (:func:`champion_lists`): df derived from a champion sliver caps
+    at ``m``, inflating common terms' idf; champion scoring keeps the
+    FULL corpus df (Manning et al., IIR §7.1.3 — only the scored
+    candidates shrink, never the statistics).
+    ``candidates`` — a ``(q_id, id)`` frame restricting which
+    documents each query scores (:func:`champion_candidates`):
+    candidate docs get their EXACT score (full postings for every
+    query term), non-candidates never score.  The frame is
+    candidate-set-sized (``<= m x |terms|`` rows per query) and
+    broadcasts into the postings join."""
     qterms = queries.select(
         F.col(q_id_col), F.explode(terms_col).alias("term")
     ).distinct()
@@ -947,16 +962,26 @@ def bm25_topk_batch(
                 "frame returned by load_postings/load_postings_artifact"
             )
         stats = index_stats(index, id_col)
-    dfreq = (
-        index.join(F.broadcast(uniq), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if dfreq is None:
+        dfreq = (
+            index.join(F.broadcast(uniq), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    else:
+        dfreq = dfreq.join(F.broadcast(uniq), "term").select("term", "df")
     post = (
         index.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
+    if candidates is not None:
+        post = post.join(
+            F.broadcast(
+                candidates.select(q_id_col, id_col).distinct()
+            ),
+            [q_id_col, id_col],
+        )
     contrib = _idf(F.col("n_docs"), F.col("df"), idf) * (
         F.col("tf")
         * F.lit(k1 + 1.0)
@@ -1013,6 +1038,121 @@ def bm25_topk_batch(
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .select(q_id_col, "rank", id_col, "score")
+    )
+
+
+def champion_lists(
+    index: DataFrame,
+    m: int = 128,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    stats: DataFrame | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-term champion lists (Manning et al., IIR §7.1.3),
+    IMPACT-ordered (Anh & Moffat 2005): keep only each term's
+    top-``m`` postings by the query-INDEPENDENT part of the BM25
+    contribution — ``tf x (k1+1) / (tf + k1 x (1 - b + b x dl /
+    avgdl))`` — so the kept postings are exactly the docs this term
+    can score highest (raw-tf ordering keeps long documents the
+    length normalization then punishes; within a term, idf is a
+    constant and never changes the order).  THE classic top-k pruning
+    for web-scale retrieval: a stopword's postings list is
+    corpus-sized, but scoring its ``m`` champions bounds the
+    candidates at ``m x |terms|`` rows however large the corpus,
+    where exact BM25 scores every doc containing ANY query term.
+    The impact fixed-points at ``scale`` before ordering (ties break
+    by id), so list membership is deterministic, engine-portable and
+    oracle-gradable; measure the recall cost against exact top-k
+    with :func:`retrieval_eval` or the overlap row in ``bench.py``.
+
+    Returns the postings schema (compose with
+    :func:`write_inverted_index` to persist bucketed).  SCORING
+    CONTRACT: corpus statistics must come from the FULL index — pass
+    ``stats=index_stats(full_index)`` AND ``dfreq=`` (full per-term
+    df) to the BM25 scorers; champion-derived stats/df would inflate
+    every common term's idf (the ``dfreq`` parameter exists for
+    exactly this).  ``stats`` here defaults to deriving from
+    ``index`` itself, correct when building from the full index.
+
+    Plan: one rank-then-filter per-term window — bounded BEFORE its
+    exchange by the WindowGroupLimit rewrite (the bm25_topk_batch
+    contract; a hot term's corpus-scale list is exactly the partition
+    this bounds), with the explicit partition-local guard above the
+    rewrite threshold."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    spark = index.sparkSession
+    if stats is None:
+        if _is_pruned(index):
+            raise ValueError(
+                "champion_lists over term-pruned postings needs the "
+                "loader's stats= row (avgdl from a sliver is wrong)"
+            )
+        stats = index_stats(index, id_col)
+    impact = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    out = (
+        index.crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "_imp",
+            F.floor(impact * F.lit(float(scale)) + F.lit(0.5)),
+        )
+        .drop("avgdl")
+    )
+    try:
+        wgl_threshold = int(
+            spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+        )
+    except Exception:
+        wgl_threshold = -1
+    if not (0 <= int(m) <= wgl_threshold):
+        local = Window.partitionBy(
+            F.spark_partition_id(), "term"
+        ).orderBy(F.desc("_imp"), F.col(id_col))
+        out = (
+            out.withColumn("_lrk", F.row_number().over(local))
+            .where(F.col("_lrk") <= int(m))
+            .drop("_lrk")
+        )
+    w = Window.partitionBy("term").orderBy(F.desc("_imp"), F.col(id_col))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(m))
+        .drop("_rk", "_imp")
+    )
+
+
+def champion_candidates(
+    champions: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Each query's candidate documents from its terms' champion
+    lists — the UNION of per-term champions (Manning et al., IIR
+    §7.1.3: candidates come from the champion lists, SCORES come from
+    the full postings, so a candidate's score is exact).  Returns a
+    distinct ``(q_id, id)`` frame, ``<= m x |terms|`` rows per query
+    by construction — pass it to ``bm25_topk_batch(...,
+    candidates=)`` over the FULL index with full ``stats``/
+    ``dfreq``."""
+    qterms = queries.select(
+        F.col(q_id_col), F.explode(terms_col).alias("term")
+    ).distinct()
+    return (
+        champions.join(F.broadcast(qterms), "term")
+        .select(q_id_col, id_col)
+        .distinct()
     )
 
 

@@ -6518,3 +6518,105 @@ def q138(spark, sf_dir):
     return out.select(
         "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
     ).orderBy("q_id", "rank")
+
+
+# -- q139: champion-list pruned BM25 (retrieval.champion_lists +
+#    champion_candidates + candidate-restricted bm25_topk_batch) —
+#    THE classic web-scale top-k pruning (Manning IIR 7.1.3; impact
+#    ordering per Anh & Moffat 2005): each term keeps only its
+#    top-m postings by the query-independent BM25 impact
+#    (fixed-pointed, ties by doc — deterministic, hence gradable),
+#    candidates are the union of the query terms' champions, and
+#    candidates score EXACTLY over the full postings with full
+#    corpus stats/df — a stopword scores m champions instead of its
+#    corpus-sized postings list.  The oracle replays champion
+#    selection (same impact QUALIFY per term) and the q136 scoring
+#    recipe restricted to the candidate join.
+@query(
+    "q139_champion_bm25",
+    "WITH " + _BM25_SQL_STATS + """,
+    queries(q_id, terms) AS (VALUES
+      (0, ['spark', 'window']),
+      (1, ['merge', 'join']),
+      (2, ['data', 'table', 'scan'])),
+    qt AS (SELECT DISTINCT q_id, unnest(terms) AS term FROM queries),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term
+    ),
+    imp AS (
+      SELECT tf.term, tf.doc_id,
+             CAST(floor(tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                * 1000000 + 0.5) AS BIGINT) AS imp_fx
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    champ AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (
+                 PARTITION BY term ORDER BY imp_fx DESC, doc_id
+               ) AS rn
+        FROM imp
+      ) WHERE rn <= 32
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.doc_id
+      FROM qt q JOIN champ c ON c.term = q.term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM qt q
+      JOIN tf ON tf.term = q.term
+      JOIN cand ON cand.q_id = q.q_id AND cand.doc_id = tf.doc_id
+      JOIN idf ON idf.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id
+             ) AS INT) AS rank,
+             doc_id, score_fx
+      FROM scores
+      QUALIFY rank <= 10
+    )
+    SELECT q_id, rank, doc_id, score_fx
+    FROM ranked ORDER BY q_id, rank
+    """,
+)
+def q139(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spark", "window"]),
+            (1, ["merge", "join"]),
+            (2, ["data", "table", "scan"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    stats = R.index_stats(idx)  # ONE corpus-stats reduce, shared by
+    # champion selection and scoring (AQE exchange reuse collapses
+    # the identical subtrees)
+    ch = R.champion_lists(idx, m=32, stats=stats)
+    cands = R.champion_candidates(ch, qdf)
+    out = R.bm25_topk_batch(
+        idx, qdf, k=10, idf="rational", scale=1_000_000,
+        candidates=cands, stats=stats,
+    )
+    return out.select(
+        "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    ).orderBy("q_id", "rank")

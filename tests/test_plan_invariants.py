@@ -69,6 +69,12 @@ SINGLE_PARTITION_ALLOWED = {
     # windows over neighborhood-bounded groups (hash exchange, not a
     # funnel)
     "q138_fuzzy_corrected_bm25": 1,
+    # champion-pruned BM25: the ONE shared corpus-stats scalar reduce
+    # (passed to both champion selection and scoring; the static plan
+    # prints it under each consumer but AQE exchange reuse collapses
+    # them); the per-term champion window and the per-query ranking
+    # both bound via WindowGroupLimit before their exchanges
+    "q139_champion_bm25": 2,
     # collocation totals: TWO keys=[] scalar reduces (unigram total,
     # bigram total) — each is one bigint partial per task crossing the
     # funnel; their one-row product broadcasts back over the

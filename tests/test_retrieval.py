@@ -1827,3 +1827,103 @@ def test_fuzzy_correct_terms_best_pick_and_composition(spark):
             idx,
             spark.createDataFrame([], "q_id long, terms array<string>"),
         )
+
+
+def test_champion_lists_candidates_and_exactness(spark):
+    """Champion-list pruned BM25 (Manning IIR 7.1.3, impact-ordered
+    per Anh & Moffat): candidates come from the per-term top-m impact
+    lists, scores are EXACT for every candidate (full postings, full
+    stats/df), and with m >= max df the pruned ranking equals exact
+    BM25 bit-for-bit — while recall@10 grows monotonically toward it
+    as m grows, at a candidate count bounded by m x |terms|."""
+    import random
+
+    rnd = random.Random(11)
+    voc = ["the", "a", "spark", "window", "merge", "rare1", "rare2"]
+    wts = [40, 30, 10, 8, 6, 1, 1]
+    docs = [
+        (
+            i,
+            " ".join(
+                rnd.choices(voc, weights=wts, k=rnd.randint(5, 60))
+            ),
+        )
+        for i in range(300)
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).cache()
+    full_df = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    maxdf = full_df.agg(F.max("df")).collect()[0][0]
+    qdf = spark.createDataFrame(
+        [(0, ["the", "spark"]), (1, ["window", "merge"]), (2, ["rare1"])],
+        "q_id long, terms array<string>",
+    )
+    exact = R.bm25_topk_batch(idx, qdf, k=10, idf="rational", scale=10**6)
+    ex_rows = sorted(map(tuple, exact.collect()))
+    ex_ids = {(r[0], r[2]) for r in ex_rows}
+
+    prev_recall = 0.0
+    for m in (8, 32, maxdf):
+        ch = R.champion_lists(idx, m=m)
+        # per-term list length == min(m, df)
+        cnts = {
+            r["term"]: r["n"]
+            for r in ch.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        dfs = {r["term"]: r["df"] for r in full_df.collect()}
+        assert all(cnts[t] == min(m, dfs[t]) for t in cnts)
+        cands = R.champion_candidates(ch, qdf)
+        # candidate bound: <= m x |terms| per query
+        per_q = {
+            r["q_id"]: r["n"]
+            for r in cands.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_q[0] <= 2 * m and per_q[1] <= 2 * m and per_q[2] <= m
+        approx = R.bm25_topk_batch(
+            idx, qdf, k=10, idf="rational", scale=10**6, candidates=cands
+        )
+        ap_rows = sorted(map(tuple, approx.collect()))
+        # every returned (q, doc, score) is the EXACT score: compare
+        # against the exact run's scores for shared (q, doc) pairs
+        ex_scores = {(r[0], r[2]): r[3] for r in ex_rows}
+        for r in ap_rows:
+            if (r[0], r[2]) in ex_scores:
+                assert r[3] == ex_scores[(r[0], r[2])]
+        recall = len({(r[0], r[2]) for r in ap_rows} & ex_ids) / len(ex_ids)
+        assert recall >= prev_recall
+        prev_recall = recall
+    # m >= max df: identical incl. scores and ranks
+    assert ap_rows == ex_rows
+    with pytest.raises(ValueError):
+        R.champion_lists(idx, m=0)
+
+
+def test_champion_lists_plan_is_guarded_and_jvm(spark, idx):
+    """champion_lists' per-term ranking uses the rank-then-filter
+    WindowGroupLimit shape below the threshold and the explicit
+    partition-local guard above it; the whole path stays JVM."""
+    ch = R.champion_lists(idx, m=4)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "2")
+    try:
+        plan_hi = (
+            R.champion_lists(idx, m=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_lrk" in plan_hi, "fallback guard missing"
+        # guard and native shape agree on the result
+        a = sorted(map(tuple, R.champion_lists(idx, m=4).collect()))
+    finally:
+        spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    b = sorted(map(tuple, R.champion_lists(idx, m=4).collect()))
+    assert a == b

@@ -438,6 +438,15 @@ QUERIES = [
         "cross-product (BroadcastNestedLoopJoin absent), no Python",
     ),
     (
+        "q139_champion_bm25",
+        "champion-pruned BM25 (r16): per-term top-m impact window "
+        "(WindowGroupLimit-bounded before its exchange — a stopword's "
+        "corpus-sized list is exactly the partition this bounds), "
+        "candidates broadcast into the exact scorer, ONE shared "
+        "corpus-stats reduce for selection and scoring (AQE exchange "
+        "reuse)",
+    ),
+    (
         "q138_fuzzy_corrected_bm25",
         "spelling-corrected retrieval (r16): q137's candidate join + "
         "a per-q_term best-pick window over neighborhood-bounded "
