@@ -1198,10 +1198,59 @@ def bench_retrieval(spark) -> dict:
             "batch_speedup": round(loop_sec / batch_sec, 2),
             "match_rows": n_batch,
         },
+        "champion": _bench_champion(spark, root, terms),
     }
     if build_sec is not None:
         out["index_build_sec"] = build_sec
     out["serving"] = _bench_bm25_serving(spark, root)
+    return out
+
+
+def _bench_champion(spark, root: str, terms: list[str]) -> dict:
+    """r16: champion-list pruning over the persisted pruned postings —
+    candidates scored vs exact's every-doc-containing-any-term, with
+    the top-10 overlap as the measured recall cost.  Local wall is
+    plan-overhead-bound at this corpus (the exact path is already
+    term-pruned); the scale number is the scored-row reduction, which
+    is the 100 TB claim (a stopword scores m champions, not its
+    corpus-sized list)."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+
+    post, stats = R.load_postings(spark, root, terms)
+    n_exact_rows = post.count()
+    t0 = time.perf_counter()
+    exact = R.bm25_topk(post, terms, k=10, stats=stats).collect()
+    exact_sec = time.perf_counter() - t0
+    qdf = spark.createDataFrame(
+        [(0, terms)], "q_id long, terms array<string>"
+    )
+    out = {
+        "exact_scored_rows": n_exact_rows,
+        "exact_sec": round(exact_sec, 3),
+        "note": "synthetic corpus has near-flat tf (adversarial for "
+                "impact ordering); the scale claim is the scored-row "
+                "reduction, recall cost is the measured trade",
+    }
+    for m in (128, 512):
+        t0 = time.perf_counter()
+        ch = R.champion_lists(post, m=m, stats=stats)
+        cands = R.champion_candidates(ch, qdf)
+        n_cands = cands.count()
+        pruned = R.bm25_topk(
+            post, terms, k=10, stats=stats, candidates=cands,
+        ).collect()
+        champ_sec = time.perf_counter() - t0
+        out[f"m{m}"] = {
+            "champion_candidates": n_cands,
+            "candidate_reduction": round(
+                n_exact_rows / max(n_cands, 1), 1
+            ),
+            "champion_sec": round(champ_sec, 3),
+            "top10_overlap": len(
+                {r["doc_id"] for r in exact}
+                & {r["doc_id"] for r in pruned}
+            ),
+        }
     return out
 
 
