@@ -1400,6 +1400,7 @@ def serve_search_queries(
     n_probe: int = 4,
     fuzzy_vocab_path: str | None = None,
     fuzzy_max_edits: int | None = None,
+    champion_m: int | None = None,
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
@@ -1452,6 +1453,16 @@ def serve_search_queries(
     lexical arms uncorrected.  The artifact is a static offline
     build — rebuild it when the vocabulary drifts (same boundary as
     the ANN model state).
+
+    ``champion_m`` (hot-query pruning): when set, ``bm25`` rows score
+    only the union of their terms' top-``champion_m`` impact-ordered
+    champions instead of every doc containing any term
+    (:func:`retrieval.champion_lists` over the batch's pruned
+    postings — term-wise COMPLETE lists, so champion selection over
+    them equals selection over the full index; scoring stays exact
+    over the same postings with the artifact's full stats).  The
+    m-vs-recall trade is the caller's; ``bench.py``'s ``champion``
+    block measures it.
 
     Scale posture: the batch's DISTINCT terms (all modes pooled)
     drive ONE partition-pruned postings load shared by every arm, and
@@ -1616,11 +1627,26 @@ def serve_search_queries(
             q_id_col, clean_terms.alias(terms_col)
         )
         if bm.head(1):
+            bm_cands = None
+            if champion_m is not None:
+                from ..operators.retrieval import (
+                    champion_candidates,
+                    champion_lists,
+                )
+
+                bm_cands = champion_candidates(
+                    champion_lists(
+                        post, m=int(champion_m), k1=k1, b=b,
+                        id_col=id_col, stats=stats,
+                    ),
+                    bm, id_col=id_col, q_id_col=q_id_col,
+                    terms_col=terms_col,
+                )
             outs.append(
                 bm25_topk_batch(
                     post, bm, k=k, k1=k1, b=b, idf=idf, id_col=id_col,
                     q_id_col=q_id_col, terms_col=terms_col, stats=stats,
-                    scale=scale,
+                    scale=scale, candidates=bm_cands,
                 ).select(
                     F.col(q_id_col),
                     F.lit("bm25").alias("mode"),

@@ -531,7 +531,10 @@ def test_global_running_sum_checkpoint_mode_leaves_no_session_cache(spark):
     import time as _t
 
     del out, rows
-    for _ in range(60):
+    # under full-suite load the context cleaner can lag well past the
+    # old 30s window (observed r16: isolated pass, suite-run timeout)
+    # — the property is eventual release, so poll generously
+    for _ in range(240):
         gc.collect()  # release the py4j handle...
         spark.sparkContext._jvm.System.gc()  # ...then let the cleaner see it
         if jsc.getPersistentRDDs().size() <= base:

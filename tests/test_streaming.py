@@ -2752,6 +2752,11 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
         root, out_path, checkpoint=str(tmp_path / "mix_ck"),
         k=5, idf="rational", scale=10**6, _pre_batch_hook=hook,
         ann_index_path=ann_root, fuzzy_vocab_path=fz_root,
+        # champion pruning ON with m >= every df in this corpus: the
+        # bm25 arms run the candidate-restricted path and must still
+        # equal the unrestricted batch operators exactly (the
+        # m-vs-recall trade at small m is pinned operator-side)
+        champion_m=50,
     )
     q.awaitTermination(180)
 
