@@ -486,7 +486,10 @@ def positional_search_batch(
     serve-layer malformed-producer convention.
 
     Like every scorer here, terms must already be analyzed to match
-    the index (:func:`analyze_terms`, the same-analyzer contract)."""
+    the index (:func:`analyze_terms`, the same-analyzer contract),
+    and ``q_id`` values must be unique per query row (the
+    :func:`bm25_topk_batch` contract — duplicate ids would merge two
+    queries' ordinal slots in the per-(q_id, doc) regroup)."""
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
     sl = (
