@@ -827,6 +827,7 @@ def fuzzy_correct_terms(
     max_edits: int = 1,
     q_id_col: str = "q_id",
     terms_col: str = "terms",
+    max_query_terms: int = 100_000,
 ) -> DataFrame:
     """Spelling-correct a query FRAME against the index vocabulary —
     the "did you mean" step ahead of batch BM25: each query term maps
@@ -839,19 +840,29 @@ def fuzzy_correct_terms(
     whose every term drops vanishes from the output (nothing left to
     score; the caller's no-rows contract, same as an all-OOV BM25).
 
-    The distinct query terms collect driver-side (human-sized by the
-    batch-scoring contract — the same bound as the serving tier's
-    term pool) and expand through ONE vocabulary candidate join; the
+    The distinct query terms collect driver-side; the bound is
+    ENFORCED, not hoped (the ``_require_driver_sized`` discipline):
+    past ``max_query_terms`` distinct terms the call fails fast with a
+    ValueError — chunk the query frame — instead of OOMing the driver.
+    The survivors expand through ONE vocabulary candidate join; the
     per-term best pick is a rank-then-filter over
     neighborhood-bounded groups."""
+    cap = int(max_query_terms)
+    if cap <= 0:
+        raise ValueError(f"max_query_terms must be positive, got {cap}")
     qt = queries.select(
         F.col(q_id_col), F.explode(terms_col).alias("q_term")
     ).distinct()
-    uniq = sorted(
-        r["q_term"]
-        for r in qt.select("q_term").distinct().collect()
-        if r["q_term"]
+    term_rows = (
+        qt.select("q_term").distinct().limit(cap + 1).collect()
     )
+    if len(term_rows) > cap:
+        raise ValueError(
+            f"fuzzy_correct_terms: query frame carries more than "
+            f"{cap} distinct terms; chunk the batch (the candidate "
+            "join amortizes per chunk) or raise max_query_terms"
+        )
+    uniq = sorted(r["q_term"] for r in term_rows if r["q_term"])
     if not uniq:
         raise ValueError("queries carry no terms to correct")
     exp = fuzzy_expand_terms(index, uniq, max_edits=max_edits)

@@ -1525,15 +1525,29 @@ def serve_search_queries(
                 fuzzy_match_terms,
             )
 
-            bm_terms = sorted(
-                r["t"]
-                for r in df.where(F.col(mode_col) == "bm25")
+            bm_rows = (
+                df.where(F.col(mode_col) == "bm25")
                 .select(F.explode(terms_col).alias("t"))
                 .where(F.col("t").isNotNull() & (F.col("t") != ""))
                 .distinct()
                 .limit(int(max_pruned_terms) + 1)
                 .collect()
             )
+            if len(bm_rows) > int(max_pruned_terms):
+                # the limit(N+1) pool overflowed: some distinct terms
+                # never reached fuzzy_match_terms, and the inner join
+                # below would silently DROP them from queries — serve
+                # the batch uncorrected instead (the read_index_artifact
+                # fallback's sibling; correctness over correction)
+                warnings.warn(
+                    "serve_search_queries: batch has more than "
+                    f"{max_pruned_terms} distinct bm25 terms; fuzzy "
+                    "correction skipped for this batch (terms served "
+                    "uncorrected)"
+                )
+                bm_terms = []
+            else:
+                bm_terms = sorted(r["t"] for r in bm_rows)
             if bm_terms:
                 best = fuzzy_best_match(
                     fuzzy_match_terms(
@@ -1608,13 +1622,14 @@ def serve_search_queries(
                 id_col=id_col,
             )
 
-        bad = df.where(
+        # presence probe, not a count: a full .count() pass per
+        # micro-batch just to size a warning taxes the clean common
+        # case (ADVICE r16) — head(1) stops at the first bad row
+        if df.where(
             ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
-        ).count()
-        if bad:
+        ).head(1):
             warnings.warn(
-                f"serve_search_queries: {bad} row(s) with unknown mode "
-                "skipped"
+                "serve_search_queries: row(s) with unknown mode skipped"
             )
         # null/empty term CELLS drop row-side (a producer convenience
         # the single-query path also had); fully-empty rows are then
@@ -1928,5 +1943,18 @@ def lm_gate_stream(
                 finally:
                     spark.streams.removeListener(self)
 
-    spark.streams.addListener(_Release())
+    listener = _Release()
+    spark.streams.addListener(listener)
+    # the listener registers AFTER writer.start(): a fast availableNow
+    # query can have already terminated, in which case its
+    # QueryTerminatedEvent was delivered before we subscribed and the
+    # persisted model would leak — the exact leak this listener exists
+    # to fix (ADVICE r16).  isActive is False only after termination,
+    # so release inline; unpersist() is idempotent if the event DID
+    # race in between.
+    if not query.isActive:
+        try:
+            model.unpersist()
+        finally:
+            spark.streams.removeListener(listener)
     return query

@@ -1827,6 +1827,11 @@ def test_fuzzy_correct_terms_best_pick_and_composition(spark):
             idx,
             spark.createDataFrame([], "q_id long, terms array<string>"),
         )
+    # the driver-side term pool is a CONTRACT, not a hope (ADVICE
+    # r16): past max_query_terms distinct terms the call fails fast
+    # instead of collecting an unbounded frame onto the driver
+    with pytest.raises(ValueError, match="distinct terms"):
+        R.fuzzy_correct_terms(idx, qdf, max_edits=1, max_query_terms=2)
 
 
 def test_champion_lists_candidates_and_exactness(spark):

@@ -2886,3 +2886,83 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     assert set(
         r["mode"] for r in got.select("mode").distinct().collect()
     ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
+
+
+def test_serve_search_queries_fuzzy_pool_overflow_serves_uncorrected(
+    spark, tmp_path
+):
+    """ADVICE r16: when a batch's distinct bm25 terms exceed
+    max_pruned_terms, the fuzzy-correction term pool's limit(N+1)
+    used to silently DROP the un-collected terms from queries via the
+    inner join against the best-match frame.  The fix skips
+    correction for that batch entirely — every term serves
+    UNCORRECTED (exact terms still score; typos contribute nothing),
+    mirroring the postings pool's full-read fallback."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [
+        (i, f"quick brown fox dog w{i % 5} pad{i % 3}")
+        for i in range(8)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "ofl_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+    fz_root = str(tmp_path / "ofl_fz")
+    R.write_fuzzy_vocab(
+        R.inverted_index(ddf), fz_root, max_edits=1, n_buckets=4
+    )
+
+    sch = "q_id long, mode string, terms array<string>"
+    # 3 distinct terms > max_pruned_terms=2: the pool overflows; under
+    # the old bug only 2 arbitrary terms reached the matcher and the
+    # rest vanished from the query
+    rows = [(1, "bm25", ["quick", "brown", "doqg"])]
+    qsrc = str(tmp_path / "ofl_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "ofl_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    out_path = str(tmp_path / "ofl_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "ofl_ck"),
+        k=5, idf="rational", scale=10**6,
+        fuzzy_vocab_path=fz_root, max_pruned_terms=2,
+    )
+    q.awaitTermination(120)
+
+    idx = R.inverted_index(ddf)
+    # uncorrected serving: the OOV typo contributes nothing, the two
+    # exact terms score in full — NOT the corrected ranking (where
+    # doqg -> dog would add a third term's contribution)
+    want = {
+        (r["rank"], r["doc_id"], float(r["score"]))
+        for r in R.bm25_topk(
+            idx, ["quick", "brown", "doqg"], k=5, idf="rational",
+            scale=10**6,
+        ).collect()
+    }
+    corrected = {
+        (r["rank"], r["doc_id"], float(r["score"]))
+        for r in R.bm25_topk(
+            idx, ["quick", "brown", "dog"], k=5, idf="rational",
+            scale=10**6,
+        ).collect()
+    }
+    got = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in spark.read.parquet(out_path)
+        .where(F.col("q_id") == 1)
+        .collect()
+    }
+    assert got == want
+    assert got != corrected
