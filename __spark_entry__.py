@@ -315,6 +315,63 @@ _DEMOTED_REDUNDANT = (
     "q110_semantic_decontaminate",
     "q120_phrase_snippets",
     "q121_eval_compare_bm25_b",
+    # r17 rotation: the ENTIRE r16 overflow — q132_analyzed_proximity /
+    # q133_eval_summaries / q134_positional_search_batch /
+    # q135_min_span_batch / q136_hybrid_retrieval / q137_fuzzy_expand /
+    # q138_fuzzy_corrected_bm25 / q139_champion_bm25 — PROMOTED into
+    # the graded window (r16 verdict #1: the largest never-driver-
+    # graded backlog any round carried; all eight oracle-green locally
+    # every round via driver_sim + test_queries_oracle), plus the NEW
+    # q140_fuzzy_vocab_search (the persisted fuzzy artifact path
+    # graded end-to-end — r16 verdict #4) and q141_serving_capstone
+    # (correction -> champion-pruned BM25 -> dense arm -> RRF -> eval
+    # in ONE plan — r16 verdict #6; same-round promotion precedent
+    # r7/q100 + r11/q105 + r13/q113 + r14/q118 + r15/q122-q124).  Ten
+    # veterans take their slots, each family still graded by an
+    # in-window SUPERSET twin (the q91->q99 logic) and oracle-verified
+    # locally every round by test_queries_oracle + driver_sim:
+    # q77's md5-rank deterministic-sampling kernel is graded by q85
+    # (budget select — the same md5-rank ordering with the scale-safe
+    # global running-sum gate) and q81 (mixture audit — the same
+    # target-weights broadcast); the chains that cited q77
+    # (q50/q69/q79) re-root at q85/q81;
+    # q92's digest-join corpus classification by q86 (incremental
+    # dedup — the same persisted-digest equi/anti-join machinery,
+    # graded) and q22 (exact dedup); q89's chain re-roots at q86;
+    # q95's group quantile gate by q126 (the LM quality gate runs the
+    # SAME exact quantile_threshold_filter aggregate over LM scores —
+    # byte-shared kernel, graded); q96's chain re-roots at q126;
+    # q106's span DETECTION by q111 (detect is stage 1 of the graded
+    # decontamination capstone — byte-shared _window_structs) with
+    # the dedup-surface detection twin q75 staying in-window;
+    # q108's bloom-membership decontamination by q105 (n-gram bloom
+    # decontaminate — same artifact build + membership + exact-verify
+    # machinery, graded); q104's semantics chain re-roots at q105;
+    # q113's single-query BM25 by q122 (analyzed-index BM25 — the
+    # byte-shared bm25_topk scorer over the superset analyzer path)
+    # and the promoted q138/q139 (the batch scorer it is a one-row
+    # case of);
+    # q125's ANN recall eval by q128 (ann_ablation runs ann_eval over
+    # TWO arms — the superset shape, graded);
+    # q127's per-language LM scoring by q124 (ngram_lm_score IS the
+    # kernel — group_cols is a grouping argument, byte-shared) and
+    # q126 (the gate consuming the same scores, graded);
+    # q129's proximity search by the promoted q132 (analyzer + the
+    # same ordered-slop fold — superset) and q131 (the fused plan's
+    # proximity arm, graded);
+    # q130's MinDist min_span by the promoted q135 (min_span_batch —
+    # the batched superset of the same packed-array fold) and q131
+    # (min_span IS the capstone's tightness arm, graded).
+    "q77_stratified_sample",
+    "q92_corpus_upsert",
+    "q95_group_quality_gate",
+    "q106_contaminated_spans",
+    "q108_bloom_hits_decontaminate",
+    "q113_bm25_topk",
+    "q125_ann_recall_eval",
+    "q127_perlang_lm_score",
+    "q129_proximity_search",
+    "q130_min_span",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -6620,3 +6620,362 @@ def q139(spark, sf_dir):
     return out.select(
         "q_id", "rank", "doc_id", fx("score", 1_000_000).alias("score_fx")
     ).orderBy("q_id", "rank")
+
+
+# -- q140: the PERSISTED fuzzy path graded end-to-end (r16 verdict #4,
+#    the q122 grade-the-artifact precedent): write_fuzzy_vocab builds
+#    the variant-bucket artifact on disk, fuzzy_match_terms answers
+#    through it (static vbucket partition filters + ONE variant
+#    equi-join — the path serving actually uses, retrieval.py), and
+#    fuzzy_best_match's Norvig pick (dist asc -> df desc -> term asc)
+#    is graded in the same frame as an is_best flag.  The oracle IS
+#    q137's brute-force levenshtein cross-product plus the pick
+#    window: ground truth by exhaustive comparison, the artifact
+#    algorithm under test.
+@query(
+    "q140_fuzzy_vocab_search",
+    "WITH " + _BM25_SQL_STATS + """,
+    vocab AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pos GROUP BY term
+    ),
+    q(q_term) AS (VALUES ('spak'), ('windo'), ('merge'), ('joinn')),
+    cand AS (
+      SELECT q.q_term, v.term,
+             CAST(levenshtein(q.q_term, v.term) AS INT) AS dist, v.df
+      FROM q JOIN vocab v ON levenshtein(q.q_term, v.term) <= 2
+    )
+    SELECT q_term, term, dist, df,
+           CAST((row_number() OVER (
+              PARTITION BY q_term ORDER BY dist, df DESC, term)) = 1
+             AS INT) AS is_best
+    FROM cand ORDER BY q_term, term
+    """,
+)
+def q140(spark, sf_dir):
+    import tempfile
+
+    d = T(spark, sf_dir, "documents")
+    idx = R.inverted_index(d)
+    root = tempfile.mkdtemp(prefix="fuzzy_vocab_q140_") + "/fz"
+    R.write_fuzzy_vocab(idx, root, max_edits=2, n_buckets=8)
+    exp = R.fuzzy_match_terms(
+        spark, root, ["spak", "windo", "merge", "joinn"], max_edits=2
+    )
+    best = R.fuzzy_best_match(exp).withColumnRenamed("term", "_bt")
+    return (
+        exp.join(F.broadcast(best), "q_term", "left")
+        .select(
+            "q_term",
+            "term",
+            "dist",
+            "df",
+            (F.col("term") == F.col("_bt")).cast("int").alias("is_best"),
+        )
+        .orderBy("q_term", "term")
+    )
+
+
+# -- q141: the SERVING capstone (r16 verdict #6) — the offline twin of
+#    serve_search_queries' full recipe, composed into ONE graded plan
+#    the way q123 composed the search stack: typo'd queries spelling-
+#    correct through the vocabulary (fuzzy_correct_terms, the q138
+#    kernel), the corrected terms score through champion-pruned batch
+#    BM25 (champion_lists + champion_candidates, the q139 kernel —
+#    candidates bounded at m x |terms|, scores exact over full
+#    postings/stats), a dense cosine arm answers the same
+#    document-anchored queries (q136's shape, two-phase top-k), RRF
+#    fuses the arms, and retrieval_eval grades the fused rankings
+#    per query against index-mined qrels (q118's kernel) — eval
+#    columns ride every result row.  A query whose corrected terms
+#    mine no qrels reports an all-zero eval row (ungraded, not
+#    failed).  The oracle replays each stage with its already-graded
+#    SQL twin (q138 correction, q139 champions, q136 dense+RRF, q118
+#    eval), chained.
+@query(
+    "q141_serving_capstone",
+    "WITH " + _BM25_SQL_STATS + f""",
+    vocab AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pos GROUP BY term
+    ),
+    queries(q_id, terms) AS (VALUES
+      (0, ['spak', 'windo']),
+      (7, ['mrege', 'joinn']),
+      (21, ['data', 'tabel', 'scan'])),
+    qe AS (SELECT DISTINCT q_id, unnest(terms) AS q_term FROM queries),
+    fcand AS (
+      SELECT q.q_term, v.term, levenshtein(q.q_term, v.term) AS dist,
+             v.df
+      FROM (SELECT DISTINCT q_term FROM qe) q
+      JOIN vocab v ON levenshtein(q.q_term, v.term) <= 2
+    ),
+    best AS (
+      SELECT q_term, term FROM (
+        SELECT q_term, term,
+               row_number() OVER (
+                 PARTITION BY q_term ORDER BY dist, df DESC, term
+               ) AS rn
+        FROM fcand
+      ) WHERE rn = 1
+    ),
+    corrected AS (
+      SELECT DISTINCT qe.q_id, b.term
+      FROM qe JOIN best b ON b.q_term = qe.q_term
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT DISTINCT term FROM corrected)
+      GROUP BY doc_id, term
+    ),
+    imp AS (
+      SELECT tf.term, tf.doc_id,
+             CAST(floor(tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                * 1000000 + 0.5) AS BIGINT) AS imp_fx
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    champ AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (
+                 PARTITION BY term ORDER BY imp_fx DESC, doc_id
+               ) AS rn
+        FROM imp
+      ) WHERE rn <= 32
+    ),
+    ccand AS (
+      SELECT DISTINCT c.q_id, ch.doc_id
+      FROM corrected c JOIN champ ch ON ch.term = c.term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT c.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM corrected c
+      JOIN tf ON tf.term = c.term
+      JOIN ccand ON ccand.q_id = c.q_id AND ccand.doc_id = tf.doc_id
+      JOIN idf ON idf.term = c.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    bm AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_fx DESC, doc_id
+             ) AS rank
+      FROM scores
+      QUALIFY rank <= 20
+    ),
+    qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    sims AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             CAST(floor(list_dot_product(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v
+             ) * 1000000 + 0.5) AS BIGINT) AS sim_fx
+      FROM embeddings e, qv
+    ),
+    cos AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY sim_fx DESC, doc_id
+             ) AS rank
+      FROM sims
+      QUALIFY rank <= 20
+    ),
+    u AS (
+      SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM bm
+      UNION ALL
+      SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank) * 1000000000 + 0.5) AS BIGINT) AS c
+      FROM cos
+    ),
+    fused0 AS (
+      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY q_id, doc_id
+    ),
+    final AS (
+      SELECT q_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf_fx DESC, doc_id
+             ) AS INT) AS rank,
+             doc_id, rrf_fx, n_sources
+      FROM fused0
+      QUALIFY rank <= 10
+    ),
+    nt AS (SELECT q_id, count(*) AS n_terms FROM corrected GROUP BY q_id),
+    matched AS (
+      SELECT c.q_id, tf.doc_id,
+             CAST(count(DISTINCT tf.term) AS INT) AS m,
+             CAST(SUM(tf.tf) AS BIGINT) AS tfs
+      FROM tf JOIN corrected c USING (term) GROUP BY c.q_id, tf.doc_id
+    ),
+    qrels AS (
+      SELECT matched.q_id, doc_id, CAST(least(tfs, 8) AS INT) AS rel
+      FROM matched JOIN nt USING (q_id)
+      WHERE m = n_terms AND tfs >= 4
+    ),
+    j AS (
+      SELECT r.q_id, r.rank, qr.rel
+      FROM final r
+      LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10
+    ),
+    jc AS (
+      SELECT q_id, rank, rel,
+             SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY rank) AS cum
+      FROM j
+    ),
+    perres AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('rank')})
+                  ELSE 0 END) AS BIGINT) AS dcg_fx,
+             CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+                    CAST(floor(CAST(cum AS DOUBLE)
+                         * CAST(1000000000 AS DOUBLE)
+                         / CAST(rank AS DOUBLE) + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ap_fx9
+      FROM jc GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT q_id, rel,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    perrel AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN ir <= 10 THEN
+                    (CAST((1 << rel) - 1 AS BIGINT))
+                    * ({_sql_disc_case('ir')})
+                  ELSE 0 END) AS BIGINT) AS idcg_fx
+      FROM ideal GROUP BY q_id
+    ),
+    evq AS (
+      SELECT perrel.q_id, n_rel,
+             COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             CAST(floor(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                  / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS recall_fx,
+             CAST(floor(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS rr_fx,
+             CAST(floor(CAST(COALESCE(ap_fx9, 0) AS DOUBLE)
+                  / CAST(1000000000 AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS ap_fx,
+             CAST(floor(CAST(COALESCE(dcg_fx, 0) AS DOUBLE)
+                  / CAST(idcg_fx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS ndcg_fx
+      FROM perrel LEFT JOIN perres USING (q_id)
+    )
+    SELECT f.q_id, f.rank, f.doc_id, f.rrf_fx, f.n_sources,
+           COALESCE(e.n_rel, CAST(0 AS BIGINT)) AS n_rel,
+           COALESCE(e.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           COALESCE(e.recall_fx, CAST(0 AS BIGINT)) AS recall_fx,
+           COALESCE(e.rr_fx, CAST(0 AS BIGINT)) AS rr_fx,
+           COALESCE(e.ap_fx, CAST(0 AS BIGINT)) AS ap_fx,
+           COALESCE(e.ndcg_fx, CAST(0 AS BIGINT)) AS ndcg_fx
+    FROM final f LEFT JOIN evq e USING (q_id)
+    ORDER BY f.q_id, f.rank
+    """,
+)
+def q141(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spak", "windo"]),
+            (7, ["mrege", "joinn"]),
+            (21, ["data", "tabel", "scan"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    corrected = R.fuzzy_correct_terms(idx, qdf, max_edits=2)
+    stats = R.index_stats(idx)  # ONE corpus-stats reduce shared by
+    # champion selection and scoring (the q139 reuse)
+    ch = R.champion_lists(idx, m=32, stats=stats)
+    cands = R.champion_candidates(ch, corrected)
+    bm = R.bm25_topk_batch(
+        idx, corrected, k=20, idf="rational", scale=1_000_000,
+        candidates=cands, stats=stats,
+    ).select("q_id", "doc_id", "rank")
+    qv = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_fx"), "vec_id")
+    cos = (
+        S.batch_cosine_topk(e, qv, k=20)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("q_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = R.rrf_fuse_batch([bm, cos], topk=10, scale=10**9)
+    ct = corrected.select("q_id", F.explode("terms").alias("term"))
+    nt = corrected.select("q_id", F.size("terms").alias("n_terms"))
+    matched = (
+        idx.join(F.broadcast(ct), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("int").alias("m"),
+            F.sum("tf").alias("tfs"),
+        )
+    )
+    qrels = (
+        matched.join(F.broadcast(nt), "q_id")
+        .where((F.col("m") == F.col("n_terms")) & (F.col("tfs") >= 4))
+        .select(
+            "q_id", "doc_id",
+            F.least(F.col("tfs"), F.lit(8)).cast("int").alias("rel"),
+        )
+    )
+    ev = R.retrieval_eval(
+        fused.select("q_id", "doc_id", "rank"), qrels, k=10
+    )
+    evq = ev.select(
+        "q_id",
+        "n_rel",
+        "n_hits",
+        fx("recall", 10**6).alias("recall_fx"),
+        fx("rr", 10**6).alias("rr_fx"),
+        fx("ap", 10**6).alias("ap_fx"),
+        fx("ndcg", 10**6).alias("ndcg_fx"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        fused.join(F.broadcast(evq), "q_id", "left")
+        .select(
+            "q_id",
+            "rank",
+            "doc_id",
+            fx("rrf_score", 10**9).alias("rrf_fx"),
+            "n_sources",
+            F.coalesce(F.col("n_rel"), z).alias("n_rel"),
+            F.coalesce(F.col("n_hits"), z).alias("n_hits"),
+            F.coalesce(F.col("recall_fx"), z).alias("recall_fx"),
+            F.coalesce(F.col("rr_fx"), z).alias("rr_fx"),
+            F.coalesce(F.col("ap_fx"), z).alias("ap_fx"),
+            F.coalesce(F.col("ndcg_fx"), z).alias("ndcg_fx"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -75,6 +75,13 @@ SINGLE_PARTITION_ALLOWED = {
     # them); the per-term champion window and the per-query ranking
     # both bound via WindowGroupLimit before their exchanges
     "q139_champion_bm25": 2,
+    # serving capstone: the SAME one-row corpus-stats scalar reduce
+    # (index_stats, passed once) printed under each static consumer —
+    # champion selection, the exact scorer's idf/avgdl sides, and the
+    # eval branch's results subtree; AQE exchange reuse collapses them
+    # at runtime (the q139 note, more consumers).  The rank-funnel
+    # audit below independently confirms 0 unguarded ranking funnels.
+    "q141_serving_capstone": 4,
     # collocation totals: TWO keys=[] scalar reduces (unigram total,
     # bigram total) — each is one bigint partial per task crossing the
     # funnel; their one-row product broadcasts back over the

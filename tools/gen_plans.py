@@ -454,6 +454,25 @@ QUERIES = [
         "BM25 — the only funnel is the allowlisted corpus-stats "
         "scalar reduce",
     ),
+    (
+        "q140_fuzzy_vocab_search",
+        "persisted fuzzy path (r17): the variant-bucket artifact scan "
+        "carries STATIC vbucket partition filters (driver-computed "
+        "from the query neighborhoods — the same pruning contract as "
+        "the postings artifact), one variant equi-join against the "
+        "broadcast query neighborhoods, exact levenshtein verify; the "
+        "best-pick window groups are neighborhood-bounded",
+    ),
+    (
+        "q141_serving_capstone",
+        "serving capstone (r17): correction -> champion-pruned batch "
+        "BM25 -> dense arm -> RRF -> per-query eval in ONE plan — "
+        "candidates bounded at m x |terms| before the exact scorer, "
+        "the dense arm rides batch_cosine_topk's two-phase rank, "
+        "fusion and eval frames are top-k-sized by construction; the "
+        "only funnels are the allowlisted scalar reduces (corpus "
+        "stats, fuzzy term pool)",
+    ),
 ]
 
 
