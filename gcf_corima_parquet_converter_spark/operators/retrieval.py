@@ -1081,6 +1081,21 @@ def champion_lists(
     oracle-gradable; measure the recall cost against exact top-k
     with :func:`retrieval_eval` or the overlap row in ``bench.py``.
 
+    Measured regimes (bench ``retrieval.champion`` /
+    ``retrieval.champion_zipf``, r17): on the near-flat-tf sf1 corpus
+    champion LOSES locally (0.7-0.9x — impact ordering has nothing to
+    prune when every posting scores alike; scale-only there, the
+    299x scored-row reduction is the claim).  On a Zipfian corpus
+    (s=1.2, 300k docs, the two head terms posting in ~every doc) it
+    WINS: 1.15x cold at m=512 with top-10 overlap 8/10 (m=128: 1.07x
+    but overlap 2/10 — too aggressive for stopword queries), and
+    1.25-1.28x with HOT postings (the serving regime —
+    ``serve_search_queries`` caches the pruned postings per batch),
+    where the scan is amortized and the saved corpus-sized aggregate
+    is the whole cost.  Turn it on (``champion_m=512``-ish) when
+    query terms are Zipf-head stopwords and the postings are served
+    hot; leave it off for flat-tf or rare-term workloads.
+
     Returns the postings schema (compose with
     :func:`write_inverted_index` to persist bucketed).  SCORING
     CONTRACT: corpus statistics must come from the FULL index — pass

@@ -1061,91 +1061,24 @@ def ngram_lm_train(
     return counts
 
 
-def ngram_lm_score(
+def _lm_kv(
     df: DataFrame,
     model: DataFrame,
-    n: int = 3,
-    alpha: float = 0.4,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    scale: int | None = None,
-    log: bool = False,
-    group_cols: list[str] | None = None,
-    salt: int | None = None,
-    salt_hot_frac: float = 0.005,
-) -> DataFrame:
-    """Per-document mean stupid-backoff token score against a trained
-    ``model`` (:func:`ngram_lm_train`, same ``n`` — typically trained
-    on a TRUSTED corpus and applied to the candidate batch, the CCNet
-    production pattern).  Every real token is scored with up to
-    ``n-1`` tokens of left context (BOS-padded at the doc start; EOS
-    is not scored); an OOV token scores 0 through the backoff chain's
-    base case.  Returns ``(id, n_tokens, lm_score)`` — higher = more
-    expected = likelier clean text; blank/null docs carry no row
-    (nothing to score), the corpus convention of ``unigram_logprob``.
-
-    Plan (the 100 TB shape): each scored position needs ``2n-1``
-    count lookups (gram + context per order, one unigram), which are
-    emitted as key rows and resolved by ONE equi-join against the
-    model — not ``2n-1`` separate joins each reshuffling the
-    corpus-scale positions frame.  The model side is vocabulary-
-    sized (Heaps-sublinear) and carries NO broadcast hint: a web-scale
-    count table is GBs (the collocations regime) — AQE upgrades from
-    measured sizes when a small trusted model makes that safe, and
-    its skew-join handles the stopword-gram hot keys.  The join
-    result folds back to one row per position (conditional aggregation
-    on the slot id), then one per-doc aggregation.
-
-    Float parity: ``scale`` fixed-points each token's score before
-    the per-doc sum (``cnt/cnt`` and ``alpha * s`` are correctly-
-    rounded IEEE ops in a pinned order — identical across engines),
-    making the output hash-stable for the graded-oracle contract.
-    ``log=True`` returns mean ``ln(S)`` instead (the classic
-    log-domain quality score; floored at 1e-12 so OOV stays finite) —
-    libm-dependent, so not oracle-gradable (repo convention).
-
-    ``group_cols`` scores each document against ITS group's model
-    (a :func:`ngram_lm_train` ``group_cols=`` table) — per-language
-    scoring, the actual CCNet deployment: the group columns ride the
-    same single count-lookup equi-join as extra keys, and the global
-    one-row total becomes a per-group totals join (~1 row per group).
-    A document whose group has no model rows scores 0 through the
-    same OOV base case — the left joins null out, exactly as an
-    all-OOV document does.  A NULL group key trains rows (groupBy
-    groups nulls) but never matches at score time (null-rejecting
-    join equality) and likewise scores 0 — fill the group column
-    before training if null-group scoring is wanted.
-
-    ``salt`` (hot-gram salting, the stopword-skew fix): the count
-    join's hot keys are the stopword grams — a Zipfian head term can
-    put several percent of ALL lookup rows on one join key.  AQE's
-    skew-join only repairs that when BOTH join children are bare
-    shuffle stages; the production model shapes — a
-    :func:`ngram_lm_merge`/:func:`load_ngram_lm` aggregation (its
-    output partitioning already satisfies the join, so no exchange
-    is inserted under the join) or a cached model
-    (``lm_gate_stream`` persists it) — leave the model side without
-    one, and the hot partition cannot be split (measured in
-    ``bench.py``'s ``lm_skew`` probe).  With ``salt=S``, grams whose
-    count is >= ``salt_hot_frac`` of their (group's) total token
-    mass are declared hot FROM THE MODEL'S OWN COUNTS
-    (self-describing skew, no extra corpus pass; the hot set is
-    <= ~n/salt_hot_frac keys per group, broadcast-sized by
-    construction): hot model rows replicate into all ``S`` salt
-    buckets, each kv row salts by a deterministic position hash when
-    its key is hot (resolved via the broadcast hot set — no shuffle
-    added to the corpus side) and bucket 0 otherwise, and the join
-    key grows by the salt column — the hot key's lookup rows spread
-    over ``S`` partitions.  Join matches are IDENTICAL (a hot kv row
-    meets its model row in exactly its bucket, a cold one in bucket
-    0; OOV stays unmatched), so results are bit-identical to the
-    unsalted plan — only the partitioning changes.  Size ``S`` on
-    the order of the shuffle partition count (measured in the
-    ``lm_skew`` probe: S=8 halves the hot partition, S=32 levels it
-    to ~1.3x median at no wall cost).  ``salt=None``/``<=1`` is the
-    unchanged plan."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    n: int,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str] | None,
+    salt: int | None,
+    salt_hot_frac: float,
+) -> tuple[DataFrame, DataFrame, list[str], list[str]]:
+    """The count-lookup join's two children and its keys — the
+    ``2n-1``-lookups-per-position kv frame (corpus side), the model
+    selection (with hot-key salt replication when ``salt`` is set),
+    and the join key list.  Factored out of :func:`ngram_lm_score` so
+    the skew probe in ``bench.py`` can measure the EXCHANGE this join
+    induces directly (per-partition row counts under the join's own
+    hash partitioning — executor-side evidence, no Spark UI needed).
+    Returns ``(kv, msel, join_keys, groups)``."""
     from .scale import ensure_min_parallelism
 
     groups = list(group_cols or [])
@@ -1159,7 +1092,6 @@ def ngram_lm_score(
     #   slot 2j   = the (n-j)-gram ending at p        (j = 0..n-2)
     #   slot 2j+1 = its context, the (n-j-1)-gram ending at p-1
     #   slot 2n-2 = the unigram at p
-    n_slots = 2 * n - 1
     slot_orders = []
     for j in range(n - 1):
         slot_orders += [n - j, n - j - 1]
@@ -1255,6 +1187,111 @@ def ngram_lm_score(
             .drop("_hot")
         )
         join_keys = join_keys + ["_salt"]
+    return kv, msel, join_keys, groups
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    n: int = 3,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int | None = None,
+    log: bool = False,
+    group_cols: list[str] | None = None,
+    salt: int | None = None,
+    salt_hot_frac: float = 0.005,
+) -> DataFrame:
+    """Per-document mean stupid-backoff token score against a trained
+    ``model`` (:func:`ngram_lm_train`, same ``n`` — typically trained
+    on a TRUSTED corpus and applied to the candidate batch, the CCNet
+    production pattern).  Every real token is scored with up to
+    ``n-1`` tokens of left context (BOS-padded at the doc start; EOS
+    is not scored); an OOV token scores 0 through the backoff chain's
+    base case.  Returns ``(id, n_tokens, lm_score)`` — higher = more
+    expected = likelier clean text; blank/null docs carry no row
+    (nothing to score), the corpus convention of ``unigram_logprob``.
+
+    Plan (the 100 TB shape): each scored position needs ``2n-1``
+    count lookups (gram + context per order, one unigram), which are
+    emitted as key rows and resolved by ONE equi-join against the
+    model — not ``2n-1`` separate joins each reshuffling the
+    corpus-scale positions frame.  The model side is vocabulary-
+    sized (Heaps-sublinear) and carries NO broadcast hint: a web-scale
+    count table is GBs (the collocations regime) — AQE upgrades from
+    measured sizes when a small trusted model makes that safe, and
+    its skew-join handles the stopword-gram hot keys.  The join
+    result folds back to one row per position (conditional aggregation
+    on the slot id), then one per-doc aggregation.
+
+    Float parity: ``scale`` fixed-points each token's score before
+    the per-doc sum (``cnt/cnt`` and ``alpha * s`` are correctly-
+    rounded IEEE ops in a pinned order — identical across engines),
+    making the output hash-stable for the graded-oracle contract.
+    ``log=True`` returns mean ``ln(S)`` instead (the classic
+    log-domain quality score; floored at 1e-12 so OOV stays finite) —
+    libm-dependent, so not oracle-gradable (repo convention).
+
+    ``group_cols`` scores each document against ITS group's model
+    (a :func:`ngram_lm_train` ``group_cols=`` table) — per-language
+    scoring, the actual CCNet deployment: the group columns ride the
+    same single count-lookup equi-join as extra keys, and the global
+    one-row total becomes a per-group totals join (~1 row per group).
+    A document whose group has no model rows scores 0 through the
+    same OOV base case — the left joins null out, exactly as an
+    all-OOV document does.  A NULL group key trains rows (groupBy
+    groups nulls) but never matches at score time (null-rejecting
+    join equality) and likewise scores 0 — fill the group column
+    before training if null-group scoring is wanted.
+
+    ``salt`` (hot-gram salting, the stopword-skew fix): the count
+    join's hot keys are the stopword grams — a Zipfian head term can
+    put several percent of ALL lookup rows on one join key.  AQE's
+    skew-join only repairs that when BOTH join children are bare
+    shuffle stages; the production model shapes — a
+    :func:`ngram_lm_merge`/:func:`load_ngram_lm` aggregation (its
+    output partitioning already satisfies the join, so no exchange
+    is inserted under the join) or a cached model
+    (``lm_gate_stream`` persists it) — leave the model side without
+    one, and the hot partition cannot be split (measured in
+    ``bench.py``'s ``lm_skew`` probe).  With ``salt=S``, grams whose
+    count is >= ``salt_hot_frac`` of their (group's) total token
+    mass are declared hot FROM THE MODEL'S OWN COUNTS
+    (self-describing skew, no extra corpus pass; the hot set is
+    <= ~n/salt_hot_frac keys per group, broadcast-sized by
+    construction): hot model rows replicate into all ``S`` salt
+    buckets, each kv row salts by a deterministic position hash when
+    its key is hot (resolved via the broadcast hot set — no shuffle
+    added to the corpus side) and bucket 0 otherwise, and the join
+    key grows by the salt column — the hot key's lookup rows spread
+    over ``S`` partitions.  Join matches are IDENTICAL (a hot kv row
+    meets its model row in exactly its bucket, a cold one in bucket
+    0; OOV stays unmatched), so results are bit-identical to the
+    unsalted plan — only the partitioning changes.  Size ``S`` on
+    the order of the shuffle partition count.
+
+    WHEN to turn it on (measured, bench ``lm_skew`` r17 — executor-
+    side per-partition row counts through the score join's own
+    exchange via a ``spark_partition_id()`` probe, no UI needed): on
+    the Zipfian stress corpus the unsalted join's hottest partition
+    carries 7.3x the median partition's rows (1.49M vs 204k);
+    ``salt=32`` levels that to 1.48x — at a wall COST at bench scale
+    (+25%: hot-row replication and the wider key outweigh a
+    straggler that still fits one fast local task).  The lever pays
+    when the hot partition EXCEEDS what one task absorbs in the
+    stage's wall — rule of thumb: turn ``salt=`` on when the
+    exchange-row spread reads > ~4x AND the score-join stage's
+    straggler sets the job wall; below that leave ``salt=None`` (the
+    default) and let the flat plan win.  ``salt=None``/``<=1`` is
+    the unchanged plan."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    n_slots = 2 * n - 1
+    kv, msel, join_keys, groups = _lm_kv(
+        df, model, n, id_col, text_col, group_cols, salt, salt_hot_frac
+    )
+
     resolved = kv.join(msel, join_keys, "left")
     percell = resolved.groupBy(id_col, *groups, "_pi").agg(
         *[

@@ -1465,14 +1465,23 @@ def serve_search_queries(
     block measures it.
 
     Scale posture: the batch's DISTINCT terms (all modes pooled)
-    drive ONE partition-pruned postings load shared by every arm, and
-    EVERY arm is set-based over the whole batch — BM25 via
-    :func:`retrieval.bm25_topk_batch`, phrase/proximity via
+    drive ONE partition-pruned postings load, PERSISTED for the batch
+    so every arm scores from the same cached scan (r17 arm fusion —
+    pre-fusion each arm's subtree re-read the artifact and mixed-batch
+    p50 ran ~4x the bm25-only p50); the micro-batch itself persists
+    too (the term pools, presence probe and every arm re-read it), and
+    arm presence is ONE aggregation job instead of per-arm head(1)
+    probes.  EVERY arm is set-based over the whole batch — the bm25
+    arm, the fused arm's BM25 leg and the hybrid arm's lexical leg
+    are ONE :func:`retrieval.bm25_topk_batch` pass keyed by
+    (q_id, mode) at the largest k any consumer needs (each arm slices
+    its own k; a champion-pruned bm25 arm keeps a dedicated pass so
+    its candidate restriction cannot leak); phrase/proximity ride
     :func:`retrieval.positional_search_batch` (per-row slop; phrase =
-    slop 0), fused via batch BM25 + :func:`retrieval.min_span_batch`
-    + :func:`retrieval.rrf_fuse_batch` — three subplans per batch
-    regardless of query count, no driver-side per-query planning.
-    Each ranking bounds before its exchange (the
+    slop 0), fused adds :func:`retrieval.min_span_batch` +
+    :func:`retrieval.rrf_fuse_batch` — a bounded number of subplans
+    per batch regardless of query count, no driver-side per-query
+    planning.  Each ranking bounds before its exchange (the
     WindowGroupLimit/TakeOrdered contract pinned in
     ``retrieval.bm25_topk_batch``).  Rows with an unknown mode are
     skipped with a warning — a malformed producer must not wedge the
@@ -1515,8 +1524,27 @@ def serve_search_queries(
         ann_codes_root = ann_index_path.rstrip("/") + "/assignments"
 
     def _batch(df, epoch_id):
+        # arm fusion (r16 verdict #3): the five mode arms and the
+        # driver-side term pools all read the SAME micro-batch and the
+        # SAME pruned postings — persist both for the batch so each is
+        # computed once (the batch re-reads from memory across the
+        # probes/pools, the postings scan serves every arm of the one
+        # union write), and fold the per-arm head(1) presence probes
+        # into ONE aggregation job
         if _pre_batch_hook is not None:
             _pre_batch_hook(int(epoch_id))
+        df = df.persist()
+        hold = {}
+        try:
+            _batch_fused(df, epoch_id, hold)
+        finally:
+            df.unpersist()
+            for h in ("post", "lex"):
+                cached = hold.get(h)
+                if cached is not None:
+                    cached.unpersist()
+
+    def _batch_fused(df, epoch_id, _hold):
         if not df.head(1):
             return
         if fuzzy_vocab_path is not None:
@@ -1621,42 +1649,128 @@ def serve_search_queries(
                 spark, index_root, terms, pending_deletes=dels,
                 id_col=id_col,
             )
+        # one pruned postings load serves EVERY arm of the union write
+        # below — without the persist each arm's subtree re-scans the
+        # artifact (measured: mixed-batch p50 ~4x the bm25-only p50
+        # pre-fusion, BENCH_LOCAL serving.mixed)
+        post = post.persist()
+        _hold["post"] = post
 
-        # presence probe, not a count: a full .count() pass per
-        # micro-batch just to size a warning taxes the clean common
-        # case (ADVICE r16) — head(1) stops at the first bad row
-        if df.where(
-            ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
-        ).head(1):
-            warnings.warn(
-                "serve_search_queries: row(s) with unknown mode skipped"
-            )
         # null/empty term CELLS drop row-side (a producer convenience
         # the single-query path also had); fully-empty rows are then
         # skipped by the batch operators' contracts
         clean_terms = F.filter(
             F.col(terms_col), lambda t: t.isNotNull() & (t != "")
         )
-        outs = []
-        bm = df.where(F.col(mode_col) == "bm25").select(
-            q_id_col, clean_terms.alias(terms_col)
-        )
-        if bm.head(1):
-            bm_cands = None
-            if champion_m is not None:
-                from ..operators.retrieval import (
-                    champion_candidates,
-                    champion_lists,
-                )
+        # ONE presence aggregation replaces the six per-arm head(1)
+        # probes and the unknown-mode probe — each was its own job
+        # over the batch
+        def _n(cond):
+            return F.sum(F.when(cond, 1).otherwise(0))
 
-                bm_cands = champion_candidates(
-                    champion_lists(
-                        post, m=int(champion_m), k1=k1, b=b,
-                        id_col=id_col, stats=stats,
-                    ),
-                    bm, id_col=id_col, q_id_col=q_id_col,
-                    terms_col=terms_col,
+        is_hybrid = F.col(mode_col) == "hybrid"
+        pres = df.agg(
+            _n(F.col(mode_col) == "bm25").alias("bm"),
+            _n(F.col(mode_col).isin("phrase", "proximity")).alias("pos"),
+            _n(
+                (F.col(mode_col) == "fused") & (F.size(clean_terms) > 0)
+            ).alias("fq"),
+            _n(is_hybrid).alias("hy"),
+            _n(is_hybrid & (F.size(clean_terms) > 0)).alias("hl"),
+            (
+                _n(is_hybrid & F.col(q_vec_col).isNotNull())
+                if q_vec_col in df.columns
+                else F.lit(0)
+            ).alias("hv"),
+            _n(
+                ~F.col(mode_col).isin(*_MODES) | F.col(mode_col).isNull()
+            ).alias("bad"),
+        ).collect()[0]
+        if pres["bad"]:
+            warnings.warn(
+                f"serve_search_queries: {pres['bad']} row(s) with "
+                "unknown mode skipped"
+            )
+        outs = []
+        # UNIFIED lexical scoring (r17, r16 verdict #3): the bm25
+        # arm, the fused arm's BM25 leg and the hybrid arm's lexical
+        # leg are the SAME operator over the SAME cached postings —
+        # score them in ONE bm25_topk_batch pass keyed by a
+        # (q_id, mode) struct (a q_id may legally recur across
+        # modes), at the largest k any consumer needs; each arm
+        # slices its mode at its own k (the top-k prefix of a top-4k
+        # ranking IS the top-k ranking).  A champion-pruned bm25 arm
+        # keeps its dedicated pass — its candidate restriction must
+        # not leak into fused/hybrid.
+        bm_dedicated = champion_m is not None
+        lex_modes = []
+        if pres["bm"] and not bm_dedicated:
+            lex_modes.append("bm25")
+        if pres["fq"]:
+            lex_modes.append("fused")
+        if pres["hl"] and ann_codes_root is not None:
+            lex_modes.append("hybrid")
+        lex = None
+        if lex_modes:
+            k_lex = (
+                4 * int(k)
+                if any(m != "bm25" for m in lex_modes)
+                else int(k)
+            )
+            lexq = df.where(F.col(mode_col).isin(*lex_modes)).select(
+                F.struct(
+                    F.col(q_id_col).alias("q"),
+                    F.col(mode_col).alias("m"),
+                ).alias("_qm"),
+                clean_terms.alias(terms_col),
+            ).where(F.size(terms_col) > 0)
+            lex = bm25_topk_batch(
+                post, lexq, k=k_lex, k1=k1, b=b, idf=idf,
+                id_col=id_col, q_id_col="_qm", terms_col=terms_col,
+                stats=stats, scale=scale,
+            ).select(
+                F.col("_qm.q").alias(q_id_col),
+                F.col("_qm.m").alias("_m"),
+                F.col(id_col),
+                "rank",
+                "score",
+            )
+            # MATERIALIZE the unified ranking (<= k_lex rows per
+            # query): up to three arms consume it inside the one
+            # union write, and an unpersisted frame would re-execute
+            # the whole scoring subtree under each consumer — the
+            # exact re-computation this pass exists to remove
+            lex = lex.persist()
+            _hold["lex"] = lex
+        if pres["bm"] and not bm_dedicated:
+            outs.append(
+                lex.where(
+                    (F.col("_m") == "bm25") & (F.col("rank") <= int(k))
+                ).select(
+                    F.col(q_id_col),
+                    F.lit("bm25").alias("mode"),
+                    "rank",
+                    F.col(id_col).alias("doc_id"),
+                    F.col("score").cast("double").alias("score"),
                 )
+            )
+        elif pres["bm"]:
+            from ..operators.retrieval import (
+                champion_candidates,
+                champion_lists,
+            )
+
+            bm = df.where(F.col(mode_col) == "bm25").select(
+                q_id_col, clean_terms.alias(terms_col)
+            )
+            bm_cands = champion_candidates(
+                champion_lists(
+                    post, m=int(champion_m), k1=k1, b=b,
+                    id_col=id_col, stats=stats,
+                ),
+                bm, id_col=id_col, q_id_col=q_id_col,
+                terms_col=terms_col,
+            )
             outs.append(
                 bm25_topk_batch(
                     post, bm, k=k, k1=k1, b=b, idf=idf, id_col=id_col,
@@ -1673,11 +1787,16 @@ def serve_search_queries(
         # phrase + proximity: ONE batched positional pass (phrase =
         # slop 0), ranked (n_matches desc, doc) per query with the
         # rank-then-filter WindowGroupLimit shape
+        # keyed by the same (q_id, mode) struct as the lexical pass —
+        # positional_search_batch requires UNIQUE query ids, and a
+        # q_id may legally recur as both a phrase and a proximity row
         posq = df.where(
             F.col(mode_col).isin("phrase", "proximity")
         ).select(
-            q_id_col,
-            F.col(mode_col).alias("mode"),
+            F.struct(
+                F.col(q_id_col).alias("q"),
+                F.col(mode_col).alias("m"),
+            ).alias("_qm"),
             clean_terms.alias(terms_col),
             F.when(
                 F.col(mode_col) == "proximity",
@@ -1691,12 +1810,12 @@ def serve_search_queries(
                 ),
             ).otherwise(F.lit(0)).alias("_slop"),
         )
-        if posq.head(1):
+        if pres["pos"]:
             matches = positional_search_batch(
-                post, posq, id_col=id_col, q_id_col=q_id_col,
+                post, posq, id_col=id_col, q_id_col="_qm",
                 terms_col=terms_col, slop_col="_slop",
             )
-            wp = Window.partitionBy(q_id_col).orderBy(
+            wp = Window.partitionBy("_qm").orderBy(
                 F.desc("n_matches"), F.col(id_col)
             )
             ranked = (
@@ -1704,11 +1823,9 @@ def serve_search_queries(
                 .where(F.col("rank") <= int(k))
             )
             outs.append(
-                ranked.join(
-                    F.broadcast(posq.select(q_id_col, "mode")), q_id_col
-                ).select(
-                    F.col(q_id_col),
-                    "mode",
+                ranked.select(
+                    F.col("_qm.q").alias(q_id_col),
+                    F.col("_qm.m").alias("mode"),
                     "rank",
                     F.col(id_col).alias("doc_id"),
                     F.col("n_matches").cast("double").alias("score"),
@@ -1719,12 +1836,10 @@ def serve_search_queries(
         fq = df.where(F.col(mode_col) == "fused").select(
             q_id_col, clean_terms.alias(terms_col)
         ).where(F.size(terms_col) > 0)
-        if fq.head(1):
-            bm4 = bm25_topk_batch(
-                post, fq, k=4 * int(k), k1=k1, b=b, idf=idf,
-                id_col=id_col, q_id_col=q_id_col, terms_col=terms_col,
-                stats=stats, scale=scale,
-            ).select(q_id_col, id_col, "rank")
+        if pres["fq"]:
+            bm4 = lex.where(F.col("_m") == "fused").select(
+                q_id_col, id_col, "rank"
+            )
             spans = min_span_batch(
                 post, fq, id_col=id_col, q_id_col=q_id_col,
                 terms_col=terms_col,
@@ -1753,7 +1868,7 @@ def serve_search_queries(
         # hybrid — the q136 recipe: batch BM25 + batch IVF ANN over
         # the persisted vector artifact, RRF-fused per query
         hyq = df.where(F.col(mode_col) == "hybrid")
-        if hyq.head(1):
+        if pres["hy"]:
             if ann_codes_root is None:
                 warnings.warn(
                     "serve_search_queries: hybrid row(s) skipped — no "
@@ -1763,22 +1878,17 @@ def serve_search_queries(
                 from ..operators.manifest import read_artifact
                 from ..operators.similarity import ivf_topk_batch
 
-                hl = hyq.select(
-                    q_id_col, clean_terms.alias(terms_col)
-                ).where(F.size(terms_col) > 0)
                 arms = []
-                if hl.head(1):
+                if pres["hl"]:
                     arms.append(
-                        bm25_topk_batch(
-                            post, hl, k=4 * int(k), k1=k1, b=b, idf=idf,
-                            id_col=id_col, q_id_col=q_id_col,
-                            terms_col=terms_col, stats=stats, scale=scale,
-                        ).select(q_id_col, id_col, "rank")
+                        lex.where(F.col("_m") == "hybrid").select(
+                            q_id_col, id_col, "rank"
+                        )
                     )
                 hv = hyq.where(F.col(q_vec_col).isNotNull()).select(
                     q_id_col, q_vec_col
                 )
-                if hv.head(1):
+                if pres["hv"]:
                     sims = ivf_topk_batch(
                         read_artifact(spark, ann_codes_root),
                         ann_cents, hv, k=4 * int(k), n_probe=n_probe,

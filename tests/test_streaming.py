@@ -2888,6 +2888,77 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
 
 
+def test_serve_search_queries_unified_lexical_pass_slices_exactly(
+    spark, tmp_path
+):
+    """r17 arm fusion: with champion pruning OFF, the bm25 arm, the
+    fused arm's BM25 leg and the hybrid arm's lexical leg score in ONE
+    bm25_topk_batch keyed by (q_id, mode) at k_lex = 4k — the bm25 arm
+    then slices rank <= k.  The slice must equal the dedicated
+    k-sized batch scorer bit-for-bit (the top-k prefix property), and
+    a q_id REUSED across modes must stay two distinct queries."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [
+        (i, f"alpha beta gamma d{i % 7} e{i % 3} f{i % 11}")
+        for i in range(40)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "uni_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+
+    sch = "q_id long, mode string, terms array<string>"
+    # q_id 1 appears as BOTH a bm25 and a fused row — the struct key
+    # must keep them apart
+    rows = [
+        (1, "bm25", ["alpha", "d1"]),
+        (1, "fused", ["beta", "e2"]),
+        (2, "bm25", ["gamma", "f3"]),
+    ]
+    qsrc = str(tmp_path / "uni_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "uni_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    out_path = str(tmp_path / "uni_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "uni_ck"),
+        k=5, idf="rational", scale=10**6,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+
+    idx = R.inverted_index(ddf)
+    for qid, terms in ((1, ["alpha", "d1"]), (2, ["gamma", "f3"])):
+        want = {
+            (r["rank"], r["doc_id"], float(r["score"]))
+            for r in R.bm25_topk(
+                idx, terms, k=5, idf="rational", scale=10**6
+            ).collect()
+        }
+        have = {
+            (r["rank"], r["doc_id"], r["score"])
+            for r in got.where(
+                (F.col("q_id") == qid) & (F.col("mode") == "bm25")
+            ).collect()
+        }
+        assert have == want, (qid, have, want)
+    # the fused row under the SAME q_id answered independently
+    assert got.where(
+        (F.col("q_id") == 1) & (F.col("mode") == "fused")
+    ).count() > 0
+
+
 def test_serve_search_queries_fuzzy_pool_overflow_serves_uncorrected(
     spark, tmp_path
 ):
