@@ -372,6 +372,15 @@ _DEMOTED_REDUNDANT = (
     "q127_perlang_lm_score",
     "q129_proximity_search",
     "q130_min_span",
+    # r17 (same-round supersession): q142_fuzzy_vocab_incremental
+    # takes q140_fuzzy_vocab_search's slot — q142 is the strict
+    # SUPERSET grade of the same persisted fuzzy path (build + epoch
+    # append + cross-epoch df merge + Norvig pick through the
+    # byte-shared write_fuzzy_vocab/fuzzy_match_terms/fuzzy_best_match
+    # kernels; q140 is its append-free case — an artifact with only
+    # the reserved build epoch reads through the identical merge).
+    # q140 stays oracle-verified locally like every demoted veteran.
+    "q140_fuzzy_vocab_search",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -796,6 +796,17 @@ SCALING_QUERIES = HEADLINE + [
     "q134_positional_search_batch",
     "q135_min_span_batch",
     "q136_hybrid_retrieval",
+    # r17: decade rows for the round's new families — the corrected-
+    # BM25 loop (the vocabulary candidate join is the novel growth
+    # term: vocab grows Heaps-sublinearly, its deletion neighborhood
+    # linearly in vocab), champion-pruned BM25 (candidates stay m x
+    # |terms| while exact's scored rows grow with df), the persisted
+    # fuzzy artifact path, and the serving capstone composing all of
+    # them with the dense arm and per-query eval
+    "q138_fuzzy_corrected_bm25",
+    "q139_champion_bm25",
+    "q142_fuzzy_vocab_incremental",
+    "q141_serving_capstone",
 ]
 
 
@@ -1783,6 +1794,45 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     assert per_mode.get("bm25") == per_mode.get("fused") == per_mode.get(
         "hybrid"
     ) == (n_queries // len(modes)), per_mode
+    # per-mode FLOOR (r17, r16 "What's wrong" #1): one single-mode
+    # batch per mode, same artifact, same batch size — if the sum of
+    # single-mode batch walls ~= the mixed batch wall, local mixed
+    # latency is ARM-COUNT-bound (per-arm subplan overhead), not
+    # data-bound, and it amortizes with batch size
+    mode_floor = {}
+    for mode in modes:
+        rows = []
+        for j in range(per_batch):
+            n_terms = 3 if mode in ("bm25", "fused", "hybrid") else 2
+            terms = [
+                pool[(qid * 11 + t * 17 + 3) % len(pool)]
+                for t in range(n_terms)
+            ]
+            rows.append((
+                qid, mode, terms,
+                2 if mode == "proximity" else None,
+                qvecs[(qid * 37) % 20_000] if mode == "hybrid" else None,
+            ))
+            qid += 1
+        msrc = os.path.join(work, f"floor_src_{mode}")
+        os.makedirs(msrc)
+        stage = os.path.join(work, f"floor_stage_{mode}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        [f] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.copy(f, os.path.join(msrc, "000.parquet"))
+        mq = serve_search_queries(
+            spark.readStream.schema(sch).parquet(msrc),
+            inc_root,
+            os.path.join(work, f"floor_out_{mode}"),
+            checkpoint=os.path.join(work, f"floor_ckpt_{mode}"),
+            k=10,
+            ann_index_path=hyb_root,
+        )
+        mq.awaitTermination(300)
+        mode_floor[mode] = _batch_percentiles(mq)["batch_p50_sec"]
+    mode_floor["sum_sec"] = round(
+        sum(v for v in mode_floor.values() if v), 3
+    )
     return {
         "n_queries": n_queries,
         "answered": answered,
@@ -1790,6 +1840,7 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         "queries_per_sec": round(n_queries / wall, 1),
         "per_mode_answered": per_mode,
         "mid_stream_ops": "index_append@batch2",
+        "mode_floor": mode_floor,
         **_batch_percentiles(q),
     }
 

@@ -742,29 +742,22 @@ def write_fuzzy_vocab(
     :func:`fuzzy_expand_terms` re-derives and scans ALL of it per
     query batch).  A ``max_edits=2`` artifact also serves
     ``max_edits=1`` lookups (the verify re-filters); the reverse
-    raises at load."""
+    raises at load.
+
+    Layout (r17): rows land under ``epoch=-1/vbucket=*`` (the
+    reserved BUILD epoch — a streaming maintenance micro-batch id can
+    never collide with it) so the
+    artifact is INCREMENTAL — :func:`fuzzy_vocab_append` lands a new
+    corpus slice's vocabulary under its own epoch (dynamic overwrite:
+    a replayed epoch rewrites itself, exactly-once), readers SUM
+    ``df`` per ``(variant, term)`` across epochs after the pruned
+    scan (document frequency is sum-mergeable over disjoint doc
+    slices, the sketch-shard semantics), and a full
+    :func:`write_fuzzy_vocab` rebuild is the compaction
+    (mode=overwrite clears every epoch)."""
     if max_edits not in (1, 2):
         raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
-    vocab = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    vv = vocab.select(
-        "term", "df",
-        F.explode(_deletion_variants_col(max_edits)).alias("variant"),
-    )
-    (
-        vv.withColumn(
-            "vbucket",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("variant")), 1, 8), 16, 10
-                ).cast("bigint"),
-                F.lit(int(n_buckets)),
-            ),
-        )
-        .repartition("vbucket")
-        .write.partitionBy("vbucket")
-        .mode("overwrite")
-        .parquet(f"{path}/{_FUZZY_SUBDIR}")
-    )
+    _write_fuzzy_epoch(index, path, -1, max_edits, n_buckets, dynamic=False)
     spark = index.sparkSession
     meta = spark.createDataFrame(
         [(int(n_buckets), int(max_edits))],
@@ -774,6 +767,80 @@ def write_fuzzy_vocab(
         f"{path}/{_FUZZY_META_SUBDIR}"
     )
     return {"path": path, "n_buckets": n_buckets, "max_edits": max_edits}
+
+
+def _write_fuzzy_epoch(
+    index: DataFrame,
+    path: str,
+    epoch: int,
+    max_edits: int,
+    n_buckets: int,
+    dynamic: bool,
+) -> None:
+    """Derive ``(variant, term, df)`` from (a slice of) a positional
+    index and land it under ``epoch=<epoch>/vbucket=*``.
+    ``dynamic=False`` (build/rebuild) statically overwrites the WHOLE
+    table — every prior epoch clears; ``dynamic=True`` (append)
+    replaces only the written epoch's partitions — the
+    ``manifest.write_epoch`` idempotence contract without a manifest
+    (partition discovery IS the manifest here: readers list epochs at
+    each call, so a fresh read sees a fresh append)."""
+    vocab = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vv = vocab.select(
+        "term", "df",
+        F.explode(_deletion_variants_col(max_edits)).alias("variant"),
+    )
+    writer = (
+        vv.withColumn("epoch", F.lit(int(epoch)))
+        .withColumn(
+            "vbucket",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("variant")), 1, 8), 16, 10
+                ).cast("bigint"),
+                F.lit(int(n_buckets)),
+            ),
+        )
+        .repartition("vbucket")
+        .write.partitionBy("epoch", "vbucket")
+    )
+    # the option pins per-write semantics regardless of the session's
+    # spark.sql.sources.partitionOverwriteMode
+    writer = writer.option(
+        "partitionOverwriteMode", "dynamic" if dynamic else "static"
+    )
+    writer.mode("overwrite").parquet(f"{path}/{_FUZZY_SUBDIR}")
+
+
+def fuzzy_vocab_append(
+    index_delta: DataFrame,
+    path: str,
+    epoch: int,
+) -> None:
+    """Append a corpus SLICE's vocabulary to a persisted
+    :func:`write_fuzzy_vocab` artifact under its own ``epoch=`` —
+    typo correction stays fresh as the index grows, without the full
+    rebuild that was previously the only update path (the
+    ``index_append`` lifecycle applied to the fuzzy tier; graded
+    end-to-end as q142).
+
+    ``index_delta`` is the NEW documents' positional index rows only
+    (the same frame handed to :func:`index_append`); its per-term
+    ``df`` is the delta document frequency, and readers SUM ``df``
+    per ``(variant, term)`` across epochs — exact because df is a
+    plain count over disjoint doc sets.  Deletion-variant rows for a
+    term that already exists land again under the new epoch (few
+    bytes; the read-side group-sum folds them).  Replaying an epoch
+    overwrites exactly its own partitions (dynamic overwrite), so a
+    restarted maintenance stream cannot double-count.  ``max_edits``
+    / ``n_buckets`` come from the artifact's meta — an append can
+    never diverge from the build settings."""
+    spark = index_delta.sparkSession
+    mrow = spark.read.parquet(f"{path}/{_FUZZY_META_SUBDIR}").first()
+    _write_fuzzy_epoch(
+        index_delta, path, int(epoch),
+        int(mrow["max_edits"]), int(mrow["n_buckets"]), dynamic=True,
+    )
 
 
 def fuzzy_match_terms(
@@ -814,8 +881,13 @@ def fuzzy_match_terms(
     vv = (
         spark.read.parquet(f"{path}/{_FUZZY_SUBDIR}")
         .where(F.col("vbucket").isin(buckets) & F.col("variant").isin(allv))
-        .drop("vbucket")
         .withColumnRenamed("variant", "_variant")
+        # merge epochs: df is sum-mergeable across the disjoint doc
+        # slices fuzzy_vocab_append lands (a no-op group on a
+        # single-epoch artifact); runs AFTER the static bucket+variant
+        # pruning, so the grouped frame is query-neighborhood-sized
+        .groupBy("_variant", "term")
+        .agg(F.sum("df").alias("df"))
     )
     qv = spark.createDataFrame(qrows, "q_term string, _variant string")
     return _verify_fuzzy(vv.join(F.broadcast(qv), "_variant"), e)

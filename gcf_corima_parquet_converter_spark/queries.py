@@ -6979,3 +6979,63 @@ def q141(spark, sf_dir):
         )
         .orderBy("q_id", "rank")
     )
+
+
+# -- q142: the INCREMENTAL fuzzy artifact graded end-to-end (r17 —
+#    the q140 grade applied to the append lifecycle): the variant
+#    artifact builds from HALF the corpus (write_fuzzy_vocab), the
+#    other half's vocabulary appends under its own epoch
+#    (fuzzy_vocab_append), and fuzzy_match_terms answers through the
+#    merged artifact — the cross-epoch df SUM and the Norvig best
+#    pick are graded against q140's brute-force levenshtein oracle
+#    over the FULL corpus: hash-equal means the split+append is
+#    invisible, i.e. a term split across slices reports its union df
+#    and a term first seen in the append is matchable.
+@query(
+    "q142_fuzzy_vocab_incremental",
+    "WITH " + _BM25_SQL_STATS + """,
+    vocab AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pos GROUP BY term
+    ),
+    q(q_term) AS (VALUES ('tabel'), ('windo'), ('scann'), ('datta')),
+    cand AS (
+      SELECT q.q_term, v.term,
+             CAST(levenshtein(q.q_term, v.term) AS INT) AS dist, v.df
+      FROM q JOIN vocab v ON levenshtein(q.q_term, v.term) <= 2
+    )
+    SELECT q_term, term, dist, df,
+           CAST((row_number() OVER (
+              PARTITION BY q_term ORDER BY dist, df DESC, term)) = 1
+             AS INT) AS is_best
+    FROM cand ORDER BY q_term, term
+    """,
+)
+def q142(spark, sf_dir):
+    import tempfile
+
+    d = T(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="fuzzy_vocab_q142_") + "/fz"
+    R.write_fuzzy_vocab(
+        R.inverted_index(d.where(F.col("doc_id") % 2 == 0)),
+        root, max_edits=2, n_buckets=8,
+    )
+    R.fuzzy_vocab_append(
+        R.inverted_index(d.where(F.col("doc_id") % 2 == 1)),
+        root, epoch=1,
+    )
+    exp = R.fuzzy_match_terms(
+        spark, root, ["tabel", "windo", "scann", "datta"], max_edits=2
+    )
+    best = R.fuzzy_best_match(exp).withColumnRenamed("term", "_bt")
+    return (
+        exp.join(F.broadcast(best), "q_term", "left")
+        .select(
+            "q_term",
+            "term",
+            "dist",
+            "df",
+            (F.col("term") == F.col("_bt")).cast("int").alias("is_best"),
+        )
+        .orderBy("q_term", "term")
+    )

@@ -677,6 +677,51 @@ def maintain_inverted_index(
     return writer.start()
 
 
+def maintain_fuzzy_vocab(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuously grow the persisted FUZZY-VOCAB artifact
+    (``retrieval.write_fuzzy_vocab`` / ``fuzzy_vocab_append``) from a
+    document stream — the typo-correction freshness loop: a term first
+    seen today is fuzzy-matchable today, closing the "static offline
+    build" boundary the artifact previously had (the
+    ``maintain_inverted_index`` lifecycle applied to the fuzzy tier;
+    typically run alongside it on the SAME document stream so
+    corrections and postings stay in lockstep).
+
+    Per micro-batch, the batch docs' vocabulary (deletion variants +
+    delta df) lands under ``epoch=<batch_id>`` with dynamic partition
+    overwrite — a replayed batch rewrites exactly its own epoch, so
+    the readers' cross-epoch df SUM cannot double-count (the
+    sum-semantics exactly-once contract of ``maintain_sketch_shards``).
+    The artifact must exist (``write_fuzzy_vocab`` bootstrap — its
+    meta pins max_edits/n_buckets; appends can never diverge).
+    Serving reads through ``fuzzy_match_terms`` re-list partitions per
+    call, so ``serve_search_queries``' per-batch correction sees every
+    committed epoch with no restart."""
+    from ..operators.retrieval import fuzzy_vocab_append, inverted_index
+
+    def _batch(df, epoch_id):
+        if not df.head(1):
+            return
+        fuzzy_vocab_append(
+            inverted_index(df, id_col, text_col), path, int(epoch_id)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ivf_index(
     stream: DataFrame,
     index_path: str,

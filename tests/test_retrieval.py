@@ -1737,6 +1737,62 @@ def test_fuzzy_vocab_artifact_prunes_and_matches_inline(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_fuzzy_vocab_append_merges_df_and_replays_exactly_once(spark):
+    """r17 incremental fuzzy lifecycle: fuzzy_vocab_append lands a new
+    corpus slice's vocabulary under its own epoch; the reader's
+    cross-epoch df SUM makes the artifact answer EXACTLY like an
+    inline expansion over the union corpus (a term split across
+    slices must report its union df; a term first seen in the append
+    must become matchable).  A replayed epoch (dynamic overwrite)
+    changes nothing, and a full write_fuzzy_vocab rebuild clears every
+    epoch."""
+    docs0 = [(i, "spark window merge") for i in range(6)]
+    docs1 = [(100 + i, "spark quantum") for i in range(3)]
+    d0 = spark.createDataFrame(docs0, "doc_id long, text string")
+    d1 = spark.createDataFrame(docs1, "doc_id long, text string")
+    both = d0.unionByName(d1)
+    d = tempfile.mkdtemp()
+    try:
+        R.write_fuzzy_vocab(R.inverted_index(d0), d, max_edits=1,
+                            n_buckets=8)
+        # 'quantum' not yet in the vocabulary
+        assert R.fuzzy_match_terms(spark, d, ["quantm"]).count() == 0
+        R.fuzzy_vocab_append(R.inverted_index(d1), d, epoch=1)
+        queries = ["spak", "windo", "quantm"]
+        want = {
+            tuple(r)
+            for r in R.fuzzy_expand_terms(
+                R.inverted_index(both), queries, max_edits=1
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, queries).collect()
+        }
+        assert got == want
+        # 'spark' df merged across slices: 6 (build) + 3 (append)
+        assert ("spak", "spark", 1, 9) in got
+        # replay the append epoch — dynamic overwrite rewrites exactly
+        # its own partitions, the SUM cannot double-count
+        R.fuzzy_vocab_append(R.inverted_index(d1), d, epoch=1)
+        again = {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, queries).collect()
+        }
+        assert again == want
+        # rebuild = compaction: every epoch clears, df resets to the
+        # rebuilt corpus
+        R.write_fuzzy_vocab(R.inverted_index(d0), d, max_edits=1,
+                            n_buckets=8)
+        assert R.fuzzy_match_terms(spark, d, ["quantm"]).count() == 0
+        assert ("spak", "spark", 1, 6) in {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, ["spak"]).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_batch_positional_and_fuzzy_analyzer_composition(spark):
     """The batch operators and the fuzzy expander keep the
     same-analyzer contract: caller-provided terms pass through

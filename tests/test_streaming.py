@@ -2888,6 +2888,67 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
 
 
+def test_maintain_fuzzy_vocab_stream_matches_union_inline(
+    spark, tmp_path
+):
+    """r17 typo-correction freshness loop: maintain_fuzzy_vocab grows
+    the persisted fuzzy artifact per micro-batch; after the stream
+    drains, fuzzy_match_terms must answer exactly like an inline
+    expansion over the UNION corpus (new-term matchable, split-term
+    df summed across build + every streamed epoch)."""
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        maintain_fuzzy_vocab,
+    )
+
+    sch = "doc_id long, text string"
+    d0 = spark.createDataFrame(
+        [(i, "spark window merge") for i in range(4)], sch
+    )
+    batch1 = [(100 + i, "spark quantum") for i in range(2)]
+    batch2 = [(200, "quantum widget window")]
+    src = str(tmp_path / "fz_src")
+    os.makedirs(src)
+    import glob as _g
+    import shutil as _sh
+
+    for name, rows in (("a", batch1), ("b", batch2)):
+        stage = str(tmp_path / ("fz_stage_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        [f] = _g.glob(os.path.join(stage, "part-*.parquet"))
+        _sh.copy(f, os.path.join(src, name + ".parquet"))
+
+    root = str(tmp_path / "fz_art")
+    R.write_fuzzy_vocab(R.inverted_index(d0), root, max_edits=1,
+                        n_buckets=8)
+    q = maintain_fuzzy_vocab(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        checkpoint=str(tmp_path / "fz_ck"),
+    )
+    q.awaitTermination(120)
+
+    union = d0.unionByName(
+        spark.createDataFrame(batch1 + batch2, sch)
+    )
+    queries = ["spak", "quantm", "widgett", "windo"]
+    want = {
+        tuple(r)
+        for r in R.fuzzy_expand_terms(
+            R.inverted_index(union), queries, max_edits=1
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in R.fuzzy_match_terms(spark, root, queries).collect()
+    }
+    assert got == want
+    # df merged across build + both streamed epochs
+    assert ("spak", "spark", 1, 6) in got
+    assert ("quantm", "quantum", 1, 3) in got
+
+
 def test_serve_search_queries_unified_lexical_pass_slices_exactly(
     spark, tmp_path
 ):

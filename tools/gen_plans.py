@@ -464,6 +464,14 @@ QUERIES = [
         "best-pick window groups are neighborhood-bounded",
     ),
     (
+        "q142_fuzzy_vocab_incremental",
+        "incremental fuzzy artifact (r17): build + epoch append land "
+        "before the plan; the returned read carries the SAME static "
+        "vbucket+variant pruning as q140 across BOTH epoch "
+        "directories, with the cross-epoch df merge as one "
+        "neighborhood-sized groupBy after the pruned scan",
+    ),
+    (
         "q141_serving_capstone",
         "serving capstone (r17): correction -> champion-pruned batch "
         "BM25 -> dense arm -> RRF -> per-query eval in ONE plan — "
