@@ -1709,11 +1709,13 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     if not os.path.exists(os.path.join(hyb_root, "centroids")):
         cents = S.train_centroids_sample(emb, n_centroids=32)
         S.ivf_save(S.ivf_assign(emb, cents), cents, hyb_root)
+    # covers the mixed batches AND the per-mode floor batches (qid
+    # keeps counting up through the floor loop)
     qvecs = {
         r["vec_id"]: r["embedding"]
         for r in emb.where(
             F.col("vec_id").isin(
-                *[(q * 37) % 20_000 for q in range(10_000, 10_060)]
+                *{(q * 37) % 20_000 for q in range(10_000, 10_200)}
             )
         ).collect()
     }
@@ -2768,18 +2770,22 @@ def main() -> None:
         # in ONE materialized bm25_topk_batch keyed by (q_id, mode).
         # Measured on the 60-query mixed workload (4 same-day runs):
         # mixed p50 7.0-8.0s vs 9.49s recorded at r16, mixed/bm25-only
-        # p50 ratio 2.9-3.3x vs 3.99x; the remaining floor is per-arm
-        # plan overhead (positional + MinDist + ANN + RRF subplans),
-        # which amortizes over batch size.  The lexical unification is
-        # the SCALE lever regardless of local wall: three corpus-sized
-        # postings scoring joins per batch become one (parity pinned
-        # by test_serve_search_queries_*).
+        # p50 ratio 2.9-3.3x vs 3.99x.  The NEW mode_floor breakdown
+        # attributes the remaining floor precisely: a single-mode
+        # FUSED batch alone costs ~8.3s (vs bm25-only 3.4s) while the
+        # five single-mode batch walls sum to ~22s against the mixed
+        # batch's ~7.7s — so arms substantially OVERLAP inside the one
+        # union write and the floor is the fused arm's MinDist subplan,
+        # not arm count.  The lexical unification is the SCALE lever
+        # regardless of local wall: three corpus-sized postings scoring
+        # joins per batch become one (parity pinned by
+        # test_serve_search_queries_*).
         "serve_mixed_fusion_note": (
             "r17 fusion: cached postings + batch, one presence agg, "
             "one unified+materialized lexical pass (3 scoring joins "
-            "-> 1); mixed p50 7.0-8.0s vs 9.49 r16, ratio ~3.1x vs "
-            "4.0x; floor = per-arm plan overhead, amortizes with "
-            "batch size"
+            "-> 1); mixed p50 7.0-8.0s vs 9.49 r16; mode_floor shows "
+            "arms overlap (sum 22s vs mixed 7.7s) and the floor is "
+            "the fused arm's MinDist subplan, not arm count"
         ),
         # r14 bench-honesty note (method: same-day A/B — the r13-final
         # commit re-benched on THIS host read 16.5s cold vs its

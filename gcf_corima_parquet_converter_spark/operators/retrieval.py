@@ -1158,15 +1158,21 @@ def champion_lists(
     champion LOSES locally (0.7-0.9x — impact ordering has nothing to
     prune when every posting scores alike; scale-only there, the
     299x scored-row reduction is the claim).  On a Zipfian corpus
-    (s=1.2, 300k docs, the two head terms posting in ~every doc) it
-    WINS: 1.15x cold at m=512 with top-10 overlap 8/10 (m=128: 1.07x
-    but overlap 2/10 — too aggressive for stopword queries), and
-    1.25-1.28x with HOT postings (the serving regime —
-    ``serve_search_queries`` caches the pruned postings per batch),
-    where the scan is amortized and the saved corpus-sized aggregate
-    is the whole cost.  Turn it on (``champion_m=512``-ish) when
-    query terms are Zipf-head stopwords and the postings are served
-    hot; leave it off for flat-tf or rare-term workloads.
+    (s=1.2, 300k docs, the two head terms posting in ~every doc) the
+    HOT-postings serving regime (``serve_search_queries`` caches the
+    pruned postings per batch, so the scan is amortized and the
+    corpus-sized (doc) aggregate is the whole remaining cost) reads
+    1.0-1.3x vs exact across same-day runs (1.25-1.28x on a quiet
+    host, ~1.0x under bench-suite contention) at top-10 overlap 8/10
+    with m=512 — never the flat-corpus loss; cold (artifact scans
+    in-loop) stays run-dependent either side of 1.0x.  At 300k local
+    docs the saved aggregate is milliseconds, which is why the local
+    wall barely moves: the structural claim is the 392-1564x
+    candidate reduction, which is what survives a 100 TB corpus where
+    the stopword aggregate is the dominant stage.  Turn it on
+    (``champion_m=512``-ish) when query terms are Zipf-head stopwords
+    and the postings are served hot; leave it off for flat-tf or
+    rare-term workloads.
 
     Returns the postings schema (compose with
     :func:`write_inverted_index` to persist bucketed).  SCORING
