@@ -381,6 +381,16 @@ _DEMOTED_REDUNDANT = (
     # the reserved build epoch reads through the identical merge).
     # q140 stays oracle-verified locally like every demoted veteran.
     "q140_fuzzy_vocab_search",
+    # r17 (third same-round promotion): the NEW q143_score_fusion
+    # (CombSUM/CombMNZ weighted score fusion — the calibrated cousin
+    # of the graded RRF tier) takes q116's slot.  q116's collocation
+    # family rests on the same gram-counting sufficient statistic the
+    # graded q124 LM tier aggregates (one (order, gram) groupBy over
+    # the corpus — collocation PMI derives from exactly the unigram +
+    # bigram count tables ngram_lm_train materializes) and on q38's
+    # graded token statistics; the PMI ranking itself stays pinned by
+    # test_collocations + the local oracle.
+    "q116_collocations",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

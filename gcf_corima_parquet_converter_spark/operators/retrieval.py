@@ -1804,6 +1804,87 @@ def rrf_fuse_batch(
     )
 
 
+def score_fuse_batch(
+    arms: list[DataFrame],
+    weights: list[float] | None = None,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    score_col: str = "score",
+    topk: int = 10,
+    mnz: bool = False,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Weighted SCORE fusion — CombSUM / CombMNZ (Fox & Shaw, TREC-2
+    1994; Lee, SIGIR 1997), the calibrated cousin of :func:`rrf_fuse`:
+    where RRF discards scores and fuses RANKS (calibration-free), this
+    min-max-normalizes each arm's scores INTO [0, 1] per query and
+    sums them weighted — the standard hybrid combiner when arm scores
+    are meaningful and the caller wants to tune the lexical/dense
+    balance (``weights``) instead of treating arms as equal voters.
+
+    Each arm carries ``(q_id, id, score_col)`` — a per-query top-k
+    list from any scorer (BM25 score, cosine similarity, RRF output;
+    pass the FIXED-POINT score column for the graded hash-stable
+    mode).  Per ``(arm, q_id)``: ``norm = (s - min) / (max - min)``
+    over the arm's retrieved list (the standard list-wise min-max;
+    a degenerate all-tied list normalizes to 1.0 — every doc is
+    equally the arm's best), fixed-pointed as
+    ``floor(norm * weight * scale + 0.5)`` so the cross-arm sum is an
+    exact integer.  ``mnz=True`` multiplies each doc's summed score
+    by the number of arms that retrieved it (CombMNZ's overlap
+    boost).  Returns ``(q_id, rank, id, fused_score, n_sources)``,
+    top-``topk`` per query by ``(fused_score desc, id)``.
+
+    Scale posture mirrors :func:`rrf_fuse_batch`: inputs are
+    per-query top-k lists by construction, so the per-arm min/max
+    windows, the groupBy and the final ranking all run over bounded
+    frames (rank-then-filter keeps the WindowGroupLimit guard
+    regardless)."""
+    if not arms:
+        raise ValueError("arms must be non-empty")
+    if weights is None:
+        weights = [1.0] * len(arms)
+    if len(weights) != len(arms):
+        raise ValueError(
+            f"{len(arms)} arms but {len(weights)} weights"
+        )
+    parts = []
+    for arm, w in zip(arms, weights):
+        aw = Window.partitionBy(q_id_col)
+        s = F.col(score_col).cast("double")
+        mn = F.min(s).over(aw)
+        mx = F.max(s).over(aw)
+        norm = F.when(mx > mn, (s - mn) / (mx - mn)).otherwise(F.lit(1.0))
+        cfx = F.floor(
+            norm * F.lit(float(w)) * F.lit(float(scale)) + F.lit(0.5)
+        )
+        parts.append(
+            arm.select(F.col(q_id_col), F.col(id_col), cfx.alias("_c"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused_fx = F.sum("_c")
+    n_src = F.count(F.lit(1))
+    if mnz:
+        fused_fx = fused_fx * n_src
+    fused = u.groupBy(q_id_col, id_col).agg(
+        fused_fx.alias("_fx"), n_src.alias("n_sources")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("_fx"), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select(
+            q_id_col,
+            "rank",
+            id_col,
+            (F.col("_fx") / F.lit(float(scale))).alias("fused_score"),
+            "n_sources",
+        )
+    )
+
+
 # --------------------------------------------------- retrieval evaluation
 
 

@@ -7039,3 +7039,169 @@ def q142(spark, sf_dir):
         )
         .orderBy("q_term", "term")
     )
+
+
+# -- q143: weighted score fusion (retrieval.score_fuse_batch) —
+#    CombSUM/CombMNZ (Fox & Shaw 1994; Lee 1997), the CALIBRATED
+#    hybrid combiner next to the graded rank-based RRF (q136/q141):
+#    each arm's retrieved list min-max-normalizes into [0,1] per
+#    query, contributions weight 0.7 lexical / 0.3 dense and
+#    fixed-point before the cross-arm sum, and CombMNZ multiplies by
+#    the overlap count.  Arms are the already-graded q136 pair (batch
+#    BM25 top-20 + batch cosine top-20 over document-anchored
+#    queries); the oracle replays the normalization windows and the
+#    weighted integer sum exactly.
+@query(
+    "q143_score_fusion",
+    "WITH " + _BM25_SQL_STATS + """,
+    queries(q_id, terms) AS (VALUES
+      (0, ['spark', 'window']),
+      (7, ['merge', 'join']),
+      (21, ['data', 'table', 'scan'])),
+    qt AS (
+      SELECT DISTINCT q_id, unnest(terms) AS term FROM queries
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pos WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id,
+             (1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS c
+      FROM qt q
+      JOIN tf ON tf.term = q.term
+      JOIN idf ON idf.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM contrib GROUP BY q_id, doc_id
+    ),
+    bmtop AS (
+      SELECT q_id, doc_id, score_fx FROM (
+        SELECT q_id, doc_id, score_fx,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY score_fx DESC, doc_id
+               ) AS rank
+        FROM scores
+      ) WHERE rank <= 20
+    ),
+    bmn AS (
+      SELECT q_id, doc_id,
+             CAST(floor(
+               CASE WHEN mx > mn
+                    THEN (CAST(score_fx AS DOUBLE) - mn) / (mx - mn)
+                    ELSE 1.0 END * 0.7 * 1000000.0 + 0.5
+             ) AS BIGINT) AS cfx
+      FROM (
+        SELECT q_id, doc_id, score_fx,
+               CAST(MIN(score_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mn,
+               CAST(MAX(score_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mx
+        FROM bmtop
+      )
+    ),
+    qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    sims AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             CAST(floor(list_dot_product(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v
+             ) * 1000000 + 0.5) AS BIGINT) AS sim_fx
+      FROM embeddings e, qv
+    ),
+    costop AS (
+      SELECT q_id, doc_id, sim_fx FROM (
+        SELECT q_id, doc_id, sim_fx,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY sim_fx DESC, doc_id
+               ) AS rank
+        FROM sims
+      ) WHERE rank <= 20
+    ),
+    cosn AS (
+      SELECT q_id, doc_id,
+             CAST(floor(
+               CASE WHEN mx > mn
+                    THEN (CAST(sim_fx AS DOUBLE) - mn) / (mx - mn)
+                    ELSE 1.0 END * 0.3 * 1000000.0 + 0.5
+             ) AS BIGINT) AS cfx
+      FROM (
+        SELECT q_id, doc_id, sim_fx,
+               CAST(MIN(sim_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mn,
+               CAST(MAX(sim_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mx
+        FROM costop
+      )
+    ),
+    u AS (
+      SELECT q_id, doc_id, cfx FROM bmn
+      UNION ALL
+      SELECT q_id, doc_id, cfx FROM cosn
+    ),
+    fused AS (
+      SELECT q_id, doc_id,
+             CAST(SUM(cfx) * count(*) AS BIGINT) AS fused_fx,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY q_id, doc_id
+    ),
+    final AS (
+      SELECT q_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY fused_fx DESC, doc_id
+             ) AS INT) AS rank,
+             doc_id, fused_fx, n_sources
+      FROM fused
+      QUALIFY rank <= 10
+    )
+    SELECT q_id, rank, doc_id, fused_fx, n_sources
+    FROM final ORDER BY q_id, rank
+    """,
+)
+def q143(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    idx = R.inverted_index(d)
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spark", "window"]),
+            (7, ["merge", "join"]),
+            (21, ["data", "table", "scan"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    bm = R.bm25_topk_batch(
+        idx, qdf, k=20, idf="rational", scale=1_000_000
+    ).select(
+        "q_id", "doc_id", fx("score", 1_000_000).alias("score_fx")
+    )
+    qv = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_fx"), "vec_id")
+    cos = (
+        S.batch_cosine_topk(e, qv, k=20)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("q_id", F.col("vec_id").alias("doc_id"),
+                F.col("sim_fx").alias("score_fx"))
+    )
+    out = R.score_fuse_batch(
+        [bm, cos], weights=[0.7, 0.3], topk=10, mnz=True,
+        score_col="score_fx", scale=1_000_000,
+    )
+    return out.select(
+        "q_id",
+        "rank",
+        "doc_id",
+        fx("fused_score", 1_000_000).alias("fused_fx"),
+        "n_sources",
+    ).orderBy("q_id", "rank")

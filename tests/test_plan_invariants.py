@@ -82,6 +82,11 @@ SINGLE_PARTITION_ALLOWED = {
     # at runtime (the q139 note, more consumers).  The rank-funnel
     # audit below independently confirms 0 unguarded ranking funnels.
     "q141_serving_capstone": 4,
+    # weighted score fusion: the lexical arm carries q113's benign
+    # one-row BM25 corpus-stats scalar reduce; the min-max windows,
+    # the fusion groupBy and the final ranking all run over top-20/
+    # top-10 bounded frames (rank-funnel audit confirms 0)
+    "q143_score_fusion": 1,
     # collocation totals: TWO keys=[] scalar reduces (unigram total,
     # bigram total) — each is one bigint partial per task crossing the
     # funnel; their one-row product broadcasts back over the

@@ -1737,6 +1737,57 @@ def test_fuzzy_vocab_artifact_prunes_and_matches_inline(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_score_fuse_batch_combsum_combmnz_and_degenerate_arm(spark):
+    """Weighted score fusion (CombSUM/CombMNZ): per-(arm, query)
+    min-max normalization into [0,1], weighted fixed-point sum,
+    optional overlap boost (MNZ multiplies by n_sources), ties by id.
+    An all-tied arm list normalizes to 1.0 for every doc.  Expected
+    values hand-computed."""
+    a = spark.createDataFrame(
+        # q1: scores 10/20/30 -> norms 0.0/0.5/1.0
+        [(1, 101, 10.0), (1, 102, 20.0), (1, 103, 30.0),
+         # q2: degenerate (all tied) -> both norm 1.0
+         (2, 201, 5.0), (2, 202, 5.0)],
+        "q_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        # q1: 1/3 -> norms 0.0/1.0; doc 104 only in arm b
+        [(1, 103, 1.0), (1, 104, 3.0), (2, 201, 7.0), (2, 203, 9.0)],
+        "q_id long, doc_id long, score double",
+    )
+    got = {
+        (r["q_id"], r["rank"]): (
+            r["doc_id"], round(r["fused_score"], 6), r["n_sources"]
+        )
+        for r in R.score_fuse_batch(
+            [a, b], weights=[1.0, 0.5], topk=10
+        ).collect()
+    }
+    # q1: 101 -> 0.0; 102 -> 0.5; 103 -> 1.0 + 0.5*0.0 = 1.0 (2 srcs);
+    #     104 -> 0.5*1.0 = 0.5 (ties 102 at 0.5 -> doc id breaks: 102)
+    assert got[(1, 1)] == (103, 1.0, 2)
+    assert got[(1, 2)] == (102, 0.5, 1)
+    assert got[(1, 3)] == (104, 0.5, 1)
+    assert got[(1, 4)] == (101, 0.0, 1)
+    # q2: 201 -> 1.0 + 0.5*0.0 = 1.0 (2 srcs); 202 -> 1.0; 203 -> 0.5
+    assert got[(2, 1)] == (201, 1.0, 2)
+    assert got[(2, 2)] == (202, 1.0, 1)
+    assert got[(2, 3)] == (203, 0.5, 1)
+    # MNZ: overlap boost — 201 doubles to 2.0, 103 doubles to 2.0
+    mnz = {
+        (r["q_id"], r["doc_id"]): round(r["fused_score"], 6)
+        for r in R.score_fuse_batch(
+            [a, b], weights=[1.0, 0.5], topk=10, mnz=True
+        ).collect()
+    }
+    assert mnz[(1, 103)] == 2.0 and mnz[(2, 201)] == 2.0
+    assert mnz[(1, 102)] == 0.5
+    with pytest.raises(ValueError, match="weights"):
+        R.score_fuse_batch([a, b], weights=[1.0])
+    with pytest.raises(ValueError):
+        R.score_fuse_batch([])
+
+
 def test_fuzzy_vocab_append_merges_df_and_replays_exactly_once(spark):
     """r17 incremental fuzzy lifecycle: fuzzy_vocab_append lands a new
     corpus slice's vocabulary under its own epoch; the reader's

@@ -464,6 +464,14 @@ QUERIES = [
         "best-pick window groups are neighborhood-bounded",
     ),
     (
+        "q143_score_fusion",
+        "weighted score fusion (r17): both arms' min-max windows and "
+        "the final per-query ranking run over top-20/top-10 bounded "
+        "frames; the dense arm rides batch_cosine_topk's two-phase "
+        "rank and the lexical arm the WindowGroupLimit BM25 contract; "
+        "the one funnel is the allowlisted corpus-stats scalar reduce",
+    ),
+    (
         "q142_fuzzy_vocab_incremental",
         "incremental fuzzy artifact (r17): build + epoch append land "
         "before the plan; the returned read carries the SAME static "
