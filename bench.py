@@ -807,6 +807,7 @@ SCALING_QUERIES = HEADLINE + [
     "q139_champion_bm25",
     "q142_fuzzy_vocab_incremental",
     "q141_serving_capstone",
+    "q143_score_fusion",
 ]
 
 
@@ -2781,11 +2782,9 @@ def main() -> None:
         # joins per batch become one (parity pinned by
         # test_serve_search_queries_*).
         "serve_mixed_fusion_note": (
-            "r17 fusion: cached postings + batch, one presence agg, "
-            "one unified+materialized lexical pass (3 scoring joins "
-            "-> 1); mixed p50 7.0-8.0s vs 9.49 r16; mode_floor shows "
-            "arms overlap (sum 22s vs mixed 7.7s) and the floor is "
-            "the fused arm's MinDist subplan, not arm count"
+            "r17 fusion: cached postings+batch, 3 lexical scoring "
+            "joins -> 1; p50 7-8s vs 9.49 r16; mode_floor: arms "
+            "overlap, floor = fused arm's MinDist subplan"
         ),
         # r14 bench-honesty note (method: same-day A/B — the r13-final
         # commit re-benched on THIS host read 16.5s cold vs its
@@ -2853,13 +2852,16 @@ def main() -> None:
         "detail": "BENCH_LOCAL.json",
     }
     line = json.dumps(compact)
-    # never regress into the driver's tail window: shed the most
-    # verbose provenance keys first (all survive in BENCH_LOCAL.json)
+    # never regress into the driver's tail window: shed provenance
+    # keys first, PRIOR-round notes next (each is already recorded in
+    # its own round's BENCH_r*.json), current-round notes last (all
+    # survive in BENCH_LOCAL.json either way)
     for victim in (
         "loadavg_per_run",
-        "serve_mixed_fusion_note",
         "ab_q49_q50_facade_note",
         "ab_q53_q15_note",
+        "cross_round_note",
+        "serve_mixed_fusion_note",
     ):
         if len(line) <= 1900:
             break
