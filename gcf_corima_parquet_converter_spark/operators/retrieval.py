@@ -1162,17 +1162,19 @@ def champion_lists(
     HOT-postings serving regime (``serve_search_queries`` caches the
     pruned postings per batch, so the scan is amortized and the
     corpus-sized (doc) aggregate is the whole remaining cost) reads
-    1.0-1.3x vs exact across same-day runs (1.25-1.28x on a quiet
-    host, ~1.0x under bench-suite contention) at top-10 overlap 8/10
-    with m=512 — never the flat-corpus loss; cold (artifact scans
-    in-loop) stays run-dependent either side of 1.0x.  At 300k local
-    docs the saved aggregate is milliseconds, which is why the local
-    wall barely moves: the structural claim is the 392-1564x
-    candidate reduction, which is what survives a 100 TB corpus where
-    the stopword aggregate is the dominant stage.  Turn it on
+    0.9-1.3x vs exact across three same-day bench samples (1.25-1.28x,
+    ~1.0x, 0.89-0.98x) at top-10 overlap 8/10 with m=512 — i.e. the
+    LOCAL wall is within host noise of exact: at 300k docs the saved
+    aggregate is milliseconds against ~1.5s of fixed plan cost.  The
+    measured, run-stable facts are the candidate reduction (392x at
+    m=512, 1564x at m=128 — exact_scored_rows / champion_candidates,
+    BENCH_LOCAL ``retrieval.champion_zipf``) and the recall trade
+    (overlap 8/10 at m=512 vs 2/10 at m=128); the reduction is what
+    survives a 100 TB corpus where the stopword aggregate, not plan
+    overhead, dominates the stage.  Turn it on
     (``champion_m=512``-ish) when query terms are Zipf-head stopwords
-    and the postings are served hot; leave it off for flat-tf or
-    rare-term workloads.
+    and the per-term postings dwarf m; leave it off for flat-tf or
+    rare-term workloads, and never judge it by local wall alone.
 
     Returns the postings schema (compose with
     :func:`write_inverted_index` to persist bucketed).  SCORING
