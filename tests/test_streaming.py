@@ -2888,6 +2888,66 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
 
 
+def test_serve_search_queries_duplicate_qid_across_positional_modes(
+    spark, tmp_path
+):
+    """r17: the positional arm keys positional_search_batch by the
+    (q_id, mode) struct — a q_id reused as BOTH a phrase and a
+    proximity row must answer as two independent queries (the batched
+    operator requires unique query ids; before the struct key the two
+    rows would collide in one group and corrupt both)."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    # doc 0 has quick..brown at distance 2 (within slop 2, NOT a
+    # phrase); docs 1-4 have the exact adjacency
+    docs = [(0, "quick gap1 brown tail")] + [
+        (i, f"quick brown pad{i}") for i in range(1, 5)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "dup_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+
+    sch = "q_id long, mode string, terms array<string>, slop int"
+    rows = [
+        (1, "phrase", ["quick", "brown"], None),
+        (1, "proximity", ["quick", "brown"], 2),
+    ]
+    qsrc = str(tmp_path / "dup_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "dup_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    out_path = str(tmp_path / "dup_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "dup_ck"), k=10,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+
+    idx = R.inverted_index(ddf)
+    ph_docs = {r["doc_id"] for r in R.phrase_search(
+        idx, ["quick", "brown"]).collect()}
+    px_docs = {r["doc_id"] for r in R.proximity_search(
+        idx, ["quick", "brown"], slop=2).collect()}
+    got_ph = {r["doc_id"] for r in got.where(
+        F.col("mode") == "phrase").collect()}
+    got_px = {r["doc_id"] for r in got.where(
+        F.col("mode") == "proximity").collect()}
+    assert got_ph == ph_docs and 0 not in got_ph
+    assert got_px == px_docs and 0 in got_px
+    assert got_px > got_ph  # proximity strictly wider here
+
+
 def test_maintain_fuzzy_vocab_stream_matches_union_inline(
     spark, tmp_path
 ):
