@@ -703,7 +703,19 @@ def maintain_fuzzy_vocab(
     meta pins max_edits/n_buckets; appends can never diverge).
     Serving reads through ``fuzzy_match_terms`` re-list partitions per
     call, so ``serve_search_queries``' per-batch correction sees every
-    committed epoch with no restart."""
+    committed epoch with no restart.
+
+    Consistency boundary (stated, not hidden): unlike the postings
+    artifact this table is NOT manifest-committed — a reader that
+    overlaps an in-flight append can transiently observe a partial
+    epoch (some variant buckets written, others not), which can shift
+    a df-tie-broken best match for one batch.  That is safe by the
+    tier's contract: corrections are ADVISORY (BM25 scoring stays
+    exact over the postings artifact for whatever terms serve), and
+    the next batch reads the fully-committed epoch.  A deployment that
+    needs correction-stability under concurrent appends should route
+    this table through ``manifest.write_epoch`` like the postings —
+    the trade is one manifest resolve per lookup."""
     from ..operators.retrieval import fuzzy_vocab_append, inverted_index
 
     def _batch(df, epoch_id):
@@ -1446,6 +1458,8 @@ def serve_search_queries(
     fuzzy_vocab_path: str | None = None,
     fuzzy_max_edits: int | None = None,
     champion_m: int | None = None,
+    fusion: str = "rrf",
+    fusion_weights: tuple[float, float] = (1.0, 1.0),
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
@@ -1509,6 +1523,15 @@ def serve_search_queries(
     m-vs-recall trade is the caller's; ``bench.py``'s ``champion``
     block measures it.
 
+    ``fusion`` — how the fused/hybrid arms combine: ``'rrf'``
+    (default, the calibration-free q131/q136 recipes) or ``'score'``
+    (``retrieval.score_fuse_batch``'s CombSUM: per-arm min-max
+    normalization into [0, 1] then a ``fusion_weights``-weighted sum,
+    lexical arm first — the q143 recipe online, for callers who want
+    to tune the lexical/dense balance; the fused arm's tightness
+    score is ``-min_span``, orientation being all min-max needs).
+    bm25/phrase/proximity rows are single-arm and ignore the setting.
+
     Scale posture: the batch's DISTINCT terms (all modes pooled)
     drive ONE partition-pruned postings load, PERSISTED for the batch
     so every arm scores from the same cached scan (r17 arm fusion —
@@ -1548,7 +1571,39 @@ def serve_search_queries(
         positional_search_batch,
         read_index_artifact,
         rrf_fuse_batch,
+        score_fuse_batch,
     )
+
+    if fusion not in ("rrf", "score"):
+        raise ValueError(f"fusion must be 'rrf' or 'score', got {fusion!r}")
+
+    def _fuse(arms):
+        """Combine the fused/hybrid arms per the configured fusion
+        mode.  Arms carry ``(q_id, id, rank, score)`` — rrf consumes
+        the ranks (q131/q136's calibration-free recipe), score
+        consumes the scores (score_fuse_batch's CombSUM: per-arm
+        min-max into [0,1], fusion_weights applied lexical-first).
+        Both return ``(q_id, rank, id, score)`` top-k per query."""
+        if fusion == "rrf":
+            f = rrf_fuse_batch(
+                [a.select(q_id_col, id_col, "rank") for a in arms],
+                id_col=id_col, q_id_col=q_id_col, k=rrf_k0,
+                topk=int(k), scale=scale,
+            )
+            return f.select(
+                q_id_col, "rank", id_col,
+                F.col("rrf_score").cast("double").alias("score"),
+            )
+        f = score_fuse_batch(
+            [a.select(q_id_col, id_col, "score") for a in arms],
+            weights=list(fusion_weights)[: len(arms)],
+            id_col=id_col, q_id_col=q_id_col, score_col="score",
+            topk=int(k), scale=scale or 10**6,
+        )
+        return f.select(
+            q_id_col, "rank", id_col,
+            F.col("fused_score").cast("double").alias("score"),
+        )
 
     spark = stream.sparkSession
     _MODES = ("bm25", "phrase", "proximity", "fused", "hybrid")
@@ -1883,7 +1938,7 @@ def serve_search_queries(
         ).where(F.size(terms_col) > 0)
         if pres["fq"]:
             bm4 = lex.where(F.col("_m") == "fused").select(
-                q_id_col, id_col, "rank"
+                q_id_col, id_col, "rank", "score"
             )
             spans = min_span_batch(
                 post, fq, id_col=id_col, q_id_col=q_id_col,
@@ -1895,19 +1950,22 @@ def serve_search_queries(
             prox = (
                 spans.withColumn("rank", F.row_number().over(ws))
                 .where(F.col("rank") <= 4 * int(k))
-                .select(q_id_col, id_col, "rank")
-            )
-            fused = rrf_fuse_batch(
-                [bm4, prox], id_col=id_col, q_id_col=q_id_col,
-                k=rrf_k0, topk=int(k), scale=scale,
+                # tightness as a SCORE for the fusion="score" path:
+                # smaller span = better, so negate — min-max
+                # normalization is shift/scale-invariant, only the
+                # orientation matters
+                .select(
+                    q_id_col, id_col, "rank",
+                    (-F.col("min_span")).cast("double").alias("score"),
+                )
             )
             outs.append(
-                fused.select(
+                _fuse([bm4, prox]).select(
                     F.col(q_id_col),
                     F.lit("fused").alias("mode"),
                     "rank",
                     F.col(id_col).alias("doc_id"),
-                    F.col("rrf_score").cast("double").alias("score"),
+                    "score",
                 )
             )
         # hybrid — the q136 recipe: batch BM25 + batch IVF ANN over
@@ -1927,7 +1985,7 @@ def serve_search_queries(
                 if pres["hl"]:
                     arms.append(
                         lex.where(F.col("_m") == "hybrid").select(
-                            q_id_col, id_col, "rank"
+                            q_id_col, id_col, "rank", "score"
                         )
                     )
                 hv = hyq.where(F.col(q_vec_col).isNotNull()).select(
@@ -1951,22 +2009,19 @@ def serve_search_queries(
                             q_id_col,
                             F.col("vec_id").alias(id_col),
                             "rank",
+                            F.col("sim_fx").cast("double").alias(
+                                "score"
+                            ),
                         )
                     )
                 if arms:
-                    hfused = rrf_fuse_batch(
-                        arms, id_col=id_col, q_id_col=q_id_col,
-                        k=rrf_k0, topk=int(k), scale=scale,
-                    )
                     outs.append(
-                        hfused.select(
+                        _fuse(arms).select(
                             F.col(q_id_col),
                             F.lit("hybrid").alias("mode"),
                             "rank",
                             F.col(id_col).alias("doc_id"),
-                            F.col("rrf_score").cast("double").alias(
-                                "score"
-                            ),
+                            "score",
                         )
                     )
         if not outs:

@@ -2888,6 +2888,86 @@ def test_serve_search_queries_mixed_modes_match_batch_and_see_appends(
     ) == {"bm25", "phrase", "proximity", "fused", "hybrid"}
 
 
+def test_serve_search_queries_score_fusion_matches_offline(
+    spark, tmp_path
+):
+    """r17: fusion='score' serves the fused arm through
+    score_fuse_batch (CombSUM over the BM25 score and -min_span
+    tightness, weighted) — served rows must equal the OFFLINE
+    composition of the same arms over the same artifact."""
+    import glob as _g
+    import os
+    import shutil
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [
+        (i, f"quick w{i % 3} brown fox gap{i % 5} quick brown")
+        for i in range(12)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "sf_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+
+    sch = "q_id long, mode string, terms array<string>"
+    rows = [(1, "fused", ["quick", "brown", "fox"])]
+    qsrc = str(tmp_path / "sf_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "sf_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    out_path = str(tmp_path / "sf_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "sf_ck"),
+        k=5, idf="rational", scale=10**6,
+        fusion="score", fusion_weights=(0.7, 0.3),
+    )
+    q.awaitTermination(120)
+
+    idx = R.inverted_index(ddf)
+    qdf = spark.createDataFrame(
+        [(1, ["quick", "brown", "fox"])], "q_id long, terms array<string>"
+    )
+    bm = R.bm25_topk_batch(
+        idx, qdf, k=20, idf="rational", scale=10**6
+    ).select("q_id", "doc_id", "score")
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("q_id").orderBy("min_span", "doc_id")
+    prox = (
+        R.min_span_batch(idx, qdf)
+        .withColumn("rank", F.row_number().over(ws))
+        .where(F.col("rank") <= 20)
+        .select(
+            "q_id", "doc_id",
+            (-F.col("min_span")).cast("double").alias("score"),
+        )
+    )
+    want = {
+        (r["rank"], r["doc_id"], float(r["fused_score"]))
+        for r in R.score_fuse_batch(
+            [bm, prox], weights=[0.7, 0.3], topk=5, scale=10**6
+        ).collect()
+    }
+    got = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) == 5
+    with pytest.raises(ValueError, match="fusion"):
+        serve_search_queries(
+            spark.readStream.schema(sch).parquet(qsrc),
+            root, str(tmp_path / "x"), checkpoint=str(tmp_path / "xck"),
+            fusion="bogus",
+        )
+
+
 def test_serve_search_queries_duplicate_qid_across_positional_modes(
     spark, tmp_path
 ):
