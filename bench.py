@@ -64,6 +64,23 @@ N_WARM_PER_RUN = 2
 # normalized_time = raw_time * (CANARY_REF_SEC / run_canary_sec).
 CANARY_REF_SEC = 0.084
 
+
+def _probe_env() -> dict:
+    """Per-PROBE canary + loadavg sample (r17 verdict #2): the r17
+    serving/facade rows were measured ONCE in a session whose loadavg
+    started at 9.9, and the run-level canary could not say WHICH rows
+    ran degraded — the forensic argument the per-probe brackets below
+    make unnecessary.  ``degraded`` flags a canary >30% over the
+    unloaded reference: treat the bracketed wall numbers as
+    suspect and re-bench (tools/ab_serving.py) before claiming a
+    cross-round regression or improvement from them."""
+    c = _speed_canary()
+    return {
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "canary_sec": c,
+        "degraded": bool(c > CANARY_REF_SEC * 1.3),
+    }
+
 # Representative slice of the corpus: scan+agg, multi-join, window,
 # event-time, dedup (exact + minhash), similarity top-k, text scoring,
 # and the flagship telemetry pipeline.
@@ -161,6 +178,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "streaming_rms_replay_sec": round(wall, 3),
             "rows_per_sec": round(n_rows / wall),
             "micro_batches": batches,
+            "probe_env": _probe_env(),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -931,6 +949,53 @@ def bench_scaling(spark, sf_dir: str) -> dict:
                 "bound); breach => revisit bin width, see "
                 "telemetry.interval_join_binned"
             )
+            # r18 (r17 verdict #5): two rounds of creep (7.53 -> 8.07)
+            # earn the bin-width A/B BEFORE the <=10 rule breaches.
+            # Same join at three widths — half the interval span,
+            # the span itself (current: one interval explodes to <=2
+            # bins), and 4x the span (<=1-2 bins but up to 4x the
+            # points funneled per bin-pair before the residual
+            # filter) — best-of-2 count() per (width, sf).
+            import pyspark.sql.functions as F
+
+            from gcf_corima_parquet_converter_spark.operators import (
+                telemetry as _tm,
+            )
+            from gcf_corima_parquet_converter_spark.queries import (
+                T as _T, ts_us as _ts_us,
+            )
+
+            def _q94_wall(d: str, w: int) -> tuple[float, int]:
+                e = _T(spark, d, "events")
+                pts = e.select(
+                    F.col("event_id").alias("pid"), _ts_us().alias("t")
+                )
+                ivs = e.where(F.col("event_type") == "signup").select(
+                    F.col("event_id").alias("iv_id"),
+                    _ts_us().alias("t_start"),
+                    (_ts_us() + 600_000_000).alias("t_end"),
+                )
+                ts, n = [], 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = _tm.interval_join_binned(
+                        pts, ivs, bin_width=w, time_col="t"
+                    ).count()
+                    ts.append(time.perf_counter() - t0)
+                return min(ts), n
+
+            bin_ab = {}
+            for w in (300_000_000, 600_000_000, 2_400_000_000):
+                ws, ns = _q94_wall(sf_dir, w)
+                wb, nb = _q94_wall(sf1_dir, w)
+                assert ns == n_small and nb == n_big, (
+                    "bin width changed the answer", w, ns, nb,
+                )
+                bin_ab[f"w{w // 1_000_000}s_ratio_work_norm"] = round(
+                    (wb / ws) * 10.0 / max(pairs_ratio, 1e-9), 2
+                )
+                bin_ab[f"w{w // 1_000_000}s_sf1_sec"] = round(wb, 3)
+            out[name]["bin_width_ab"] = bin_ab
         print(f"# scaling {name}: {t_small:.3f}s -> {t_big:.3f}s "
               f"({t_big / t_small:.1f}x)", file=sys.stderr)
     return out
@@ -1000,6 +1065,7 @@ def bench_facade(spark) -> dict:
     try:
         acq = os.path.join(work, "acq")
         write_acquisition(acq, n_seconds=60.0, odr=2000.0, spts=64)
+        env_pre = _probe_env()
         walls = []
         for i in range(2):  # first touch pays decode-UDF/codegen compile
             t0 = time.perf_counter()
@@ -1010,6 +1076,8 @@ def bench_facade(spark) -> dict:
             "facade_e2e_sec": round(min(walls), 3),
             "facade_first_sec": round(walls[0], 3),
             "rms_rows": res["rms_rows"],
+            "probe_env_pre": env_pre,
+            "probe_env_post": _probe_env(),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1068,10 +1136,22 @@ def bench_facade_full(spark) -> dict:
     n_samples = 96_001_152  # 3600 s * 26667 Hz, floored to whole packets
     out = tempfile.mkdtemp(prefix="bench_soak_")
     try:
+        env_pre = _probe_env()
         t0 = time.perf_counter()
         res = process_acquisition(spark, acq, out)
         wall = time.perf_counter() - t0
-        assert res is not None and res["rms_written"], "soak wrote no RMS"
+        env_post = _probe_env()
+        walls = [wall]
+        if env_pre["degraded"] or env_post["degraded"]:
+            # r17 verdict #2: a one-shot probe on a loaded host ate a
+            # +23% "regression" — when either bracket reads degraded,
+            # pay one retry and report the pair; min is the honest
+            # contention-resistant sample for a fixed workload
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.perf_counter()
+            res = process_acquisition(spark, acq, out)
+            walls.append(time.perf_counter() - t0)
+            wall = min(walls)
         return {
             "acq_seconds": 3600,
             "odr_hz": 26667,
@@ -1087,6 +1167,9 @@ def bench_facade_full(spark) -> dict:
             # how many acquisition-hours one node clears per wall-hour
             "realtime_x": round(3600 / wall, 1),
             "jvm_peak_rss_mb": _jvm_peak_rss_mb(),
+            "probe_env_pre": env_pre,
+            "probe_env_post": env_post,
+            "walls_sec": [round(w, 1) for w in walls],
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -1600,7 +1683,9 @@ def _bench_bm25_serving(spark, root: str) -> dict:
                 R.index_compact(spark, inc_root)
                 lifecycle["compacted"] = True
 
+        env_life_pre = _probe_env()
         wall, answered, pcts = serve_once(inc_root, qsrc, "life", hook)
+        env_life_post = _probe_env()
         n_queries = n_batches * per_batch
         assert answered == n_queries, (answered, n_queries)
         assert lifecycle["appended"] and lifecycle["compacted"]
@@ -1647,6 +1732,8 @@ def _bench_bm25_serving(spark, root: str) -> dict:
             "queries_per_sec": round(n_queries / wall, 1),
             "sec_per_batch": round(wall / n_batches, 2),
             **pcts,
+            "probe_env_pre": env_life_pre,
+            "probe_env_post": env_life_post,
             "mid_stream_ops": "index_append@batch2 + index_compact@batch4",
             "compaction_ab": {
                 "n_queries": ab_n,
@@ -1766,6 +1853,7 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
             freshness["appended"] = True
 
     out = os.path.join(work, "mixed_out")
+    env_pre = _probe_env()
     t0 = time.perf_counter()
     q = serve_search_queries(
         spark.readStream.schema(sch)
@@ -1780,6 +1868,7 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     )
     q.awaitTermination(600)
     wall = time.perf_counter() - t0
+    env_post = _probe_env()
     res = spark.read.parquet(out)
     n_queries = n_batches * per_batch
     answered = res.select("q_id").distinct().count()
@@ -1802,7 +1891,7 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
     # single-mode batch walls ~= the mixed batch wall, local mixed
     # latency is ARM-COUNT-bound (per-arm subplan overhead), not
     # data-bound, and it amortizes with batch size
-    mode_floor = {}
+    mode_floor = {"probe_env_pre": _probe_env()}
     for mode in modes:
         rows = []
         for j in range(per_batch):
@@ -1833,8 +1922,10 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         )
         mq.awaitTermination(300)
         mode_floor[mode] = _batch_percentiles(mq)["batch_p50_sec"]
+    mode_floor["probe_env_post"] = _probe_env()
     mode_floor["sum_sec"] = round(
-        sum(v for v in mode_floor.values() if v), 3
+        sum(v for v in mode_floor.values() if isinstance(v, (int, float))),
+        3,
     )
     return {
         "n_queries": n_queries,
@@ -1842,6 +1933,8 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         "wall_sec": round(wall, 2),
         "queries_per_sec": round(n_queries / wall, 1),
         "per_mode_answered": per_mode,
+        "probe_env_pre": env_pre,
+        "probe_env_post": env_post,
         "mid_stream_ops": "index_append@batch2",
         "mode_floor": mode_floor,
         **_batch_percentiles(q),

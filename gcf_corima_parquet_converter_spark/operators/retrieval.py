@@ -744,21 +744,37 @@ def write_fuzzy_vocab(
     ``max_edits=1`` lookups (the verify re-filters); the reverse
     raises at load.
 
-    Layout (r17): rows land under ``epoch=-1/vbucket=*`` (the
-    reserved BUILD epoch — a streaming maintenance micro-batch id can
-    never collide with it) so the
-    artifact is INCREMENTAL — :func:`fuzzy_vocab_append` lands a new
-    corpus slice's vocabulary under its own epoch (dynamic overwrite:
-    a replayed epoch rewrites itself, exactly-once), readers SUM
-    ``df`` per ``(variant, term)`` across epochs after the pruned
-    scan (document frequency is sum-mergeable over disjoint doc
-    slices, the sketch-shard semantics), and a full
-    :func:`write_fuzzy_vocab` rebuild is the compaction
-    (mode=overwrite clears every epoch)."""
+    Layout (r18 — manifest-versioned, the ``index_append`` /
+    ``ivf_save`` artifact contract from ``operators/manifest.py``):
+    the build lands as ``base/v1/epoch=-1/vbucket=*`` behind one
+    manifest commit; :func:`fuzzy_vocab_append` lands a new corpus
+    slice's vocabulary as a committed epoch under ``epochs/``
+    (epoch-owned overwrite: a replayed micro-batch rewrites exactly
+    itself, exactly-once); readers serve base ∪ live epochs and SUM
+    ``df`` per ``(variant, term)`` after the pruned scan (document
+    frequency is sum-mergeable over disjoint doc slices, the
+    sketch-shard semantics); :func:`fuzzy_vocab_compact` folds the
+    epochs into the next base version behind one manifest PUT —
+    pause-free, invisible to concurrent :func:`fuzzy_match_terms`
+    readers.  A full rebuild (this function) resets the artifact to
+    version 1 and clears every epoch."""
     if max_edits not in (1, 2):
         raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
-    _write_fuzzy_epoch(index, path, -1, max_edits, n_buckets, dynamic=False)
     spark = index.sparkSession
+    vroot = f"{path}/{_FUZZY_SUBDIR}"
+    M._delete(spark, vroot)  # a rebuild resets every version and epoch
+    (
+        _fuzzy_variant_rows(index, max_edits, n_buckets)
+        .withColumn("epoch", F.lit(-1))
+        .repartition("vbucket")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "vbucket")
+        .parquet(M.base_dir(vroot, 1))
+    )
+    M.manifest_commit(
+        spark, vroot, 1, [],
+        extra={"n_buckets": int(n_buckets), "max_edits": int(max_edits)},
+    )
     meta = spark.createDataFrame(
         [(int(n_buckets), int(max_edits))],
         "n_buckets int, max_edits int",
@@ -769,47 +785,25 @@ def write_fuzzy_vocab(
     return {"path": path, "n_buckets": n_buckets, "max_edits": max_edits}
 
 
-def _write_fuzzy_epoch(
-    index: DataFrame,
-    path: str,
-    epoch: int,
-    max_edits: int,
-    n_buckets: int,
-    dynamic: bool,
-) -> None:
-    """Derive ``(variant, term, df)`` from (a slice of) a positional
-    index and land it under ``epoch=<epoch>/vbucket=*``.
-    ``dynamic=False`` (build/rebuild) statically overwrites the WHOLE
-    table — every prior epoch clears; ``dynamic=True`` (append)
-    replaces only the written epoch's partitions — the
-    ``manifest.write_epoch`` idempotence contract without a manifest
-    (partition discovery IS the manifest here: readers list epochs at
-    each call, so a fresh read sees a fresh append)."""
+def _fuzzy_variant_rows(
+    index: DataFrame, max_edits: int, n_buckets: int
+) -> DataFrame:
+    """``(term, df, variant, vbucket)`` rows derived from (a slice
+    of) a positional index — the artifact's row shape, shared by the
+    build and the epoch append."""
     vocab = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    vv = vocab.select(
+    return vocab.select(
         "term", "df",
         F.explode(_deletion_variants_col(max_edits)).alias("variant"),
+    ).withColumn(
+        "vbucket",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("variant")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(int(n_buckets)),
+        ),
     )
-    writer = (
-        vv.withColumn("epoch", F.lit(int(epoch)))
-        .withColumn(
-            "vbucket",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("variant")), 1, 8), 16, 10
-                ).cast("bigint"),
-                F.lit(int(n_buckets)),
-            ),
-        )
-        .repartition("vbucket")
-        .write.partitionBy("epoch", "vbucket")
-    )
-    # the option pins per-write semantics regardless of the session's
-    # spark.sql.sources.partitionOverwriteMode
-    writer = writer.option(
-        "partitionOverwriteMode", "dynamic" if dynamic else "static"
-    )
-    writer.mode("overwrite").parquet(f"{path}/{_FUZZY_SUBDIR}")
 
 
 def fuzzy_vocab_append(
@@ -830,16 +824,72 @@ def fuzzy_vocab_append(
     per ``(variant, term)`` across epochs — exact because df is a
     plain count over disjoint doc sets.  Deletion-variant rows for a
     term that already exists land again under the new epoch (few
-    bytes; the read-side group-sum folds them).  Replaying an epoch
-    overwrites exactly its own partitions (dynamic overwrite), so a
-    restarted maintenance stream cannot double-count.  ``max_edits``
-    / ``n_buckets`` come from the artifact's meta — an append can
-    never diverge from the build settings."""
+    bytes; the read-side group-sum folds them).  The epoch lands via
+    ``manifest.write_epoch`` (epoch-owned overwrite + commit marker),
+    so a restarted maintenance stream replays exactly its own epoch
+    and cannot double-count, and a half-written epoch is invisible to
+    readers and to :func:`fuzzy_vocab_compact`.  ``epoch`` must be
+    >= 0 — negative ids are reserved (``epoch=-1`` is the folded
+    base, :func:`write_fuzzy_vocab`).  ``max_edits`` / ``n_buckets``
+    come from the artifact's meta — an append can never diverge from
+    the build settings.  A pre-r18 artifact (top-level ``epoch=``
+    dirs, no manifest) refuses the append with a rebuild message
+    instead of producing a mixed layout partition discovery would
+    reject at read time."""
+    if int(epoch) < 0:
+        raise ValueError(
+            f"epoch must be >= 0, got {epoch} (negative epochs are "
+            "reserved for the write_fuzzy_vocab base)"
+        )
     spark = index_delta.sparkSession
+    vroot = f"{path}/{_FUZZY_SUBDIR}"
+    if M.manifest_resolve(spark, vroot) is None:
+        raise ValueError(
+            f"no manifest-versioned fuzzy-vocab artifact at {path!r} "
+            "(missing, or a pre-r18 legacy layout); rebuild with "
+            "write_fuzzy_vocab before appending"
+        )
     mrow = spark.read.parquet(f"{path}/{_FUZZY_META_SUBDIR}").first()
-    _write_fuzzy_epoch(
-        index_delta, path, int(epoch),
-        int(mrow["max_edits"]), int(mrow["n_buckets"]), dynamic=True,
+    vv = _fuzzy_variant_rows(
+        index_delta, int(mrow["max_edits"]), int(mrow["n_buckets"])
+    ).repartition("vbucket")
+    M.write_epoch(vv, vroot, int(epoch), partition_cols=("vbucket",))
+
+
+def fuzzy_vocab_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the fuzzy artifact's appended epochs into the next base
+    version — ``index_compact``'s lifecycle applied to the fuzzy tier
+    (r17 verdict: a long-maintained vocabulary accumulating per-batch
+    epochs hits the same small-files wall the postings tier measured;
+    a full rebuild was previously the only compaction).
+
+    The fold group-sums ``df`` per ``(variant, term)`` — exactly the
+    merge every reader performs per query, done once and persisted —
+    so a compacted artifact answers :func:`fuzzy_match_terms`
+    identically AND carries one row per (variant, term) and at most
+    one file per vbucket instead of one per epoch.  Commit is one
+    manifest PUT (``manifest.compact_artifact``): concurrent readers
+    pinned on the old manifest keep serving base ∪ epochs, appends
+    landing mid-fold stay live through it, and a crash before the PUT
+    leaves the old version intact."""
+    vroot = f"{path.rstrip('/')}/{_FUZZY_SUBDIR}"
+    if M.manifest_resolve(spark, vroot) is None:
+        raise ValueError(
+            f"no manifest-versioned fuzzy-vocab artifact at {path!r} "
+            "(missing, or a pre-r18 legacy layout); rebuild with "
+            "write_fuzzy_vocab"
+        )
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("vbucket", "variant", "term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .select("term", "df", "variant", "vbucket")
+            .repartition("vbucket")
+        )
+
+    return M.compact_artifact(
+        spark, vroot, fold, partition_cols=("vbucket",)
     )
 
 
@@ -879,13 +929,15 @@ def fuzzy_match_terms(
     )
     allv = sorted({v for _, v in qrows})
     vv = (
-        spark.read.parquet(f"{path}/{_FUZZY_SUBDIR}")
+        M.read_artifact(spark, f"{path}/{_FUZZY_SUBDIR}", drop_epoch=True)
         .where(F.col("vbucket").isin(buckets) & F.col("variant").isin(allv))
         .withColumnRenamed("variant", "_variant")
-        # merge epochs: df is sum-mergeable across the disjoint doc
-        # slices fuzzy_vocab_append lands (a no-op group on a
-        # single-epoch artifact); runs AFTER the static bucket+variant
-        # pruning, so the grouped frame is query-neighborhood-sized
+        # merge base + live epochs: df is sum-mergeable across the
+        # disjoint doc slices fuzzy_vocab_append lands (a no-op group
+        # on a freshly-built or compacted artifact); runs AFTER the
+        # static bucket+variant pruning, which applies to BOTH
+        # branches of the manifest read, so the grouped frame is
+        # query-neighborhood-sized
         .groupBy("_variant", "term")
         .agg(F.sum("df").alias("df"))
     )

@@ -695,27 +695,20 @@ def maintain_fuzzy_vocab(
     corrections and postings stay in lockstep).
 
     Per micro-batch, the batch docs' vocabulary (deletion variants +
-    delta df) lands under ``epoch=<batch_id>`` with dynamic partition
-    overwrite — a replayed batch rewrites exactly its own epoch, so
-    the readers' cross-epoch df SUM cannot double-count (the
-    sum-semantics exactly-once contract of ``maintain_sketch_shards``).
-    The artifact must exist (``write_fuzzy_vocab`` bootstrap — its
-    meta pins max_edits/n_buckets; appends can never diverge).
-    Serving reads through ``fuzzy_match_terms`` re-list partitions per
-    call, so ``serve_search_queries``' per-batch correction sees every
-    committed epoch with no restart.
-
-    Consistency boundary (stated, not hidden): unlike the postings
-    artifact this table is NOT manifest-committed — a reader that
-    overlaps an in-flight append can transiently observe a partial
-    epoch (some variant buckets written, others not), which can shift
-    a df-tie-broken best match for one batch.  That is safe by the
-    tier's contract: corrections are ADVISORY (BM25 scoring stays
-    exact over the postings artifact for whatever terms serve), and
-    the next batch reads the fully-committed epoch.  A deployment that
-    needs correction-stability under concurrent appends should route
-    this table through ``manifest.write_epoch`` like the postings —
-    the trade is one manifest resolve per lookup."""
+    delta df) lands as committed ``epoch=<batch_id>`` through
+    ``manifest.write_epoch`` (r18 — the fuzzy artifact joined the
+    manifest contract): a replayed batch rewrites exactly its own
+    epoch so the readers' cross-epoch df SUM cannot double-count (the
+    sum-semantics exactly-once contract of ``maintain_sketch_shards``),
+    and a half-written epoch is invisible to readers — the commit
+    marker lands only after the data write, so a correction can never
+    see a partial epoch's df.  The artifact must exist
+    (``write_fuzzy_vocab`` bootstrap — its meta pins
+    max_edits/n_buckets; appends can never diverge).  Serving reads
+    through ``fuzzy_match_terms`` re-resolve the manifest per call, so
+    ``serve_search_queries``' per-batch correction sees every
+    committed epoch — and every ``fuzzy_vocab_compact`` fold — with
+    no restart."""
     from ..operators.retrieval import fuzzy_vocab_append, inverted_index
 
     def _batch(df, epoch_id):
@@ -1487,7 +1480,10 @@ def serve_search_queries(
       (an :func:`similarity.ivf_save` layout whose vector ids ARE
       document ids — document embeddings); ``score`` = RRF score.
       Requires ``ann_index_path``; hybrid rows are skipped with a
-      warning without it.  The ANN model state (centroids) loads once
+      warning without it.  A hybrid row with a vector but NO terms is
+      legal — it serves its dense arm alone (r18: a batch of pure
+      vector-only rows serves too; the postings artifact is only
+      loaded when some row carries terms).  The ANN model state (centroids) loads once
       at start and the assignments re-resolve through their manifest
       per batch — :func:`serve_ann_queries`'s freshness contract, so
       :func:`maintain_ivf_index` appends and ``ivf_compact`` commits
@@ -1526,10 +1522,14 @@ def serve_search_queries(
     ``fusion`` — how the fused/hybrid arms combine: ``'rrf'``
     (default, the calibration-free q131/q136 recipes) or ``'score'``
     (``retrieval.score_fuse_batch``'s CombSUM: per-arm min-max
-    normalization into [0, 1] then a ``fusion_weights``-weighted sum,
-    lexical arm first — the q143 recipe online, for callers who want
-    to tune the lexical/dense balance; the fused arm's tightness
-    score is ``-min_span``, orientation being all min-max needs).
+    normalization into [0, 1] then a weighted sum, each arm tagged
+    with its weight at construction — lexical arms carry
+    ``fusion_weights[0]``, the tightness/dense arm
+    ``fusion_weights[1]``, so a hybrid row with a vector but no terms
+    still fuses under the dense weight — the q143 recipe online, for
+    callers who want to tune the lexical/dense balance; the fused
+    arm's tightness score is ``-min_span``, orientation being all
+    min-max needs).
     bm25/phrase/proximity rows are single-arm and ignore the setting.
 
     Scale posture: the batch's DISTINCT terms (all modes pooled)
@@ -1579,14 +1579,21 @@ def serve_search_queries(
 
     def _fuse(arms):
         """Combine the fused/hybrid arms per the configured fusion
-        mode.  Arms carry ``(q_id, id, rank, score)`` — rrf consumes
-        the ranks (q131/q136's calibration-free recipe), score
-        consumes the scores (score_fuse_batch's CombSUM: per-arm
-        min-max into [0,1], fusion_weights applied lexical-first).
-        Both return ``(q_id, rank, id, score)`` top-k per query."""
+        mode.  ``arms`` is a list of ``(frame, weight)`` pairs — each
+        frame carries ``(q_id, id, rank, score)`` and its weight at
+        construction (lexical arms ``fusion_weights[0]``, the
+        tightness/dense arm ``fusion_weights[1]``), so a query whose
+        lexical arm is ABSENT (e.g. a hybrid row with a vector but no
+        terms) still fuses its dense scores under the dense weight —
+        a positional ``weights[:len(arms)]`` slice would silently
+        hand it the lexical weight (ADVICE r17).  rrf consumes the
+        ranks and ignores the weights (q131/q136's calibration-free
+        recipe); score consumes the scores (score_fuse_batch's
+        CombSUM: per-arm min-max into [0,1], weighted sum).  Both
+        return ``(q_id, rank, id, score)`` top-k per query."""
         if fusion == "rrf":
             f = rrf_fuse_batch(
-                [a.select(q_id_col, id_col, "rank") for a in arms],
+                [a.select(q_id_col, id_col, "rank") for a, _ in arms],
                 id_col=id_col, q_id_col=q_id_col, k=rrf_k0,
                 topk=int(k), scale=scale,
             )
@@ -1595,8 +1602,8 @@ def serve_search_queries(
                 F.col("rrf_score").cast("double").alias("score"),
             )
         f = score_fuse_batch(
-            [a.select(q_id_col, id_col, "score") for a in arms],
-            weights=list(fusion_weights)[: len(arms)],
+            [a.select(q_id_col, id_col, "score") for a, _ in arms],
+            weights=[w for _, w in arms],
             id_col=id_col, q_id_col=q_id_col, score_col="score",
             topk=int(k), scale=scale or 10**6,
         )
@@ -1714,47 +1721,60 @@ def serve_search_queries(
             .collect()
         )
         terms = sorted(r["t"] for r in term_rows)
-        if not terms:
-            return
-        if manifest_resolve(spark, f"{index_root}/{_POSTINGS_SUBDIR}") is None:
-            warnings.warn(
-                f"serve_search_queries: index artifact {index_root!r} "
-                "not initialized yet; batch served with no results"
-            )
-            return
-        dels = None
-        if pending_deletes_path is not None:
-            try:
-                overlay = spark.read.option(
-                    "ignoreMissingFiles", "true"
-                ).parquet(pending_deletes_path)
-                rows = overlay.collect()
-                if rows:
-                    dels = spark.createDataFrame(rows, overlay.schema)
-            except AnalysisException:
-                dels = None
-            except Exception as exc:
-                warnings.warn(
-                    "serve_search_queries: pending-deletes overlay at "
-                    f"{pending_deletes_path!r} unreadable this batch "
-                    f"({type(exc).__name__}); serving without it"
-                )
-                dels = None
-        if len(terms) > max_pruned_terms:
-            post, stats = read_index_artifact(
-                spark, index_root, pending_deletes=dels, id_col=id_col
-            )
+        # a batch can legitimately carry no terms at all — e.g. pure
+        # vector-only hybrid rows — and must still serve its dense
+        # arm: the postings artifact is only needed by the lexical and
+        # positional scorers (pre-r18 the empty term pool returned
+        # early and silently dropped the batch)
+        dense_only = not terms
+        post = stats = None
+        if dense_only:
+            if ann_codes_root is None:
+                return
         else:
-            post, stats = load_postings_artifact(
-                spark, index_root, terms, pending_deletes=dels,
-                id_col=id_col,
-            )
-        # one pruned postings load serves EVERY arm of the union write
-        # below — without the persist each arm's subtree re-scans the
-        # artifact (measured: mixed-batch p50 ~4x the bm25-only p50
-        # pre-fusion, BENCH_LOCAL serving.mixed)
-        post = post.persist()
-        _hold["post"] = post
+            if manifest_resolve(
+                spark, f"{index_root}/{_POSTINGS_SUBDIR}"
+            ) is None:
+                warnings.warn(
+                    f"serve_search_queries: index artifact "
+                    f"{index_root!r} not initialized yet; batch served "
+                    "with no results"
+                )
+                return
+            dels = None
+            if pending_deletes_path is not None:
+                try:
+                    overlay = spark.read.option(
+                        "ignoreMissingFiles", "true"
+                    ).parquet(pending_deletes_path)
+                    rows = overlay.collect()
+                    if rows:
+                        dels = spark.createDataFrame(rows, overlay.schema)
+                except AnalysisException:
+                    dels = None
+                except Exception as exc:
+                    warnings.warn(
+                        "serve_search_queries: pending-deletes overlay "
+                        f"at {pending_deletes_path!r} unreadable this "
+                        f"batch ({type(exc).__name__}); serving without "
+                        "it"
+                    )
+                    dels = None
+            if len(terms) > max_pruned_terms:
+                post, stats = read_index_artifact(
+                    spark, index_root, pending_deletes=dels, id_col=id_col
+                )
+            else:
+                post, stats = load_postings_artifact(
+                    spark, index_root, terms, pending_deletes=dels,
+                    id_col=id_col,
+                )
+            # one pruned postings load serves EVERY arm of the union
+            # write below — without the persist each arm's subtree
+            # re-scans the artifact (measured: mixed-batch p50 ~4x the
+            # bm25-only p50 pre-fusion, BENCH_LOCAL serving.mixed)
+            post = post.persist()
+            _hold["post"] = post
 
         # null/empty term CELLS drop row-side (a producer convenience
         # the single-query path also had); fully-empty rows are then
@@ -1791,6 +1811,13 @@ def serve_search_queries(
                 f"serve_search_queries: {pres['bad']} row(s) with "
                 "unknown mode skipped"
             )
+        # with no terms in the batch, fq/hl are structurally 0 (both
+        # require a non-empty cleaned terms array); bm/pos rows, if
+        # any, carry only null/empty terms and have nothing to score
+        n_bm = 0 if dense_only else pres["bm"]
+        n_pos = 0 if dense_only else pres["pos"]
+        if dense_only and not pres["hv"]:
+            return
         outs = []
         # UNIFIED lexical scoring (r17, r16 verdict #3): the bm25
         # arm, the fused arm's BM25 leg and the hybrid arm's lexical
@@ -1804,7 +1831,7 @@ def serve_search_queries(
         # not leak into fused/hybrid.
         bm_dedicated = champion_m is not None
         lex_modes = []
-        if pres["bm"] and not bm_dedicated:
+        if n_bm and not bm_dedicated:
             lex_modes.append("bm25")
         if pres["fq"]:
             lex_modes.append("fused")
@@ -1842,7 +1869,7 @@ def serve_search_queries(
             # exact re-computation this pass exists to remove
             lex = lex.persist()
             _hold["lex"] = lex
-        if pres["bm"] and not bm_dedicated:
+        if n_bm and not bm_dedicated:
             outs.append(
                 lex.where(
                     (F.col("_m") == "bm25") & (F.col("rank") <= int(k))
@@ -1854,7 +1881,7 @@ def serve_search_queries(
                     F.col("score").cast("double").alias("score"),
                 )
             )
-        elif pres["bm"]:
+        elif n_bm:
             from ..operators.retrieval import (
                 champion_candidates,
                 champion_lists,
@@ -1910,7 +1937,7 @@ def serve_search_queries(
                 ),
             ).otherwise(F.lit(0)).alias("_slop"),
         )
-        if pres["pos"]:
+        if n_pos:
             matches = positional_search_batch(
                 post, posq, id_col=id_col, q_id_col="_qm",
                 terms_col=terms_col, slop_col="_slop",
@@ -1960,7 +1987,9 @@ def serve_search_queries(
                 )
             )
             outs.append(
-                _fuse([bm4, prox]).select(
+                _fuse(
+                    [(bm4, fusion_weights[0]), (prox, fusion_weights[1])]
+                ).select(
                     F.col(q_id_col),
                     F.lit("fused").alias("mode"),
                     "rank",
@@ -1983,11 +2012,12 @@ def serve_search_queries(
 
                 arms = []
                 if pres["hl"]:
-                    arms.append(
+                    arms.append((
                         lex.where(F.col("_m") == "hybrid").select(
                             q_id_col, id_col, "rank", "score"
-                        )
-                    )
+                        ),
+                        fusion_weights[0],
+                    ))
                 hv = hyq.where(F.col(q_vec_col).isNotNull()).select(
                     q_id_col, q_vec_col
                 )
@@ -2002,7 +2032,7 @@ def serve_search_queries(
                     wv = Window.partitionBy(q_id_col).orderBy(
                         F.desc("sim_fx"), F.col("vec_id")
                     )
-                    arms.append(
+                    arms.append((
                         sims.withColumn("rank", F.row_number().over(wv))
                         .where(F.col("rank") <= 4 * int(k))
                         .select(
@@ -2012,8 +2042,9 @@ def serve_search_queries(
                             F.col("sim_fx").cast("double").alias(
                                 "score"
                             ),
-                        )
-                    )
+                        ),
+                        fusion_weights[1],
+                    ))
                 if arms:
                     outs.append(
                         _fuse(arms).select(

@@ -21,6 +21,13 @@ def test_corpus_count_matches_coverage_doc():
         f"COVERAGE.md's graded-window section must say 'the corpus has "
         f"{n}' — len(QUERIES) changed without updating the protocol doc"
     )
+    # the oracle count is pinned too (r17 verdict #4: the sentence had
+    # drifted to a stale count while the corpus count stayed pinned)
+    n_oracle = len(Q.ORACLE)
+    assert f"ALL {n_oracle} oracles" in text, (
+        f"COVERAGE.md must say 'ALL {n_oracle} oracles' — len(ORACLE) "
+        "changed without updating the protocol doc"
+    )
 
 
 def test_window_ordering_is_exactly_50_oracle_backed():

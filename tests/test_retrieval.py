@@ -1844,6 +1844,125 @@ def test_fuzzy_vocab_append_merges_df_and_replays_exactly_once(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_fuzzy_vocab_compact_lifecycle(spark):
+    """r18 fuzzy-tier compaction (r17 verdict #3): build -> N appends
+    -> fuzzy_vocab_compact folds the epochs into the next base version
+    behind one manifest PUT; fuzzy_match_terms answers IDENTICALLY
+    before and after, the artifact's live file count drops, and
+    appends keep landing after the fold (pause-free lifecycle — the
+    q103/index_compact contract applied to the fuzzy artifact)."""
+    from gcf_corima_parquet_converter_spark.operators import manifest as M
+
+    d0 = spark.createDataFrame(
+        [(i, "spark window merge") for i in range(4)],
+        "doc_id long, text string",
+    )
+    slices = [
+        spark.createDataFrame(
+            [(100 * e + i, "spark quantum") for i in range(2)],
+            "doc_id long, text string",
+        )
+        for e in range(1, 4)
+    ]
+    d = tempfile.mkdtemp()
+    queries = ["spak", "windo", "quantm"]
+
+    def live_files(root):
+        m = M.manifest_resolve(spark, root)
+        live = [
+            e for e in M.list_epochs(spark, root)
+            if e not in set(m["folded_epochs"])
+            and e > int(m["folded_watermark"])
+        ]
+        paths = [M.base_dir(root, int(m["version"]))] + [
+            f"{M.epochs_dir(root)}/epoch={e}" for e in live
+        ]
+        n = 0
+        for p in paths:
+            for base, _, files in os.walk(p):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    try:
+        R.write_fuzzy_vocab(R.inverted_index(d0), d, max_edits=1,
+                            n_buckets=4)
+        for e, sl in enumerate(slices, start=1):
+            R.fuzzy_vocab_append(R.inverted_index(sl), d, epoch=e)
+        vroot = f"{d}/{R._FUZZY_SUBDIR}"
+        before = {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, queries).collect()
+        }
+        files_before = live_files(vroot)
+        res = R.fuzzy_vocab_compact(spark, d)
+        assert res["version"] == 2 and res["epochs_folded"] == 3
+        after = {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, queries).collect()
+        }
+        assert after == before
+        # df summed across the build + the three appended slices
+        assert ("quantm", "quantum", 1, 6) in after
+        assert ("spak", "spark", 1, 10) in after
+        # the fold's payoff: one file per live vbucket instead of one
+        # per (epoch, vbucket)
+        assert live_files(vroot) < files_before
+        # settings survive the fold via the manifest extra
+        m = M.manifest_resolve(spark, vroot)
+        assert m["n_buckets"] == 4 and m["max_edits"] == 1
+        # pause-free: appends keep landing after the fold
+        R.fuzzy_vocab_append(
+            R.inverted_index(
+                spark.createDataFrame(
+                    [(900, "quantum leap")], "doc_id long, text string"
+                )
+            ),
+            d, epoch=4,
+        )
+        assert ("quantm", "quantum", 1, 7) in {
+            tuple(r)
+            for r in R.fuzzy_match_terms(spark, d, ["quantm"]).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fuzzy_vocab_append_guards(spark):
+    """ADVICE r17: fuzzy_vocab_append rejects reserved negative epochs
+    (epoch=-1 is the folded base — a dynamic overwrite there would
+    corrupt base vocabulary counts) and refuses a legacy / missing
+    artifact with a rebuild message instead of producing a mixed
+    layout that fails far away at read time; fuzzy_vocab_compact has
+    the same legacy guard."""
+    docs = spark.createDataFrame(
+        [(1, "spark window")], "doc_id long, text string"
+    )
+    idx = R.inverted_index(docs)
+    d = tempfile.mkdtemp()
+    try:
+        R.write_fuzzy_vocab(idx, d, max_edits=1, n_buckets=4)
+        with pytest.raises(ValueError, match="reserved"):
+            R.fuzzy_vocab_append(idx, d, epoch=-1)
+        # a pre-r18 layout: rows directly under epoch=*/vbucket=*,
+        # no _manifests dir
+        legacy = tempfile.mkdtemp()
+        try:
+            vv = R._fuzzy_variant_rows(idx, 1, 4).withColumn(
+                "epoch", F.lit(-1)
+            )
+            vv.write.partitionBy("epoch", "vbucket").mode(
+                "overwrite"
+            ).parquet(f"{legacy}/{R._FUZZY_SUBDIR}")
+            with pytest.raises(ValueError, match="rebuild"):
+                R.fuzzy_vocab_append(idx, legacy, epoch=1)
+            with pytest.raises(ValueError, match="rebuild"):
+                R.fuzzy_vocab_compact(spark, legacy)
+        finally:
+            shutil.rmtree(legacy, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_batch_positional_and_fuzzy_analyzer_composition(spark):
     """The batch operators and the fuzzy expander keep the
     same-analyzer contract: caller-provided terms pass through

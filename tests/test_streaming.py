@@ -2968,6 +2968,295 @@ def test_serve_search_queries_score_fusion_matches_offline(
         )
 
 
+def test_serve_search_queries_output_equals_one_offline_twin(
+    spark, tmp_path
+):
+    """r17 verdict #6: the served answer SET for a mixed batch —
+    every mode, fuzzy correction, champion pruning, hybrid dense arm,
+    a vector-only row — equals ONE offline composition of the batch
+    operators over the same artifacts (the q141-style offline twin).
+    Unlike the per-mode parity tests this compares the full
+    (q_id, mode, rank, doc_id, score) frame at once, so any fusion
+    refactor that drifts serving away from the offline recipe fails
+    here even if each arm still looks right in isolation."""
+    import glob as _g
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.operators import (
+        similarity as S,
+    )
+    from gcf_corima_parquet_converter_spark.operators.manifest import (
+        read_artifact,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [
+        (i, f"quick brown w{i % 3} fox gap{i % 5} quick brown doc")
+        for i in range(12)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "tw_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+    fz_root = str(tmp_path / "tw_fz")
+    R.write_fuzzy_vocab(R.inverted_index(ddf), fz_root, max_edits=1,
+                        n_buckets=8)
+    embs = [
+        (i, [float(i % 4), float((i * 3) % 5), 1.0, float(i % 2)])
+        for i in range(12)
+    ]
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    cents = np.array([[0.0, 0.0, 1.0, 0.0], [3.0, 4.0, 1.0, 1.0]])
+    ann_root = str(tmp_path / "tw_ann")
+    S.ivf_save(S.ivf_assign(edf, cents), cents, ann_root)
+
+    sch = (
+        "q_id long, mode string, terms array<string>, slop int, "
+        "q_vec array<float>"
+    )
+    qv6, qv7 = [1.0, 2.0, 1.0, 0.0], [0.5, 1.0, 2.0, 1.0]
+    rows = [
+        (1, "bm25", ["quick", "brown"], None, None),
+        (2, "bm25", ["quik", "brwn"], None, None),
+        (3, "phrase", ["quick", "brown"], None, None),
+        (4, "proximity", ["quick", "brown"], 1, None),
+        (5, "fused", ["quick", "brown", "fox"], None, None),
+        (6, "hybrid", ["quick", "fox"], None, qv6),
+        (7, "hybrid", None, None, qv7),
+    ]
+    qsrc = str(tmp_path / "tw_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "tw_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    K, M_CH = 5, 50
+    out_path = str(tmp_path / "tw_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "tw_ck"),
+        k=K, idf="rational", scale=10**6,
+        ann_index_path=ann_root, fuzzy_vocab_path=fz_root,
+        champion_m=M_CH,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["q_id"], r["mode"], r["rank"], r["doc_id"], r["score"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+    # ---- offline twin: ONE composition over the same artifacts
+    post, stats = R.read_index_artifact(spark, root)
+    post = post.drop("tbucket")
+    # 1. correction (bm25 rows only), through the same fuzzy artifact
+    best = R.fuzzy_best_match(
+        R.fuzzy_match_terms(
+            spark, fz_root, ["quick", "brown", "quik", "brwn"]
+        )
+    )
+    bmq = spark.createDataFrame(
+        [(1, ["quick", "brown"]), (2, ["quik", "brwn"])],
+        "q_id long, terms array<string>",
+    )
+    bm_cor = (
+        bmq.select("q_id", F.explode("terms").alias("q_term"))
+        .join(F.broadcast(best), "q_term")
+        .groupBy("q_id")
+        .agg(F.collect_set("term").alias("terms"))
+    )
+    # 2. champion-pruned exact BM25 (the q139 recipe)
+    cands = R.champion_candidates(
+        R.champion_lists(post, m=M_CH, stats=stats), bm_cor
+    )
+    parts = [
+        R.bm25_topk_batch(
+            post, bm_cor, k=K, idf="rational", scale=10**6,
+            stats=stats, candidates=cands,
+        ).select(
+            "q_id", F.lit("bm25").alias("mode"), "rank", "doc_id",
+            F.col("score").cast("double").alias("score"),
+        )
+    ]
+    # 3. positional modes
+    for q_id, mode, slop in ((3, "phrase", 0), (4, "proximity", 1)):
+        pq = spark.createDataFrame(
+            [(q_id, ["quick", "brown"], slop)],
+            "q_id long, terms array<string>, slop int",
+        )
+        m = R.positional_search_batch(post, pq, slop_col="slop")
+        wp = W.partitionBy("q_id").orderBy(F.desc("n_matches"), "doc_id")
+        parts.append(
+            m.withColumn("rank", F.row_number().over(wp))
+            .where(F.col("rank") <= K)
+            .select(
+                "q_id", F.lit(mode).alias("mode"), "rank", "doc_id",
+                F.col("n_matches").cast("double").alias("score"),
+            )
+        )
+    # 4. fused: BM25 top-4K + MinDist tightness, RRF (the q131 recipe)
+    fq = spark.createDataFrame(
+        [(5, ["quick", "brown", "fox"])], "q_id long, terms array<string>"
+    )
+    bm4 = R.bm25_topk_batch(
+        post, fq, k=4 * K, idf="rational", scale=10**6, stats=stats
+    ).select("q_id", "doc_id", "rank")
+    ws = W.partitionBy("q_id").orderBy("min_span", "doc_id")
+    prox4 = (
+        R.min_span_batch(post, fq)
+        .withColumn("rank", F.row_number().over(ws))
+        .where(F.col("rank") <= 4 * K)
+        .select("q_id", "doc_id", "rank")
+    )
+    parts.append(
+        R.rrf_fuse_batch([bm4, prox4], topk=K, scale=10**6).select(
+            "q_id", F.lit("fused").alias("mode"), "rank", "doc_id",
+            F.col("rrf_score").cast("double").alias("score"),
+        )
+    )
+    # 5. hybrid: lexical arm (q6 only) + dense arm (q6 and the
+    # vector-only q7), RRF per query (the q136 recipe)
+    hq = spark.createDataFrame(
+        [(6, ["quick", "fox"])], "q_id long, terms array<string>"
+    )
+    hlex = R.bm25_topk_batch(
+        post, hq, k=4 * K, idf="rational", scale=10**6, stats=stats
+    ).select("q_id", "doc_id", "rank")
+    hv = spark.createDataFrame(
+        [(6, qv6), (7, qv7)], "q_id long, q_vec array<float>"
+    )
+    sims = S.ivf_topk_batch(
+        read_artifact(spark, f"{ann_root}/assignments"), cents, hv,
+        k=4 * K, n_probe=4,
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("sim_fx"), "vec_id")
+    hdense = (
+        sims.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= 4 * K)
+        .select("q_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    parts.append(
+        R.rrf_fuse_batch([hlex, hdense], topk=K, scale=10**6).select(
+            "q_id", F.lit("hybrid").alias("mode"), "rank", "doc_id",
+            F.col("rrf_score").cast("double").alias("score"),
+        )
+    )
+    want = set()
+    for part in parts:
+        want |= {
+            (r["q_id"], r["mode"], r["rank"], r["doc_id"], r["score"])
+            for r in part.collect()
+        }
+    assert got == want
+    # every query answered, including the corrected typo row and the
+    # vector-only row
+    assert {t[0] for t in got} == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_serve_search_queries_dense_only_hybrid_weight_and_termless_batch(
+    spark, tmp_path
+):
+    """ADVICE r17 + r18: (a) a hybrid row with a vector but NO terms
+    fuses its dense arm under fusion_weights[1] — the dense weight —
+    not the lexical weight a positional weights[:len(arms)] slice
+    would hand it; (b) a batch carrying no terms at all (pure
+    vector-only rows) still serves instead of hitting the empty
+    term-pool early return."""
+    import glob as _g
+    import os
+    import shutil
+
+    import numpy as np
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.operators import (
+        similarity as S,
+    )
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [(i, f"quick brown doc {i}") for i in range(8)]
+    root = str(tmp_path / "do_idx")
+    R.index_append(
+        R.inverted_index(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ),
+        root, 0, n_buckets=4,
+    )
+    embs = [
+        (i, [float(i % 4), float((i * 3) % 5), 1.0, float(i % 2)])
+        for i in range(8)
+    ]
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    cents = np.array([[0.0, 0.0, 1.0, 0.0], [3.0, 4.0, 1.0, 1.0]])
+    ann_root = str(tmp_path / "do_ann")
+    S.ivf_save(S.ivf_assign(edf, cents), cents, ann_root)
+
+    sch = (
+        "q_id long, mode string, terms array<string>, slop int, "
+        "q_vec array<float>"
+    )
+    qv = [1.0, 2.0, 1.0, 0.0]
+    rows = [(1, "hybrid", None, None, qv)]
+    qsrc = str(tmp_path / "do_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "do_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    out_path = str(tmp_path / "do_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "do_ck"),
+        k=5, idf="rational", scale=10**6, ann_index_path=ann_root,
+        fusion="score", fusion_weights=(0.7, 0.3),
+    )
+    q.awaitTermination(120)
+
+    # offline: the dense arm alone through score_fuse_batch under the
+    # DENSE weight (0.3) — exhaustive probe, n_probe covers both lists
+    from gcf_corima_parquet_converter_spark.operators.manifest import (
+        read_artifact,
+    )
+
+    qdf = spark.createDataFrame([(1, qv)], "q_id long, q_vec array<float>")
+    sims = S.ivf_topk_batch(
+        read_artifact(spark, f"{ann_root}/assignments"), cents, qdf,
+        k=20, n_probe=2,
+    )
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy("q_id").orderBy(F.desc("sim_fx"), "vec_id")
+    dense = (
+        sims.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= 20)
+        .select(
+            "q_id", F.col("vec_id").alias("doc_id"),
+            F.col("sim_fx").cast("double").alias("score"),
+        )
+    )
+    want = {
+        (r["rank"], r["doc_id"], float(r["fused_score"]))
+        for r in R.score_fuse_batch(
+            [dense], weights=[0.3], topk=5, scale=10**6
+        ).collect()
+    }
+    got = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) == 5
+
+
 def test_serve_search_queries_duplicate_qid_across_positional_modes(
     spark, tmp_path
 ):
