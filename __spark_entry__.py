@@ -391,6 +391,18 @@ _DEMOTED_REDUNDANT = (
     # graded token statistics; the PMI ranking itself stays pinned by
     # test_collocations + the local oracle.
     "q116_collocations",
+    # r18 (same-round promotion): the NEW q144_mmr_diversified_topk
+    # (MMR diversified re-ranking, Carbonell & Goldstein 1998) takes
+    # q25's slot.  q25's brute-force cosine top-k family stays
+    # in-window twice over: q144's candidate generator IS
+    # similarity.batch_cosine_topk (the same dot / fixed-point /
+    # two-phase-rank kernel, exercised as a strict superset — q25 is
+    # its single-query case, q56 its already-demoted batch twin), and
+    # q128's ANN ablation grades the same exact-cosine ground truth.
+    # q25 stays oracle-verified locally and stays in the bench
+    # HEADLINE list (bench membership is independent of the graded
+    # window).
+    "q25_cosine_topk",
 )
 _ROWS_ONLY_TAIL = (
     "q26_minhash_near_dup",

@@ -1922,9 +1922,43 @@ def _bench_mixed_serving(spark, inc_root: str, work: str, pool) -> dict:
         )
         mq.awaitTermination(300)
         mode_floor[mode] = _batch_percentiles(mq)["batch_p50_sec"]
+    # r18 (r17 verdict #4): the fused arm is the mixed batch's floor,
+    # driven by the MinDist subplan — measure the lex-restricted span
+    # scope (fused_span_scope='lex': spans fold only over the BM25
+    # top-4k candidates) against the default on an identical
+    # single-mode fused batch
+    rows = []
+    for j in range(per_batch):
+        terms = [
+            pool[(qid * 11 + t * 17 + 3) % len(pool)] for t in range(3)
+        ]
+        rows.append((qid, "fused", terms, None, None))
+        qid += 1
+    lsrc = os.path.join(work, "floor_src_fused_lex")
+    os.makedirs(lsrc)
+    stage = os.path.join(work, "floor_stage_fused_lex")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+    [f] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.copy(f, os.path.join(lsrc, "000.parquet"))
+    lq = serve_search_queries(
+        spark.readStream.schema(sch).parquet(lsrc),
+        inc_root,
+        os.path.join(work, "floor_out_fused_lex"),
+        checkpoint=os.path.join(work, "floor_ckpt_fused_lex"),
+        k=10,
+        ann_index_path=hyb_root,
+        fused_span_scope="lex",
+    )
+    lq.awaitTermination(300)
+    mode_floor["fused_lex"] = _batch_percentiles(lq)["batch_p50_sec"]
     mode_floor["probe_env_post"] = _probe_env()
+    # sum over the five MODES only (the mixed-wall comparison);
+    # fused_lex is the A/B twin of fused, not a sixth arm
     mode_floor["sum_sec"] = round(
-        sum(v for v in mode_floor.values() if isinstance(v, (int, float))),
+        sum(
+            v for m, v in mode_floor.items()
+            if m in modes and isinstance(v, (int, float))
+        ),
         3,
     )
     return {

@@ -413,6 +413,7 @@ def _query_postings(
     id_col: str,
     q_id_col: str,
     extra_cols: list[str],
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Shared batch-positional base: explode each query's terms with
     their ordinal, resolve ALL queries' postings through ONE broadcast
@@ -421,7 +422,11 @@ def _query_postings(
     containing EVERY query term (``size == n_terms``; a repeated term
     matches the same posting row once per ordinal, so presence
     semantics match the single-query join chains).  ``extra_cols``
-    ride from the query frame to the output via ``first()``."""
+    ride from the query frame to the output via ``first()``.
+    ``candidates`` (``(q_id, id)``) restricts each query to the given
+    documents BEFORE the ``(q_id, doc)`` shuffle and the packed-array
+    fold — the broadcast join lands on the term-join output, so
+    non-candidate postings never shuffle and never fold."""
     qt = q.select(
         F.col(q_id_col),
         *extra_cols,
@@ -431,6 +436,13 @@ def _query_postings(
     j = index.select("term", id_col, "positions").join(
         F.broadcast(qt), "term"
     )
+    if candidates is not None:
+        j = j.join(
+            F.broadcast(
+                candidates.select(q_id_col, id_col).distinct()
+            ),
+            [q_id_col, id_col],
+        )
     return (
         j.groupBy(q_id_col, id_col)
         .agg(
@@ -541,6 +553,7 @@ def min_span_batch(
     id_col: str = "doc_id",
     q_id_col: str = "q_id",
     terms_col: str = "terms",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Minimum covering span for EVERY query in ``queries`` in one
     set-based pass — the batch companion to :func:`min_span` (same
@@ -555,12 +568,26 @@ def min_span_batch(
     event updates its slot via an index-aware ``transform`` — the
     identical sweep, variable-width.  Plan shape matches
     :func:`positional_search_batch`: one broadcast term join, one
-    ``(q_id, doc)`` shuffle, per-row packed-array fold, no explode."""
+    ``(q_id, doc)`` shuffle, per-row packed-array fold, no explode.
+
+    ``candidates`` (``(q_id, id)``, r17 verdict #4) restricts each
+    query's span computation to the given documents — the
+    candidate-generation-then-rerank shape: when MinDist re-ranks a
+    lexical top-k (the fused recipe), spans outside those candidates
+    can never reach the fusion, so folding them is pure waste; the
+    broadcast semi-restriction lands BEFORE the ``(q_id, doc)``
+    shuffle and the packed-array fold, bounding both at
+    |candidates| however many docs contain every term.  Semantics
+    note: a doc absent from ``candidates`` emits no span row — the
+    caller's ranking sees a SMALLER universe, which changes fused
+    output whenever tightness would have surfaced a doc the lexical
+    arm did not (measure the trade; ``serve_search_queries``
+    defaults to unrestricted)."""
     q = queries.select(
         F.col(q_id_col),
         F.array_distinct(F.col(terms_col)).alias("_tl"),
     ).where(F.col("_tl").isNotNull() & (F.size("_tl") > 0))
-    per = _query_postings(index, q, id_col, q_id_col, [])
+    per = _query_postings(index, q, id_col, q_id_col, [], candidates)
     tagged = F.flatten(
         F.transform(
             F.col("_a"),
@@ -1753,6 +1780,183 @@ def index_compact(
         spark, f"{root}/{_STATS_ART}", fold_stats, align_manifest=m_post
     )
     return res
+
+
+def mmr_rerank(
+    ranked: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    score_col: str = "score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — diversify a relevance-ranked shortlist: pick ``k``
+    documents greedily, each maximizing
+
+        lam * rel(d)  -  (1 - lam) * max over selected s of sim(d, s)
+
+    so near-duplicates of an already-selected document are penalized
+    out of the final list — the missing step between ranked retrieval
+    (q122/q136/q143's arms, all relevance-pure) and training-data
+    curation, where a diverse positive/negative shortlist beats k
+    copies of the same best hit.
+
+    Inputs: ``ranked`` — ``(q_id, id, score)``, a TOP-N per query by
+    construction (a fused/hybrid/BM25 ranking; this operator
+    re-orders a shortlist, it does not search); ``embeddings`` —
+    ``(vec_id, embedding)`` document vectors (unit-normalized, the
+    corpus convention — dot product IS cosine).  A candidate without
+    an embedding drops (it cannot be diversity-scored).
+
+    Returns ``(q_id, rank, id, mmr_fx, rel_fx)``: the greedy pick
+    order, ``rel_fx`` the candidate's min-max-normalized relevance
+    and ``mmr_fx`` its selection-time MMR objective, both fixed-point
+    at ``scale`` (pairwise sims fixed-point BEFORE the max, the
+    engine-portable convention — the whole selection is
+    integer-exact given IEEE doubles, hence oracle-gradable).  The
+    first pick maximizes ``lam * rel`` alone (no selected set yet);
+    ties break by id ascending at every step.  Queries with fewer
+    than ``k`` embedded candidates return all of them.
+
+    Scale posture: NO iterative joins and NO driver-side loop — the
+    per-query candidate set (bounded at N by the caller's top-N
+    contract) packs into ONE array via groupBy(q_id), and the entire
+    k-step greedy selection runs as a single ``F.aggregate`` fold
+    over that array (the ``min_span_batch`` packed-array idiom):
+    per-pair sims are computed inside the fold's lambdas, so nothing
+    is materialized beyond the one (q_id)-keyed exchange, and a
+    million queries diversify embarrassingly parallel."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= float(lam) <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    lamc = F.lit(float(lam))
+    ilamc = F.lit(1.0 - float(lam))
+    sc = F.lit(float(scale))
+    w = Window.partitionBy(q_id_col)
+    rel01 = F.when(
+        F.max(F.col(score_col)).over(w) > F.min(F.col(score_col)).over(w),
+        (F.col(score_col).cast("double")
+         - F.min(F.col(score_col).cast("double")).over(w))
+        / (F.max(F.col(score_col).cast("double")).over(w)
+           - F.min(F.col(score_col).cast("double")).over(w)),
+    ).otherwise(F.lit(1.0))
+    cand = (
+        ranked.select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.floor(rel01 * sc + F.lit(0.5)).alias("_rel"),
+        )
+        .join(
+            embeddings.select(
+                F.col(vec_id_col).alias(id_col),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("_v"),
+            ),
+            id_col,
+        )
+    )
+    # one packed array per query, id-sorted (struct compare leads on
+    # id) so every fold below iterates a deterministic order
+    packed = cand.groupBy(q_id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("_rel").alias("rel"),
+                    F.col("_v").alias("v"),
+                )
+            )
+        ).alias("_c")
+    )
+
+    def _dot_fx(va, vb):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(va, vb, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            * sc
+            + F.lit(0.5)
+        )
+
+    sel_t = (
+        "array<struct<id:bigint,rank:int,mmr_fx:bigint,rel:bigint,"
+        "v:array<double>>>"
+    )
+
+    def _step(acc, i):
+        sel_ids = F.transform(acc, lambda s: s["id"])
+        rem = F.filter(
+            F.col("_c"),
+            lambda c: ~F.array_contains(sel_ids, c["id"]),
+        )
+        # per remaining candidate: the MMR objective at this step —
+        # struct(m, ni) orders argmax by (mmr desc, id asc); rel/v
+        # ride along for the pick row (never reached by the compare:
+        # ni is unique)
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                F.when(
+                    F.size(acc) > 0,
+                    F.floor(
+                        lamc * c["rel"]
+                        - ilamc
+                        * F.array_max(
+                            F.transform(
+                                acc, lambda s: _dot_fx(c["v"], s["v"])
+                            )
+                        )
+                        + F.lit(0.5),
+                    ),
+                )
+                .otherwise(F.floor(lamc * c["rel"] + F.lit(0.5)))
+                .alias("m"),
+                (-c["id"]).alias("ni"),
+                c["rel"].alias("rel"),
+                c["v"].alias("v"),
+            ),
+        )
+        best = F.array_max(scored)
+        return F.when(
+            F.size(rem) > 0,
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        (-best["ni"]).alias("id"),
+                        i.cast("int").alias("rank"),
+                        best["m"].alias("mmr_fx"),
+                        best["rel"].alias("rel"),
+                        best["v"].alias("v"),
+                    )
+                ),
+            ),
+        ).otherwise(acc)
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k))),
+        F.array().cast(sel_t),
+        _step,
+    )
+    return (
+        packed.select(F.col(q_id_col), F.explode(sel).alias("_s"))
+        .select(
+            F.col(q_id_col),
+            F.col("_s")["rank"].alias("rank"),
+            F.col("_s")["id"].alias(id_col),
+            F.col("_s")["mmr_fx"].alias("mmr_fx"),
+            F.col("_s")["rel"].alias("rel_fx"),
+        )
+    )
 
 
 # ------------------------------------------------------- hybrid fusion

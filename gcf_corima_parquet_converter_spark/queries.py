@@ -7205,3 +7205,96 @@ def q143(spark, sf_dir):
         fx("fused_score", 1_000_000).alias("fused_fx"),
         "n_sources",
     ).orderBy("q_id", "rank")
+
+
+# -- q144: MMR diversified top-k (operators/retrieval.py mmr_rerank —
+#    Carbonell & Goldstein, SIGIR 1998): re-rank a relevance shortlist
+#    so each greedy pick maximizes lam*rel - (1-lam)*max-sim-to-
+#    selected — the diverse positive/negative mining step between
+#    ranked retrieval and curation.  Candidates are batch cosine
+#    top-12 per query (the q56 kernel as generator); the Spark side
+#    runs the WHOLE k-step selection as one packed-array JVM fold per
+#    query (no iterative joins, no driver loop), while the oracle
+#    unrolls the same greedy argmax into k SQL stages over the same
+#    fixed-point sims — hash-equal means the fold IS the textbook
+#    selection.
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.5, n_cand: int = 12) -> str:
+    """Unrolled-stage DuckDB twin of mmr_rerank: stage i picks the
+    argmax of floor(lam*rel_fx - (1-lam)*max_sim + 0.5) over the
+    candidates not yet selected (ties doc asc), exactly the fold's
+    per-step math."""
+    head = f"""
+    WITH q AS (SELECT vec_id AS q_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id IN (0, 7, 21)),
+    s AS (SELECT q.q_id, e.vec_id AS doc_id,
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 CAST(floor(list_dot_product(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      q.qv)*1000000 + 0.5) AS BIGINT) AS sim_fx
+          FROM embeddings e CROSS JOIN q),
+    cand AS (SELECT q_id, doc_id, v, sim_fx FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim_fx DESC, doc_id) AS rn FROM s)
+             WHERE rn <= {n_cand}),
+    rel AS (SELECT q_id, doc_id, v,
+            CAST(floor(CASE WHEN mx > mn
+                 THEN (CAST(sim_fx AS DOUBLE) - mn) / (mx - mn)
+                 ELSE 1.0 END * 1000000.0 + 0.5) AS BIGINT) AS rel_fx
+            FROM (SELECT *,
+                  CAST(MIN(sim_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mn,
+                  CAST(MAX(sim_fx) OVER (PARTITION BY q_id) AS DOUBLE) AS mx
+                  FROM cand)),
+    pairs AS (SELECT a.q_id, a.doc_id AS ai, b.doc_id AS bi,
+              CAST(floor(list_dot_product(a.v, b.v)*1000000 + 0.5)
+                   AS BIGINT) AS sim
+              FROM rel a JOIN rel b
+                ON a.q_id = b.q_id AND a.doc_id <> b.doc_id),
+    s1 AS (SELECT q_id, 1 AS rank, doc_id,
+                  CAST(floor({lam}*rel_fx + 0.5) AS BIGINT) AS mmr_fx,
+                  rel_fx
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY floor({lam}*rel_fx + 0.5) DESC, doc_id) AS rn
+                 FROM rel)
+           WHERE rn = 1),
+    sel1 AS (SELECT q_id, doc_id FROM s1)"""
+    stages = [head]
+    for i in range(2, k + 1):
+        p = i - 1
+        stages.append(f""",
+    m{i} AS (SELECT r.q_id, r.doc_id, r.rel_fx,
+             CAST(floor({lam}*r.rel_fx - {1.0 - lam}*mx.ms + 0.5)
+                  AS BIGINT) AS mmr_fx
+             FROM rel r
+             JOIN (SELECT p.q_id, p.ai, MAX(p.sim) AS ms
+                   FROM pairs p JOIN sel{p} sl
+                     ON sl.q_id = p.q_id AND sl.doc_id = p.bi
+                   GROUP BY p.q_id, p.ai) mx
+               ON mx.q_id = r.q_id AND mx.ai = r.doc_id
+             WHERE NOT EXISTS (SELECT 1 FROM sel{p} sl2
+                   WHERE sl2.q_id = r.q_id AND sl2.doc_id = r.doc_id)),
+    s{i} AS (SELECT q_id, {i} AS rank, doc_id, mmr_fx, rel_fx
+             FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY mmr_fx DESC, doc_id) AS rn FROM m{i})
+             WHERE rn = 1),
+    sel{i} AS (SELECT q_id, doc_id FROM sel{p}
+               UNION ALL SELECT q_id, doc_id FROM s{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    stages.append(f"""
+    SELECT q_id, CAST(rank AS INT) AS rank, doc_id, mmr_fx, rel_fx
+    FROM ({union}) ORDER BY q_id, rank
+    """)
+    return "".join(stages)
+
+
+@query("q144_mmr_diversified_topk", _mmr_oracle_sql())
+def q144(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id").isin(0, 7, 21)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = S.batch_cosine_topk(e, qv, k=12).select(
+        "q_id", F.col("vec_id").alias("doc_id"),
+        F.col("sim_fx").alias("score"),
+    )
+    return R.mmr_rerank(cand, e, k=5, lam=0.5).orderBy("q_id", "rank")

@@ -1453,6 +1453,7 @@ def serve_search_queries(
     champion_m: int | None = None,
     fusion: str = "rrf",
     fusion_weights: tuple[float, float] = (1.0, 1.0),
+    fused_span_scope: str = "all",
     available_now: bool = True,
     _pre_batch_hook=None,
 ):
@@ -1532,6 +1533,17 @@ def serve_search_queries(
     min-max needs).
     bm25/phrase/proximity rows are single-arm and ignore the setting.
 
+    ``fused_span_scope`` — which documents the fused arm's MinDist
+    leg folds spans for: ``'all'`` (default — every doc containing
+    all terms, the q131 recipe verbatim) or ``'lex'`` (only the BM25
+    top-``4k`` candidates already materialized for the fused arm — a
+    (q_id, doc) broadcast restriction BEFORE the span fold's shuffle,
+    the candidate-generation-then-rerank shape).  ``'lex'`` bounds
+    the heaviest fused subplan at 4k rows per query however common
+    the terms, at a recall trade: a doc whose tightness alone would
+    have fused in no longer can (mode_floor's ``fused_lex`` row
+    measures the wall difference; pick per workload).
+
     Scale posture: the batch's DISTINCT terms (all modes pooled)
     drive ONE partition-pruned postings load, PERSISTED for the batch
     so every arm scores from the same cached scan (r17 arm fusion —
@@ -1576,6 +1588,11 @@ def serve_search_queries(
 
     if fusion not in ("rrf", "score"):
         raise ValueError(f"fusion must be 'rrf' or 'score', got {fusion!r}")
+    if fused_span_scope not in ("all", "lex"):
+        raise ValueError(
+            f"fused_span_scope must be 'all' or 'lex', got "
+            f"{fused_span_scope!r}"
+        )
 
     def _fuse(arms):
         """Combine the fused/hybrid arms per the configured fusion
@@ -1970,6 +1987,11 @@ def serve_search_queries(
             spans = min_span_batch(
                 post, fq, id_col=id_col, q_id_col=q_id_col,
                 terms_col=terms_col,
+                candidates=(
+                    bm4.select(q_id_col, id_col)
+                    if fused_span_scope == "lex"
+                    else None
+                ),
             )
             ws = Window.partitionBy(q_id_col).orderBy(
                 "min_span", F.col(id_col)

@@ -1844,6 +1844,145 @@ def test_fuzzy_vocab_append_merges_df_and_replays_exactly_once(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _py_mmr(cands, k, lam, scale):
+    """Reference MMR selection with the operator's exact fixed-point
+    math: cands = [(id, rel_fx, vec)], returns [(rank, id, mmr_fx,
+    rel_fx)]."""
+    import math
+    from functools import reduce
+
+    def dot_fx(a, b):
+        s = reduce(lambda acc, xy: acc + xy[0] * xy[1], zip(a, b), 0.0)
+        return math.floor(s * scale + 0.5)
+
+    sel, rem = [], sorted(cands)
+    out = []
+    for rank in range(1, k + 1):
+        if not rem:
+            break
+        best = None
+        for c in rem:
+            if sel:
+                ms = max(dot_fx(c[2], s[2]) for s in sel)
+                m = math.floor(lam * c[1] - (1 - lam) * ms + 0.5)
+            else:
+                m = math.floor(lam * c[1] + 0.5)
+            key = (m, -c[0])
+            if best is None or key > best[0]:
+                best = (key, c, m)
+        _, c, m = best
+        sel.append(c)
+        rem = [r for r in rem if r[0] != c[0]]
+        out.append((rank, c[0], m, c[1]))
+    return out
+
+
+def test_mmr_rerank_matches_python_model_and_diversifies(spark):
+    """mmr_rerank (Carbonell & Goldstein 1998) pinned against a pure-
+    Python greedy selection with the identical fixed-point math; on a
+    two-cluster corpus the lam=0.5 pick order must alternate clusters
+    while lam=1.0 degenerates to pure relevance order."""
+    import math
+
+    # two tight clusters on the unit circle: ids 1-3 near (1,0),
+    # ids 4-6 near (0,1); relevance favors cluster A slightly
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    vecs = {
+        1: unit(0.00), 2: unit(0.05), 3: unit(0.10),
+        4: unit(1.50), 5: unit(1.55), 6: unit(1.60),
+    }
+    rel = {1: 1.00, 2: 0.95, 3: 0.90, 4: 0.85, 5: 0.80, 6: 0.75}
+    ranked = spark.createDataFrame(
+        [(0, i, rel[i]) for i in vecs], "q_id long, doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    scale = 10**6
+    mn, mx = min(rel.values()), max(rel.values())
+    cands = [
+        (
+            i,
+            math.floor((rel[i] - mn) / (mx - mn) * scale + 0.5),
+            # the operator consumes float32-rounded vectors
+            [float(__import__("numpy").float32(x)) for x in vecs[i]],
+        )
+        for i in vecs
+    ]
+    for lam, k in ((0.5, 4), (1.0, 6), (0.3, 6)):
+        want = {
+            (0, r, i, m, rf) for r, i, m, rf in _py_mmr(cands, k, lam, scale)
+        }
+        got = {
+            tuple(r)
+            for r in R.mmr_rerank(
+                ranked, emb, k=k, lam=lam, scale=scale
+            ).collect()
+        }
+        assert got == want, (lam, k)
+    picks05 = [
+        i for _, i, _, _ in _py_mmr(cands, 4, 0.5, scale)
+    ]
+    # diversity: after the top hit (cluster A), the second pick jumps
+    # to cluster B instead of taking A's near-duplicates
+    assert picks05[0] == 1 and picks05[1] in (4, 5, 6)
+    picks10 = [i for _, i, _, _ in _py_mmr(cands, 6, 1.0, scale)]
+    assert picks10 == [1, 2, 3, 4, 5, 6]  # lam=1: relevance order
+
+    # k > candidates returns all; a candidate without an embedding
+    # drops; guards raise
+    all_rows = R.mmr_rerank(ranked, emb, k=50, lam=0.5).collect()
+    assert len(all_rows) == 6
+    fewer = R.mmr_rerank(
+        ranked, emb.where(F.col("vec_id") != 3), k=50, lam=0.5
+    ).collect()
+    assert len(fewer) == 5 and all(r["doc_id"] != 3 for r in fewer)
+    with pytest.raises(ValueError, match="k must"):
+        R.mmr_rerank(ranked, emb, k=0)
+    with pytest.raises(ValueError, match="lam"):
+        R.mmr_rerank(ranked, emb, lam=1.5)
+
+
+def test_min_span_batch_candidates_restriction(spark):
+    """r17 verdict #4: min_span_batch(candidates=) folds spans only
+    for the given (q_id, doc) pairs — for those pairs the spans are
+    IDENTICAL to the unrestricted fold (the restriction prunes, never
+    alters), other docs emit nothing, and a candidate doc that does
+    not contain every term still emits nothing."""
+    docs = [
+        (1, "spark window merge runs fast"),
+        (2, "spark then window then much later merge"),
+        (3, "merge window spark"),
+        (4, "spark window"),
+        (5, "no relevant terms here"),
+    ]
+    idx = R.inverted_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    q = spark.createDataFrame(
+        [(0, ["spark", "window", "merge"])],
+        "q_id long, terms array<string>",
+    )
+    full = {
+        (r["doc_id"], r["min_span"], r["first_pos"])
+        for r in R.min_span_batch(idx, q).collect()
+    }
+    assert {t[0] for t in full} == {1, 2, 3}
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 4), (0, 5)], "q_id long, doc_id long"
+    )
+    got = {
+        (r["doc_id"], r["min_span"], r["first_pos"])
+        for r in R.min_span_batch(idx, q, candidates=cand).collect()
+    }
+    # doc 2 pruned (not a candidate); docs 4/5 absent (don't contain
+    # every term); docs 1/3 keep their exact unrestricted spans
+    assert got == {t for t in full if t[0] in (1, 3)}
+
+
 def test_fuzzy_vocab_compact_lifecycle(spark):
     """r18 fuzzy-tier compaction (r17 verdict #3): build -> N appends
     -> fuzzy_vocab_compact folds the epochs into the next base version

@@ -3160,6 +3160,86 @@ def test_serve_search_queries_output_equals_one_offline_twin(
     assert {t[0] for t in got} == {1, 2, 3, 4, 5, 6, 7}
 
 
+def test_serve_search_queries_fused_span_scope_lex_matches_offline(
+    spark, tmp_path
+):
+    """r17 verdict #4: fused_span_scope='lex' restricts the fused
+    arm's MinDist fold to the BM25 top-4k candidates — served rows
+    must equal the offline composition with the SAME restriction
+    (bm25_topk_batch top-4k -> min_span_batch(candidates=) -> RRF),
+    and an invalid scope raises."""
+    import glob as _g
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from gcf_corima_parquet_converter_spark.operators import retrieval as R
+    from gcf_corima_parquet_converter_spark.streaming.ingest import (
+        serve_search_queries,
+    )
+
+    docs = [
+        (i, f"quick w{i % 3} brown fox gap{i % 5} quick brown")
+        for i in range(12)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    root = str(tmp_path / "fl_idx")
+    R.index_append(R.inverted_index(ddf), root, 0, n_buckets=4)
+
+    sch = "q_id long, mode string, terms array<string>"
+    rows = [(1, "fused", ["quick", "brown", "fox"])]
+    qsrc = str(tmp_path / "fl_qsrc")
+    os.makedirs(qsrc)
+    p = str(tmp_path / "fl_q0")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(p)
+    [f] = _g.glob(os.path.join(p, "part-*.parquet"))
+    shutil.copy(f, os.path.join(qsrc, "a.parquet"))
+
+    K = 3  # small k so the 4k candidate window actually prunes
+    out_path = str(tmp_path / "fl_out")
+    q = serve_search_queries(
+        spark.readStream.schema(sch).parquet(qsrc),
+        root, out_path, checkpoint=str(tmp_path / "fl_ck"),
+        k=K, idf="rational", scale=10**6, fused_span_scope="lex",
+    )
+    q.awaitTermination(120)
+
+    idx = R.inverted_index(ddf)
+    qdf = spark.createDataFrame(
+        [(1, ["quick", "brown", "fox"])], "q_id long, terms array<string>"
+    )
+    bm4 = R.bm25_topk_batch(
+        idx, qdf, k=4 * K, idf="rational", scale=10**6
+    ).select("q_id", "doc_id", "rank")
+    ws = W.partitionBy("q_id").orderBy("min_span", "doc_id")
+    prox4 = (
+        R.min_span_batch(
+            idx, qdf, candidates=bm4.select("q_id", "doc_id")
+        )
+        .withColumn("rank", F.row_number().over(ws))
+        .where(F.col("rank") <= 4 * K)
+        .select("q_id", "doc_id", "rank")
+    )
+    want = {
+        (r["rank"], r["doc_id"], float(r["rrf_score"]))
+        for r in R.rrf_fuse_batch(
+            [bm4, prox4], topk=K, scale=10**6
+        ).collect()
+    }
+    got = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) == K
+    with pytest.raises(ValueError, match="fused_span_scope"):
+        serve_search_queries(
+            spark.readStream.schema(sch).parquet(qsrc),
+            root, str(tmp_path / "x"), checkpoint=str(tmp_path / "xck"),
+            fused_span_scope="bogus",
+        )
+
+
 def test_serve_search_queries_dense_only_hybrid_weight_and_termless_batch(
     spark, tmp_path
 ):
