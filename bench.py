@@ -2639,6 +2639,9 @@ def main() -> None:
     stream_samples = [s["streaming"] for s in samples if s.get("streaming")]
     streaming = None
     if stream_samples:
+        # numeric fields: median across the fresh-JVM samples; the
+        # r18 per-probe env bracket (a dict — r17 verdict #2) has no
+        # median and is carried per-run instead
         streaming = {
             k: (
                 round(statistics.median(s[k] for s in stream_samples), 3)
@@ -2646,7 +2649,11 @@ def main() -> None:
                 else round(statistics.median(s[k] for s in stream_samples))
             )
             for k in stream_samples[0]
+            if isinstance(stream_samples[0][k], (int, float))
         }
+        streaming["probe_env_per_run"] = [
+            s.get("probe_env") for s in stream_samples
+        ]
         streaming["samples"] = len(stream_samples)
 
     # r17 (r16 verdict #7): canary-normalized twins for the NON-query
