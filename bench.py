@@ -2056,16 +2056,16 @@ def bench_lm_skew(spark) -> dict:
         """UI-free skew evidence (the driver bench session runs with
         spark.ui.enabled=false, so the REST task summaries degrade to
         None): the PRE-EXCHANGE kv key histogram, derived from the
-        model's own counts — each (order, gram) key carries
-        cnt x slot-multiplicity lookup rows (slot layout [3,2,2,1,1]:
-        one slot for the trigram, two each for bigram/unigram), hashed
-        into 32 buckets exactly as the join partitioning would.  With
-        salting, hot keys' mass spreads evenly over the salt buckets.
-        max/median bucket mass IS the skew the exchange must absorb
-        (matches the REST-measured 3.9x -> 1.3x within rounding)."""
-        mult = F.when(F.col("order") == 3, F.lit(1)).otherwise(F.lit(2))
+        model's own counts — each (order, gram) key carries cnt
+        lookup rows (the r18 ending-gram layout: every gram is looked
+        up exactly once per position it ends at, contexts realigned
+        by lag instead of re-emitted — pre-r18 bigrams/unigrams
+        carried 2x), hashed into 32 buckets exactly as the join
+        partitioning would.  With salting, hot keys' mass spreads
+        evenly over the salt buckets.  max/median bucket mass IS the
+        skew the exchange must absorb."""
         m = raw_model.select(
-            "order", "gram", "cnt", (F.col("cnt") * mult).alias("w")
+            "order", "gram", "cnt", F.col("cnt").alias("w")
         )
         tot = m.agg(
             F.sum(F.when(F.col("order") == 1, F.col("cnt")))

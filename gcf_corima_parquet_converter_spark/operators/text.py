@@ -1072,13 +1072,31 @@ def _lm_kv(
     salt_hot_frac: float,
 ) -> tuple[DataFrame, DataFrame, list[str], list[str]]:
     """The count-lookup join's two children and its keys — the
-    ``2n-1``-lookups-per-position kv frame (corpus side), the model
-    selection (with hot-key salt replication when ``salt`` is set),
-    and the join key list.  Factored out of :func:`ngram_lm_score` so
-    the skew probe in ``bench.py`` can measure the EXCHANGE this join
-    induces directly (per-partition row counts under the join's own
-    hash partitioning — executor-side evidence, no Spark UI needed).
-    Returns ``(kv, msel, join_keys, groups)``."""
+    ending-gram kv frame (corpus side), the model selection (with
+    hot-key salt replication when ``salt`` is set), and the join key
+    list.  Factored out of :func:`ngram_lm_score` so the skew probe in
+    ``bench.py`` can measure the EXCHANGE this join induces directly
+    (per-partition row counts under the join's own hash partitioning —
+    executor-side evidence, no Spark UI needed).
+
+    r18 layout: ONE kv row per (position, order) — the k-grams ENDING
+    at each padded position e in [max(n-1, 1), size-1], k = 1..n with
+    k <= e.  The pre-r18 layout emitted 2n-1 rows per scored position
+    (each order's gram PLUS its backoff-context gram), but a
+    position's context grams are exactly the PREVIOUS position's
+    ending grams — so :func:`ngram_lm_score` realigns contexts with a
+    per-document lag window over the folded per-position frame
+    instead of re-emitting (and re-shuffling) every context string
+    through the count join: n rows per position instead of 2n-1 (for
+    n=3: 40% fewer join-probe rows, and the join exchange carries
+    each gram's bytes once instead of the bigram/unigram strings
+    twice), identical lookups resolved, bit-identical scores.
+    Position n-1 (pure-BOS) is emitted as a context-only row (orders
+    1..n-1) for the first scored position's backoff; scored positions
+    are e >= n, exactly as before.
+
+    Returns ``(kv, msel, join_keys, groups)``; kv carries
+    ``(id, *groups, _pi, order, gram[, _salt])``."""
     from .scale import ensure_min_parallelism
 
     groups = list(group_cols or [])
@@ -1087,46 +1105,51 @@ def _lm_kv(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), *groups, _lm_padded(text_col, n).alias("_pt"))
 
-    # fixed slot layout per scored position p (1-based in the padded
-    # stream; real tokens sit at p = n .. size-1):
-    #   slot 2j   = the (n-j)-gram ending at p        (j = 0..n-2)
-    #   slot 2j+1 = its context, the (n-j-1)-gram ending at p-1
-    #   slot 2n-2 = the unigram at p
-    slot_orders = []
-    for j in range(n - 1):
-        slot_orders += [n - j, n - j - 1]
-    slot_orders.append(1)
+    start = max(n - 1, 1)
 
-    def _keys_at(p):
-        ks = []
-        for j in range(n - 1):
-            k = n - j
-            ks.append(F.array_join(F.slice(F.col("_pt"), p - k + 1, k), _LM_SEP))
-            ks.append(
-                F.array_join(F.slice(F.col("_pt"), p - k + 1, k - 1), _LM_SEP)
-            )
-        ks.append(F.element_at(F.col("_pt"), p))
-        return F.array(*ks)
+    def _grams_at(e):
+        # ending k-grams of position e; k <= e guards the BOS edge
+        # (position n-1 carries no n-gram — it exists only as the
+        # first scored position's context source)
+        return F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("order"),
+                        F.when(
+                            e >= F.lit(k),
+                            F.array_join(
+                                F.slice(F.col("_pt"), e - k + 1, k),
+                                _LM_SEP,
+                            ),
+                        ).alias("gram"),
+                    )
+                    for k in range(1, n + 1)
+                ]
+            ),
+            lambda s: s["gram"].isNotNull(),
+        )
 
     keyed = base.select(
         F.col(id_col),
         *groups,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(n), F.size("_pt") - 1), _keys_at
+                F.sequence(F.lit(start), F.size("_pt") - 1), _grams_at
             )
-        ).alias("_pi", "_keys"),
+        ).alias("_off", "_gs"),
     )
     kv = keyed.select(
         F.col(id_col),
         *groups,
-        F.col("_pi"),
-        F.posexplode("_keys").alias("_slot", "gram"),
-    ).withColumn(
-        "order",
-        F.element_at(
-            F.array(*[F.lit(o) for o in slot_orders]), F.col("_slot") + 1
-        ),
+        (F.col("_off") + F.lit(start)).alias("_pi"),
+        F.explode("_gs").alias("_g"),
+    ).select(
+        F.col(id_col),
+        *groups,
+        "_pi",
+        F.col("_g.order").alias("order"),
+        F.col("_g.gram").alias("gram"),
     )
     # grouped mode: each position's lookups resolve against ITS
     # group's model — the group columns simply join along with
@@ -1214,16 +1237,22 @@ def ngram_lm_score(
     (nothing to score), the corpus convention of ``unigram_logprob``.
 
     Plan (the 100 TB shape): each scored position needs ``2n-1``
-    count lookups (gram + context per order, one unigram), which are
-    emitted as key rows and resolved by ONE equi-join against the
-    model — not ``2n-1`` separate joins each reshuffling the
-    corpus-scale positions frame.  The model side is vocabulary-
-    sized (Heaps-sublinear) and carries NO broadcast hint: a web-scale
+    counts (gram + context per order, one unigram), but a position's
+    context grams are exactly the previous position's ending grams —
+    so only the ``n`` ENDING grams per position are emitted as key
+    rows and resolved by ONE equi-join against the model (r18; the
+    earlier layout emitted all ``2n-1``, re-shuffling every context
+    string), then contexts realign with a per-document lag window
+    after the per-position fold — 40% fewer join-probe rows and
+    gram-string shuffle bytes at ``n=3``, identical lookups,
+    bit-identical scores.  The model side is vocabulary-sized
+    (Heaps-sublinear) and carries NO broadcast hint: a web-scale
     count table is GBs (the collocations regime) — AQE upgrades from
     measured sizes when a small trusted model makes that safe, and
     its skew-join handles the stopword-gram hot keys.  The join
-    result folds back to one row per position (conditional aggregation
-    on the slot id), then one per-doc aggregation.
+    result folds back to one row per position (conditional
+    aggregation on the order), one lag window, then one per-doc
+    aggregation — all behind a single narrow (id) exchange.
 
     Float parity: ``scale`` fixed-points each token's score before
     the per-doc sum (``cnt/cnt`` and ``alpha * s`` are correctly-
@@ -1287,18 +1316,48 @@ def ngram_lm_score(
     the unchanged plan."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    n_slots = 2 * n - 1
     kv, msel, join_keys, groups = _lm_kv(
         df, model, n, id_col, text_col, group_cols, salt, salt_hot_frac
     )
 
     resolved = kv.join(msel, join_keys, "left")
-    percell = resolved.groupBy(id_col, *groups, "_pi").agg(
-        *[
-            F.max(F.when(F.col("_slot") == i, F.col("cnt"))).alias(f"_c{i}")
-            for i in range(n_slots)
-        ]
+    # fold the n per-position lookups to one row per position.  The
+    # explicit repartition on (id, groups) is the ONE post-join
+    # exchange: HashPartitioning(id, groups) satisfies the fold's
+    # clustering ((id, groups) is a subset of (id, groups, _pi)), the
+    # context-realignment lag window's partitioning AND the final
+    # per-doc aggregation, so fold + window + doc aggregate all run in
+    # one stage behind one narrow exchange (pre-r18: a wider
+    # (id, groups, _pi) exchange carrying 2n-1 rows per position).
+    # Trade, stated: one document's positions now fold within one
+    # partition — the lag window needs that locality anyway, and
+    # documents are bounded where corpora are not.
+    percell = (
+        resolved.repartition(F.col(id_col), *[F.col(g) for g in groups])
+        .groupBy(id_col, *groups, "_pi")
+        .agg(
+            *[
+                F.max(F.when(F.col("order") == k, F.col("cnt"))).alias(
+                    f"_o{k}"
+                )
+                for k in range(1, n + 1)
+            ]
+        )
     )
+    if n > 1:
+        # context counts = the previous position's ending-gram counts
+        # (see _lm_kv): realign via lag, then keep scored positions
+        # only (p >= n; position n-1 is the context-only BOS row)
+        from pyspark.sql import Window as _W
+
+        wlag = _W.partitionBy(id_col, *groups).orderBy("_pi")
+        percell = percell.select(
+            "*",
+            *[
+                F.lag(F.col(f"_o{k}")).over(wlag).alias(f"_p{k}")
+                for k in range(1, n)
+            ],
+        ).where(F.col("_pi") >= F.lit(n))
     if groups:
         # per-group unigram totals: a group-count-sized frame joined on
         # the group key (no broadcast hint needed — AQE sees ~1 row per
@@ -1319,12 +1378,13 @@ def ngram_lm_score(
     # the grouped-mode modelless group (_N null -> base 0.0, the OOV
     # semantics); for a non-null _N it is the identity on the division
     s = F.coalesce(
-        F.coalesce(F.col(f"_c{n_slots - 1}"), F.lit(0)).cast("double")
+        F.coalesce(F.col("_o1"), F.lit(0)).cast("double")
         / F.col("_N").cast("double"),
         F.lit(0.0),
     )
     for j in range(n - 2, -1, -1):
-        g, c = F.col(f"_c{2 * j}"), F.col(f"_c{2 * j + 1}")
+        k = n - j  # the order scored at this backoff level
+        g, c = F.col(f"_o{k}"), F.col(f"_p{k - 1}")
         s = F.when(
             g.isNotNull() & c.isNotNull(),
             g.cast("double") / c.cast("double"),
