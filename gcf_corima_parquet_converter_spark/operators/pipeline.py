@@ -440,6 +440,42 @@ def semantic_decontaminate(
     and OR-amplification covers the rest — recall is pinned on planted
     copies in tests); precision is exact (cosine verifies every
     candidate)."""
+    flagged = semantic_contaminated_ids(
+        corpus_emb, bench_emb, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, broadcast_benchmark=broadcast_benchmark,
+        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
+    )
+    return corpus_emb.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    broadcast_benchmark: bool = True,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The flagged-id half of :func:`semantic_decontaminate`: the
+    DISTINCT ``id_col`` frame of corpus rows whose embedding is within
+    cosine >= ``threshold`` of ANY benchmark embedding, with the same
+    broadcast/LSH regimes and the same null contract (null embeddings
+    never flag).  ``semantic_decontaminate(c, b, ...)`` IS
+    ``c.join(broadcast(semantic_contaminated_ids(c, b, ...)), id,
+    "left_anti")`` by construction.
+
+    Exposed for pipelines that apply the semantic drop to a DIFFERENT
+    frame carrying the same ids (q111: the span-stripped survivors) —
+    anti-joining one broadcast id set evaluates the survivor subtree
+    ONCE, where the split-join-union shape (with-embedding half
+    through :func:`semantic_decontaminate`, no-embedding half anti-
+    joined, union) would inline and recompute it per branch.  Flagged
+    ids absent from the target frame simply never match the anti-join,
+    so flagging the WHOLE embedding corpus is result-identical."""
     from .scale import ensure_min_parallelism
     from .similarity import dot, with_lsh_bucket
 
@@ -468,12 +504,11 @@ def semantic_decontaminate(
             ),
             id_col,
         )
-        flagged = (
+        return (
             guarded.join(F.broadcast(bench), cond, "inner")
             .select(id_col)
             .distinct()
         )
-        return corpus_emb.join(F.broadcast(flagged), id_col, "left_anti")
     if dim is None:
         row = (
             corpus_emb.select(vec_col)
@@ -481,7 +516,7 @@ def semantic_decontaminate(
             .first()
         )
         if row is None:
-            return corpus_emb
+            return corpus_emb.select(id_col).limit(0)
         dim = len(row[0])
     kw = dict(
         n_planes=n_planes, n_tables=n_tables, vec_col=vec_col,
@@ -503,13 +538,12 @@ def semantic_decontaminate(
         F.col(vec_col).alias("_bv"),
         F.posexplode("lsh_bucket").alias("_tbl", "_bkt"),
     )
-    flagged = (
+    return (
         cb.join(bb, ["_tbl", "_bkt"])
         .where(dot(F.col("_cv"), F.col("_bv")) >= F.lit(float(threshold)))
         .select(id_col)
         .distinct()
     )
-    return corpus_emb.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def quantile_threshold_filter(

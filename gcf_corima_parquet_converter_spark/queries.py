@@ -99,6 +99,30 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def shared_index(docs: DataFrame, analyzer: str = "keep") -> DataFrame:
+    """``retrieval.inverted_index`` materialized ONCE (lazy
+    localCheckpoint) for queries that consume the index from SEVERAL
+    subplans — corpus stats + scoring at minimum, plus vocab/champion/
+    qrels arms in the capstones.  Each static consumer otherwise
+    inlines the tokenize+explode+groupBy subtree, and because their
+    pushed-down term filters differ, AQE exchange reuse cannot collapse
+    them — measured at sf1 the corpus was tokenized once PER CONSUMER
+    (q141: 5x, ~4 s each).  The checkpoint materializes inside the
+    timed action (eager=False — nothing precomputes at plan-build
+    time) and is recomputed from parquet on every invocation; it is
+    the inline-build mirror of the persisted-artifact serving path.
+
+    NOT for single-consumer searches (q114/q120/q129/q130/q132/q134/
+    q135/q137/q140): there the planner pushes the query's term filter
+    below the index groupBy, pruning collect_list work for
+    non-matching terms — materializing the FULL positional index costs
+    more than it saves (measured regressions 1.4->2.9 s, 2.5->3.9 s at
+    sf1; see OPTIMIZATION_r18.md)."""
+    return R.inverted_index(docs, analyzer=analyzer).localCheckpoint(
+        eager=False
+    )
+
+
 # ============================================================== flagship
 # The reference pipeline's shape on the driver's events table: tumbling
 # time buckets -> completeness gate (observed span >= frac of bucket) ->
@@ -3967,10 +3991,23 @@ def q111(spark, sf_dir):
     )
     s1 = corpus.join(F.broadcast(heavy), "doc_id", "left_anti")
 
-    # stage 2: surgical span strip (exact 8-token benchmark windows)
-    s2 = P.strip_contaminated_spans(s1, bench, "doc_id", "text", width=8)
+    # stage 2: surgical span strip (exact 8-token benchmark windows).
+    # r18: spans are DETECTED over `corpus`, not s1 — the strip
+    # attaches spans per doc via a left join, so span rows for
+    # stage-1-dropped docs never match and the output is identical,
+    # while the expensive stage-1 grams anti-join subtree appears
+    # ONCE in the plan (under the strip side) instead of also under
+    # the window-hash side (was strip_contaminated_spans(s1, ...)).
+    spans = P.contaminated_spans(corpus, bench, "doc_id", "text", width=8)
+    s2 = D.apply_span_strip(s1, spans, "doc_id", "text")
 
-    # stage 3: semantic drop on the survivors that have embeddings
+    # stage 3: semantic drop on the survivors that have embeddings.
+    # r18: the flagged-id set is computed over the WHOLE embedding
+    # corpus and anti-joined once — flagged ids outside s2 can't
+    # match the anti-join, so this is result-identical to splitting
+    # s2 into with/without-embedding halves (the old with_emb/no_emb
+    # join + semantic_decontaminate + union), while the s2 subtree
+    # (stages 1-2 under it) is evaluated once, not twice.
     emb = T(spark, sf_dir, "embeddings")
     bemb = emb.where(F.col("vec_id") % 50 == 0)
     cemb = (
@@ -3982,12 +4019,10 @@ def q111(spark, sf_dir):
             )
         )
     )
-    with_emb = s2.join(cemb, "doc_id")
-    no_emb = s2.join(cemb.select("doc_id"), "doc_id", "left_anti")
-    clean_emb = P.semantic_decontaminate(
-        with_emb, bemb, id_col="doc_id", vec_col="embedding", threshold=0.9
-    ).drop("embedding")
-    final = no_emb.unionByName(clean_emb)
+    bad = P.semantic_contaminated_ids(
+        cemb, bemb, id_col="doc_id", vec_col="embedding", threshold=0.9
+    )
+    final = s2.join(F.broadcast(bad), "doc_id", "left_anti")
     norm = F.array_join(X.tokens("text"), " ")
     return (
         final.select("doc_id", norm.alias("text"))
@@ -4101,7 +4136,7 @@ _BM25_SQL_STATS = """
 )
 def q113(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     out = R.bm25_topk(
         idx, ["spark", "window", "merge"], k=10, idf="rational",
         scale=1_000_000,
@@ -4179,7 +4214,7 @@ def q114(spark, sf_dir):
 )
 def q115(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qs = spark.createDataFrame(
         [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
          (3, ["vector"])],
@@ -4325,7 +4360,7 @@ def q116(spark, sf_dir):
 def q117(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     e = T(spark, sf_dir, "embeddings")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     bm = R.bm25_topk(
         idx, ["spark", "window", "merge"], k=50, idf="rational",
         scale=1_000_000,
@@ -4482,7 +4517,7 @@ def _sql_disc_case(col: str) -> str:
 )
 def q118(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qs = spark.createDataFrame(
         [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
          (3, ["vector"])],
@@ -4616,7 +4651,7 @@ def q118(spark, sf_dir):
 )
 def q119(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     orig = ["spark", "window"]
     first = R.bm25_topk(idx, orig, k=10, idf="rational", scale=10**6)
     exp = R.prf_expand(
@@ -4810,7 +4845,7 @@ def q120(spark, sf_dir):
 )
 def q121(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qs = spark.createDataFrame(
         [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
          (3, ["vector"])],
@@ -4935,7 +4970,7 @@ def q122(spark, sf_dir):
             F.lit(" ..."),
         ).alias("text"),
     )
-    idx = R.inverted_index(noisy, analyzer="simple")
+    idx = shared_index(noisy, analyzer="simple")  # r18: see shared_index
     terms = R.analyze_terms("SPARK, Query.", "simple")  # -> spark, query
     out = R.bm25_topk(idx, terms, k=10, idf="rational", scale=1_000_000)
     return out.select(
@@ -5106,7 +5141,7 @@ def q122(spark, sf_dir):
 )
 def q123(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     terms = ["spark", "window", "merge"]
     bm = R.bm25_topk(idx, terms, k=20, idf="rational", scale=1_000_000)
     ph = R.phrase_search(idx, "spark window")
@@ -5745,7 +5780,7 @@ def q130(spark, sf_dir):
 def q131(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     terms = ["spark", "window", "merge"]
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     bm = R.bm25_topk(
         idx, terms, k=50, idf="rational", scale=1_000_000
     ).select("doc_id", "rank")
@@ -6080,7 +6115,7 @@ def q132(spark, sf_dir):
 )
 def q133(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qs = spark.createDataFrame(
         [(1, ["spark", "window"]), (2, ["merge", "batch", "join"]),
          (3, ["vector"])],
@@ -6372,7 +6407,7 @@ def q135(spark, sf_dir):
 def q136(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     e = T(spark, sf_dir, "embeddings")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qdf = spark.createDataFrame(
         [
             (0, ["spark", "window"]),
@@ -6512,7 +6547,7 @@ def q137(spark, sf_dir):
 )
 def q138(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qdf = spark.createDataFrame(
         [
             (1, ["spak", "windo"]),
@@ -6609,7 +6644,7 @@ def q138(spark, sf_dir):
 )
 def q139(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qdf = spark.createDataFrame(
         [
             (0, ["spark", "window"]),
@@ -6912,7 +6947,11 @@ def q140(spark, sf_dir):
 def q141(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     e = T(spark, sf_dir, "embeddings")
-    idx = R.inverted_index(d)
+    # r18: the capstone consumes the index FIVE ways (vocab for the
+    # correction, corpus stats, champion lists, the exact scorer, the
+    # qrels miner) — the strongest case for shared_index (measured
+    # 14.7 -> 8.1 s best-of-2 interleaved at sf1; rows bit-identical).
+    idx = shared_index(d)
     qdf = spark.createDataFrame(
         [
             (0, ["spak", "windo"]),
@@ -7179,7 +7218,7 @@ def q142(spark, sf_dir):
 def q143(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     e = T(spark, sf_dir, "embeddings")
-    idx = R.inverted_index(d)
+    idx = shared_index(d)  # r18: multi-consumer index, see shared_index
     qdf = spark.createDataFrame(
         [
             (0, ["spark", "window"]),

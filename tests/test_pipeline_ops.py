@@ -942,6 +942,26 @@ def test_semantic_decontaminate_broadcast_and_lsh_paths(spark):
         ):
             assert "embedding" not in line, line
 
+    # r18: semantic_contaminated_ids is the flagged-id half of the
+    # drop — corpus minus survivors, on BOTH paths (the q111
+    # anti-join restructure rests on this identity)
+    flagged_bc = {
+        r["vec_id"]
+        for r in P.semantic_contaminated_ids(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    all_ids = {r[0] for r in corpus_rows}
+    assert flagged_bc == all_ids - got_bc
+    flagged_lsh = {
+        r["vec_id"]
+        for r in P.semantic_contaminated_ids(
+            corpus, bench, threshold=0.95, broadcast_benchmark=False,
+            n_planes=6, n_tables=8, dim=16,
+        ).collect()
+    }
+    assert flagged_lsh == all_ids - got_lsh
+
 
 def test_corpus_profile_exact_counts(spark):
     """r12 datasheet: exact cardinalities, degenerate-text counts, dup
