@@ -5294,7 +5294,13 @@ _LM_SCORE_SQL = r"""
 @query("q124_ngram_lm_score", _LM_SCORE_SQL + "    ORDER BY doc_id\n    ")
 def q124(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    model = X.ngram_lm_train(d, n=3, id_col="doc_id")
+    # r18: the model is consumed twice inside the scorer (the lookup
+    # equi-join and the _N total-token reduce) — materialize the
+    # vocab-sized count table once (8.6 -> 6.9 s at sf1, bit-identical;
+    # the inline twin of persisting a trained LM, see shared_index).
+    model = X.ngram_lm_train(d, n=3, id_col="doc_id").localCheckpoint(
+        eager=False
+    )
     out = X.ngram_lm_score(d, model, n=3, scale=1_000_000)
     return out.select(
         "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
@@ -5391,9 +5397,23 @@ def q125(spark, sf_dir):
 )
 def q126(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    model = X.ngram_lm_train(d, n=3, id_col="doc_id")
-    scored = X.ngram_lm_score(d, model, n=3, scale=1_000_000).select(
-        "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
+    # r18: materialize the vocab-sized model once (the q124 note).
+    model = X.ngram_lm_train(d, n=3, id_col="doc_id").localCheckpoint(
+        eager=False
+    )
+    # r18: the scored frame (one narrow row per doc) is consumed by
+    # BOTH halves of the quantile gate — the percentile aggregate and
+    # the filter join — and each static consumer inlined the whole
+    # train+score subtree (AQE exchange reuse did not collapse them
+    # at runtime, same finding as shared_index).  A lazy
+    # localCheckpoint materializes the tiny scored frame once:
+    # 11.6 -> 7.3 s best-of-2 interleaved at sf1, rows identical.
+    scored = (
+        X.ngram_lm_score(d, model, n=3, scale=1_000_000)
+        .select(
+            "doc_id", "n_tokens", fx("lm_score", 1_000_000).alias("lm_fx")
+        )
+        .localCheckpoint(eager=False)
     )
     kept = P.quantile_threshold_filter(
         scored, "lm_fx", q=0.25, keep="above", exact=True
@@ -5481,7 +5501,10 @@ def q126(spark, sf_dir):
 )
 def q127(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    model = X.ngram_lm_train(d, n=3, id_col="doc_id", group_cols=["lang"])
+    # r18: materialize the per-language model once (the q124 note).
+    model = X.ngram_lm_train(
+        d, n=3, id_col="doc_id", group_cols=["lang"]
+    ).localCheckpoint(eager=False)
     out = X.ngram_lm_score(
         d, model, n=3, scale=1_000_000, group_cols=["lang"]
     )
