@@ -862,6 +862,17 @@ def bench_scaling(spark, sf_dir: str) -> dict:
             return min(ts)
 
         t_small, t_big = best(sf_dir), best(sf1_dir)
+        # r18: ~18 of these queries materialize a lazy localCheckpoint
+        # per invocation (queries.shared_index / the LM model); the
+        # Python frames are released after each rep but the JVM frees
+        # the blocks only via ContextCleaner AFTER a JVM GC.  Without
+        # the hint the blocks pile up across the 41-query loop and the
+        # LATER probes in this worker (serving, facade) inherit the
+        # memory churn — measured: the full-run mixed-serving probe
+        # read 1.1 qps with its env bracket degraded (canary 0.17-0.24)
+        # while a fresh-JVM re-probe read 2.2 qps clean.  GC between
+        # queries, outside the timed region.
+        spark.sparkContext._jvm.System.gc()
         out[name] = {
             "sf0.1_sec": round(t_small, 3),
             "sf1_sec": round(t_big, 3),
