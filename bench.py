@@ -2164,6 +2164,13 @@ def bench_lm_skew(spark) -> dict:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # r19 (r18 verdict #1): pin the shuffle partition count so the
+        # AQE skew-split decision point does not move with
+        # $SPARK_GRAFT_CPUS (the session default is max(cpus, 8), which
+        # at 8 cores made partitions big enough that the raw-scan shape
+        # no longer tripped the skew factor and the old assert killed
+        # the whole 8-core artifact — BENCH_r18_c8 rc=1)
+        "spark.sql.shuffle.partitions": "32",
     }
     saved = {}
     try:
@@ -2202,13 +2209,21 @@ def bench_lm_skew(spark) -> dict:
         mrg_res, mrg_rows = probe("lmskew_merged", merged)
         slt_res, slt_rows = probe("lmskew_salted", merged, salt=32)
 
-        # the whole point, pinned: AQE splits the raw-scan shape,
-        # cannot split the production (merged) shape, and salting is
-        # bit-identical there
-        assert raw_res["skew_split_joins"] >= 1, raw_res
-        assert mrg_res["skew_split_joins"] == 0, mrg_res
-        assert slt_rows == mrg_rows == raw_rows
+        # the whole point, RECORDED (r19, r18 verdict #1: these were
+        # asserts, and the raw-scan split is an AQE *runtime* decision
+        # that legitimately may not fire under every core count /
+        # partition layout — an evidence probe must record its finding,
+        # never crash the artifact; the r18 8-core bench died here):
+        # AQE splits the raw-scan shape, cannot split the production
+        # (merged) shape, and salting is bit-identical there.
         out = {
+            "raw_scan_skew_split_fired": raw_res["skew_split_joins"] >= 1,
+            "merged_skew_split_absent": mrg_res["skew_split_joins"] == 0,
+            "salted_scores_bit_identical": (
+                slt_rows == mrg_rows == raw_rows
+            ),
+        }
+        out |= {
             "corpus": {
                 "docs": 15_000,
                 "tokens_per_doc": 120,
@@ -2231,14 +2246,14 @@ def bench_lm_skew(spark) -> dict:
                     "task spreads need spark.ui, off in this session)",
         }
         if mrg_res["spread"] and slt_res["spread"]:
-            assert (
+            out["salt_flattens_read_spread"] = (
                 slt_res["spread"]["read_spread"]
                 < mrg_res["spread"]["read_spread"]
-            ), (mrg_res, slt_res)
-        assert (
+            )
+        out["salt_flattens_key_spread"] = (
             out["kv_key_hist_salt32"]["key_spread"]
             < out["kv_key_hist_unsalted"]["key_spread"]
-        ), out
+        )
 
         # r17 (r16 verdict #5): EXECUTOR-side spread, UI-free — build
         # the score join's actual kv child via text._lm_kv, push it
@@ -2273,10 +2288,10 @@ def bench_lm_skew(spark) -> dict:
 
         out["exchange_rows_unsalted"] = _exchange_rows(None)
         out["exchange_rows_salt32"] = _exchange_rows(32)
-        assert (
+        out["salt_flattens_exchange_rows"] = (
             out["exchange_rows_salt32"]["row_spread"]
             < out["exchange_rows_unsalted"]["row_spread"]
-        ), out
+        )
         return out
     finally:
         for k, v in saved.items():
@@ -2561,19 +2576,34 @@ def worker(sf_dir: str, with_streaming: bool) -> None:
     # JVMs, r5 verdict: a single sample read 30% lower on unchanged code
     # and was indistinguishable from a regression); the heavier one-shot
     # probes (ann/scaling/facade) stay in the last worker only.
-    out["streaming"] = bench_streaming(spark, sf_dir)
+    # r19 (r18 verdict #1): every evidence probe is wrapped — a probe
+    # failure records an error field in its slot instead of killing the
+    # worker and with it the whole artifact (the r18 8-core run died
+    # inside bench_lm_skew and the driver got NO low-core data at all).
+    # The headline query loop above stays UNwrapped: a failing declared
+    # query is a real regression that must be loud.
+    def _probe(slot, fn):
+        try:
+            out[slot] = fn()
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            out[slot] = {"error": f"{type(e).__name__}: {e}"}
+
+    _probe("streaming", lambda: bench_streaming(spark, sf_dir))
     if with_streaming:
-        out["plan_audit"] = bench_plan_audit(spark, sf_dir)
-        out["ann"] = bench_ann(spark, sf_dir)
-        out["ann_scale"] = bench_ann_scale(spark)
-        out["scaling"] = bench_scaling(spark, sf_dir)
-        out["facade"] = bench_facade(spark)
+        _probe("plan_audit", lambda: bench_plan_audit(spark, sf_dir))
+        _probe("ann", lambda: bench_ann(spark, sf_dir))
+        _probe("ann_scale", lambda: bench_ann_scale(spark))
+        _probe("scaling", lambda: bench_scaling(spark, sf_dir))
+        _probe("facade", lambda: bench_facade(spark))
         # membership BEFORE the 1-hour soak: the soak's ~5 GB of decode
         # output churns the page cache the wide-corpus timings sit on
-        out["membership"] = bench_membership(spark)
-        out["retrieval"] = bench_retrieval(spark)
-        out["lm_skew"] = bench_lm_skew(spark)
-        out["facade_sf_full"] = bench_facade_full(spark)
+        _probe("membership", lambda: bench_membership(spark))
+        _probe("retrieval", lambda: bench_retrieval(spark))
+        _probe("lm_skew", lambda: bench_lm_skew(spark))
+        _probe("facade_sf_full", lambda: bench_facade_full(spark))
     print("BENCH_WORKER_JSON:" + json.dumps(out))
 
 
@@ -2647,7 +2677,13 @@ def main() -> None:
 
     # Streaming probe: per-field median across the N fresh-JVM samples
     # (r5's single sample was 30% off on unchanged code — noise).
-    stream_samples = [s["streaming"] for s in samples if s.get("streaming")]
+    stream_samples = [
+        s["streaming"]
+        for s in samples
+        # r19: a probe that failed records {"error": ...} in its slot
+        # (worker._probe) — skip it here instead of crashing the median
+        if s.get("streaming") and "error" not in s["streaming"]
+    ]
     streaming = None
     if stream_samples:
         # numeric fields: median across the fresh-JVM samples; the
@@ -2689,6 +2725,7 @@ def main() -> None:
                 * (s["canary_sec"] / CANARY_REF_SEC)
                 for s in samples
                 if s.get("streaming")
+                and "rows_per_sec" in s["streaming"]
             )
         )
     fac = samples[-1].get("facade") or {}
